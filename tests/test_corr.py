@@ -1,0 +1,103 @@
+"""pairwise_corr (operators/corr.py) and the corrmatrix plans vs
+pandas ``panel.corr()`` — pairwise-complete semantics
+(TAQpipeline/correlation_matrix_exporter.py:163,209)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.corr import ml_corr, pairwise_corr
+from wrds_data_pipeline_spark.operators.windows import trading_calendar
+from wrds_data_pipeline_spark.plans.corrmatrix import intraday_corr, multiday_corr
+from wrds_data_pipeline_spark.plans.taq import day_universe_symbols, resampled_prices
+
+
+@pytest.fixture(scope="module")
+def prices(spark, wrds):
+    universe = day_universe_symbols(wrds["taqmclink"].select("date", "permno", "ticker"))
+    return resampled_prices(wrds["nbbo"], universe, freq_seconds=60).cache()
+
+
+def _pandas_corr_long(panel: pd.DataFrame) -> dict[tuple, float]:
+    """pandas .corr() (pairwise-complete) → {(k1,k2): corr}."""
+    wide = panel.pivot_table(index="bucket", columns="permno", values="price", aggfunc="first")
+    corr = wide.corr()
+    out = {}
+    for a in corr.columns:
+        for b in corr.columns:
+            out[(int(a), int(b))] = corr.loc[a, b]
+    return out
+
+
+def test_pairwise_corr_matches_pandas(spark, prices):
+    day = prices.select(F.min("date")).first()[0]
+    one_day = prices.filter(F.col("date") == F.lit(day))
+    got = pairwise_corr(one_day, "bucket", "permno", "price").toPandas()
+    want = _pandas_corr_long(one_day.toPandas())
+
+    got_map = {(int(r.k1), int(r.k2)): r.corr_val for r in got.itertuples()}
+    # same pair set (pandas emits NaN rows for all pairs; engine emits
+    # a row per pair with any paired observations)
+    for (a, b), w in want.items():
+        g = got_map.get((a, b))
+        if pd.isna(w):
+            assert g is None or pd.isna(g), (a, b)
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (a, b, g, w)
+
+
+def test_intraday_windows_match_pandas(spark, prices):
+    got = intraday_corr(prices, interval_seconds=2 * 3600).toPandas()
+    pdf = prices.toPandas()
+
+    # replay: per day, tumbling 2h windows anchored at 09:30
+    anchor = pd.Timedelta(hours=9, minutes=30)
+    for (day, win), g in got.groupby(["date", "win_start"]):
+        day_pdf = pdf[pdf["date"] == day].copy()
+        t0 = pd.Timestamp(win)
+        t1 = t0 + pd.Timedelta(hours=2)
+        sl = day_pdf[(day_pdf["bucket"] >= t0) & (day_pdf["bucket"] < t1)]
+        want = _pandas_corr_long(sl)
+        for r in g.itertuples():
+            w = want[(int(r.k1), int(r.k2))]
+            if pd.isna(w):
+                assert pd.isna(r.corr_val)
+            else:
+                assert abs(r.corr_val - w) < 1e-9
+
+
+def test_multiday_common_ticker_restriction(spark, wrds, prices):
+    start, end = prices.select(F.min("date"), F.max("date")).first()
+    cal = trading_calendar(spark, start, end)
+    got = multiday_corr(prices, cal, interval_days=3)
+    keys = {int(r.k1) for r in got.select("k1").distinct().collect()}
+    # the symbol absent on the last fixture day must be excluded from
+    # the 3-day block (A5 common-ticker intersection)
+    present_per_day = (
+        prices.groupBy("permno").agg(F.countDistinct("date").alias("n")).toPandas()
+    )
+    always = set(present_per_day[present_per_day["n"] == 3]["permno"].astype(int))
+    sometimes = set(present_per_day["permno"].astype(int)) - always
+    assert sometimes, "fixture should have a partially-present symbol"
+    assert keys == always
+
+
+def test_ml_corr_dense_path(spark, prices):
+    """Fast path agrees with long-form on a dense (ffilled) panel."""
+    day = prices.select(F.min("date")).first()[0]
+    one_day = prices.filter(F.col("date") == F.lit(day)).dropna(subset=["price"])
+    # restrict to symbols present from the first bucket (fully dense)
+    counts = one_day.groupBy("permno").count()
+    max_n = counts.select(F.max("count")).first()[0]
+    dense_keys = counts.filter(F.col("count") == max_n).select("permno")
+    dense = one_day.join(dense_keys, "permno", "left_semi")
+
+    keys, m = ml_corr(dense, "bucket", "permno", "price")
+    long = pairwise_corr(dense, "bucket", "permno", "price").toPandas()
+    lmap = {(int(r.k1), int(r.k2)): r.corr_val for r in long.itertuples()}
+    for i, a in enumerate(keys):
+        for j, b in enumerate(keys):
+            assert abs(m[i, j] - lmap[(int(a), int(b))]) < 1e-9

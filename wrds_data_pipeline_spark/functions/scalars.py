@@ -29,7 +29,8 @@ def symbol_suffix(ticker: Column | str) -> Column:
     (cloud_TAQ/taq_chunks.py:45 — pandas .str[1] yields NaN; Spark
     element_at(..., 2) yields NULL, matching)."""
     t = F.col(ticker) if isinstance(ticker, str) else ticker
-    return F.element_at(F.split(t, r"\."), 2)
+    # try_element_at: NULL when no suffix (ANSI element_at would throw)
+    return F.try_element_at(F.split(t, r"\."), F.lit(2))
 
 
 def pin_open_end(end: Column | str, as_of) -> Column:
@@ -76,17 +77,31 @@ def time_of_day_seconds(ts: Column | str) -> Column:
     )
 
 
+def _pad_tod(t: str) -> str:
+    """'09:30:00' → '09:30:00.000000' (fixed width for lexicographic
+    comparison at microsecond precision)."""
+    if "." in t:
+        head, frac = t.split(".")
+        return f"{head}.{frac:<06s}"
+    return t + ".000000"
+
+
 def in_market_hours(
     ts: Column | str, open_time: str = "09:30:00", close_time: str = "16:00:00",
     closed_right: bool = True,
 ) -> Column:
-    """P11/P12/P13: market-hours clip.  The SQL path uses BETWEEN
-    (inclusive close, cloud_TAQ/taq_chunks.py:63); the notebook uses
-    `< 16:00` (cell 14) — ``closed_right`` selects."""
+    """P11/P12/P13: market-hours clip at microsecond precision via a
+    fixed-width 'HH:mm:ss.SSSSSS' compare (correct lexicographically;
+    a bare 'HH:mm:ss' compare would truncate, wrongly keeping e.g.
+    16:00:00.5 inside a 09:30–16:00 BETWEEN — a Postgres TIME
+    excludes it, cloud_TAQ/taq_chunks.py:63).  The notebook variant
+    uses `< 16:00` (cell 14) — ``closed_right`` selects."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    tod = F.date_format(c, "HH:mm:ss")
-    hi = tod <= F.lit(close_time) if closed_right else tod < F.lit(close_time)
-    return (tod >= F.lit(open_time)) & hi
+    tod = F.date_format(c, "HH:mm:ss.SSSSSS")
+    lo = F.lit(_pad_tod(open_time))
+    hi_lit = F.lit(_pad_tod(close_time))
+    hi = tod <= hi_lit if closed_right else tod < hi_lit
+    return (tod >= lo) & hi
 
 
 def direction_label(curr: Column | str, prev: Column | str) -> Column:

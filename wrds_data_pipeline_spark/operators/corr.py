@@ -1,0 +1,98 @@
+"""Pearson correlation matrices (SURVEY A4).
+
+The reference computes ``panel.corr()`` per window
+(TAQpipeline/correlation_matrix_exporter.py:163,209) — pandas
+semantics: **pairwise-complete** observations (each pair of securities
+correlated over the rows where *both* are non-null), min_periods=1.
+
+Engine formulation: keep the panel in long form (bucket, key, value)
+and self-join on the time bucket, then ``groupBy(k1, k2).agg(corr)``.
+This reproduces pairwise-complete exactly — rows where either side is
+null simply don't pair — and parallelizes over pairs.
+
+Scale: the self-join fans out to |keys|² pairs per bucket.  For the
+reference workload (~500 symbols) that's 250k pairs/bucket — Spark's
+sort-merge join on bucket handles it; for much wider universes route
+through ``ml_corr`` (dense path) which computes the Gram matrix in one
+pass over vectors (listwise-complete — only correct when the panel
+has no nulls, e.g. after W1 ffill with a full leading window;
+SURVEY §4.2 routes on density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairwise_corr(
+    long_df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    value_col: str,
+    window_cols: list[str] | None = None,
+    full_matrix: bool = True,
+) -> DataFrame:
+    """All-pairs Pearson correlation from a long panel.
+
+    Returns (window_cols..., k1, k2, corr_val).  ``full_matrix=True``
+    emits both (a,b) and (b,a) plus the unit diagonal, matching the
+    shape of ``DataFrame.corr()``; False emits k1 < k2 only (half the
+    shuffle for symmetric consumers).
+    """
+    window_cols = window_cols or []
+    a = long_df.select(
+        *window_cols,
+        F.col(bucket_col).alias("_b"),
+        F.col(key_col).alias("k1"),
+        F.col(value_col).alias("_v1"),
+    )
+    b = long_df.select(
+        *window_cols,
+        F.col(bucket_col).alias("_b"),
+        F.col(key_col).alias("k2"),
+        F.col(value_col).alias("_v2"),
+    )
+    cond = [*window_cols, "_b"]
+    pairs = a.join(b, cond, "inner")
+    pairs = pairs.filter(F.col("k1") < F.col("k2"))
+    half = pairs.groupBy(*window_cols, "k1", "k2").agg(
+        F.corr("_v1", "_v2").alias("corr_val")
+    )
+    if not full_matrix:
+        return half
+
+    mirrored = half.select(
+        *window_cols,
+        F.col("k2").alias("k1"),
+        F.col("k1").alias("k2"),
+        "corr_val",
+    )
+    diag = (
+        long_df.filter(F.col(value_col).isNotNull())
+        .select(*window_cols, F.col(key_col).alias("k1"))
+        .distinct()
+        .select(*window_cols, "k1", F.col("k1").alias("k2"), F.lit(1.0).alias("corr_val"))
+    )
+    return half.unionByName(mirrored).unionByName(diag)
+
+
+def ml_corr(long_df: DataFrame, bucket_col: str, key_col: str, value_col: str):
+    """Dense fast path: pivot to vectors and use ml.stat.Correlation
+    (one distributed Gram-matrix pass; listwise-complete semantics).
+    Returns (keys, numpy matrix) — small driver-side result, like the
+    reference's per-window matrix."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    keys = [r[0] for r in long_df.select(key_col).distinct().orderBy(key_col).collect()]
+    wide = (
+        long_df.groupBy(bucket_col)
+        .pivot(key_col, keys)
+        .agg(F.first(value_col))
+        .na.drop()
+    )
+    key_cols = [str(k) for k in keys]  # pivot names columns by str(value)
+    vec = VectorAssembler(inputCols=key_cols, outputCol="_features").transform(wide)
+    m = Correlation.corr(vec, "_features").head()[0].toArray()
+    return keys, m

@@ -1,0 +1,143 @@
+"""Resample to a fixed time grid with gap fill (SURVEY W1/W2).
+
+The reference resamples each security's midquote series per day:
+``perm_df['price'].resample(freq).ffill()`` (cloud_TAQ/taq_chunks.py:86-91,
+TAQpipeline/correlation_matrix_exporter.py:111-116) — pandas semantics:
+left-closed, left-labeled buckets; the bucket value is the *last*
+observation in the bucket; empty buckets inherit the previous bucket's
+value (forward-fill), and buckets before the first observation stay
+NULL.
+
+Spark-first formulation (no per-key driver loop, no UDF):
+
+1. bucket-last: ``groupBy(key, floor(ts/freq))`` + ``max_by(value, ts)``
+   — one shuffle on (key, bucket); map-side partial agg collapses the
+   O(10^5) quotes/bucket to 1 row before shuffling, so the shuffle
+   carries only O(keys × buckets).
+2. dense grid: per (key, grid-span) ``sequence(start, end, step)`` +
+   ``explode`` — generated distributedly, never on the driver.
+3. gap fill: ``last(value, ignorenulls=True)`` over
+   ``Window.partitionBy(key [, day]).orderBy(bucket)``.
+
+Scale note: the window in step 3 partitions by (key, day) when a
+``day_col`` is given — each partition is then ≤ one symbol-day
+(≈ 23.4k one-second buckets), bounded regardless of total data size,
+so no single task ever degenerates (SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def bucketize(ts, freq_seconds: int):
+    """Left-closed, left-labeled bucket start for a timestamp column
+    (pandas ``resample`` default alignment: epoch-anchored)."""
+    sec = F.unix_timestamp(ts) - (F.unix_timestamp(ts) % F.lit(freq_seconds))
+    return F.timestamp_seconds(sec)
+
+
+def resample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    freq_seconds: int,
+    agg: str = "last",
+) -> DataFrame:
+    """Step 1: collapse observations to one row per (key, bucket).
+
+    ``agg='last'`` reproduces pandas ``resample(...).last()`` (what
+    ffill-resampling uses); 'mean'/'first'/'min'/'max' also supported.
+    'last' = max_by(value, (ts, monotonic tiebreak)) — deterministic
+    because the reference pre-collapses duplicate timestamps with A1
+    groupby-mean first (taq_chunks.py:84), which callers should too.
+    """
+    bucket = bucketize(F.col(ts_col), freq_seconds).alias("bucket")
+    g = df.groupBy(*key_cols, bucket)
+    if agg == "last":
+        out = g.agg(F.max_by(value_col, ts_col).alias(value_col))
+    elif agg == "first":
+        out = g.agg(F.min_by(value_col, ts_col).alias(value_col))
+    elif agg == "mean":
+        out = g.agg(F.avg(value_col).alias(value_col))
+    elif agg == "min":
+        out = g.agg(F.min(value_col).alias(value_col))
+    elif agg == "max":
+        out = g.agg(F.max(value_col).alias(value_col))
+    else:
+        raise ValueError(f"unsupported agg: {agg}")
+    return out
+
+
+def dense_grid(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    freq_seconds: int,
+    grid_start=None,
+    grid_end=None,
+) -> DataFrame:
+    """Per-key dense bucket grid.  Bounds default to each key's own
+    observed min/max bucket (pandas resample semantics); pass
+    ``grid_start``/``grid_end`` (time-of-day-aligned literals or
+    Columns) to pin a common market-hours grid instead."""
+    lo = bucketize(F.col(ts_col), freq_seconds) if grid_start is None else F.lit(grid_start)
+    hi = bucketize(F.col(ts_col), freq_seconds) if grid_end is None else F.lit(grid_end)
+    spans = df.groupBy(*key_cols).agg(
+        F.min(lo).alias("_lo"), F.max(hi).alias("_hi")
+    )
+    step = F.expr(f"INTERVAL {freq_seconds} SECONDS")
+    return spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"),
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    freq_seconds: int,
+    agg: str = "last",
+    day_col: str | None = None,
+    direction: str = "ffill",
+) -> DataFrame:
+    """W1 (ffill) / W2 (bfill): dense per-key grid with gap fill.
+
+    Returns (key_cols..., bucket, value) where value is the filled
+    series.  ``day_col`` (if given) bounds the fill window to one day
+    per key — matching the reference's per-day processing AND keeping
+    window partitions small at scale.
+    """
+    # with a day column, both the grid and the fill are per (key, day):
+    # no bucket spans the overnight gap, matching the reference's
+    # per-day processing (taq_chunks.py:111-147)
+    grid_keys = [*key_cols, day_col] if day_col else key_cols
+    sampled = resample(df, grid_keys, ts_col, value_col, freq_seconds, agg)
+    grid = dense_grid(df, grid_keys, ts_col, freq_seconds)
+    full = grid.join(sampled, [*grid_keys, "bucket"], "left")
+
+    part = grid_keys
+    if direction == "ffill":
+        w = (
+            W.partitionBy(*part)
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        fill = F.last(value_col, ignorenulls=True).over(w)
+    elif direction == "bfill":
+        w = (
+            W.partitionBy(*part)
+            .orderBy("bucket")
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        fill = F.first(value_col, ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"unsupported direction: {direction}")
+
+    out = full.withColumn(value_col, fill)
+    return out
