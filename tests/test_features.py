@@ -1,0 +1,99 @@
+"""Feature/graph plan (plans/features.py) vs the reference's as-of +
+lag semantics (graph_code/pyg_graphs.py:160-195) replayed in pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.asof import asof_join, latest_per_key
+from wrds_data_pipeline_spark.plans.features import (
+    direction_labels,
+    graph_tensors_per_day,
+    node_features,
+    positive_edges,
+)
+from wrds_data_pipeline_spark.schemas import FIRM_RATIO_FEATURES
+
+
+def test_asof_join_matches_reference_loop(spark, wrds, wrds_dir):
+    """Engine as-of join == per-key 'BETWEEN year_ago AND date ORDER BY
+    public_date DESC LIMIT 1' (pyg_graphs.py:172-179)."""
+    fr = pd.read_parquet(f"{wrds_dir}/firm_ratio.parquet")
+    gvkeys = sorted(fr["gvkey"].unique())[:10]
+    dates = [pd.Timestamp("2016-03-15").date(), pd.Timestamp("2015-05-01").date()]
+    nodes = spark.createDataFrame(
+        [(g, d) for g in gvkeys for d in dates], ["gvkey", "date"]
+    )
+
+    got = asof_join(
+        nodes,
+        wrds["firm_ratio"],
+        key_cols="gvkey",
+        left_ts="date",
+        right_ts="public_date",
+        value_cols=["bm", "roa"],
+        tolerance_expr="INTERVAL 365 DAYS",
+    ).toPandas().set_index(["gvkey", "date"])
+
+    for g in gvkeys:
+        for d in dates:
+            year_ago = d - pd.Timedelta(days=365)
+            sl = fr[(fr["gvkey"] == g)
+                    & (fr["public_date"] <= d)
+                    & (fr["public_date"] >= year_ago)]
+            row = got.loc[(g, d)]
+            if len(sl) == 0:
+                assert pd.isna(row["bm"]) and pd.isna(row["asof_ts"])
+            else:
+                latest = sl.sort_values("public_date", ascending=False).iloc[0]
+                assert row["asof_ts"] == latest["public_date"]
+                if pd.isna(latest["bm"]):
+                    assert pd.isna(row["bm"])
+                else:
+                    assert abs(row["bm"] - latest["bm"]) < 1e-12
+
+
+def test_latest_per_key(spark, wrds):
+    got = latest_per_key(wrds["firm_ratio"], "gvkey", "public_date").toPandas()
+    assert got["gvkey"].is_unique
+    assert (got["public_date"] == got["public_date"].max()).all()
+
+
+def test_direction_labels_match_pandas(spark, wrds, wrds_dir):
+    got = direction_labels(wrds["dsf"]).toPandas().sort_values(["permno", "date"])
+    dsf = pd.read_parquet(f"{wrds_dir}/dsf.parquet").sort_values(["permno", "date"])
+    prev = dsf.groupby("permno")["prc"].shift(1)
+    want = (dsf["prc"] > prev).astype("float").where(prev.notna())
+    assert np.array_equal(
+        got["up_label"].to_numpy(dtype=float), want.to_numpy(dtype=float), equal_nan=True
+    )
+    # fixture includes flat days → some 0 labels among mostly 0/1
+    assert set(got["up_label"].dropna().unique()) == {0, 1}
+
+
+def test_graph_tensor_export(spark, wrds):
+    edges = positive_edges(wrds["adjacency_edges"])
+    # minimal node table: tickers on edge days with gvkey from linktable
+    days = edges.select("date").distinct()
+    mse = wrds["msenames"].select("permno", "ticker").distinct()
+    link = wrds["ccmxpf_linktable"].select("permno", "gvkey").distinct()
+    nodes = (
+        days.crossJoin(mse.join(link, "permno"))
+        .select("date", "ticker", "gvkey")
+    )
+    feats = node_features(nodes, wrds["firm_ratio"])
+    labels = direction_labels(wrds["dsf"]).join(
+        mse, "permno"
+    ).select("date", "ticker", "up_label")
+
+    graphs = list(graph_tensors_per_day(edges, feats, labels))
+    assert len(graphs) == 3
+    g = graphs[0]
+    n = len(g["tickers"])
+    assert g["x"].shape == (n, len(FIRM_RATIO_FEATURES))
+    assert g["edge_index"].shape[0] == 2
+    assert g["edge_index"].max() < n
+    assert (g["edge_attr"] > 0).all()
+    assert not np.isnan(g["x"]).any()  # F5 imputation

@@ -1,0 +1,112 @@
+"""Graph-dataset feature extraction (pipeline §3.3).
+
+Re-expresses ``graph_code/pyg_graphs.py:78-206`` without the N+1
+per-ticker queries:
+
+- node features: each (date, gvkey)'s most recent firm-fundamental
+  record within a 1-year lookback, 65 ratio columns imputed to 0.0
+  (pyg_graphs.py:172-180) — one as-of join for all days/tickers.
+- labels: next-day price direction int(prc_t > prc_{t-1}) via lag
+  over (permno, date) (pyg_graphs.py:184-195) — one window pass.
+- edges: positive-weight adjacency entries per day
+  (pyg_graphs.py:92-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from wrds_data_pipeline_spark.functions.scalars import direction_label
+from wrds_data_pipeline_spark.operators.asof import asof_join
+from wrds_data_pipeline_spark.schemas import FIRM_RATIO_FEATURES
+
+
+def node_features(
+    nodes: DataFrame,
+    firm_ratio: DataFrame,
+    feature_cols: tuple[str, ...] = FIRM_RATIO_FEATURES,
+    lookback: str = "INTERVAL 365 DAYS",
+) -> DataFrame:
+    """nodes (date, gvkey, ...) → + 65 ratio features as-of date.
+
+    NULL ratios (and tickers with no in-horizon record) impute to 0.0
+    — exactly the reference's `float(v) if pd.notnull(v) else 0.0`
+    (pyg_graphs.py:180, SURVEY F5)."""
+    joined = asof_join(
+        nodes,
+        firm_ratio,
+        key_cols="gvkey",
+        left_ts="date",
+        right_ts="public_date",
+        value_cols=list(feature_cols),
+        tolerance_expr=lookback,
+    )
+    for c in feature_cols:
+        joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return joined
+
+
+def direction_labels(dsf: DataFrame) -> DataFrame:
+    """(permno, date) → up_label = int(prc_t > prc_{t-1}) (W7/F14;
+    pyg_graphs.py:190-194).  First day per permno → NULL label (the
+    reference errors/skips there; we surface NULL)."""
+    w = W.partitionBy("permno").orderBy("date")
+    prev = F.lag("prc").over(w)
+    return dsf.select(
+        "permno", "date", "prc",
+        prev.alias("prev_prc"),
+        direction_label(F.col("prc"), prev).alias("up_label"),
+    )
+
+
+def positive_edges(adjacency_edges: DataFrame) -> DataFrame:
+    """P18: keep positive-weight edges (`adj_df[adj_df > 0]`,
+    pyg_graphs.py:92-94)."""
+    return adjacency_edges.filter(F.col("weight") > 0)
+
+
+def graph_tensors_per_day(
+    edges: DataFrame,
+    features: DataFrame,
+    labels: DataFrame,
+    feature_cols: tuple[str, ...] = FIRM_RATIO_FEATURES,
+):
+    """S9 tensor-export boundary: yields per-day dicts of numpy arrays
+    (node ids, X matrix, y vector, COO edge index + weights) via one
+    Arrow transfer per day — torch stays OUT of the engine core
+    (SURVEY §2.9); callers wrap these in torch_geometric.data.Data.
+
+    The iterator is driver-side by design: each day's graph is small
+    (N≈500 nodes), and this is a sink, not a dataflow operator.
+    """
+    import numpy as np
+
+    days = [r[0] for r in edges.select("date").distinct().orderBy("date").collect()]
+    feats = features.toPandas()
+    labs = labels.toPandas()
+    eds = edges.toPandas()
+    for day in days:
+        e = eds[eds["date"] == day]
+        f = feats[feats["date"] == day].sort_values("ticker")
+        l = labs[labs["date"] == day]
+        tickers = sorted(set(e["src"]) | set(e["dst"]))
+        idx = {t: i for i, t in enumerate(tickers)}
+        f = f[f["ticker"].isin(idx)]
+        x = np.zeros((len(tickers), len(feature_cols)))
+        for _, row in f.iterrows():
+            x[idx[row["ticker"]]] = [row[c] for c in feature_cols]
+        y = np.zeros(len(tickers))
+        lmap = dict(zip(l["ticker"], l["up_label"])) if "ticker" in l else {}
+        for t, i in idx.items():
+            if t in lmap and lmap[t] is not None:
+                y[i] = lmap[t]
+        edge_index = np.array(
+            [[idx[s] for s in e["src"]], [idx[d] for d in e["dst"]]], dtype=np.int64
+        )
+        edge_attr = e["weight"].to_numpy(dtype=np.float64)
+        yield {
+            "date": day, "tickers": tickers, "x": x, "y": y,
+            "edge_index": edge_index, "edge_attr": edge_attr,
+        }

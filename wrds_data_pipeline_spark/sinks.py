@@ -1,0 +1,54 @@
+"""Sinks (SURVEY S6-S9).
+
+The reference writes gzip CSVs with hand-built directory layouts
+(``data/{year}/{month:02d}/`` + one file per day, taq_chunks.py:136-142;
+one CSV per correlation window with bounds in the filename,
+correlation_matrix_exporter.py:227-235).  The engine writes
+partitioned Parquet by default (the reference's own README wants this,
+README.md:67) and keeps CSV for export compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] = ("year", "month"),
+    fmt: str = "parquet",
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S7: date-partitioned sink.  Adds year/month from a `date`
+    column when asked for the reference's layout."""
+    out = df
+    if "year" in partition_cols and "year" not in df.columns:
+        out = out.withColumn("year", F.year("date"))
+    if "month" in partition_cols and "month" not in df.columns:
+        out = out.withColumn("month", F.month("date"))
+    w = out.write.mode(mode).partitionBy(*partition_cols)
+    if compression:
+        w = w.option("compression", compression)
+    getattr(w, fmt)(path)
+
+
+def write_csv_single(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """S6/S8: one CSV artifact (the reference's per-window matrix
+    files).  coalesce(1) is deliberate: these exports are small
+    (matrix ≤ universe², universe file ≤ millions of rows) — never
+    use this for fact tables."""
+    w = df.coalesce(1).write.mode("overwrite").option("header", True)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def corr_window_filename(out_dir: str, start, end) -> str:
+    """The exporter's filename convention: one artifact per window
+    with the bounds stamped (correlation_matrix_exporter.py:229-233)."""
+    return os.path.join(out_dir, f"corr_{start:%Y%m%d_%H%M}_{end:%Y%m%d_%H%M}")
