@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one query per engine subsystem — aggregation, joins
+(broadcast + interval), window/as-of, resample+ffill, pivot,
+correlation, dedup (exact + LSH), text stats, embedding top-k —
+i.e. the paths whose scaling actually matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_broadcast_dims",
+    "q04_interval_join",
+    "q07_topk_per_group",
+    "q09_asof_join",
+    "q10_tumbling_window",
+    "q13_resample_ffill",
+    "q14_pivot_panel",
+    "q15_corr_pairs",
+    "q23_exact_dedup",
+    "q26_jaccard_pairs",
+    "q27_minhash_lsh",
+    "q28_simhash",
+    "q29_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from wrds_data_pipeline_spark import driver_queries
+    from wrds_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/parquet footers once so timings measure the
+    # queries, not first-touch classloading
+    driver_queries.q01_pricing_summary(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = driver_queries.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

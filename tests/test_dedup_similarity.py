@@ -1,0 +1,114 @@
+"""Dedup + similarity operators: behavioral tests with planted
+duplicates (the driver tables have none, so we synthesize)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash,
+)
+from wrds_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build,
+    ivf_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep green forest to find some quiet rest"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE + " with a tiny extra suffix here"),  # near dup of 0
+        (3, "completely different content about spark query engines "
+            "and distributed columnar execution at massive scale"),
+        (4, "  THE  quick   brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some quiet rest "),  # normalizes to 0
+        (5, "another unrelated document that shares no phrasing at all "
+            "with the previous texts in this tiny corpus whatsoever"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_duplicates(docs).toPandas()
+    groups = {r.canonical_id: r.group_size for r in out.itertuples()}
+    assert groups[0] == 3          # 0, 1, 4 collapse (normalization)
+    assert out["group_size"].sum() == 6
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    pairs = jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # exact dups have jaccard 1.0; near-dup 2 overlaps heavily with 0/1/4
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert (0, 2) in got
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_candidates_superset_of_exact_dups(spark, docs):
+    cand = minhash_lsh_candidates(docs, n_hashes=12, bands=4).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(cand.id_a, cand.id_b)}
+    # identical docs always collide on every band
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    # dissimilar docs should not collide
+    assert (3, 5) not in got
+
+
+def test_lsh_verify_pipeline(spark, docs):
+    """LSH candidates → jaccard verification = the scalable near-dedup."""
+    cand = minhash_lsh_candidates(docs, n_hashes=12, bands=4)
+    verified = jaccard_pairs(docs, threshold=0.9, candidates=cand).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(verified.id_a, verified.id_b)}
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+
+
+def test_simhash_hamming(spark, docs):
+    out = {r._id: r.simhash for r in simhash(docs, bits=16).collect()}
+    assert out[0] == out[1] == out[4]  # identical content → identical hash
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[0], out[2]) <= 4        # near dup → close
+    assert ham(out[0], out[3]) >= ham(out[0], out[2])
+
+
+def test_brute_force_topk(spark, driver_tables, sf_dir):
+    emb = driver_tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_topk(emb, qv, k=5).toPandas()
+    assert list(top["rank"]) == [1, 2, 3, 4, 5]
+    assert top.iloc[0]["vec_id"] == 0 and abs(top.iloc[0]["cos_sim"] - 1.0) < 1e-6
+    assert top["cos_sim"].is_monotonic_decreasing
+
+
+def test_lsh_topk_contains_query(spark, driver_tables):
+    emb = driver_tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = lsh_topk(emb, qv, k=5, n_planes=3).toPandas()
+    assert int(top.iloc[0]["vec_id"]) == 0  # query's own vector is in its bucket
+    assert len(top) >= 1
+
+
+def test_ivf_topk_recall(spark, driver_tables):
+    emb = driver_tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, cents = ivf_build(emb, n_cells=8)
+    approx = ivf_topk(assigned, cents, qv, k=5, n_probe=4).toPandas()
+    exact = brute_force_topk(emb, qv, k=5).toPandas()
+    # probing half the cells should recover most of the exact top-5
+    overlap = set(approx["vec_id"]) & set(exact["vec_id"])
+    assert int(exact.iloc[0]["vec_id"]) in set(approx["vec_id"])
+    assert len(overlap) >= 3

@@ -1,0 +1,77 @@
+"""Text-analysis functions and multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions import text as X
+from wrds_data_pipeline_spark.multimodal import (
+    extract_features,
+    resize_plan,
+    synthesize_media,
+)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The cat and the dog, in the house."),
+            (1, "der hund und die katze ist nicht ein problem für uns heute"),
+            (2, "le chat est dans la maison et il est pour une sieste que"),
+            (3, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        X.token_count("text").alias("n_tok"),
+        F.round(X.punct_ratio("text"), 4).alias("punct"),
+        X.detect_lang("text").alias("lang"),
+        X.fingerprint("text").alias("fp"),
+        X.word_shingles("text", 3).alias("sh"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[0].n_tok == 8
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "de"
+    assert rows[2].lang == "fr"
+    assert rows[3].lang == "en"  # tie → fixed order prefers en
+    assert rows[0].punct > 0
+    assert len(rows[0].fp) == 32
+    # 8 tokens → 6 shingles of 3 words
+    assert len(rows[0].sh) == 6
+    assert rows[3].sh == ["x"]  # shorter than k → whole text
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "  hello world "), (2, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    fps = [r.fp for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_features(spark, driver_tables):
+    docs = driver_tables["documents"]
+    media = synthesize_media(spark, docs)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["content_hash"].str.len().eq(32).all()
+    assert feats["mean_luma"].notna().all()
+    assert (feats["mean_luma"] >= 0).all() and (feats["mean_luma"] < 256).all()
+    # deterministic: run twice, same output
+    again = extract_features(media).toPandas()
+    assert feats.sort_values("media_id")["content_hash"].tolist() == \
+        again.sort_values("media_id")["content_hash"].tolist()
+
+
+def test_resize_plan_metadata_only(spark, driver_tables):
+    media = synthesize_media(spark, driver_tables["documents"])
+    planned = resize_plan(media, max_side=32).toPandas()
+    assert (planned["target_width"] <= 32).all()
+    assert (planned["target_height"] <= 32).all()
+    # aspect preserved within rounding
+    bigger = planned[planned["declared_width"] > 32]
+    assert len(bigger) > 0

@@ -431,3 +431,547 @@ def q12_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 distinct (permnos-of-the-day, cloud_TAQ/taq_chunks.py:122)."""
     e = _events(spark, sf_dir)
     return e.filter(F.col("value") > 50).select("event_type", "user_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling / pivot / correlation (SURVEY W1, J7, A4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_resample_ffill",
+    """
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(last_value(b.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+    """,
+)
+def q13_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 resample + forward-fill (the engine's hardest time-series
+    operator; pandas `resample(freq).ffill()` at
+    cloud_TAQ/taq_chunks.py:86-91): per-user 6h grid, bucket-mean,
+    gaps forward-filled.  Dense grid generated distributedly
+    (sequence+explode), fill via ignorenulls window per user."""
+    from wrds_data_pipeline_spark.operators.resample import resample_ffill
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = resample_ffill(
+        e, key_cols=["user_id"], ts_col="ts", value_col="value",
+        freq_seconds=6 * 3600, agg="mean",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query(
+    "q14_pivot_panel",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           round(avg(value) FILTER (event_type = 'click'), 6) AS click_avg,
+           round(avg(value) FILTER (event_type = 'view'), 6) AS view_avg,
+           round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase_avg,
+           round(avg(value) FILTER (event_type = 'signup'), 6) AS signup_avg,
+           round(avg(value) FILTER (event_type = 'error'), 6) AS error_avg
+    FROM events GROUP BY 1
+    """,
+)
+def q14_pivot_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 long→wide pivot (the reference's time×security panel concat,
+    cloud_TAQ/taq_chunks.py:94,105) — explicit pivot values so no
+    discovery scan."""
+    from wrds_data_pipeline_spark.operators.panel import to_wide
+
+    e = _events(spark, sf_dir)
+    day = e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        day.groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.avg("value"), 6))
+    )
+    renames = dict(zip(kinds, [f"{k}_avg" for k in kinds]))
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    _ = to_wide  # panel.to_wide is the generic form; pivot inlined for aliases
+    return wide
+
+
+@query(
+    "q15_corr_pairs",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS k1, b.event_type AS k2,
+           round(corr(a.v, b.v), 6) AS corr_val
+    FROM hourly a JOIN hourly b ON a.bucket = b.bucket AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q15_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 pairwise-complete correlation, long form (panel.corr() at
+    TAQpipeline/correlation_matrix_exporter.py:163): correlation of
+    hourly event-type value sums."""
+    from wrds_data_pipeline_spark.operators.corr import pairwise_corr
+
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.sum("value").alias("v"))
+    )
+    half = pairwise_corr(
+        hourly, bucket_col="bucket", key_col="event_type", value_col="v",
+        full_matrix=False,
+    )
+    return half.select("k1", "k2", F.round("corr_val", 6).alias("corr_val"))
+
+
+@query(
+    "q16_union_intersect",
+    """
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'purchase'
+    """,
+)
+def q16_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 key-set intersection (the common-ticker set restriction,
+    correlation_matrix_exporter.py:206): purchasers active in both
+    week 1 and later weeks."""
+    e = _events(spark, sf_dir)
+    cut = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    w1 = e.filter((F.col("ts") < cut) & (F.col("event_type") == "purchase")).select("user_id")
+    w2 = e.filter((F.col("ts") >= cut) & (F.col("event_type") == "purchase")).select("user_id")
+    return w1.intersect(w2)
+
+
+@query(
+    "q17_nullsafe_join",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, nullif(event_type, 'error') AS k, value
+      FROM events
+    ),
+    dim AS (
+      SELECT nullif(t, 'error') AS k, upper(coalesce(t, '?')) AS label
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    )
+    SELECT t.event_id, d.label
+    FROM tagged t JOIN dim d ON t.k IS NOT DISTINCT FROM d.k
+    """,
+)
+def q17_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 null-safe equi-join (eqNullSafe replaces the reference's
+    fillna('') join-key hack, cloud_TAQ/taq_chunks.py:79-81): NULL
+    keys pair with NULL keys."""
+    e = _events(spark, sf_dir)
+    tagged = e.select(
+        "event_id", "user_id",
+        F.nullif("event_type", F.lit("error")).alias("k"),
+        "value",
+    )
+    dim = (
+        e.select(F.col("event_type").alias("t")).distinct()
+        .select(
+            F.nullif("t", F.lit("error")).alias("k"),
+            F.upper(F.coalesce("t", F.lit("?"))).alias("label"),
+        )
+    )
+    return tagged.join(F.broadcast(dim), tagged["k"].eqNullSafe(dim["k"])).select(
+        "event_id", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite (SURVEY F1-F14) + calendar (W6/P17) + P11
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_scalar_suite",
+    """
+    SELECT p_partkey,
+           (p_retailprice + p_size) / 2 AS midpoint,
+           string_split(p_type, ' ')[1] AS type_root,
+           string_split(p_type, ' ')[3] AS type_third,
+           coalesce(string_split(p_type, ' ')[3], 'NONE') AS type_filled,
+           substr(p_brand, 1, 5) AS brand_prefix,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(p_retailprice > 1500 AS INT) AS pricey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len
+    FROM part WHERE p_size <= 20
+    """,
+)
+def q18_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F14 scalar layer in one projection: midquote arithmetic
+    (F1), split+element (F2, try_element_at NULL on missing — pandas
+    .str[i] NaN), null fill (F3/F5), substring (F12), casts (F13),
+    boolean→int (F14) — all codegen'd, no UDF (SURVEY §2.9)."""
+    from wrds_data_pipeline_spark.functions.scalars import (
+        fill_null, midquote, symbol_root,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    split_sp = F.split(F.col("p_type"), " ")
+    return p.filter(F.col("p_size") <= 20).select(
+        "p_partkey",
+        midquote("p_retailprice", F.col("p_size").cast("double")).alias("midpoint"),
+        split_sp.getItem(0).alias("type_root"),
+        F.try_element_at(split_sp, F.lit(3)).alias("type_third"),
+        fill_null(F.try_element_at(split_sp, F.lit(3)), "NONE").alias("type_filled"),
+        F.substring("p_brand", 1, 5).alias("brand_prefix"),
+        F.col("p_size").cast("string").alias("size_str"),
+        (F.col("p_retailprice") > 1500).cast("int").alias("pricey"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q19_business_days",
+    """
+    SELECT isodow(o_orderdate) AS weekday,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+    FROM orders
+    WHERE isodow(o_orderdate) <= 5
+    GROUP BY 1
+    """,
+)
+def q19_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/P17 business-day calendar semantics (weekend skip,
+    cloud_TAQ/taq_chunks.py:117): ISO weekday, weekends excluded.
+    Spark weekday() is Mon=0 → +1 == DuckDB isodow."""
+    o = _t(spark, sf_dir, "orders")
+    wd = (F.weekday("o_orderdate") + 1).alias("weekday")
+    return (
+        o.filter(F.weekday("o_orderdate") + 1 <= 5)
+        .groupBy(wd)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        )
+    )
+
+
+@query(
+    "q20_time_of_day",
+    """
+    SELECT event_type, count(*) AS n_in_session
+    FROM events
+    WHERE CAST(ts AS TIME) BETWEEN TIME '09:30:00' AND TIME '16:00:00'
+    GROUP BY 1
+    """,
+)
+def q20_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 time-of-day BETWEEN (market-hours clip,
+    cloud_TAQ/taq_chunks.py:63-68) at microsecond precision."""
+    from wrds_data_pipeline_spark.functions.scalars import in_market_hours
+
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(in_market_hours("ts"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+
+
+@query(
+    "q21_rollup",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type, day)
+    """,
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup hierarchy (engine completeness; SURVEY §2.4 'available
+    built-in'): per (type, day), per type, and grand total."""
+    e = _events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return e.select("event_type", day, "value").rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("total"),
+    )
+
+
+@query(
+    "q22_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont definition)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond the reference; BASELINE.json
+# north star): dedup, text analysis, similarity search, multimodal
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SHINGLES_SQL = f"""
+    toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    )
+"""
+
+
+@query(
+    "q23_exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (hash-groupBy; one shuffle
+    of one row per distinct fingerprint after partial agg)."""
+    from wrds_data_pipeline_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q24_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+           round(len(regexp_extract_all(text, '[.,;:!?]'))
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(regexp_extract_all({_NORM_SQL},
+                 '\\b(the|and|of|to|in|is|that|for|with|a)\\b'))
+                 / CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE), 6) AS stop_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def q24_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality statistics: token count, punctuation ratio,
+    stopword ratio — all JVM-side expressions over the documents
+    table (no UDF; runs inside whole-stage codegen)."""
+    from wrds_data_pipeline_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+@query(
+    "q25_lang_quality",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(the|and|of|to|in|is|that|for|with|a)\\b')) AS s_en,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(der|die|das|und|ist|nicht|ein|mit|für|zu)\\b')) AS s_de,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(le|la|les|et|est|un|une|pour|dans|que)\\b')) AS s_fr,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tok,
+             len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE) AS pr
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS detected_lang,
+           round((CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN s_en / CAST(n_tok AS DOUBLE) >= 0.05 THEN 1.0 ELSE 0.0 END
+                 ) / 3.0, 6) AS quality
+    FROM scored
+    """,
+)
+def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (per-language stopword hits, fixed-order
+    argmax) + composite quality score."""
+    from wrds_data_pipeline_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        X.detect_lang("text").alias("detected_lang"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@query(
+    "q26_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-word shingle) Jaccard near-duplicate pairs via
+    inverted-index join — the exact-verification half of near-dedup."""
+    from wrds_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@query(
+    "q27_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    seeded AS (
+      SELECT doc_id, seed, shingle
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             min(md5(seed || '|' || shingle)) AS sig
+      FROM seeded GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 3 AS band,
+             md5(array_to_string(list_sort(list(seed || ':' || sig)), '|')) AS band_hash
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    """,
+)
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 12 md5-keyed min-hashes, 4
+    bands × 3 rows; pairs colliding on any band.  The self-join is
+    per-bucket — never all-pairs — which is what makes near-dedup
+    feasible at 100 TB."""
+    from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), n_hashes=12, bands=4
+    )
+
+
+@query(
+    "q28_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+                 for b in range(16)
+             )}
+      FROM hashed GROUP BY 1
+    )
+    SELECT doc_id AS _id,
+           CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (near-dup docs land at small
+    Hamming distance); bit b = majority vote of md5-nibble-b high
+    bits over distinct tokens."""
+    from wrds_data_pipeline_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "q29_embedding_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cos_sim
+      FROM embeddings
+    )
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q29_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (the exact
+    ANN baseline): one scan, TakeOrderedAndProject, rank on rounded
+    similarity with id tie-break for a deterministic cut."""
+    from wrds_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, qv, k=10)
+
+
+@query(
+    "q30_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary content + typed metadata,
+    decoded/feature-extracted via Arrow-batched mapInPandas (decode
+    itself is a deterministic stub — codec libs absent here; the
+    Spark-side schema/batching/partitioning is the real contract)."""
+    from wrds_data_pipeline_spark.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, _t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", "width", "height", "content_hash")

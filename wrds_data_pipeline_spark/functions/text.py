@@ -1,0 +1,115 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language
+ID, quality scoring, token counting, fingerprinting — all as JVM-side
+Column expressions (no Python UDFs), so they run inside whole-stage
+codegen over billions of documents.
+
+Every function here has a deliberately *portable* definition (same
+result computable in ANSI-ish SQL) so the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword sets for the n-gram/stopword language
+# heuristic (public knowledge; any introductory NLP text)
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+}
+
+_WS = r"\s+"
+
+
+def normalize(text: Column | str) -> Column:
+    """lower + trim + collapse whitespace — the canonical form used by
+    fingerprints and shingles."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (quality signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.regexp_count(c, F.lit(r"[.,;:!?]"))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-boundary regex — RE2 and
+    Java regex agree on \\b)."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(normalize(text), F.lit(pat))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length,
+    high punctuation, missing stopwords.  Weights are fixed so the
+    score is a deterministic, oracle-checkable expression."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def detect_lang(text: Column | str) -> Column:
+    """Argmax of per-language stopword hits; ties prefer en > de > fr
+    (fixed order → deterministic)."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text.  Identical
+    normalized content → identical fingerprint (exact-dedup key)."""
+    return F.md5(normalize(text).cast("binary"))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>) — the unit of
+    near-duplicate detection.  Codegen'd: sequence + transform +
+    slice, no UDF."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    # documents shorter than k words shingle to the whole text
+    return F.array_distinct(sh)
