@@ -738,12 +738,16 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# hashed shingles: one md5 per shingle reduced to int64 mod M — the
+# exact twin of operators.dedup.shingle_hash
 _SHINGLES_SQL = f"""
     toks AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
     ),
     sh AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+               % 1000000007 AS h
       FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
     )
 """
@@ -840,7 +844,7 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -861,30 +865,40 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q27_minhash_lsh",
-    f"""
+def _minhash_oracle_sql() -> str:
+    from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
+
+    sig_exprs = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MINHASH_MOD}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:12])
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '|' || ".join(
+                f"sig{band * 3 + j}::VARCHAR" for j in range(3)
+            ),
+        )
+        for band in range(4)
+    )
+    return f"""
     WITH {_SHINGLES_SQL},
-    seeded AS (
-      SELECT doc_id, seed, shingle
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
-    ),
     sig AS (
-      SELECT doc_id, seed,
-             min(md5(seed || '|' || shingle)) AS sig
-      FROM seeded GROUP BY 1, 2
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh GROUP BY 1
     ),
     banded AS (
-      SELECT doc_id, seed // 3 AS band,
-             md5(array_to_string(list_sort(list(seed || ':' || sig)), '|')) AS band_hash
-      FROM sig GROUP BY 1, 2
+      {band_selects}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("q27_minhash_lsh", _minhash_oracle_sql())
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 12 md5-keyed min-hashes, 4
     bands × 3 rows; pairs colliding on any band.  The self-join is
@@ -975,3 +989,93 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, _t(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select("media_id", "n_bytes", "width", "height", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY coverage: U1 vertical union + O1/O2 ordered limit,
+# W5 business-day blocks
+# ---------------------------------------------------------------------------
+
+@query(
+    "q31_union_sort_limit",
+    """
+    SELECT * FROM (
+      SELECT 'big_spender' AS cohort, c_custkey AS key_id,
+             CAST(c_acctbal AS DECIMAL(38,6)) AS score
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT 'big_order' AS cohort, o_orderkey AS key_id,
+             CAST(o_totalprice AS DECIMAL(38,6)) AS score
+      FROM orders WHERE o_totalprice > 400000
+    )
+    ORDER BY score DESC, cohort, key_id
+    LIMIT 100
+    """,
+)
+def q31_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 vertical union (pd.concat stacking,
+    correlation_matrix_exporter.py:208) + O1/O2 global ordered limit →
+    Spark plans TakeOrderedAndProject (no full sort at scale)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.lit("big_spender").alias("cohort"),
+            F.col("c_custkey").alias("key_id"),
+            F.col("c_acctbal").cast(DEC).alias("score"),
+        )
+        .unionByName(
+            o.filter(F.col("o_totalprice") > 400000).select(
+                F.lit("big_order").alias("cohort"),
+                F.col("o_orderkey").alias("key_id"),
+                F.col("o_totalprice").cast(DEC).alias("score"),
+            )
+        )
+    )
+    return u.orderBy(F.desc("score"), "cohort", "key_id").limit(100)
+
+
+@query(
+    "q32_business_day_blocks",
+    """
+    WITH cal AS (
+      SELECT d AS date, row_number() OVER (ORDER BY d) - 1 AS day_index
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+            FROM orders WHERE isodow(o_orderdate) <= 5)
+    )
+    SELECT cal.day_index // 5 AS block_id,
+           strftime(min(cal.date), '%Y-%m-%d') AS block_start,
+           strftime(max(cal.date), '%Y-%m-%d') AS block_end,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS block_value
+    FROM orders JOIN cal ON CAST(o_orderdate AS DATE) = cal.date
+    GROUP BY 1
+    """,
+)
+def q32_business_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: tumbling blocks of 5 *business* days over the observed
+    trading calendar (the exporter's multi-day windows,
+    correlation_matrix_exporter.py:172-211) — calendar-aware grouping
+    via a derived calendar dim joined back to the facts (broadcast:
+    the calendar is tiny at any data scale)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    bdays = (
+        o.filter(F.weekday("o_orderdate") + 1 <= 5)
+        .select(F.col("o_orderdate").cast("date").alias("date"))
+        .distinct()
+    )
+    cal = bdays.withColumn(
+        "day_index", F.row_number().over(Window.orderBy("date")) - 1
+    ).withColumn("block_id", F.floor(F.col("day_index") / 5))
+    joined = o.join(
+        F.broadcast(cal), o["o_orderdate"].cast("date") == cal["date"]
+    )
+    return joined.groupBy("block_id").agg(
+        F.date_format(F.min("date"), "yyyy-MM-dd").alias("block_start"),
+        F.date_format(F.max("date"), "yyyy-MM-dd").alias("block_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("block_value"),
+    )

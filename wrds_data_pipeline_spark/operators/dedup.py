@@ -36,11 +36,36 @@ def exact_duplicates(
     )
 
 
+# MinHash permutation constants: sig_i = min((A[i]*h + B[i]) mod M)
+# over shingle hashes h.  Fixed literals so any engine (the DuckDB
+# oracle included) reproduces signatures bit-for-bit.  M prime;
+# A[i]*h < 1e18 stays inside int64.
+MINHASH_MOD = 1_000_000_007
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    ((2_654_435_761 * (i + 1)) % MINHASH_MOD, (40_503 * (i + 7)) % MINHASH_MOD)
+    for i in range(16)
+)
+
+
+def shingle_hash(shingle_col) -> "F.Column":
+    """Shingle → int64: first 15 md5 hex chars as a base-16 number,
+    reduced mod MINHASH_MOD.  (DuckDB twin:
+    ('0x' || substr(md5(s),1,15))::BIGINT % M.)"""
+    h = F.conv(F.substring(F.md5(shingle_col.cast("binary")), 1, 15), 16, 10)
+    return h.cast("bigint") % MINHASH_MOD
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
-    ).distinct()
+    """(_id, h): distinct hashed k-shingles per document.  One md5 per
+    shingle total — signatures/joins downstream are integer-only."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, k)).alias("shingle"),
+        )
+        .select("_id", shingle_hash(F.col("shingle")).alias("h"))
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -50,20 +75,18 @@ def minhash_signatures(
     k_shingle: int = 3,
     n_hashes: int = 12,
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, sig_i =
-    min(md5(i || '|' || shingle)).  min-of-keyed-md5 is a valid
-    min-wise permutation approximation, string-comparable, and
-    reproducible in any engine with md5.
+    """MinHash signatures, wide form: (_id, sig0..sig{n-1}).
 
-    Returns (_id, seed, sig) long form — one groupBy, map-side combine
-    keeps the shuffle at |docs|×n_hashes rows.
+    One aggregation computes all n mins (no per-seed explosion): the
+    shuffle carries one row per doc and map-side partial agg has
+    already collapsed each partition's shingles.
     """
     sh = _shingled(docs, id_col, text_col, k_shingle)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    exploded = sh.select("_id", "shingle", seeds)
-    return exploded.groupBy("_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle").cast("binary"))).alias("sig")
-    )
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -83,14 +106,19 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
-    banded = (
-        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy("_id", "band")
-        # band hash = md5 of the ordered concat of the band's sigs
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), "sig")
-        ))).cast("binary")).alias("band_hash"))
-    )
+    band_rows = []
+    for band in range(bands):
+        cols = [f"sig{band * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast("binary")).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
     a = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
     return (
@@ -120,9 +148,12 @@ def jaccard_pairs(
     sh = _shingled(docs, id_col, text_col, k_shingle)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
 
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    pairs = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    # join on the int64 shingle hash (not the string) — ~10× smaller
+    # shuffle payload; collisions at 1e-9 scale are acceptable for a
+    # similarity measure (and mirrored exactly by the oracle)
+    a = sh.select(F.col("_id").alias("id_a"), "h")
+    b = sh.select(F.col("_id").alias("id_b"), "h")
+    pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
         pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
