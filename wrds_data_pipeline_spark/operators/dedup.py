@@ -57,9 +57,18 @@ def shingle_hash(shingle_col) -> "F.Column":
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(_id, h): distinct hashed k-shingles per document.  One md5 per
-    shingle total — signatures/joins downstream are integer-only."""
+    shingle total — signatures/joins downstream are integer-only.
+
+    The input is repartitioned first: document tables compress well,
+    so a modest parquet file (one 128 MB scan split) can hold 10^5+
+    docs whose shingling is CPU-bound — without the repartition all
+    that tokenize+md5 work lands on one core.  The pre-shingle rows
+    are tiny; the shuffle is cheap insurance."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
     return (
-        docs.select(
+        docs.repartition(par, F.col(id_col))
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(word_shingles(text_col, k)).alias("shingle"),
         )
@@ -106,19 +115,20 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
-    band_rows = []
+    # all bands in ONE pass over the signatures (a per-band union would
+    # replay the whole shingle+signature pipeline once per band)
+    band_structs = []
     for band in range(bands):
         cols = [f"sig{band * rows_per_band + j}" for j in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "_id",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast("binary")).alias("band_hash"),
             )
         )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    banded = sig.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
     a = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
     return (
@@ -195,10 +205,15 @@ def simhash(
 
     assert bits <= 32
     high = [c for c in "89abcdef"]
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).select("_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    spark = docs.sparkSession
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .select("_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    )
     votes = [
         F.sum(
             F.when(F.substring(F.col("h"), b + 1, 1).isin(high), 1).otherwise(-1)
