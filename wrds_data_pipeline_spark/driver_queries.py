@@ -1079,3 +1079,111 @@ def q32_business_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("block_value"),
     )
+
+
+@query(
+    "q33_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 OR
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, tu, value,
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           round((max(tu) - min(tu)) / 1e6, 6) AS duration_sec,
+           sum(CAST(value AS DECIMAL(38,6))) AS session_value
+    FROM sess
+    GROUP BY 1, 2
+    """,
+)
+def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session): lag +
+    running-sum session ids — the standard batch formulation; the
+    streaming twin is session_window().  One shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev = F.lag("ts_us").over(w)
+    marked = e.withColumn(
+        "is_start",
+        (prev.isNull() | ((F.col("ts_us") - prev) > 1800 * 1_000_000)).cast("int"),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((F.max("ts_us") - F.min("ts_us")) / 1e6, 6).alias("duration_sec"),
+        F.sum(F.col("value").cast(DEC)).alias("session_value"),
+    )
+
+
+@query(
+    "q34_pit_enrichment",
+    """
+    WITH membership AS (
+      SELECT o_custkey AS custkey,
+             min(o_orderdate) AS valid_from,
+             max(o_orderdate) AS valid_to
+      FROM orders GROUP BY 1
+    ),
+    actives AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+      FROM orders o
+      JOIN membership m ON o.o_custkey = m.custkey
+                       AND o.o_orderdate >= m.valid_from + INTERVAL 30 DAY
+                       AND o.o_orderdate <= m.valid_to - INTERVAL 30 DAY
+    )
+    SELECT n_name AS nation,
+           count(*) AS n_mid_tenure_orders,
+           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_value
+    FROM actives
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1
+    """,
+)
+def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The universe-build composition (plans/universe.build_universe)
+    on driver tables: derive per-key validity intervals, interval-join
+    facts against them (J1/J2), then broadcast-dim enrich (the
+    msenames/ccm step) and aggregate — the same shape as
+    sp500ccm_generator.py:7-48 end to end."""
+    from wrds_data_pipeline_spark.operators.intervals import interval_join
+
+    o = _t(spark, sf_dir, "orders")
+    membership = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("valid_from"),
+        (F.max("o_orderdate") - F.expr("INTERVAL 30 DAYS")).alias("valid_to"),
+    )
+    facts = o.withColumnRenamed("o_custkey", "custkey")
+    actives = interval_join(
+        facts, membership,
+        keys="custkey", point_col="o_orderdate",
+        start_col="valid_from", end_col="valid_to",
+        broadcast_dim=False,
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        actives.join(c, actives["custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_mid_tenure_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_value"),
+        )
+    )

@@ -33,10 +33,15 @@ from pyspark.sql.window import Window as W
 
 
 def bucketize(ts, freq_seconds: int):
-    """Left-closed, left-labeled bucket start for a timestamp column
-    (pandas ``resample`` default alignment: epoch-anchored)."""
-    sec = F.unix_timestamp(ts) - (F.unix_timestamp(ts) % F.lit(freq_seconds))
-    return F.timestamp_seconds(sec)
+    """Left-closed, left-labeled bucket start for a timestamp column.
+
+    Anchored at the start of each DAY (pandas ``resample`` default
+    ``origin='start_day'``) — epoch anchoring agrees only when the
+    frequency divides 86400 (found by the Hypothesis sweep at 7s)."""
+    day = F.date_trunc("day", ts)
+    sec_of_day = F.unix_timestamp(ts) - F.unix_timestamp(day)
+    slot = sec_of_day - (sec_of_day % F.lit(freq_seconds))
+    return F.timestamp_seconds(F.unix_timestamp(day) + slot)
 
 
 def resample(

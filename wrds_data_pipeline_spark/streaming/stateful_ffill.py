@@ -60,7 +60,9 @@ def stateful_ffill_stream(
 
         if len(rows):
             epochs = rows[ts_col].astype("int64") // 10**9
-            rows = rows.assign(_bucket=(epochs // freq_seconds) * freq_seconds)
+            # day-anchored buckets (same as operators.resample.bucketize)
+            day = (epochs // 86400) * 86400
+            rows = rows.assign(_bucket=day + ((epochs - day) // freq_seconds) * freq_seconds)
             per_bucket = rows.groupby("_bucket")[value_col].last()
             batch_max = int(per_bucket.index.max())
 
