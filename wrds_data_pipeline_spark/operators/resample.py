@@ -78,21 +78,21 @@ def resample(
 
 
 def dense_grid(
-    df: DataFrame,
+    sampled: DataFrame,
     key_cols: list[str],
-    ts_col: str,
     freq_seconds: int,
-    grid_start=None,
-    grid_end=None,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Per-key dense bucket grid.  Bounds default to each key's own
-    observed min/max bucket (pandas resample semantics); pass
-    ``grid_start``/``grid_end`` (time-of-day-aligned literals or
-    Columns) to pin a common market-hours grid instead."""
-    lo = bucketize(F.col(ts_col), freq_seconds) if grid_start is None else F.lit(grid_start)
-    hi = bucketize(F.col(ts_col), freq_seconds) if grid_end is None else F.lit(grid_end)
-    spans = df.groupBy(*key_cols).agg(
-        F.min(lo).alias("_lo"), F.max(hi).alias("_hi")
+    """Per-key dense bucket grid spanning each key's observed min/max
+    bucket (pandas resample semantics).
+
+    Takes the already-bucketized output of :func:`resample`, NOT the
+    raw events: the span aggregation then groups the same
+    (keys, bucket) exchange the bucket-last agg produced, so Catalyst
+    reuses the shuffle instead of replaying the whole upstream
+    pipeline a second time."""
+    spans = sampled.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
     step = F.expr(f"INTERVAL {freq_seconds} SECONDS")
     return spans.select(
@@ -123,7 +123,7 @@ def resample_ffill(
     # per-day processing (taq_chunks.py:111-147)
     grid_keys = [*key_cols, day_col] if day_col else key_cols
     sampled = resample(df, grid_keys, ts_col, value_col, freq_seconds, agg)
-    grid = dense_grid(df, grid_keys, ts_col, freq_seconds)
+    grid = dense_grid(sampled, grid_keys, freq_seconds)
     full = grid.join(sampled, [*grid_keys, "bucket"], "left")
 
     part = grid_keys
