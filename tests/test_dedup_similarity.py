@@ -112,3 +112,29 @@ def test_ivf_topk_recall(spark, driver_tables):
     overlap = set(approx["vec_id"]) & set(exact["vec_id"])
     assert int(exact.iloc[0]["vec_id"]) in set(approx["vec_id"])
     assert len(overlap) >= 3
+
+
+def test_embedding_dup_pairs_lsh_recall(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.similarity import embedding_dup_pairs
+
+    emb = driver_tables["embeddings"]
+    exact = embedding_dup_pairs(emb, threshold=0.45, n_planes=0).toPandas()
+    approx = embedding_dup_pairs(emb, threshold=0.45, n_planes=2).toPandas()
+    ep = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+    ap = {(int(a), int(b)) for a, b in zip(approx.id_a, approx.id_b)}
+    assert ap <= ep          # bucket restriction can only drop pairs
+    if ep:
+        assert len(ap) / len(ep) >= 0.5  # modest planes -> decent recall
+
+
+def test_bpe_ish_token_count(spark):
+    from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world's 42 cats!"), (1, ""), (2, "a")], ["i", "text"]
+    )
+    out = {r.i: r.n for r in df.select("i", bpe_ish_token_count("text").alias("n")).collect()}
+    # Hello |,| world|'s| 42| cats|! -> 7
+    assert out[0] == 7
+    assert out[1] == 0
+    assert out[2] == 1

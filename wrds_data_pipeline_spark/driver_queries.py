@@ -1187,3 +1187,50 @@ def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias("total_value"),
         )
     )
+
+
+@query(
+    "q35_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+             AS bpe_ish_tokens,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS ws_tokens
+    FROM documents
+    """,
+)
+def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and the GPT-2-style
+    pre-tokenizer split (sub-word budget estimator) — both pure
+    regex expressions, identical under Java regex and RE2."""
+    from wrds_data_pipeline_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        X.token_count("text").alias("ws_tokens"),
+    )
+
+
+@query(
+    "q36_embedding_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def q36_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline;
+    `embedding_dup_pairs(n_planes>0)` is the LSH-bucketed scale
+    variant, recall-tested in pytest)."""
+    from wrds_data_pipeline_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=0
+    )

@@ -97,6 +97,22 @@ def detect_lang(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs — each optionally space-prefixed.  Uses
+# only \p{L}/\p{N} classes, which Java regex (Spark) and RE2 (DuckDB)
+# interpret identically.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: the standard pre-tokenization split
+    LLM tokenizers apply before BPE merges.  An upper bound on (and
+    strongly correlated with) true BPE token counts — the cheap
+    JVM-side budget estimator for a 100 TB corpus."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text.  Identical
     normalized content → identical fingerprint (exact-dedup key)."""

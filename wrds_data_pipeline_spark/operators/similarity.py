@@ -116,6 +116,42 @@ def lsh_topk(
     return brute_force_topk(in_bucket, query_vec, k, id_col, vec_col)
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with rounded cosine ≥ threshold and id_a < id_b.
+
+    ``n_planes=0`` compares all pairs (exact; the oracle-checkable
+    baseline — quadratic, fine to ~10^4 vectors).  ``n_planes>0``
+    restricts comparisons to vectors sharing an LSH sign-bucket —
+    near-linear, the 100 TB path (near-duplicates almost surely share
+    the bucket since their angle is tiny)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    if n_planes > 0:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = [_hyperplane(dim, p) for p in range(n_planes)]
+        a = a.withColumn("_bucket", lsh_bucket(F.col("_va"), planes))
+        b = b.withColumn("_bucket", lsh_bucket(F.col("_vb"), planes))
+        pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_cells: int = 16,
