@@ -1234,3 +1234,49 @@ def q36_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=0
     )
+
+
+@query(
+    "q37_except_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — SURVEY §2.7 lists it as
+    engine-available): viewers minus purchasers with multiplicity."""
+    e = _events(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.exceptAll(p)
+
+
+@query(
+    "q38_cube",
+    """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(38,6))) AS total
+    FROM events
+    GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user decile): all 4 grouping-set
+    combinations in one pass."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+            "value",
+        )
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("total"),
+        )
+    )
