@@ -75,9 +75,9 @@ DEC = "decimal(38,6)"
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (1 - CAST(l_discount AS DECIMAL(38,6)))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (1 - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -95,12 +95,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast(DEC))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -118,7 +118,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_orderstatus,
            substr(o_orderpriority, 1, 1) AS prio_code,
-           CAST(o_totalprice AS DECIMAL(38,6)) * 2 AS doubled,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 2 AS DOUBLE) AS doubled,
            strftime(o_orderdate, '%Y-%m-%d') AS order_day
     FROM orders
     WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
@@ -145,7 +145,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderstatus",
             F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-            (F.col("o_totalprice").cast(DEC) * 2).alias("doubled"),
+            (F.col("o_totalprice").cast(DEC) * 2).cast("double").alias("doubled"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
         )
     )
@@ -160,7 +160,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name AS region, n_name AS nation,
            count(*) AS n_customers,
-           sum(CAST(c_acctbal AS DECIMAL(38,6))) AS total_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -180,7 +180,7 @@ def q03_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -190,7 +190,7 @@ def q03_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS shipped_value
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS shipped_value
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
                AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
@@ -216,7 +216,7 @@ def q04_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("shipped_value"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("shipped_value"),
     )
 
 
@@ -375,7 +375,7 @@ def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(38,6))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -389,7 +389,7 @@ def q10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
@@ -649,7 +649,7 @@ def q18_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT isodow(o_orderdate) AS weekday,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM orders
     WHERE isodow(o_orderdate) <= 5
     GROUP BY 1
@@ -666,7 +666,7 @@ def q19_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(wd)
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
     )
 
@@ -697,7 +697,7 @@ def q20_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_rollup",
     """
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS total
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM events
     GROUP BY ROLLUP (event_type, day)
     """,
@@ -709,7 +709,7 @@ def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     return e.select("event_type", day, "value").rollup("event_type", "day").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).alias("total"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
     )
 
 
@@ -1001,11 +1001,11 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (
       SELECT 'big_spender' AS cohort, c_custkey AS key_id,
-             CAST(c_acctbal AS DECIMAL(38,6)) AS score
+             CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS score
       FROM customer WHERE c_acctbal > 9000
       UNION ALL
       SELECT 'big_order' AS cohort, o_orderkey AS key_id,
-             CAST(o_totalprice AS DECIMAL(38,6)) AS score
+             CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS score
       FROM orders WHERE o_totalprice > 400000
     )
     ORDER BY score DESC, cohort, key_id
@@ -1023,13 +1023,13 @@ def q31_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("big_spender").alias("cohort"),
             F.col("c_custkey").alias("key_id"),
-            F.col("c_acctbal").cast(DEC).alias("score"),
+            F.col("c_acctbal").cast(DEC).cast("double").alias("score"),
         )
         .unionByName(
             o.filter(F.col("o_totalprice") > 400000).select(
                 F.lit("big_order").alias("cohort"),
                 F.col("o_orderkey").alias("key_id"),
-                F.col("o_totalprice").cast(DEC).alias("score"),
+                F.col("o_totalprice").cast(DEC).cast("double").alias("score"),
             )
         )
     )
@@ -1048,7 +1048,7 @@ def q31_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(cal.date), '%Y-%m-%d') AS block_start,
            strftime(max(cal.date), '%Y-%m-%d') AS block_end,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS block_value
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS block_value
     FROM orders JOIN cal ON CAST(o_orderdate AS DATE) = cal.date
     GROUP BY 1
     """,
@@ -1077,7 +1077,7 @@ def q32_business_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("date"), "yyyy-MM-dd").alias("block_start"),
         F.date_format(F.max("date"), "yyyy-MM-dd").alias("block_end"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("block_value"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("block_value"),
     )
 
 
@@ -1102,7 +1102,7 @@ def q32_business_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id,
            count(*) AS n_events,
            round((max(tu) - min(tu)) / 1e6, 6) AS duration_sec,
-           sum(CAST(value AS DECIMAL(38,6))) AS session_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
     FROM sess
     GROUP BY 1, 2
     """,
@@ -1127,7 +1127,7 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round((F.max("ts_us") - F.min("ts_us")) / 1e6, 6).alias("duration_sec"),
-        F.sum(F.col("value").cast(DEC)).alias("session_value"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
     )
 
 
@@ -1149,7 +1149,7 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name AS nation,
            count(*) AS n_mid_tenure_orders,
-           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_value
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM actives
     JOIN customer ON c_custkey = o_custkey
     JOIN nation ON n_nationkey = c_nationkey
@@ -1184,7 +1184,7 @@ def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_mid_tenure_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_value"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_value"),
         )
     )
 
@@ -1259,7 +1259,7 @@ def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(user_id % 10 AS BIGINT) AS user_bucket,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(38,6))) AS total
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM events
     GROUP BY CUBE (event_type, user_bucket)
     """,
@@ -1277,6 +1277,6 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "user_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("total"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
         )
     )
