@@ -160,20 +160,27 @@ def jaccard_pairs(
 
     # join on the int64 shingle hash (not the string) — ~10× smaller
     # shuffle payload; collisions at 1e-9 scale are acceptable for a
-    # similarity measure (and mirrored exactly by the oracle)
-    a = sh.select(F.col("_id").alias("id_a"), "h")
-    b = sh.select(F.col("_id").alias("id_b"), "h")
+    # similarity measure (and mirrored exactly by the oracle).
+    # Shingle-set sizes ride along on each side so the size-ratio
+    # bound (jaccard ≤ min(n)/max(n)) prunes hopeless pairs BEFORE
+    # the per-pair aggregation — semantics-preserving, since pruned
+    # pairs cannot reach the threshold.
+    shn = sh.join(F.broadcast(sizes), "_id")
+    a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
+    b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
     pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    if threshold > 0:
+        pairs = pairs.filter(
+            F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+        )
     if candidates is not None:
         pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
 
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
     out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
