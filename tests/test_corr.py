@@ -101,3 +101,29 @@ def test_ml_corr_dense_path(spark, prices):
     for i, a in enumerate(keys):
         for j, b in enumerate(keys):
             assert abs(m[i, j] - lmap[(int(a), int(b))]) < 1e-9
+
+
+def test_corr_matrix_auto_routing(spark, prices):
+    from wrds_data_pipeline_spark.operators.corr import corr_matrix
+
+    day = prices.select(F.min("date")).first()[0]
+    one_day = prices.filter(F.col("date") == F.lit(day)).dropna(subset=["price"])
+    counts = one_day.groupBy("permno").count()
+    max_n = counts.select(F.max("count")).first()[0]
+    dense_keys = counts.filter(F.col("count") == max_n).select("permno")
+    dense = one_day.join(dense_keys, "permno", "left_semi")
+
+    # dense panel → both routes agree
+    auto = corr_matrix(dense, "bucket", "permno", "price", method="auto").toPandas()
+    pair = corr_matrix(dense, "bucket", "permno", "price", method="pairwise").toPandas()
+    amap = {(int(r.k1), int(r.k2)): r.corr_val for r in auto.itertuples()}
+    pmap = {(int(r.k1), int(r.k2)): r.corr_val for r in pair.itertuples()}
+    assert set(amap) == set(pmap)
+    for k, v in pmap.items():
+        assert abs(amap[k] - v) < 1e-9
+
+    # sparse panel → auto must pick pairwise (drop some rows)
+    sparse = one_day.sample(0.5, seed=1)
+    s = corr_matrix(sparse, "bucket", "permno", "price", method="auto").toPandas()
+    sp = corr_matrix(sparse, "bucket", "permno", "price", method="pairwise").toPandas()
+    assert len(s) == len(sp)

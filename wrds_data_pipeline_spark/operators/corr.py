@@ -77,6 +77,51 @@ def pairwise_corr(
     return half.unionByName(mirrored).unionByName(diag)
 
 
+def corr_matrix(
+    long_df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    value_col: str,
+    window_cols: list[str] | None = None,
+    method: str = "auto",
+    dense_threshold: float = 0.999,
+) -> DataFrame:
+    """Correlation with automatic physical-path routing.
+
+    ``method='pairwise'`` → long-form self-join (pairwise-complete,
+    always correct).  ``method='ml'`` → one Gram-matrix pass
+    (listwise-complete — only equal when the panel is dense).
+    ``'auto'`` measures density with one cheap aggregate (observed
+    cells / (buckets × keys)) and routes: after W1 forward-fill the
+    panel is dense except before each key's first quote, so wide
+    universes take the O(buckets×k²) path and sparse panels keep
+    exact pairwise semantics.  Returns long form either way.
+    """
+    if method == "auto":
+        counts = long_df.agg(
+            F.count(value_col).alias("cells"),
+            F.countDistinct(bucket_col).alias("b"),
+            F.countDistinct(key_col).alias("k"),
+        ).first()
+        dense = counts["b"] * counts["k"] > 0 and (
+            counts["cells"] / (counts["b"] * counts["k"]) >= dense_threshold
+        )
+        method = "ml" if dense and not window_cols else "pairwise"
+
+    if method == "pairwise":
+        return pairwise_corr(long_df, bucket_col, key_col, value_col, window_cols)
+
+    keys, m = ml_corr(long_df, bucket_col, key_col, value_col)
+    spark = long_df.sparkSession
+    rows = [
+        (keys[i], keys[j], float(m[i, j]))
+        for i in range(len(keys))
+        for j in range(len(keys))
+    ]
+    out = spark.createDataFrame(rows, ["k1", "k2", "corr_val"])
+    return out
+
+
 def ml_corr(long_df: DataFrame, bucket_col: str, key_col: str, value_col: str):
     """Dense fast path: pivot to vectors and use ml.stat.Correlation
     (one distributed Gram-matrix pass; listwise-complete semantics).
