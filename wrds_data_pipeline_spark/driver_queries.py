@@ -1280,3 +1280,38 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "q39_trailing_window",
+    """
+    SELECT event_id, user_id, ts_us,
+           CAST(n_last_hour AS BIGINT) AS n_last_hour,
+           round(sum_last_hour, 6) AS sum_last_hour
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             count(*) OVER w AS n_last_hour,
+             sum(value) OVER w AS sum_last_hour
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    """,
+)
+def q39_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit range-frame window (SURVEY §2.5 'frame specs —
+    built-in if needed'): trailing 1-hour event count and value sum
+    per user, a RANGE frame over microsecond event time."""
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
