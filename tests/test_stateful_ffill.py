@@ -30,7 +30,6 @@ def test_stateful_ffill_matches_batch(spark, wrds, tmp_path):
 
     # stage as 3 time-ordered files = 3 micro-batches
     stage = os.path.join(str(tmp_path), "ffill_src")
-    cuts = src.approxQuantile("price", [0.0], 0.0)  # force computation once
     bounds = src.select(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).first()
