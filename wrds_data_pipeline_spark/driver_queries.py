@@ -745,10 +745,12 @@ _SHINGLES_SQL = f"""
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
     ),
     sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
-               % 1000000007 AS h
-      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007 AS h
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      )
     )
 """
 

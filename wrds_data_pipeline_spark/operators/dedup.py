@@ -63,7 +63,14 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     so a modest parquet file (one 128 MB scan split) can hold 10^5+
     docs whose shingling is CPU-bound — without the repartition all
     that tokenize+md5 work lands on one core.  The pre-shingle rows
-    are tiny; the shuffle is cheap insurance."""
+    are tiny; the shuffle is cheap insurance.
+
+    No post-explode distinct: word_shingles already array_distincts
+    within each document, so (_id, shingle) pairs are unique by
+    construction — a .distinct() here would re-shuffle every shingle
+    row for nothing.  (Within-doc hash collisions could in principle
+    produce duplicate (_id, h) pairs — P ≈ n²/2^61 per doc — the
+    oracle mirrors by deduping shingle *strings* before hashing.)"""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     return (
@@ -73,7 +80,6 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
             F.explode(word_shingles(text_col, k)).alias("shingle"),
         )
         .select("_id", shingle_hash(F.col("shingle")).alias("h"))
-        .distinct()
     )
 
 
