@@ -75,3 +75,43 @@ def test_resize_plan_metadata_only(spark, driver_tables):
     # aspect preserved within rounding
     bigger = planned[planned["declared_width"] > 32]
     assert len(bigger) > 0
+
+
+def test_frame_sample_plan(spark, driver_tables):
+    import pytest as _pytest
+
+    from wrds_data_pipeline_spark.multimodal import (
+        _decode_bytes,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, driver_tables["documents"], modality="video")
+    planned = frame_sample_plan(media, n_frames=4).toPandas()
+    idx = planned["sample_frame_indices"].iloc[0]
+    assert list(idx) == [0, 75, 150, 225]  # 4 even samples of 300 frames
+    # video decode is explicitly unimplemented (no codec libs): the
+    # stub must say so loudly, not fake silently
+    with _pytest.raises(NotImplementedError):
+        _decode_bytes(b"xx", "video", 10, 10)
+
+
+def test_left_interval_join_keeps_unmatched(spark):
+    import datetime
+
+    from wrds_data_pipeline_spark.operators.intervals import interval_join
+
+    fact = spark.createDataFrame(
+        [(1, datetime.date(2020, 6, 1)), (2, datetime.date(2020, 6, 1))],
+        "k int, point date",
+    )
+    dim = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 1), datetime.date(2020, 12, 31), "X")],
+        "k int, lo date, hi date, label string",
+    )
+    got = interval_join(
+        fact, dim, keys="k", point_col="point",
+        start_col="lo", end_col="hi", how="left",
+    ).toPandas().set_index("k")
+    assert got.loc[1, "label"] == "X"
+    assert got.loc[2, "label"] is None or got.loc[2].isna()["label"]

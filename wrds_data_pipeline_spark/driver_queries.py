@@ -1317,3 +1317,33 @@ def q39_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
     )
+
+
+@query(
+    "q40_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q40_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events.props JSON payload
+    parsed JVM-side (get_json_object — no Python, no schema scan).
+    At scale, prefer from_json with a declared schema once per
+    pipeline; get_json_object is the ad-hoc path."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_total"),
+            F.max(k).alias("k_max"),
+        )
+    )

@@ -112,6 +112,25 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
+def frame_sample_plan(
+    media: DataFrame, n_frames: int = 8, declared_fps: float = 30.0,
+    declared_duration_s: float = 10.0,
+) -> DataFrame:
+    """Video frame sampling, metadata stage: compute the deterministic
+    frame indices to decode (evenly spaced across the declared
+    duration) as an array column — the decode itself belongs in the
+    same mapInPandas pass as images (no codec libs here: the real
+    per-frame decode raises NotImplementedError via _decode_bytes for
+    modality='video').  Keeping index selection JVM-side means the
+    planner can drop undecoded frames before any bytes move."""
+    total = F.lit(int(declared_fps * declared_duration_s))
+    idx = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * total / n_frames).cast("int"),
+    )
+    return media.withColumn("sample_frame_indices", idx)
+
+
 def resize_plan(media: DataFrame, max_side: int) -> DataFrame:
     """Resize is metadata-only until decode: compute the target dims
     JVM-side (no bytes touched) — the actual pixel resample belongs in
