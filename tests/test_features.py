@@ -97,3 +97,15 @@ def test_graph_tensor_export(spark, wrds):
     assert g["edge_index"].max() < n
     assert (g["edge_attr"] > 0).all()
     assert not np.isnan(g["x"]).any()  # F5 imputation
+
+
+def test_edge_degrees(spark, wrds):
+    from wrds_data_pipeline_spark.plans.features import edge_degrees
+
+    edges = positive_edges(wrds["adjacency_edges"])
+    deg = edge_degrees(edges).toPandas()
+    # sum of degrees = 2 * |edges| per day (undirected count)
+    e_per_day = edges.groupBy("date").count().toPandas().set_index("date")["count"]
+    d_per_day = deg.groupby("date")["degree"].sum()
+    for day, total in d_per_day.items():
+        assert total == 2 * e_per_day[day]

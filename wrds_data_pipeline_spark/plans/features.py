@@ -67,6 +67,20 @@ def positive_edges(adjacency_edges: DataFrame) -> DataFrame:
     return adjacency_edges.filter(F.col("weight") > 0)
 
 
+def edge_degrees(edges: DataFrame) -> DataFrame:
+    """Per-day node degrees from the long edge list (undirected view:
+    src and dst both count).  The graph-side summary the reference
+    computes implicitly when indexing tickers (pyg_graphs.py:92-94),
+    exposed as a first-class aggregate."""
+    s = edges.select("date", F.col("src").alias("ticker"))
+    d = edges.select("date", F.col("dst").alias("ticker"))
+    return (
+        s.unionByName(d)
+        .groupBy("date", "ticker")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
 def graph_tensors_per_day(
     edges: DataFrame,
     features: DataFrame,
