@@ -1,0 +1,108 @@
+"""Corpus curation: the end-to-end training-data cleaning pipeline.
+
+Composes the engine's text/dedup operators into the standard
+LLM-pretraining data flow, all lazily planned so Catalyst fuses the
+scalar stages into one pass over the corpus:
+
+1. exact dedup (content fingerprint, keep canonical id),
+2. near-dedup (MinHash-LSH candidates → Jaccard verification →
+   drop the higher id of each confirmed pair),
+3. language filter (stopword-argmax lang id),
+4. quality filter (length / punctuation / stopword heuristics),
+5. token accounting (whitespace + BPE-ish sub-word estimate).
+
+Everything is partition-parallel; the only shuffles are the dedup
+aggregations/joins (see SCALE.md).  Returns (kept_docs, audit) where
+``audit`` has one row per input doc with its fate — at 100 TB the
+audit trail is what makes a curation run debuggable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions import text as X
+from wrds_data_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.85,
+    min_tokens: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation flow.  Returns (kept, audit)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        X.detect_lang(text_col).alias("lang_detected"),
+        F.round(X.quality_score(text_col), 6).alias("quality"),
+        X.token_count(text_col).alias("ws_tokens"),
+        X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
+        X.fingerprint(text_col).alias("fingerprint"),
+    )
+
+    # 1. exact dedup: keep each group's canonical (min) id
+    canon = exact_duplicates(docs, id_col, text_col).select(
+        "fingerprint", "canonical_id"
+    )
+    tagged = base.join(F.broadcast(canon), "fingerprint", "left").withColumn(
+        "exact_dup", F.col("doc_id") != F.col("canonical_id")
+    )
+
+    # 2. near-dedup among exact-canonical survivors: LSH candidates →
+    # verified Jaccard → drop the higher id of each pair
+    canon_ids = (
+        tagged.filter(~F.col("exact_dup"))
+        .select(F.col("doc_id").alias("_canon_id"))
+    )
+    survivors = docs.join(
+        canon_ids, docs[id_col] == F.col("_canon_id"), "left_semi"
+    )
+    cand = minhash_lsh_candidates(survivors, id_col, text_col)
+    near = jaccard_pairs(
+        survivors, id_col, text_col,
+        threshold=near_dup_threshold, candidates=cand,
+    )
+    near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    tagged = tagged.join(
+        near_losers.withColumn("near_dup", F.lit(True)), "doc_id", "left"
+    ).withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+
+    # 3-5. filters
+    audit = tagged.withColumn(
+        "fate",
+        F.when(F.col("exact_dup"), "exact_dup")
+        .when(F.col("near_dup"), "near_dup")
+        .when(~F.col("lang_detected").isin(*allowed_langs), "lang")
+        .when(F.col("ws_tokens") < min_tokens, "too_short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .otherwise("kept"),
+    ).select(
+        "doc_id", "fate", "lang_detected", "quality",
+        "ws_tokens", "bpe_tokens", "fingerprint",
+    )
+
+    kept_ids = (
+        audit.filter(F.col("fate") == "kept")
+        .select(F.col("doc_id").alias("_kept_id"))
+    )
+    kept = docs.join(kept_ids, docs[id_col] == F.col("_kept_id"), "left_semi")
+    return kept, audit
+
+
+def curation_report(audit: DataFrame) -> DataFrame:
+    """Fate histogram + token budget of the kept set."""
+    return audit.groupBy("fate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
