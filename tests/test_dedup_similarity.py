@@ -138,3 +138,27 @@ def test_bpe_ish_token_count(spark):
     assert out[0] == 7
     assert out[1] == 0
     assert out[2] == 1
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    from wrds_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then " + shared + " and a tail"),
+            (1, "different opening here " + shared + " closing words"),
+            (2, "no overlap with anything else at all in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, k_shingle=3, window=4).toPandas()
+    sets = {i: set(fp[fp._id == i]["fp"]) for i in (0, 1, 2)}
+    # MOSS guarantee: a shared run of >= k+window-1 = 6 tokens yields
+    # at least one shared fingerprint
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
+    # storage reduction vs full shingle set
+    from wrds_data_pipeline_spark.operators.dedup import _shingled
+    full = _shingled(docs, "doc_id", "text", 3).toPandas()
+    assert len(fp) < len(full)

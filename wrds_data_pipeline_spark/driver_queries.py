@@ -1347,3 +1347,34 @@ def q40_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("k_max"),
         )
     )
+
+
+@query(
+    "q41_winnowing",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+               % 1000000007 AS h
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    )
+    SELECT DISTINCT doc_id AS _id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM posed
+    """,
+)
+def q41_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: min k-gram
+    hash per sliding window of 4 — any shared ≥6-token run between
+    docs produces a shared fingerprint (the MOSS guarantee), at ~1/4
+    the storage of the full shingle set."""
+    from wrds_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k_shingle=3, window=4
+    )

@@ -119,13 +119,18 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize(text).cast("binary"))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (array<string>) — the unit of
-    near-duplicate detection.  Codegen'd: sequence + transform +
-    slice, no UDF."""
+def word_shingles_ordered(text: Column | str, k: int = 3) -> Column:
+    """Positional k-word shingles (array<string>, duplicates kept, in
+    token order) — the rolling k-gram stream winnowing needs.
+    Codegen'd: sequence + transform + slice, no UDF."""
     t = tokens(text)
     n = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
     # documents shorter than k words shingle to the whole text
-    return F.array_distinct(sh)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles — the set form used by Jaccard /
+    MinHash (order irrelevant there)."""
+    return F.array_distinct(word_shingles_ordered(text, k))

@@ -196,6 +196,44 @@ def jaccard_pairs(
     return out
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-gram (rolling over the token stream), then keep the minimum
+    hash of each sliding window of ``window`` consecutive k-grams.
+    Guarantees any shared run of ≥ k+window-1 tokens between two
+    documents yields a shared fingerprint, at ~1/window the storage
+    of the full shingle set.
+
+    Returns (_id, fp) distinct.  Pure window-function pipeline —
+    partitioned per document, state bounded by document length.
+    """
+    from pyspark.sql.window import Window as W
+
+    from wrds_data_pipeline_spark.functions.text import word_shingles_ordered
+
+    spark = docs.sparkSession
+    posed = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(word_shingles_ordered(text_col, k_shingle)).alias("pos", "shingle"),
+        )
+        .select("_id", "pos", shingle_hash(F.col("shingle")).alias("h"))
+    )
+    w = W.partitionBy("_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        posed.withColumn("fp", F.min("h").over(w))
+        .select("_id", "fp")
+        .distinct()
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
