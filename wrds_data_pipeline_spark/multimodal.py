@@ -58,45 +58,67 @@ def synthesize_media(spark, docs: DataFrame, modality: str = "image") -> DataFra
     )
 
 
-def _decode_bytes(content: bytes, modality: str, declared_w: int, declared_h: int):
-    """Decode one media item → (width, height, mean_luma).
+def _make_decoder():
+    """Build the per-item decoder as a NESTED function: cloudpickle
+    serializes nested functions by value, so Spark workers never need
+    this package importable (the driver contract imports us by file
+    path, leaving executors' PYTHONPATH without the repo)."""
 
-    Real decoders (Pillow/librosa/av) are not in this container; the
-    image path falls back to a deterministic fake derived from the
-    bytes, so plumbing stays testable.  Audio/video have no fake yet.
-    """
-    if modality == "image":
-        try:  # real path, if a codec library is ever present
-            import io
+    def decode(content: bytes, modality: str, declared_w: int, declared_h: int):
+        """Decode one media item → (width, height, mean_luma).
 
-            from PIL import Image  # type: ignore
+        Real decoders (Pillow/librosa/av) are not in this container;
+        the image path falls back to a deterministic fake derived from
+        the bytes, so plumbing stays testable.  Audio/video have no
+        fake yet."""
+        if modality == "image":
+            try:  # real path, if a codec library is ever present
+                import io
 
-            img = Image.open(io.BytesIO(content)).convert("L")
-            import numpy as np
+                from PIL import Image  # type: ignore
 
-            arr = np.asarray(img, dtype="float64")
-            return img.width, img.height, float(arr.mean())
-        except Exception:
-            # deterministic fake: dims from declared metadata, luma
-            # from a byte checksum — stable across runs/engines
-            luma = (sum(content) % 25600) / 100.0 if content else None
-            return declared_w, declared_h, luma
-    raise NotImplementedError(f"no decoder (or fake) for modality={modality!r}")
+                img = Image.open(io.BytesIO(content)).convert("L")
+                import numpy as np
+
+                arr = np.asarray(img, dtype="float64")
+                return img.width, img.height, float(arr.mean())
+            except Exception:
+                # deterministic fake: dims from declared metadata, luma
+                # from a byte checksum — stable across runs/engines
+                luma = (sum(content) % 25600) / 100.0 if content else None
+                return declared_w, declared_h, luma
+        raise NotImplementedError(f"no decoder (or fake) for modality={modality!r}")
+
+    return decode
+
+
+# module-level handle for direct (driver-side) use and tests
+_decode_bytes = _make_decoder()
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Per-item decode + feature extraction via Arrow-batched
     mapInPandas.  Each batch is one Arrow RecordBatch — tune
     spark.sql.execution.arrow.maxRecordsPerBatch for very large items
-    (e.g. 64 for multi-MB images so a batch stays < memory budget)."""
-    import hashlib
+    (e.g. 64 for multi-MB images so a batch stays < memory budget).
+
+    The closure binds every dependency LOCALLY (no module-global
+    references): cloudpickle then ships it by value, so executors
+    never need this package on their PYTHONPATH — essential when the
+    caller imported us by file path (the driver contract does)."""
+    decode = _make_decoder()  # nested instance → pickled by value
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 content = row.content if row.content is not None else b""
-                w, h, luma = _decode_bytes(
+                w, h, luma = decode(
                     content, row.modality, row.declared_width, row.declared_height
                 )
                 out.append({
@@ -107,7 +129,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "mean_luma": luma,
                     "content_hash": hashlib.md5(content).hexdigest(),
                 })
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield _pd.DataFrame(out, columns=out_cols)
 
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
