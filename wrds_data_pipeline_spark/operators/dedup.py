@@ -135,6 +135,10 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "_id", F.explode(F.array(*band_structs)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    # persist: the bucket self-join reads `banded` twice, and each
+    # un-persisted read replays the full shingle+signature pipeline
+    # (the expensive part).  One row per (doc, band) — tiny.
+    banded = banded.persist()
     a = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
     return (
@@ -161,8 +165,9 @@ def jaccard_pairs(
     candidate set — the scale path.
     Returns (id_a, id_b, jaccard).
     """
+    from pyspark.sql.window import Window as W
+
     sh = _shingled(docs, id_col, text_col, k_shingle)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
 
     # join on the int64 shingle hash (not the string) — ~10× smaller
     # shuffle payload; collisions at 1e-9 scale are acceptable for a
@@ -170,8 +175,14 @@ def jaccard_pairs(
     # Shingle-set sizes ride along on each side so the size-ratio
     # bound (jaccard ≤ min(n)/max(n)) prunes hopeless pairs BEFORE
     # the per-pair aggregation — semantics-preserving, since pruned
-    # pairs cannot reach the threshold.
-    shn = sh.join(F.broadcast(sizes), "_id")
+    # pairs cannot reach the threshold.  The size comes from a window
+    # count (sh is already hash-partitioned by _id, so no shuffle and
+    # no doc-count-sized broadcast), and the result is persisted: the
+    # h self-join below reads the same relation twice, and without the
+    # persist Spark replays the whole tokenize+shingle+md5 subtree per
+    # side (~3× the CPU).  At cluster scale the same role is played by
+    # materializing the shingle table to parquet once per corpus.
+    shn = sh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("_id"))).persist()
     a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
     b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
     pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
