@@ -127,3 +127,54 @@ def test_corr_matrix_auto_routing(spark, prices):
     s = corr_matrix(sparse, "bucket", "permno", "price", method="auto").toPandas()
     sp = corr_matrix(sparse, "bucket", "permno", "price", method="pairwise").toPandas()
     assert len(s) == len(sp)
+
+
+def _corr_map(pdf):
+    return {
+        tuple(r[:-1]): r[-1]
+        for r in pdf.itertuples(index=False)
+    }
+
+
+def test_grouped_corr_matches_pairwise(spark, prices):
+    """grouped-Arrow dense path ≡ self-join path, plain and windowed
+    (including sparse panels: pairwise-complete + NaN placement)."""
+    from wrds_data_pipeline_spark.operators.corr import grouped_corr_pandas
+
+    day = prices.select(F.min("date")).first()[0]
+    one_day = prices.filter(F.col("date") == F.lit(day))
+    # sparse on purpose: missing cells exercise the common-count mask
+    sparse = one_day.sample(0.6, seed=7)
+
+    for df, wcols in [
+        (one_day, []),
+        (sparse, []),
+        (sparse.withColumn("date", F.col("date")), ["date"]),
+    ]:
+        got = _corr_map(
+            grouped_corr_pandas(df, "bucket", "permno", "price", wcols).toPandas()
+        )
+        want = _corr_map(
+            pairwise_corr(df, "bucket", "permno", "price", wcols).toPandas()
+        )
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            if pd.isna(w):
+                assert pd.isna(g), k
+            else:
+                assert abs(g - w) < 1e-9, (k, g, w)
+
+
+def test_intraday_corr_grouped_method(spark, prices):
+    from wrds_data_pipeline_spark.plans.corrmatrix import intraday_corr
+
+    pair = intraday_corr(prices, interval_seconds=2 * 3600).toPandas()
+    grp = intraday_corr(prices, interval_seconds=2 * 3600, method="grouped").toPandas()
+    key = ["date", "win_start", "k1", "k2"]
+    pmap = _corr_map(pair[key + ["corr_val"]])
+    gmap = _corr_map(grp[key + ["corr_val"]])
+    assert set(pmap) == set(gmap)
+    for k, w in pmap.items():
+        g = gmap[k]
+        assert (pd.isna(w) and pd.isna(g)) or abs(g - w) < 1e-9, k

@@ -122,6 +122,66 @@ def corr_matrix(
     return out
 
 
+def grouped_corr_pandas(
+    long_df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    value_col: str,
+    window_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dense per-window correlation via grouped Arrow batches.
+
+    Same output contract as ``pairwise_corr(full_matrix=True)`` —
+    (window_cols..., k1, k2, corr_val), pairwise-complete, mirrored,
+    unit diagonal — but computed per window group with one BLAS
+    ``DataFrame.corr()`` call instead of the k² bucket self-join.
+    Windows are independent, so ``groupBy(window).applyInPandas``
+    distributes perfectly; each task holds one window's
+    buckets × keys panel (~8 bytes a cell — a 4h/1s × 5000-symbol
+    window is ~0.6 GB, still one-task-sized).
+
+    This is the wide-universe scale path for SURVEY §4.2's "self-join
+    blow-up": the self-join shuffles O(buckets × k²) rows per window,
+    the grouped path shuffles the long panel once.  Requires unique
+    (window, bucket, key) rows (true after W1 resampling); with
+    duplicates the self-join formulation is the defined semantics.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    window_cols = list(window_cols or [])
+    schema = StructType(
+        [long_df.schema[c] for c in window_cols]
+        + [
+            StructField("k1", long_df.schema[key_col].dataType),
+            StructField("k2", long_df.schema[key_col].dataType),
+            StructField("corr_val", DoubleType()),
+        ]
+    )
+    bcol, kcol, vcol, wcols = bucket_col, key_col, value_col, window_cols
+
+    def one_window(pdf):
+        import numpy as np
+        import pandas as pd
+
+        wide = pdf.pivot_table(index=bcol, columns=kcol, values=vcol, aggfunc="first")
+        m = wide.corr(min_periods=1).to_numpy()
+        np.fill_diagonal(m, 1.0)  # every pivot column has ≥1 observation
+        nn = wide.notna().to_numpy(dtype="int32")
+        common = nn.T @ nn  # per-pair count of buckets where both observed
+        mask = common >= 1  # pairwise_corr emits a row iff ≥1 paired bucket
+        ii, jj = np.nonzero(mask)
+        keys = wide.columns.to_numpy()
+        out = pd.DataFrame(
+            {"k1": keys[ii], "k2": keys[jj], "corr_val": m[mask]}
+        )
+        for c in wcols:
+            out[c] = pdf[c].iloc[0]
+        return out[wcols + ["k1", "k2", "corr_val"]]
+
+    grouped = long_df.groupBy(*wcols) if wcols else long_df.groupBy(F.lit(True))
+    return grouped.applyInPandas(one_window, schema)
+
+
 def ml_corr(long_df: DataFrame, bucket_col: str, key_col: str, value_col: str):
     """Dense fast path: pivot to vectors and use ml.stat.Correlation
     (one distributed Gram-matrix pass; listwise-complete semantics).

@@ -19,33 +19,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wrds_data_pipeline_spark.operators.corr import pairwise_corr
+from wrds_data_pipeline_spark.operators.corr import grouped_corr_pandas, pairwise_corr
 from wrds_data_pipeline_spark.operators.windows import intraday_window, multiday_block
+
+# Above this many securities the bucket self-join's O(buckets × k²)
+# shuffle dominates and the grouped-Arrow dense path wins (SURVEY
+# §4.2).  ~500 keys ⇒ 250k pairs/bucket is where the two cross over
+# on the reference workload shape.
+AUTO_DENSE_KEYS = 500
+
+
+def _windowed_corr(long_df, window_cols: list[str], method: str) -> DataFrame:
+    """Route one windowed correlation: 'pairwise' (self-join, the
+    defined semantics), 'grouped' (per-window Arrow + BLAS, same
+    pairwise-complete result for unique (bucket, key) panels), or
+    'auto' (count keys once, pick)."""
+    if method == "auto":
+        n_keys = long_df.select(
+            F.approx_count_distinct("permno").alias("k")
+        ).first()["k"]
+        method = "grouped" if n_keys > AUTO_DENSE_KEYS else "pairwise"
+    fn = grouped_corr_pandas if method == "grouped" else pairwise_corr
+    return fn(
+        long_df,
+        bucket_col="bucket",
+        key_col="permno",
+        value_col="price",
+        window_cols=window_cols,
+    )
 
 
 def intraday_corr(
     prices: DataFrame,
     interval_seconds: int,
     open_time: str = "09:30:00",
+    method: str = "pairwise",
 ) -> DataFrame:
     """One correlation matrix per (date, intra-day window):
     (date, win_start, k1, k2, corr_val) in long form."""
     windowed = prices.withColumn(
         "win_start", intraday_window(F.col("bucket"), interval_seconds, open_time)
     )
-    return pairwise_corr(
-        windowed,
-        bucket_col="bucket",
-        key_col="permno",
-        value_col="price",
-        window_cols=["date", "win_start"],
-    )
+    return _windowed_corr(windowed, ["date", "win_start"], method)
 
 
 def multiday_corr(
     prices: DataFrame,
     calendar: DataFrame,
     interval_days: int,
+    method: str = "pairwise",
 ) -> DataFrame:
     """One correlation matrix per block of ``interval_days`` trading
     days, over securities with data on every day of the block:
@@ -68,10 +90,6 @@ def multiday_corr(
     )
     p = p.join(present, ["block_id", "permno"], "left_semi")
 
-    return pairwise_corr(
-        p,
-        bucket_col="bucket",
-        key_col="permno",
-        value_col="price",
-        window_cols=["block_id", "block_start", "block_end"],
+    return _windowed_corr(
+        p, ["block_id", "block_start", "block_end"], method
     ).drop("block_id")
