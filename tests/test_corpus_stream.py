@@ -1,0 +1,105 @@
+"""Streaming corpus operators (dedup, sessionization) == their batch
+forms on the same data — the incremental/batch parity gate."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.streaming.corpus_stream import (
+    run_corpus_stream,
+    streaming_exact_dedup,
+    streaming_sessionize,
+)
+
+T0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+
+def _ts(sec: float) -> datetime.datetime:
+    return T0 + datetime.timedelta(seconds=sec)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    from wrds_data_pipeline_spark.operators.dedup import exact_duplicates
+
+    # three files arriving in order; dup texts across files
+    batches = [
+        [(1, "alpha beta gamma", _ts(0)), (2, "delta epsilon", _ts(1))],
+        [(3, "alpha beta gamma", _ts(60)), (4, "zeta eta", _ts(61))],
+        [(5, "delta epsilon", _ts(120)), (6, "alpha beta gamma", _ts(121))],
+    ]
+    schema = "doc_id int, text string, ingest_ts timestamp"
+    stage = os.path.join(str(tmp_path), "docs_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stage)
+
+    got = run_corpus_stream(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        lambda s: streaming_exact_dedup(s, watermark="10 minutes"),
+        query_name="t_dedup_stream", max_files_per_trigger=1,
+    ).toPandas()
+
+    all_docs = spark.createDataFrame([r for b in batches for r in b], schema)
+    want_groups = exact_duplicates(all_docs).toPandas()
+
+    # one survivor per fingerprint group, and the survivor is the
+    # earliest arrival (file order == event-time order here)
+    assert sorted(got["fingerprint"]) == sorted(want_groups["fingerprint"])
+    earliest = {
+        r.fingerprint: r.canonical_id for r in want_groups.itertuples()
+    }  # canonical = min doc_id = first arrival in this fixture
+    for r in got.itertuples():
+        assert r.doc_id == earliest[r.fingerprint], r
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    # two users, sessions split by >5min gaps; µs offsets avoid the
+    # exact-boundary edge documented in corpus_stream
+    rows = []
+    for u, base in [("u1", 0.0), ("u2", 7.5)]:
+        rows += [(u, _ts(base + s), 1.0) for s in (0, 10, 200)]        # session 1
+        rows += [(u, _ts(base + 1000 + s), 2.0) for s in (0, 30)]      # session 2
+        rows += [(u, _ts(base + 5000), 3.0)]                           # session 3
+    schema = "user_id string, ts timestamp, value double"
+    stage = os.path.join(str(tmp_path), "events_stream")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    # later-file sentinel advances the watermark so all sessions close
+    spark.createDataFrame(
+        [("_S", _ts(10 * 24 * 3600), 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    got = (
+        run_corpus_stream(
+            spark, stage, spark.createDataFrame([], schema).schema,
+            lambda s: streaming_sessionize(
+                s, ["user_id"], "ts", "value", gap="5 minutes", watermark="1 minute"
+            ),
+            query_name="t_sess_stream", max_files_per_trigger=1,
+        )
+        .filter(F.col("user_id") != "_S")
+        .toPandas()
+    )
+
+    # batch replay: q33's lag + running-sum formulation, 5-minute gap
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).sort_values(
+        ["user_id", "ts"]
+    )
+    want = []
+    for u, g in pdf.groupby("user_id"):
+        sid = (g["ts"].diff().dt.total_seconds() > 300).cumsum()
+        for _, s in g.groupby(sid):
+            want.append((
+                u,
+                len(s),
+                round((s["ts"].max() - s["ts"].min()).total_seconds(), 6),
+                s["value"].sum(),
+            ))
+
+    got_t = sorted(
+        (r.user_id, r.n_events, r.duration_sec, r.session_value)
+        for r in got.itertuples()
+    )
+    assert got_t == sorted(want)

@@ -1378,3 +1378,37 @@ def q41_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         _t(spark, sf_dir, "documents"), k_shingle=3, window=4
     )
+
+
+@query(
+    "q42_grouped_corr",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS k1, b.event_type AS k2,
+           round(corr(a.v, b.v), 6) AS corr_val
+    FROM hourly a JOIN hourly b ON a.bucket = b.bucket AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q42_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via the grouped-Arrow dense path (applyInPandas pivot +
+    BLAS corr per window) — same oracle as q15: the two physical
+    routes must agree to the hash.  This is the wide-universe scale
+    path for the per-window matrix (SURVEY §4.2 self-join blow-up)."""
+    from wrds_data_pipeline_spark.operators.corr import grouped_corr_pandas
+
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.sum("value").alias("v"))
+    )
+    full = grouped_corr_pandas(
+        hourly, bucket_col="bucket", key_col="event_type", value_col="v"
+    )
+    return full.filter(F.col("k1") < F.col("k2")).select(
+        "k1", "k2", F.round("corr_val", 6).alias("corr_val")
+    )

@@ -1,0 +1,108 @@
+"""Streaming corpus operators: exact dedup and sessionization.
+
+Beyond the reference's batch surface (SURVEY §2.10): a training-data
+ingest pipeline is naturally a stream of documents/events, and the
+two batch operators with real streaming twins are
+
+- **exact dedup** (operators/dedup.exact_duplicates): in a stream,
+  global dedup state is unbounded, so the production form is
+  ``dropDuplicatesWithinWatermark`` keyed on the content fingerprint
+  — the first arrival of each fingerprint passes through, repeats
+  within the watermark horizon are dropped, and state is evicted once
+  the watermark passes (bounded by the dedup horizon, not the corpus).
+- **sessionization** (driver_queries.q33's lag + running-sum form):
+  ``session_window(ts, gap)`` is the built-in incremental equivalent
+  — state is one open session per key, windows emit when the
+  watermark passes their close.
+
+Edge note on session gaps: the batch formulation starts a new session
+when ``diff > gap``; ``session_window`` merges when ``diff < gap`` —
+they disagree only when an inter-event gap equals the boundary
+exactly (measure-zero for µs event time; pin the batch rule to ``>=``
+if your data has quantized timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions.text import fingerprint
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins exact dedup over a document stream.
+
+    Emits each first-seen fingerprint's full row immediately (append
+    mode); duplicates arriving within ``watermark`` of the original
+    are dropped.  State: one small row per fingerprint inside the
+    horizon — eviction is what makes this run forever at 100 TB/day.
+    """
+    return (
+        stream.withColumn("fingerprint", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental sessionization: one row per closed session with
+    the same aggregate surface as the batch form (q33) — event count,
+    duration, value sum."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1e6, 6
+            ).alias("duration_sec"),
+            F.sum(value_col).alias("session_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "duration_sec",
+            "session_value",
+        )
+    )
+
+
+def run_corpus_stream(
+    spark,
+    path: str,
+    schema,
+    build,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive ``build(stream_df)`` over a staged parquet dir to
+    completion via the memory sink (the local-smoke harness; see
+    resample_stream.run_stream_over_parquet for the append-mode
+    watermark-flush caveat)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        build(reader.parquet(path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
