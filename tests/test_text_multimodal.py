@@ -115,3 +115,56 @@ def test_left_interval_join_keeps_unmatched(spark):
     ).toPandas().set_index("k")
     assert got.loc[1, "label"] == "X"
     assert got.loc[2, "label"] is None or got.loc[2].isna()["label"]
+
+
+def test_audio_features(spark, driver_tables):
+    from wrds_data_pipeline_spark.multimodal import (
+        extract_audio_features,
+        synthesize_media,
+    )
+
+    docs = spark.table("documents").limit(40)
+    media = synthesize_media(spark, docs, modality="audio")
+    feats = extract_audio_features(media, sample_rate=8000.0).toPandas()
+    assert len(feats) == 40
+    src = media.toPandas().set_index("media_id")
+    for r in feats.itertuples():
+        content = src.loc[r.media_id, "content"]
+        assert r.n_samples == len(content)
+        assert abs(r.duration_s - len(content) / 8000.0) < 1e-12
+        assert r.rms is not None and r.rms >= 0
+    # deterministic across runs
+    again = extract_audio_features(media, sample_rate=8000.0).toPandas()
+    assert feats.sort_values("media_id").reset_index(drop=True).equals(
+        again.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_video_frame_features(spark, driver_tables):
+    from wrds_data_pipeline_spark.multimodal import (
+        extract_frame_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    docs = spark.table("documents").limit(25)
+    media = frame_sample_plan(
+        synthesize_media(spark, docs, modality="video"), n_frames=4
+    )
+    frames = extract_frame_features(media).toPandas()
+    assert len(frames) == 25 * 4
+    # every media id emits exactly its planned indices
+    planned = media.select("media_id", "sample_frame_indices").toPandas()
+    for r in planned.itertuples():
+        got_idx = sorted(
+            frames[frames["media_id"] == r.media_id]["frame_idx"].tolist()
+        )
+        assert got_idx == sorted(int(i) for i in r.sample_frame_indices)
+    # deterministic and frame-dependent (not all frames identical)
+    per_media_nunique = frames.groupby("media_id")["mean_luma"].nunique()
+    assert (per_media_nunique > 1).any()
+    again = extract_frame_features(media).toPandas()
+    key = ["media_id", "frame_idx"]
+    assert frames.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

@@ -134,6 +134,111 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("content_hash", T.StringType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame, sample_rate: float = 16000.0) -> DataFrame:
+    """Audio decode + waveform stats via Arrow-batched mapInPandas.
+
+    Real codec path (librosa/soundfile) when present; otherwise a
+    deterministic fake that reads the bytes as a centered uint8
+    waveform — the batch shapes, schema, and vectorized numpy stats
+    are exactly what the real decoder slots into.  Closure is fully
+    by-value (see extract_features)."""
+    rate = float(sample_rate)
+    out_cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        def decode(content: bytes):
+            try:  # real path, if an audio stack is ever present
+                import io
+
+                import soundfile  # type: ignore
+
+                wave, sr = soundfile.read(io.BytesIO(content))
+                return wave.astype("float64"), float(sr)
+            except Exception:
+                # deterministic fake: bytes as a centered uint8 wave
+                wave = np.frombuffer(content, dtype=np.uint8).astype("float64") - 128.0
+                return wave, rate
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = row.content if row.content is not None else b""
+                wave, sr = decode(content)
+                n = int(wave.size)
+                out.append({
+                    "media_id": row.media_id,
+                    "n_samples": n,
+                    "duration_s": n / sr if sr else None,
+                    "rms": float(np.sqrt(np.mean(wave**2))) if n else None,
+                    "content_hash": hashlib.md5(content).hexdigest(),
+                })
+            yield _pd.DataFrame(out, columns=out_cols)
+
+    return media.mapInPandas(op, AUDIO_FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("mean_luma", T.DoubleType(), True),
+])
+
+
+def extract_frame_features(media: DataFrame) -> DataFrame:
+    """Per-sampled-frame decode for video: consumes the
+    ``sample_frame_indices`` column from frame_sample_plan and emits
+    one row per (media_id, frame) — a mapInPandas fan-out, so the
+    frame explosion happens inside the Arrow batch, never on the
+    driver.  Real path would seek+decode each index (pyav); the
+    deterministic fake derives per-frame luma from a byte slice so
+    distinct frames get distinct, reproducible values."""
+    out_cols = [f.name for f in FRAME_FEATURE_SCHEMA.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def frame_luma(content: bytes, idx: int):
+            try:  # real path, if a video stack is ever present
+                import av  # type: ignore  # noqa: F401
+
+                raise NotImplementedError  # seek+decode would go here
+            except Exception:
+                if not content:
+                    return None
+                # deterministic fake: rotate the byte window by frame
+                start = idx % len(content)
+                window = content[start:start + 64] or content[:64]
+                return (sum(window) * (idx + 1) % 25600) / 100.0
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = row.content if row.content is not None else b""
+                for idx in row.sample_frame_indices:
+                    out.append({
+                        "media_id": row.media_id,
+                        "frame_idx": int(idx),
+                        "mean_luma": frame_luma(content, int(idx)),
+                    })
+            yield _pd.DataFrame(out, columns=out_cols)
+
+    return media.mapInPandas(op, FRAME_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, n_frames: int = 8, declared_fps: float = 30.0,
     declared_duration_s: float = 10.0,
