@@ -62,3 +62,38 @@ def test_parquet_projection(spark, wrds_dir):
     assert df.columns == ["permno", "date"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "prc" not in plan  # pruned out of ReadSchema
+
+
+def test_read_jsonl(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wrds_data_pipeline_spark.sources.readers import read_jsonl
+
+    p = os.path.join(str(tmp_path), "docs.jsonl")
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en"},
+        {"doc_id": 2, "text": "gamma", "lang": "de"},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+
+    got = read_jsonl(spark, p, schema).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.text) for r in got] == [(1, "alpha beta"), (2, "gamma")]
+
+    kept = read_jsonl(spark, p, schema, keep_corrupt=True).cache()
+    bad = kept.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    assert kept.count() == 3
+    kept.unpersist()

@@ -93,3 +93,36 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions or 8))
         )
     return reader.load()
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema,
+    keep_corrupt: bool = False,
+):
+    """JSON-lines source with a declared schema — the standard
+    training-corpus interchange format (one document object per
+    line; gzip transparent by extension, splittable when plain).
+
+    Schema is declared, never inferred: inference scans the whole
+    input once before the real read, which at 100 TB doubles the job.
+    Malformed lines are dropped by default; ``keep_corrupt=True``
+    switches to PERMISSIVE and surfaces the raw line in
+    ``_corrupt_record`` for a quarantine sink (count it — silent
+    drops hide upstream breakage).
+    """
+    from pyspark.sql import types as T
+
+    if keep_corrupt:
+        full = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
