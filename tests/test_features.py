@@ -109,3 +109,42 @@ def test_edge_degrees(spark, wrds):
     d_per_day = deg.groupby("date")["degree"].sum()
     for day, total in d_per_day.items():
         assert total == 2 * e_per_day[day]
+
+
+def test_export_graph_tensors_matches_driver_path(spark, wrds, tmp_path):
+    import os
+
+    from wrds_data_pipeline_spark.plans.features import export_graph_tensors
+
+    edges = positive_edges(wrds["adjacency_edges"])
+    days = edges.select("date").distinct()
+    mse = wrds["msenames"].select("permno", "ticker").distinct()
+    link = wrds["ccmxpf_linktable"].select("permno", "gvkey").distinct()
+    # unique (date, ticker) keys: with duplicates, "the" feature/label
+    # row per node is undefined in either export path
+    nodes = (
+        days.crossJoin(mse.join(link, "permno"))
+        .select("date", "ticker", "gvkey")
+        .groupBy("date", "ticker").agg(F.min("gvkey").alias("gvkey"))
+    )
+    feats = node_features(nodes, wrds["firm_ratio"])
+    labels = (
+        direction_labels(wrds["dsf"])
+        .join(mse, "permno")
+        .groupBy("date", "ticker").agg(F.max("up_label").alias("up_label"))
+    )
+
+    out = os.path.join(str(tmp_path), "graphs")
+    manifest = export_graph_tensors(edges, feats, labels, out).toPandas()
+    want = {g["date"]: g for g in graph_tensors_per_day(edges, feats, labels)}
+
+    assert len(manifest) == len(want)
+    for r in manifest.itertuples():
+        g = want[r.date]
+        assert r.n_nodes == len(g["tickers"])
+        z = np.load(r.path)
+        assert list(z["tickers"]) == g["tickers"]
+        np.testing.assert_allclose(z["x"], g["x"])
+        np.testing.assert_allclose(z["y"], g["y"])
+        np.testing.assert_array_equal(z["edge_index"], g["edge_index"])
+        np.testing.assert_allclose(z["edge_attr"], g["edge_attr"])

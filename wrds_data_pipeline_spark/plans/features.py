@@ -124,3 +124,94 @@ def graph_tensors_per_day(
             "date": day, "tickers": tickers, "x": x, "y": y,
             "edge_index": edge_index, "edge_attr": edge_attr,
         }
+
+
+def export_graph_tensors(
+    edges: DataFrame,
+    features: DataFrame,
+    labels: DataFrame,
+    out_dir: str,
+    feature_cols: tuple[str, ...] = FIRM_RATIO_FEATURES,
+) -> DataFrame:
+    """Distributed S9 sink: per-day graphs assembled and written
+    (.npz) *inside* Arrow tasks — cogroup edges with the node table
+    by date, so each day's tensors are built where its data lands and
+    never route through the driver (unlike graph_tensors_per_day,
+    whose driver-side iterator is fine for ~500-node days but not for
+    thousands of days × large graphs).
+
+    Returns a lazy manifest (date, n_nodes, n_edges, path); the files
+    are written when the manifest is materialized.  ``out_dir`` must
+    be a filesystem all executors share (true for local[n]; a mounted
+    FS or object store via a real committer on a cluster).
+    """
+    from pyspark.sql import types as T
+
+    # full outer: a label for a ticker with no feature row must still
+    # land in y (the driver-side generator reads the two tables
+    # independently).  Requires unique (date, ticker) keys on both
+    # sides — with duplicates, "the" feature/label row is undefined
+    # in any formulation.
+    node_df = features.join(labels, ["date", "ticker"], "full_outer").select(
+        "date", "ticker", *feature_cols, "up_label"
+    )
+    # callers routinely derive the node table FROM the edge table
+    # (e.g. its distinct dates), which makes the two cogroup children
+    # share the same `date` attribute id and trips the analyzer's
+    # ambiguous-self-join check; re-deriving the node-side key as a
+    # fresh expression (date_add 0 is a no-op on values) gives it a
+    # new attribute identity
+    node_df = node_df.withColumn("date", F.date_add("date", 0))
+    manifest_schema = T.StructType([
+        edges.schema["date"],
+        T.StructField("n_nodes", T.IntegerType()),
+        T.StructField("n_edges", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+    ])
+    fcols = list(feature_cols)
+    target = out_dir
+
+    def build(key, e_pdf, n_pdf):
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        if len(e_pdf) == 0:  # node-only days: mirror the driver
+            return pd.DataFrame(columns=["date", "n_nodes", "n_edges", "path"])
+        day = key[0]
+        tickers = sorted(set(e_pdf["src"]) | set(e_pdf["dst"]))
+        idx = {t: i for i, t in enumerate(tickers)}
+        x = np.zeros((len(tickers), len(fcols)))
+        y = np.zeros(len(tickers))
+        for row in n_pdf.itertuples(index=False):
+            i = idx.get(row.ticker)
+            if i is None:
+                continue
+            vals = [getattr(row, c) for c in fcols]
+            if not any(pd.isna(v) for v in vals):  # outer-join null row = no features
+                x[i] = vals
+            if row.up_label is not None and not pd.isna(row.up_label):
+                y[i] = row.up_label
+        edge_index = np.array(
+            [[idx[s] for s in e_pdf["src"]], [idx[d] for d in e_pdf["dst"]]],
+            dtype=np.int64,
+        )
+        edge_attr = e_pdf["weight"].to_numpy(dtype=np.float64)
+        os.makedirs(target, exist_ok=True)
+        path = os.path.join(target, f"{day.isoformat()}.npz")
+        np.savez(
+            path,
+            tickers=np.array(tickers, dtype=str),
+            x=x, y=y, edge_index=edge_index, edge_attr=edge_attr,
+        )
+        return pd.DataFrame([{
+            "date": day, "n_nodes": len(tickers),
+            "n_edges": len(e_pdf), "path": path,
+        }])
+
+    return (
+        edges.groupBy("date")
+        .cogroup(node_df.groupBy("date"))
+        .applyInPandas(build, manifest_schema)
+    )
