@@ -102,3 +102,42 @@ def test_interval_join_property(spark, facts, dims):
             if kk == k and lo <= p and (hi is None or p <= hi):
                 want += 1
     assert len(got) == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    facts=st.lists(st.tuples(st.integers(1, 999), day), min_size=1, max_size=15),
+    dims=st.lists(st.tuples(day, day), min_size=0, max_size=8),
+    gran=st.sampled_from([1, 3, 7, 30]),
+)
+def test_interval_join_bucketed_property(spark, facts, dims, gran):
+    """No-equi-key bucketed range join == cross-join + filter, for any
+    bucket granularity (incl. buckets larger than every interval)."""
+    from wrds_data_pipeline_spark.operators.intervals import interval_join_bucketed
+
+    fact = spark.createDataFrame(
+        [(i, BASE + datetime.timedelta(days=d)) for i, (_, d) in enumerate(facts)],
+        "fid int, point date",
+    )
+    dim = spark.createDataFrame(
+        [
+            (j, BASE + datetime.timedelta(days=min(lo, hi)),
+             BASE + datetime.timedelta(days=max(lo, hi)))
+            for j, (lo, hi) in enumerate(dims)
+        ],
+        "did int, lo date, hi date",
+    )
+    got = sorted(
+        (r.fid, r.did)
+        for r in interval_join_bucketed(
+            fact, dim, "point", "lo", "hi", granularity_days=gran
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (_, d) in enumerate(facts)
+        for j, (lo, hi) in enumerate(dims)
+        if min(lo, hi) <= d <= max(lo, hi)
+    )
+    assert got == want

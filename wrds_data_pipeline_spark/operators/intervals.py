@@ -76,3 +76,59 @@ def point_in_time_filter(
         (F.col(start_col) <= lit)
         & ((F.col(end_col) >= lit) | F.col(end_col).isNull())
     )
+
+
+def interval_join_bucketed(
+    fact: DataFrame,
+    dim: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    granularity_days: int = 30,
+    keys: list[str] | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join for interval joins with **no (or weak) equi key** —
+    the case Catalyst would plan as a cartesian product + filter
+    (SURVEY §4 item 3).
+
+    Standard bucketed-interval technique: each dim interval is
+    exploded into the coarse ``granularity_days`` buckets it spans,
+    each fact point maps to exactly one bucket, and the join becomes
+    an equi join on bucket (+ any ``keys``) with the exact
+    containment predicate as a residual condition.  A (fact, dim)
+    match can only occur in the fact's single bucket, so no dedup is
+    needed and ``how='left'`` works unchanged.
+
+    Cost model: shuffle ∝ |fact| + Σ(interval_span / granularity);
+    pick granularity near the median interval span so typical
+    intervals explode into ~1-2 buckets.  Long-tail intervals fan out
+    — that is the intended trade (bounded, linear) versus the
+    cartesian plan (quadratic).  Open-ended intervals must be pinned
+    first (functions.scalars.pin_open_end): an unbounded span has no
+    finite bucket list.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = keys or []
+
+    g = int(granularity_days)
+    fb = F.floor(F.unix_date(F.col(point_col).cast("date")) / g)
+    lo_b = F.floor(F.unix_date(F.col(start_col).cast("date")) / g)
+    hi_b = F.floor(F.unix_date(F.col(end_col).cast("date")) / g)
+
+    d = dim.withColumn("_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    f = fact.withColumn("_bucket", fb)
+
+    cond = f["_bucket"] == d["_bucket"]
+    for k in keys:
+        cond = cond & (f[k] == d[k])
+    cond = (
+        cond
+        & (f[point_col] >= d[start_col])
+        & (f[point_col] <= d[end_col])
+    )
+    joined = f.join(d, cond, how).drop(d["_bucket"]).drop("_bucket")
+    for k in keys:
+        joined = joined.drop(d[k])
+    return joined
