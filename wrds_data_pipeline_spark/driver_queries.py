@@ -1412,3 +1412,125 @@ def q42_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.filter(F.col("k1") < F.col("k2")).select(
         "k1", "k2", F.round("corr_val", 6).alias("corr_val")
     )
+
+
+def _curation_oracle_sql() -> str:
+    """End-to-end corpus-curation oracle: exact dedup → LSH near-dedup
+    → language/quality/length gates → fate histogram, composed from
+    the per-operator fragments that q23/q25/q26/q27/q35 already prove
+    individually."""
+    from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
+
+    sig_exprs = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MINHASH_MOD}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:12])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '|' || ".join(f"sig{band * 3 + j}::VARCHAR" for j in range(3)),
+        )
+        for band in range(4)
+    )
+    bpe = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             md5({_NORM_SQL}) AS fingerprint,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(the|and|of|to|in|is|that|for|with|a)\\b')) AS s_en,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(der|die|das|und|ist|nicht|ein|mit|für|zu)\\b')) AS s_de,
+             len(regexp_extract_all({_NORM_SQL}, '\\b(le|la|les|et|est|un|une|pour|dans|que)\\b')) AS s_fr,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             len(regexp_extract_all(text, '{bpe}')) AS bpe
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang,
+             round((CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN (CASE WHEN n_tok > 0 THEN s_en / CAST(n_tok AS DOUBLE) ELSE 0.0 END) >= 0.05
+                           THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+      FROM base
+    ),
+    canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM scored GROUP BY 1),
+    tagged AS (SELECT s.*, c.canonical_id FROM scored s JOIN canon c USING (fingerprint)),
+    surv AS (SELECT doc_id, text FROM tagged WHERE doc_id = canonical_id),
+    toks2 AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM surv
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_MOD} AS h
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks2, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      )
+    ),
+    sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+    sig AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh2 GROUP BY doc_id
+    ),
+    bandt AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandt a JOIN bandt b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh2 a
+      JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN sizes2 na ON na.doc_id = i.id_a
+      JOIN sizes2 nb ON nb.doc_id = i.id_b
+      WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.85
+    ),
+    fates AS (
+      SELECT t.doc_id,
+             CASE WHEN t.doc_id != t.canonical_id THEN 'exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN t.lang != 'en' THEN 'lang'
+                  WHEN t.n_tok < 5 THEN 'too_short'
+                  WHEN t.quality < 0.5 THEN 'low_quality'
+                  ELSE 'kept' END AS fate,
+             t.bpe, t.quality
+      FROM tagged t LEFT JOIN near nr ON nr.doc_id = t.doc_id
+    )
+    SELECT fate, count(*) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM fates GROUP BY 1
+    """
+
+
+@query("q43_curation_report", _curation_oracle_sql())
+def q43_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation pipeline end-to-end (plans/corpus):
+    exact dedup → MinHash-LSH near-dedup with Jaccard verification →
+    language / length / quality gates → fate histogram with token
+    budget.  One oracle checks the whole composition, not just the
+    stages."""
+    from wrds_data_pipeline_spark.plans.corpus import curate, curation_report
+
+    docs = _t(spark, sf_dir, "documents")
+    _, audit = curate(docs)
+    return curation_report(audit).select(
+        "fate",
+        "n_docs",
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        "avg_quality",
+    )
