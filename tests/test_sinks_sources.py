@@ -97,3 +97,35 @@ def test_read_jsonl(spark, tmp_path):
     assert bad.count() == 1
     assert kept.count() == 3
     kept.unpersist()
+
+
+def test_write_bucketed_kills_groupby_shuffle(spark, wrds):
+    from wrds_data_pipeline_spark.sinks import write_bucketed
+
+    nbbo = wrds["nbbo"].withColumn(
+        "price", (F.col("best_bid") + F.col("best_ask")) / 2
+    ).select("sym_root", "time_m", "price")
+
+    write_bucketed(nbbo, "nbbo_bucketed", "sym_root", 8, sort_cols="sym_root")
+    try:
+        t = spark.table("nbbo_bucketed")
+        agg = t.groupBy("sym_root").agg(F.avg("price").alias("p"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # bucketed layout satisfies the agg's distribution: no Exchange
+        assert "Exchange" not in plan, plan
+        # and the numbers match the unbucketed source
+        got = {r.sym_root: r.p for r in agg.collect()}
+        want = {
+            r.sym_root: r.p
+            for r in nbbo.groupBy("sym_root").agg(F.avg("price").alias("p")).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+        # bucket-key equi-join: no shuffle exchange (a BroadcastExchange
+        # on the small aggregated side is fine and not a shuffle)
+        j = t.join(t.groupBy("sym_root").count(), "sym_root")
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in jplan, jplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nbbo_bucketed")

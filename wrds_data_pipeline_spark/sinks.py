@@ -52,3 +52,38 @@ def corr_window_filename(out_dir: str, start, end) -> str:
     """The exporter's filename convention: one artifact per window
     with the bounds stamped (correlation_matrix_exporter.py:229-233)."""
     return os.path.join(out_dir, f"corr_{start:%Y%m%d_%H%M}_{end:%Y%m%d_%H%M}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int,
+    sort_cols: list[str] | str | None = None,
+    partition_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: pre-shuffles rows into ``n_buckets`` by
+    hash of ``bucket_cols`` (optionally sorted within buckets) so
+    later aggregations/joins keyed on those columns read data already
+    co-located — Catalyst drops the Exchange entirely.
+
+    This is the 100 TB layout move for the quote table: bucket by
+    symbol, partition by date, and the per-symbol resample+ffill
+    (the engine's hottest path) runs shuffle-free day after day —
+    the one-time write shuffle is amortized over every downstream
+    read.  Requires a table (metastore) target, not a bare path:
+    bucketing metadata lives in the catalog.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    if partition_cols:
+        if isinstance(partition_cols, str):
+            partition_cols = [partition_cols]
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(table)
