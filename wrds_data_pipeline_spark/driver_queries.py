@@ -1534,3 +1534,19 @@ def q43_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
         "avg_quality",
     )
+
+
+@query("q44_ann_ivf_topk", None)
+def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the ANN scale path): coarse-quantize
+    vectors into cells, probe the n_probe nearest cells to the query,
+    exact-score inside them — partition the index by cell and the
+    probe becomes partition pruning.  Approximate ⇒ no SQL oracle
+    (rows-only check); recall vs the exact q29 baseline is asserted
+    in tests/test_similarity_scale."""
+    from wrds_data_pipeline_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = ivf_build(emb, n_cells=16)
+    return ivf_topk(assigned, centroids, qv, k=10, n_probe=4)

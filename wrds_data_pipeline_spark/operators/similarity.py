@@ -175,17 +175,21 @@ def ivf_build(
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
 
+    # one array_max over (sim, -cell) structs: linear expression size
+    # (a chained when/otherwise that re-references the running best
+    # doubles the tree per centroid — exponential in n_cells and a
+    # planner killer by 16 cells).  -cell makes ties pick the
+    # earliest centroid, matching a first-wins scan.
     v = F.col(vec_col).cast("array<double>")
-    best_cell, best_sim = None, None
-    for i, c in centroids:
-        sim = cosine(v, F.lit(c).cast("array<double>"))
-        if best_cell is None:
-            best_cell, best_sim = F.lit(i), sim
-        else:
-            cond = sim > best_sim
-            best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return embeddings.withColumn("cell", best_cell.cast("int")), centroids
+    scored = F.array(*[
+        F.struct(
+            cosine(v, F.lit(c).cast("array<double>")).alias("sim"),
+            F.lit(-i).alias("neg_cell"),
+        )
+        for i, c in centroids
+    ])
+    best = F.array_max(scored)
+    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int")), centroids
 
 
 def ivf_topk(
