@@ -89,3 +89,32 @@ def test_bfill_matches_pandas(spark, prices):
     want = pd.concat(frames).sort_values(["sym_root", "date", "bucket"]).reset_index(drop=True)
     assert len(got) == len(want)
     pd.testing.assert_series_equal(got["price"], want["price"], check_names=False)
+
+
+def test_ffill_day_bound_no_overnight_leak(spark):
+    """day_col bounds the fill: day 2's pre-quote buckets stay NULL
+    instead of inheriting day 1's close (the reference processes days
+    independently — taq_chunks.py:111-147)."""
+    import datetime
+
+    from wrds_data_pipeline_spark.operators.resample import resample_ffill
+
+    d1 = datetime.datetime(2024, 1, 2, 23, 58)
+    d2 = datetime.datetime(2024, 1, 3, 0, 3)
+    rows = [
+        ("A", d1, 10.0),
+        ("A", d2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, price double")
+    df = df.withColumn("day", F.to_date("ts"))
+    out = resample_ffill(
+        df, ["sym"], "ts", "price", freq_seconds=60, day_col="day"
+    ).toPandas().sort_values("bucket").reset_index(drop=True)
+
+    day2 = out[out["bucket"].dt.date == datetime.date(2024, 1, 3)]
+    pre = day2[day2["bucket"].dt.time < datetime.time(0, 3)]
+    # grid starts at day 2's first observed bucket or midnight; any
+    # pre-quote buckets must NOT carry 10.0 across midnight
+    assert not (pre["price"] == 10.0).any()
+    at_quote = day2[day2["bucket"].dt.time == datetime.time(0, 3)]
+    assert (at_quote["price"] == 20.0).all() and len(at_quote) == 1

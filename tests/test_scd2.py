@@ -79,3 +79,57 @@ def test_scd2_feeds_interval_join(spark):
     ).select("date", "ticker").collect()
     got = {str(r.date): r.ticker for r in joined}
     assert got == {"2020-06-01": "OLD", "2021-06-01": "NEW"}
+
+
+def test_scd2_apply_property(spark):
+    """Randomized snapshots vs a pure-python SCD-2 replay."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    BASE = datetime.date(2020, 1, 1)
+    attr = st.one_of(st.none(), st.integers(0, 3))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        open_rows=st.dictionaries(st.integers(1, 4), attr, max_size=4),
+        snap=st.dictionaries(st.integers(1, 4), attr, max_size=4),
+    )
+    def check(open_rows, snap):
+        from wrds_data_pipeline_spark.operators.scd2 import scd2_apply
+
+        as_of = BASE + datetime.timedelta(days=5)
+        history = spark.createDataFrame(
+            [(k, v, BASE, None) for k, v in open_rows.items()],
+            "key int, attr int, valid_from date, valid_to date",
+        )
+        snapshot = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()], "key int, attr int"
+        )
+        def _key(t):
+            return tuple((x is None, repr(x)) for x in t)
+
+        got = sorted(
+            (
+                (r.key, r.attr, r.valid_from, r.valid_to)
+                for r in scd2_apply(
+                    history, snapshot, "key", ["attr"], as_of
+                ).collect()
+            ),
+            key=_key,
+        )
+
+        want = []
+        for k, v in open_rows.items():
+            if k in snap and snap[k] == v:
+                want.append((k, v, BASE, None))          # unchanged, stays open
+            else:
+                want.append((k, v, BASE, as_of - datetime.timedelta(days=1)))
+        for k, v in snap.items():
+            if k not in open_rows or open_rows[k] != v:
+                want.append((k, v, as_of, None))          # new or changed
+        assert got == sorted(want, key=_key)
+
+    check()
