@@ -118,3 +118,33 @@ def test_ffill_day_bound_no_overnight_leak(spark):
     assert not (pre["price"] == 10.0).any()
     at_quote = day2[day2["bucket"].dt.time == datetime.time(0, 3)]
     assert (at_quote["price"] == 20.0).all() and len(at_quote) == 1
+
+
+def test_twap_matches_replay(spark):
+    """resample(agg='twap') vs a hand replay: holding-time weights,
+    last observation held to bucket end, single-obs bucket = value."""
+    import datetime
+
+    from wrds_data_pipeline_spark.operators.resample import resample
+
+    T0 = datetime.datetime(2024, 1, 2, 10, 0, 0)
+
+    def ts(sec):
+        return T0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # bucket 10:00 (60s): v=1 holds 10s, v=3 holds 50s → (10+150)/60
+        ("A", ts(0), 1.0), ("A", ts(10), 3.0),
+        # bucket 10:01: single late obs at :30 holds 30s → 5.0
+        ("A", ts(90), 5.0),
+        # second key, one obs → its own value
+        ("B", ts(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, price double")
+    got = {
+        (r.sym, r.bucket.time().strftime("%H:%M")): r.price
+        for r in resample(df, ["sym"], "ts", "price", 60, agg="twap").collect()
+    }
+    assert abs(got[("A", "10:00")] - (1.0 * 10 + 3.0 * 50) / 60) < 1e-12
+    assert abs(got[("A", "10:01")] - 5.0) < 1e-12
+    assert abs(got[("B", "10:00")] - 7.0) < 1e-12

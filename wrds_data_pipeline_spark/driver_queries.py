@@ -1550,3 +1550,42 @@ def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     assigned, centroids = ivf_build(emb, n_cells=16)
     return ivf_topk(assigned, centroids, qv, k=10, n_probe=4)
+
+
+@query(
+    "q45_twap",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tu, value FROM events
+    ),
+    b AS (
+      SELECT event_type, tu - (tu % 3600000000) AS bucket_us, tu, value FROM e
+    ),
+    w AS (
+      SELECT event_type, bucket_us, value,
+             coalesce(
+               lead(tu) OVER (PARTITION BY event_type, bucket_us ORDER BY tu, value),
+               bucket_us + 3600000000
+             ) - tu AS dur
+      FROM b
+    )
+    SELECT event_type, bucket_us,
+           round(sum(value * dur) / sum(dur), 6) AS twap
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average value per event type
+    (resample(agg='twap')): each observation weighted by its holding
+    time — the honest aggregate for irregular arrival processes
+    (quote streams).  Bucket emitted as epoch-µs so the comparison is
+    timezone-proof."""
+    from wrds_data_pipeline_spark.operators.resample import resample
+
+    e = _events(spark, sf_dir)
+    out = resample(e, ["event_type"], "ts", "value", freq_seconds=3600, agg="twap")
+    return out.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.round("value", 6).alias("twap"),
+    )

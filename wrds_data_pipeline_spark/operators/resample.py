@@ -60,6 +60,8 @@ def resample(
     because the reference pre-collapses duplicate timestamps with A1
     groupby-mean first (taq_chunks.py:84), which callers should too.
     """
+    if agg == "twap":
+        return _twap(df, key_cols, ts_col, value_col, freq_seconds)
     bucket = bucketize(F.col(ts_col), freq_seconds).alias("bucket")
     g = df.groupBy(*key_cols, bucket)
     if agg == "last":
@@ -75,6 +77,43 @@ def resample(
     else:
         raise ValueError(f"unsupported agg: {agg}")
     return out
+
+
+def _twap(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    freq_seconds: int,
+) -> DataFrame:
+    """Time-weighted average per bucket: each observation holds until
+    the next one (the last until bucket end), weights = holding time
+    in µs.  TWAP is the honest resample for irregular quote arrivals
+    — a plain mean over-weights bursts.
+
+    Within-bucket carry-in from the previous bucket is deliberately
+    excluded (each bucket averages its own observations, starting at
+    its first tick) — composing with the ffill grid is how a value
+    spans empty buckets.  Ties on ``ts_col`` break by value so the
+    weighting is deterministic; as with 'last', A1-collapse duplicate
+    timestamps first for semantic (not just deterministic) cleanness.
+    One window + one aggregation, both on the same (keys, bucket)
+    partitioning — a single shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    b = df.withColumn("bucket", bucketize(F.col(ts_col), freq_seconds))
+    w = W.partitionBy(*key_cols, "bucket").orderBy(ts_col, value_col)
+    nxt = F.lead(ts_col).over(w)
+    bucket_end = F.col("bucket") + F.expr(f"INTERVAL {freq_seconds} SECONDS")
+    dur = F.unix_micros(F.coalesce(nxt, bucket_end)) - F.unix_micros(F.col(ts_col))
+    return (
+        b.withColumn("_dur", dur)
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            (F.sum(F.col(value_col) * F.col("_dur")) / F.sum("_dur")).alias(value_col)
+        )
+    )
 
 
 def dense_grid(
