@@ -54,3 +54,48 @@ def test_ffill_property(spark, events, freq):
     assert len(got) == len(s)
     assert (got["bucket"].values == s.index.values).all()
     assert (got["value"].values == s.values).all()
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.operators.windows import ewma
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "sym": ["A"] * 40 + ["B"] * 25,
+        "seq": list(range(40)) + list(range(25)),
+        "v": rng.normal(100, 5, 65),
+    })
+    got = (
+        ewma(spark.createDataFrame(pdf), ["sym"], ["seq"], "v", alpha=0.3)
+        .toPandas().sort_values(["sym", "seq"]).reset_index(drop=True)
+    )
+    want = pdf.sort_values(["sym", "seq"]).reset_index(drop=True)
+    want["ewma"] = want.groupby("sym")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=True).mean()
+    )
+    assert np.allclose(got["ewma"], want["ewma"], atol=1e-12)
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.operators.windows import rolling_zscore
+
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame({
+        "sym": ["A"] * 30,
+        "seq": range(30),
+        "v": rng.normal(0, 1, 30),
+    })
+    got = (
+        rolling_zscore(spark.createDataFrame(pdf), ["sym"], ["seq"], "v", n=5)
+        .toPandas().sort_values("seq").reset_index(drop=True)
+    )
+    roll = pdf["v"].rolling(5, min_periods=1)
+    want = (pdf["v"] - roll.mean()) / pdf["v"].rolling(5, min_periods=2).std()
+    for g, w in zip(got["zscore"], want):
+        assert (pd.isna(g) and pd.isna(w)) or abs(g - w) < 1e-9

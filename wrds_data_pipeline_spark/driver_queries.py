@@ -1589,3 +1589,37 @@ def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("bucket").alias("bucket_us"),
         F.round("value", 6).alias("twap"),
     )
+
+
+@query(
+    "q46_rolling_zscore",
+    """
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q46_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-event z-score per user (anomaly feature): pure
+    window expressions, codegen'd, one shuffle on user_id.  NULL for
+    the first row of each user (stddev of one sample)."""
+    from wrds_data_pipeline_spark.operators.windows import rolling_zscore
+
+    e = _events(spark, sf_dir)
+    out = rolling_zscore(e, ["user_id"], ["ts_us", "event_id"], "value", n=20)
+    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+
+
+@query("q47_ewma", None)
+def q47_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (pandas ewm semantics) via the
+    grouped-Arrow operator — the recursion has no stable closed-form
+    SQL, so this is a rows-only check; exactness vs pandas is pinned
+    in tests/test_resample_property."""
+    from wrds_data_pipeline_spark.operators.windows import ewma
+
+    e = _events(spark, sf_dir).select("user_id", "ts_us", "event_id", "value")
+    out = ewma(e, ["user_id"], ["ts_us", "event_id"], "value", alpha=0.2)
+    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))

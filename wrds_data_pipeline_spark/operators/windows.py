@@ -70,3 +70,55 @@ def multiday_block(calendar: DataFrame, interval_days: int) -> DataFrame:
     return blocked.withColumn("block_start", F.min("date").over(bw)).withColumn(
         "block_end", F.max("date").over(bw)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int = 20,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Trailing-window z-score: (v - mean) / sample-stddev over the
+    last ``n`` rows per key (inclusive).  Pure window expressions —
+    whole-stage codegen, one shuffle on the key.  NULL until the
+    window has ≥2 rows (stddev undefined), matching SQL semantics."""
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+    mean, sd = F.avg(value_col).over(w), F.stddev_samp(value_col).over(w)
+    return df.withColumn(out_col, (F.col(value_col) - mean) / sd)
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key (pandas
+    ``ewm(alpha, adjust=True).mean()`` semantics).
+
+    The recursion has no numerically-stable closed form as a window
+    expression (the tempting (1/(1-α))^i reweighting overflows on
+    long series), so this is a grouped-Arrow op: one shuffle on the
+    key, per-task state = one key's series — partition by (key, day)
+    upstream if single-key histories outgrow a task.  Closure binds
+    everything locally (ships by value; executors don't need this
+    package importable)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+    a, vcol, ocols, oc = float(alpha), value_col, list(order_cols), out_col
+
+    def fn(pdf):
+        pdf = pdf.sort_values(ocols).reset_index(drop=True)
+        pdf[oc] = pdf[vcol].ewm(alpha=a, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
