@@ -1623,3 +1623,38 @@ def q47_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select("user_id", "ts_us", "event_id", "value")
     out = ewma(e, ["user_id"], ["ts_us", "event_id"], "value", alpha=0.2)
     return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "q48_profile",
+    """
+    WITH s AS (
+      SELECT 'doc_id' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(*),
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT lang),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*),
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT n_chars),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents
+    )
+    SELECT * FROM s
+    """,
+)
+def q48_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null / distinct / min / max per column) in
+    ONE aggregation pass + stack unpivot — the look-before-you-curate
+    scan of a training corpus."""
+    from wrds_data_pipeline_spark.operators.profile import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "lang", "n_chars"])
