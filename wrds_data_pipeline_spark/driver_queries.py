@@ -1658,3 +1658,53 @@ def q48_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return profile_columns(d, ["doc_id", "lang", "n_chars"])
+
+
+@query(
+    "q49_token_budget",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+               AS bpe_tokens,
+             round(CASE WHEN length(text) > 0
+                   THEN 1.0 - (len(regexp_extract_all(text, '[.,;:!?]'))
+                               / CAST(length(text) AS DOUBLE))
+                   ELSE 0.0 END, 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, bpe_tokens, quality,
+           CAST(running_tokens AS BIGINT) AS running_tokens
+    FROM (
+      SELECT *,
+             sum(bpe_tokens) OVER (PARTITION BY lang
+                                   ORDER BY quality DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_tokens
+      FROM scored
+    ) WHERE running_tokens <= 3000
+    """,
+)
+def q49_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection (greedy by a simple
+    punctuation-quality score, id tie-break): running-sum window +
+    filter, one shuffle on the stratum."""
+    from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count, punct_ratio
+    from wrds_data_pipeline_spark.plans.corpus import select_to_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(1.0 - punct_ratio("text"), 6).alias("quality"),
+    )
+    out = select_to_token_budget(
+        scored, budget_tokens=3000, strata_cols="lang",
+        quality_col="quality", token_col="bpe_tokens",
+    )
+    return out.select(
+        "doc_id", "lang", "bpe_tokens", "quality",
+        F.col("running_tokens").cast("bigint").alias("running_tokens"),
+    )

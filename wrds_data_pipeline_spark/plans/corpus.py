@@ -106,3 +106,35 @@ def curation_report(audit: DataFrame) -> DataFrame:
         F.sum("bpe_tokens").alias("bpe_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def select_to_token_budget(
+    scored: DataFrame,
+    budget_tokens: int,
+    strata_cols: list[str] | str = "lang_detected",
+    quality_col: str = "quality",
+    token_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget selection: within each stratum (language, domain,
+    ...), take documents best-quality-first while the running token
+    sum stays within ``budget_tokens``.
+
+    One window (cumulative sum over quality-descending order, id
+    tie-break) + one filter — a single shuffle on the strata.  The
+    greedy-by-quality rule is the standard budget filler; swapping the
+    ordering column swaps the policy without touching the plan.
+    """
+    from pyspark.sql.window import Window as W
+
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    w = (
+        W.partitionBy(*strata_cols)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("running_tokens", F.sum(token_col).over(w))
+        .filter(F.col("running_tokens") <= budget_tokens)
+    )
