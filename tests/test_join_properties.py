@@ -141,3 +141,60 @@ def test_interval_join_bucketed_property(spark, facts, dims, gran):
         if min(lo, hi) <= d <= max(lo, hi)
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    facts=st.lists(st.tuples(st.integers(1, 3), day), min_size=1, max_size=12),
+    dims=st.lists(
+        st.tuples(st.integers(1, 3), day, day, st.booleans()),
+        min_size=0, max_size=6,
+    ),
+)
+def test_interval_join_left_property(spark, facts, dims):
+    """Left interval join: every fact row survives; matched rows
+    carry the dim, unmatched carry NULLs — the 'true left' variant
+    the reference's merge-then-filter could not express."""
+    from wrds_data_pipeline_spark.operators.intervals import interval_join
+
+    fact = spark.createDataFrame(
+        [(i, k, BASE + datetime.timedelta(days=d)) for i, (k, d) in enumerate(facts)],
+        "fid int, key int, point date",
+    )
+    dim_rows = []
+    for i, (k, lo, hi, open_end) in enumerate(dims):
+        lo, hi = min(lo, hi), max(lo, hi)
+        dim_rows.append((
+            k,
+            BASE + datetime.timedelta(days=lo),
+            None if open_end else BASE + datetime.timedelta(days=hi),
+            i,
+        ))
+    dim = spark.createDataFrame(dim_rows, "key int, lo date, hi date, dim_id int")
+
+    got = interval_join(
+        fact, dim, keys="key", point_col="point",
+        start_col="lo", end_col="hi", how="left",
+    ).toPandas()
+
+    want = {}
+    for i, (k, d) in enumerate(facts):
+        p = BASE + datetime.timedelta(days=d)
+        matches = [
+            dim_id for (kk, lo, hi, dim_id) in dim_rows
+            if kk == k and lo <= p and (hi is None or p <= hi)
+        ]
+        want[i] = sorted(matches)
+
+    import pandas as pd
+    got_by_fid = {
+        fid: sorted(int(x) for x in g["dim_id"].dropna())
+        for fid, g in got.groupby("fid")
+    }
+    for fid, matches in want.items():
+        assert fid in got_by_fid, fid                       # fact survives
+        assert got_by_fid[fid] == matches, fid
+        if not matches:  # exactly one all-NULL row
+            assert len(got[got["fid"] == fid]) == 1
+            assert pd.isna(got[got["fid"] == fid]["dim_id"]).all()

@@ -1708,3 +1708,52 @@ def q49_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "bpe_tokens", "quality",
         F.col("running_tokens").cast("bigint").alias("running_tokens"),
     )
+
+
+@query(
+    "q50_range_join",
+    """
+    WITH dims AS (
+      SELECT r_regionkey,
+             DATE '1993-01-01' + to_days(CAST(r_regionkey * 400 AS INT)) AS lo,
+             DATE '1993-01-01' + to_days(CAST(r_regionkey * 400 + 900 AS INT)) AS hi
+      FROM region
+    ),
+    f AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS point FROM orders)
+    SELECT r_regionkey,
+           count(*) AS n_orders,
+           CAST(min(point) AS VARCHAR) AS first_day,
+           CAST(max(point) AS VARCHAR) AS last_day
+    FROM f JOIN dims ON point >= lo AND point <= hi
+    GROUP BY 1
+    """,
+)
+def q50_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-equi-key range join via the bucketed strategy: every order
+    date joins every region whose (synthetic, overlapping) validity
+    window contains it — the plan is an equi join on coarse date
+    buckets with residual containment, never a cartesian product
+    (operators/intervals.interval_join_bucketed)."""
+    from wrds_data_pipeline_spark.operators.intervals import interval_join_bucketed
+
+    region = _t(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.date_add(
+            F.lit("1993-01-01").cast("date"), (F.col("r_regionkey") * 400).cast("int")
+        ).alias("lo"),
+        F.date_add(
+            F.lit("1993-01-01").cast("date"),
+            (F.col("r_regionkey") * 400 + 900).cast("int"),
+        ).alias("hi"),
+    )
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("point")
+    )
+    joined = interval_join_bucketed(
+        facts, region, "point", "lo", "hi", granularity_days=90
+    )
+    return joined.groupBy("r_regionkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("point").cast("string").alias("first_day"),
+        F.max("point").cast("string").alias("last_day"),
+    )
