@@ -1757,3 +1757,44 @@ def q50_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("point").cast("string").alias("first_day"),
         F.max("point").cast("string").alias("last_day"),
     )
+
+
+@query(
+    "q51_salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM events GROUP BY 1
+    """,
+)
+def q51_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (split each hot key n_salts
+    ways, then merge partials) — semantics-preserving by construction,
+    so the oracle is the plain GROUP BY.  5 event types over 10k rows
+    is exactly the hot-key shape (few groups, all heavy)."""
+    from wrds_data_pipeline_spark.operators.skew import salted_aggregate
+
+    e = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(38,6)")
+    )
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n": ("event_id", "count"),
+            "total": ("value_dec", "sum"),
+            "v_min": ("value", "min"),
+            "v_max": ("value", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+    )
