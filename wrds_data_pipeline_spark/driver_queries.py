@@ -1069,8 +1069,15 @@ def q32_business_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderdate").cast("date").alias("date"))
         .distinct()
     )
+    # calendar-sized input (distinct observed dates): one partition is
+    # bounded; non-foldable constant key avoids the unpartitioned-window
+    # path (a bare literal would be constant-folded out of the spec)
     cal = bdays.withColumn(
-        "day_index", F.row_number().over(Window.orderBy("date")) - 1
+        "day_index",
+        F.row_number().over(
+            Window.partitionBy(F.pmod(F.year("date"), F.lit(1))).orderBy("date")
+        )
+        - 1,
     ).withColumn("block_id", F.floor(F.col("day_index") / 5))
     joined = o.join(
         F.broadcast(cal), o["o_orderdate"].cast("date") == cal["date"]

