@@ -185,12 +185,24 @@ def ivf_build(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
+    return ivf_assign(embeddings, centroids, vec_col=vec_col), centroids
 
-    # one array_max over (sim, -cell) structs: linear expression size
-    # (a chained when/otherwise that re-references the running best
-    # doubles the tree per centroid — exponential in n_cells and a
-    # planner killer by 16 cells).  -cell makes ties pick the
-    # earliest centroid, matching a first-wins scan.
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine, ties
+    → earliest cell).  Exposed separately from ``ivf_build`` so a
+    caller can inject fixed centroids — which makes the probe stage
+    deterministic and SQL-oracle-checkable.
+
+    One array_max over (sim, -cell) structs: linear expression size
+    (a chained when/otherwise that re-references the running best
+    doubles the tree per centroid — exponential in n_cells and a
+    planner killer by 16 cells).  -cell makes ties pick the
+    earliest centroid, matching a first-wins scan."""
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(*[
         F.struct(
@@ -200,7 +212,7 @@ def ivf_build(
         for i, c in centroids
     ])
     best = F.array_max(scored)
-    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int")), centroids
+    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int"))
 
 
 def ivf_topk(
