@@ -178,3 +178,26 @@ def test_intraday_corr_grouped_method(spark, prices):
     for k, w in pmap.items():
         g = gmap[k]
         assert (pd.isna(w) and pd.isna(g)) or abs(g - w) < 1e-9, k
+
+
+def test_corr_matrix_ml_route_capped_at_scale(spark):
+    """The 'ml' route's driver-side k×k materialization is unreachable
+    past ML_MAX_KEYS: corr_matrix re-routes to the distributed
+    grouped-Arrow path (FlatMapGroupsInPandas in the plan), while a
+    small-key request keeps the driver route (local relation)."""
+    from wrds_data_pipeline_spark.operators.corr import ML_MAX_KEYS, corr_matrix
+
+    wide = spark.range(ML_MAX_KEYS + 1).selectExpr(
+        "explode(sequence(0, 2)) AS bucket",
+        "id AS permno",
+        "cast(id % 97 + bucket AS double) AS price",
+    )
+    out = corr_matrix(wide, "bucket", "permno", "price", method="ml")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+    small = wide.filter(F.col("permno") < 4)
+    out_small = corr_matrix(small, "bucket", "permno", "price", method="ml")
+    plan_small = out_small._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in plan_small
+    assert len(out_small.columns) == 3  # k1, k2, corr_val

@@ -24,6 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this many keys the 'ml' route's driver-side k×k materialization
+# (ml_corr collects the distinct keys, then builds k² rows in Python)
+# stops being "small driver-side result" and becomes a driver OOM at
+# 10⁴+ keys.  corr_matrix refuses to take it past this and routes to
+# the distributed grouped-Arrow path instead, so no caller can reach
+# the driver path at scale.  Mirrors plans/corrmatrix.AUTO_DENSE_KEYS.
+ML_MAX_KEYS = 500
+
 
 def pairwise_corr(
     long_df: DataFrame,
@@ -96,13 +104,21 @@ def corr_matrix(
     panel is dense except before each key's first quote, so wide
     universes take the O(buckets×k²) path and sparse panels keep
     exact pairwise semantics.  Returns long form either way.
+
+    The 'ml' route (requested or auto-chosen) is additionally capped
+    at ``ML_MAX_KEYS`` distinct keys: past that, its driver-side k×k
+    materialization is re-routed to ``grouped_corr_pandas`` (same
+    dense-panel result, computed executor-side), so the driver path
+    is unreachable at scale through any argument combination.
     """
+    n_keys = None
     if method == "auto":
         counts = long_df.agg(
             F.count(value_col).alias("cells"),
             F.countDistinct(bucket_col).alias("b"),
             F.countDistinct(key_col).alias("k"),
         ).first()
+        n_keys = counts["k"]
         dense = counts["b"] * counts["k"] > 0 and (
             counts["cells"] / (counts["b"] * counts["k"]) >= dense_threshold
         )
@@ -110,6 +126,13 @@ def corr_matrix(
 
     if method == "pairwise":
         return pairwise_corr(long_df, bucket_col, key_col, value_col, window_cols)
+
+    if n_keys is None:
+        n_keys = long_df.agg(F.countDistinct(key_col).alias("k")).first()["k"]
+    if n_keys > ML_MAX_KEYS:
+        return grouped_corr_pandas(
+            long_df, bucket_col, key_col, value_col, window_cols
+        )
 
     keys, m = ml_corr(long_df, bucket_col, key_col, value_col)
     spark = long_df.sparkSession

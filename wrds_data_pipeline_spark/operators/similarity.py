@@ -60,10 +60,11 @@ def brute_force_topk(
     # top-k, then a k-row merge on the driver — no global sort, no
     # single-partition window.  Rank is attached afterwards over the
     # surviving ≤k rows only.  The partition key is a column-referencing
-    # constant (pmod(id,1)=0): a bare literal would be constant-folded
-    # out of the window spec, re-triggering the unpartitioned-window
-    # path; this keeps WindowExec partitioned while its input is k rows
-    # regardless of data size.
+    # constant (pmod(xxhash64(id), 1) = 0 for every row): a bare
+    # literal would be constant-folded out of the window spec,
+    # re-triggering the unpartitioned-window path; this keeps
+    # WindowExec partitioned while its input is k rows regardless of
+    # data size.
     topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
     w = W.partitionBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -167,10 +168,15 @@ def ivf_build(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse index: centroids = a deterministic hash-bucket
-    sample of the data (min-id vector per xxhash64(id) % n_cells
-    bucket — reproducible, one distributed hash-aggregate, no count()
-    action and no global sort), one assignment pass mapping each
-    vector to its nearest centroid.
+    sample of the data (one vector per xxhash64(id) % n_cells bucket
+    — reproducible, one distributed hash-aggregate, no count() action
+    and no global sort), one assignment pass mapping each vector to
+    its nearest centroid.  Within a bucket the representative is the
+    min by (xxhash64(id), id) — hash-random, so centroid choice is
+    decorrelated from insertion order (raw min-id would bias all
+    centroids toward early ids, hurting recall when ids correlate
+    with content, e.g. time-ordered inserts).  Empty hash buckets
+    yield no centroid, so up to ``n_cells`` centroids are returned.
     Returns (assigned_df with `cell` column, centroids list)."""
     cents = (
         embeddings.select(
@@ -179,7 +185,12 @@ def ivf_build(
             F.col(vec_col),
         )
         .groupBy("_b")
-        .agg(F.min_by(F.struct(id_col, vec_col), F.col(id_col)).alias("_r"))
+        .agg(
+            F.min_by(
+                F.struct(id_col, vec_col),
+                F.struct(F.xxhash64(F.col(id_col)), F.col(id_col)),
+            ).alias("_r")
+        )
         .orderBy("_b")
         .select(F.col(f"_r.{id_col}").alias(id_col), F.col(f"_r.{vec_col}").alias(vec_col))
         .collect()
