@@ -1,0 +1,205 @@
+"""Console entry points for the three reference pipelines.
+
+The reference is operated as CLIs (README.md:18-43):
+
+- ``sp500ccm_generator.py`` (no args) → the universe table,
+- ``taq_chunks.py start end`` → one resampled panel CSV per day,
+- ``correlation_matrix_exporter.py start end interval freq`` → one
+  correlation-matrix CSV per window.
+
+These wrap the same plans with the same positional arguments, except
+the first argument is always the snapshot directory holding the
+WRDS-shaped parquet tables (the reference reads live WRDS Postgres;
+the engine reads table snapshots — SURVEY S1) and an output location
+replaces the reference's hard-coded relative paths.
+
+Every command is driver-loop-free: dates/windows are partitioning
+dimensions of one Spark plan, and the CSV sinks fan out in Arrow
+tasks where the shape allows (panels) or stream tiny finished
+matrices through the driver (corr — matrices are universe-bounded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import re
+import sys
+
+from wrds_data_pipeline_spark.catalog import load_tables
+from wrds_data_pipeline_spark.session import get_spark
+
+_INTERVAL_RE = re.compile(r"^(\d+)\s*(ms|s|sec|min|m|h|hr|d|day|days)$")
+
+_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600, "hr": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+
+
+def parse_interval_seconds(text: str) -> int:
+    """'4h' → 14400, '1min' → 60, '2d' → 172800 (the exporter's
+    pd.to_timedelta surface, correlation_matrix_exporter.py:130).
+    Sub-second grids ('250ms') round up to 1s — the engine's resample
+    grid is whole-seconds (operators/resample)."""
+    m = _INTERVAL_RE.match(text.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable interval: {text!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if unit == "ms":
+        return max(1, n // 1000)
+    return n * _UNIT_SECONDS[unit]
+
+
+def _date(text: str) -> datetime.date:
+    return datetime.date.fromisoformat(text)
+
+
+def _universe_frame(spark, data_dir: str, as_of: datetime.date):
+    from wrds_data_pipeline_spark.plans.universe import build_universe
+
+    t = load_tables(
+        spark, data_dir, ("dsp500list", "dsf", "msenames", "ccmxpf_linktable")
+    )
+    missing = {"dsp500list", "dsf", "msenames", "ccmxpf_linktable"} - set(t)
+    if missing:
+        raise SystemExit(f"missing tables under {data_dir}: {sorted(missing)}")
+    return build_universe(
+        t["dsp500list"], t["dsf"], t["msenames"], t["ccmxpf_linktable"], as_of=as_of
+    )
+
+
+def _prices(spark, data_dir, start, end, freq_seconds):
+    """Shared stage of pipelines 2+3: universe symbols for the range →
+    resampled long price panel."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.plans.taq import (
+        day_universe_symbols,
+        resampled_prices,
+    )
+
+    t = load_tables(spark, data_dir, ("nbbo", "taqmclink"))
+    missing = {"nbbo", "taqmclink"} - set(t)
+    if missing:
+        raise SystemExit(f"missing tables under {data_dir}: {sorted(missing)}")
+    link = t["taqmclink"].filter(
+        F.col("date").between(F.lit(start), F.lit(end))
+    )
+    symbols = day_universe_symbols(link.select("date", "permno", "ticker"))
+    nbbo = t["nbbo"].filter(F.col("date").between(F.lit(start), F.lit(end)))
+    return resampled_prices(nbbo, symbols, freq_seconds=freq_seconds)
+
+
+def universe_main(argv: list[str] | None = None) -> int:
+    """sp500ccm_generator.py equivalent: build the point-in-time
+    universe and persist it (gzip CSV like the reference's
+    sp500ccm_filtered.csv.gz, or engine-native parquet)."""
+    p = argparse.ArgumentParser(prog="wrds-spark-universe")
+    p.add_argument("data_dir")
+    p.add_argument("out_path")
+    p.add_argument("--as-of", type=_date, required=True,
+                   help="pin open-ended link intervals (replaces the "
+                        "reference's run-date-dependent fillna(today))")
+    p.add_argument("--format", choices=("parquet", "csv.gz"), default="parquet")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="wrds-spark-universe")
+    uni = _universe_frame(spark, args.data_dir, args.as_of)
+    if args.format == "parquet":
+        uni.write.mode("overwrite").parquet(args.out_path)
+    else:
+        from wrds_data_pipeline_spark.sinks import write_csv_single
+
+        write_csv_single(uni, args.out_path, compression="gzip")
+    print(f"universe -> {args.out_path}")
+    return 0
+
+
+def panels_main(argv: list[str] | None = None) -> int:
+    """taq_chunks.py equivalent (CLI: start end): per-day resampled
+    price panels under out_dir/{year}/{month:02d}/."""
+    p = argparse.ArgumentParser(prog="wrds-spark-panels")
+    p.add_argument("data_dir")
+    p.add_argument("out_dir")
+    p.add_argument("start", type=_date)
+    p.add_argument("end", type=_date)
+    p.add_argument("--freq", default="1s", help="resample grid (default 1s, "
+                   "the taq_chunks.py default)")
+    p.add_argument("--sink", choices=("csv", "parquet"), default="csv",
+                   help="csv = reference layout (distributed per-day "
+                   "writers); parquet = engine-native long partitioned")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="wrds-spark-panels")
+    prices = _prices(
+        spark, args.data_dir, args.start, args.end,
+        parse_interval_seconds(args.freq),
+    )
+    if args.sink == "parquet":
+        from pyspark.sql import functions as F
+
+        from wrds_data_pipeline_spark.plans.panel_export import (
+            write_daily_panels_long,
+        )
+
+        enriched = prices.withColumn("year", F.year("date")).withColumn(
+            "month", F.month("date")
+        )
+        write_daily_panels_long(enriched, args.out_dir)
+        n = len(prices.select("date").distinct().collect())
+    else:
+        from wrds_data_pipeline_spark.plans.panel_export import (
+            export_daily_panels_csv_distributed,
+        )
+
+        manifest = export_daily_panels_csv_distributed(prices, args.out_dir)
+        n = len(manifest.collect())
+    print(f"{n} day panels -> {args.out_dir}")
+    return 0
+
+
+def corr_main(argv: list[str] | None = None) -> int:
+    """correlation_matrix_exporter.py equivalent (CLI: start end
+    interval freq, reference README.md:18-43): one correlation-matrix
+    CSV per tumbling window."""
+    p = argparse.ArgumentParser(prog="wrds-spark-corr")
+    p.add_argument("data_dir")
+    p.add_argument("out_dir")
+    p.add_argument("start", type=_date)
+    p.add_argument("end", type=_date)
+    p.add_argument("interval", help="window width: intra-day ('4h') or "
+                   "multi-day ('2d'), exporter semantics")
+    p.add_argument("freq", help="resample grid inside windows ('1min')")
+    p.add_argument("--method", choices=("pairwise", "grouped", "auto"),
+                   default="auto")
+    args = p.parse_args(argv)
+
+    interval_s = parse_interval_seconds(args.interval)
+    freq_s = parse_interval_seconds(args.freq)
+    spark = get_spark(app_name="wrds-spark-corr")
+    prices = _prices(spark, args.data_dir, args.start, args.end, freq_s)
+
+    from wrds_data_pipeline_spark.plans.corr_export import export_corr_csvs
+    from wrds_data_pipeline_spark.plans.corrmatrix import intraday_corr, multiday_corr
+
+    if interval_s < 86400:
+        corr = intraday_corr(prices, interval_s, method=args.method)
+        paths = export_corr_csvs(
+            corr, args.out_dir, "win_start", window_seconds=interval_s
+        )
+    else:
+        from wrds_data_pipeline_spark.operators.windows import trading_calendar
+
+        cal = trading_calendar(spark, args.start, args.end)
+        corr = multiday_corr(prices, cal, interval_s // 86400, method=args.method)
+        paths = export_corr_csvs(corr, args.out_dir, "block_start", "block_end")
+    print(f"{len(paths)} corr matrices -> {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":  # python -m wrds_data_pipeline_spark.cli <cmd> ...
+    cmds = {"universe": universe_main, "panels": panels_main, "corr": corr_main}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        raise SystemExit(f"usage: cli.py {{{'|'.join(cmds)}}} ...")
+    raise SystemExit(cmds[sys.argv[1]](sys.argv[2:]))

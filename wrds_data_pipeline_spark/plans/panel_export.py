@@ -49,3 +49,55 @@ def export_daily_panels_csv(
         pdf.to_csv(path, compression=compression if compression else None)
         written.append(path)
     return written
+
+
+def export_daily_panels_csv_distributed(
+    prices: DataFrame, out_dir: str, compression: str = "gzip"
+) -> DataFrame:
+    """Distributed reference-layout export: same per-day wide CSVs and
+    paths as ``export_daily_panels_csv``, but each day's pivot + write
+    happens *inside* an Arrow task (``groupBy(date).applyInPandas``,
+    the plans/features.export_graph_tensors pattern) — no per-day
+    ``toPandas()`` round-trips through the driver, so thousands of
+    days fan out across the cluster.
+
+    Returns a lazy manifest (date, n_buckets, n_cols, path); files are
+    written when the manifest is materialized.  ``out_dir`` must be a
+    filesystem all executors share (true on local[n]; a mounted FS or
+    object store on a cluster).
+    """
+    from pyspark.sql import types as T
+
+    permnos = [r[0] for r in prices.select("permno").distinct().orderBy("permno").collect()]
+    schema = T.StructType([
+        prices.schema["date"],
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("n_cols", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+    ])
+    target, comp, cols = out_dir, compression, permnos
+
+    def write_day(key, pdf):
+        import os as _os
+
+        import pandas as pd
+
+        day = key[0]
+        # plain pivot (unique (bucket, permno) after resampling), then
+        # reindex to the global universe so every day has the same
+        # columns — matching the driver-loop exporter's keys= pivot.
+        wide = (
+            pdf.pivot(index="bucket", columns="permno", values="price")
+            .reindex(columns=cols)
+            .sort_index()
+        )
+        sub = _os.path.join(target, f"{day.year}", f"{day.month:02d}")
+        _os.makedirs(sub, exist_ok=True)
+        path = _os.path.join(sub, f"{day}.csv" + (".gz" if comp == "gzip" else ""))
+        wide.to_csv(path, compression=comp if comp else None)
+        return pd.DataFrame([{
+            "date": day, "n_buckets": len(wide),
+            "n_cols": len(wide.columns), "path": path,
+        }])
+
+    return prices.groupBy("date").applyInPandas(write_day, schema)
