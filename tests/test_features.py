@@ -148,3 +148,46 @@ def test_export_graph_tensors_matches_driver_path(spark, wrds, tmp_path):
         np.testing.assert_allclose(z["y"], g["y"])
         np.testing.assert_array_equal(z["edge_index"], g["edge_index"])
         np.testing.assert_allclose(z["edge_attr"], g["edge_attr"])
+
+
+def _graph_inputs(wrds):
+    edges = positive_edges(wrds["adjacency_edges"])
+    days = edges.select("date").distinct()
+    mse = wrds["msenames"].select("permno", "ticker").distinct()
+    link = wrds["ccmxpf_linktable"].select("permno", "gvkey").distinct()
+    nodes = days.crossJoin(mse.join(link, "permno")).select("date", "ticker", "gvkey")
+    feats = node_features(nodes, wrds["firm_ratio"])
+    labels = direction_labels(wrds["dsf"]).join(mse, "permno").select(
+        "date", "ticker", "up_label"
+    )
+    return edges, feats, labels
+
+
+def test_save_graphs_pt_requires_torch_or_roundtrips(spark, wrds, tmp_path):
+    """S9 .pt sink: with torch installed, Data objects round-trip and
+    match the numpy tensors; without it, a clear ImportError names the
+    torch-free alternative (never a silent fallback)."""
+    import pytest
+
+    from wrds_data_pipeline_spark.plans.features import save_graphs_pt
+
+    edges, feats, labels = _graph_inputs(wrds)
+    try:
+        import torch  # noqa: F401
+        import torch_geometric  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="export_graph_tensors"):
+            save_graphs_pt(edges, feats, labels, str(tmp_path / "pt"))
+        pytest.skip("torch/torch_geometric not installed; guard verified")
+
+    import torch
+
+    paths = save_graphs_pt(edges, feats, labels, str(tmp_path / "pt"))
+    want = list(graph_tensors_per_day(edges, feats, labels))
+    assert len(paths) == len(want) == 3
+    for path, g in zip(paths, want):
+        data = torch.load(path, weights_only=False)
+        assert data.x.shape == g["x"].shape
+        assert data.edge_index.shape == g["edge_index"].shape
+        assert float(data.edge_attr.sum()) > 0
+        assert data.id == g["date"].isoformat()

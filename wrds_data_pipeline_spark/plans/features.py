@@ -126,6 +126,54 @@ def graph_tensors_per_day(
         }
 
 
+def save_graphs_pt(
+    edges: DataFrame,
+    features: DataFrame,
+    labels: DataFrame,
+    out_dir: str,
+    feature_cols: tuple[str, ...] = FIRM_RATIO_FEATURES,
+) -> list[str]:
+    """S9 parity sink: one ``torch_geometric.data.Data`` per day saved
+    as ``data_{i}.pt`` — the reference's exact artifact
+    (graph_code/pyg_graphs.py:201-206: Data(x, edge_index, edge_attr,
+    y, id=date), torch.save per day).
+
+    Import-guarded: torch/torch_geometric are *not* engine
+    dependencies (SURVEY §2.9 keeps torch out of the core; the
+    dataflow ends at numpy via ``graph_tensors_per_day``).  Without
+    them this raises ImportError naming the extras; the .npz sink
+    (``export_graph_tensors``) is the torch-free equivalent.
+    Driver-side by design, like the reference sink (days are few and
+    graphs are ~500 nodes)."""
+    try:
+        import torch
+        from torch_geometric.data import Data
+    except ImportError as exc:  # pragma: no cover - torch not in test env
+        raise ImportError(
+            "save_graphs_pt requires torch and torch_geometric; "
+            "install them or use export_graph_tensors (.npz) instead"
+        ) from exc
+
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, g in enumerate(
+        graph_tensors_per_day(edges, features, labels, feature_cols)
+    ):
+        data = Data(
+            x=torch.tensor(g["x"], dtype=torch.float),
+            edge_index=torch.tensor(g["edge_index"], dtype=torch.long),
+            edge_attr=torch.tensor(g["edge_attr"], dtype=torch.float),
+            y=torch.tensor(g["y"], dtype=torch.float),
+        )
+        data.id = g["date"].isoformat()
+        path = os.path.join(out_dir, f"data_{i}.pt")
+        torch.save(data, path)
+        paths.append(path)
+    return paths
+
+
 def export_graph_tensors(
     edges: DataFrame,
     features: DataFrame,
