@@ -133,3 +133,98 @@ def test_scd2_apply_property(spark):
         assert got == sorted(want, key=_key)
 
     check()
+
+
+# --- Hypothesis: scd2_apply vs a pure-python oracle -------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+AS_OF = D(2021, 6, 15)
+VALS = st.sampled_from(["A", "B", "C", None])  # None exercises <=> compare
+
+history_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # key
+        VALS,                                           # attribute
+        st.integers(min_value=0, max_value=300),        # start offset
+        st.one_of(st.none(), st.integers(min_value=301, max_value=400)),
+    ),
+    max_size=12,
+)
+snapshot_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=6), VALS, max_size=6
+)
+
+
+def _scd2_oracle(history, snapshot):
+    out = []
+    open_rows = set()
+    for k, v, s, e in history:
+        if e is not None:
+            out.append((k, v, s, e))            # closed: untouched
+        elif k in snapshot and snapshot[k] == v:
+            out.append((k, v, s, None))         # unchanged: stays open
+            open_rows.add((k, v))
+        else:
+            out.append((k, v, s, "closed"))     # changed/gone: close
+    for k, v in snapshot.items():
+        if (k, v) not in open_rows:
+            out.append((k, v, "as_of", None))   # new/changed: open
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(history=history_strategy, snapshot=snapshot_strategy)
+def test_scd2_apply_property(spark, history, snapshot):
+    # the operator contract assumes ≤1 open row per key (an SCD-2
+    # invariant); drop extra opens deterministically
+    seen_open, hist = set(), []
+    for k, v, s, e in history:
+        if e is None:
+            if k in seen_open:
+                continue
+            seen_open.add(k)
+        hist.append((k, v, s, e))
+    if not hist and not snapshot:
+        return
+
+    base = D(2020, 1, 1)
+    hrows = [
+        (k, v, base + datetime.timedelta(days=s),
+         None if e is None else base + datetime.timedelta(days=e))
+        for k, v, s, e in hist
+    ]
+    hdf = spark.createDataFrame(
+        hrows, "permno int, ticker string, valid_from date, valid_to date"
+    )
+    sdf = spark.createDataFrame(
+        list(snapshot.items()) or [(None, None)], "permno int, ticker string"
+    )
+    if not snapshot:
+        sdf = sdf.filter("permno IS NOT NULL")
+
+    out = scd2_apply(hdf, sdf, "permno", ["ticker"], AS_OF)
+    got = sorted(
+        (
+            (r.permno, r.ticker,
+             "as_of" if r.valid_from == AS_OF else (r.valid_from - base).days,
+             "closed" if r.valid_to == AS_OF - datetime.timedelta(days=1)
+             else (None if r.valid_to is None else (r.valid_to - base).days))
+            for r in out.collect()
+        ),
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    want = _scd2_oracle(hist, snapshot)
+    assert got == want
+
+    # idempotence: re-applying the same snapshot is a no-op
+    again = scd2_apply(out, sdf, "permno", ["ticker"], AS_OF)
+    skey = lambda r: tuple(str(x) for x in r)  # noqa: E731  (None-safe sort)
+    assert sorted(map(tuple, out.collect()), key=skey) == sorted(
+        map(tuple, again.collect()), key=skey
+    )

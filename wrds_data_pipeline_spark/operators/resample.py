@@ -129,14 +129,36 @@ def dense_grid(
     raw events: the span aggregation then groups the same
     (keys, bucket) exchange the bucket-last agg produced, so Catalyst
     reuses the shuffle instead of replaying the whole upstream
-    pipeline a second time."""
+    pipeline a second time.
+
+    The grid is generated per civil day so every grid point lands on
+    a :func:`bucketize` day-anchored slot.  A single continuous
+    ``sequence(lo, hi, freq)`` drifts off the day anchor whenever the
+    frequency does not divide 86400 (86400 % 7 = 3): past the first
+    midnight its points would match no bucketized observation, the
+    left join would null them all, and ffill would carry day-1 values
+    forever — found by the midnight-crossing Hypothesis sweep."""
     spans = sampled.groupBy(*key_cols).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
-    step = F.expr(f"INTERVAL {freq_seconds} SECONDS")
-    return spans.select(
+    days = spans.select(
         *key_cols,
-        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"),
+        "_lo",
+        "_hi",
+        F.explode(F.sequence(F.to_date("_lo"), F.to_date("_hi"))).alias("_day"),
+    )
+    midnight = F.col("_day").cast("timestamp")
+    # first slot of the day (the span's own start on its first day),
+    # last slot = largest freq-multiple before the next midnight,
+    # clamped to the span end on its last day.
+    start = F.when(F.col("_day") == F.to_date("_lo"), F.col("_lo")).otherwise(midnight)
+    last_slot = 86399 - (86399 % freq_seconds)
+    day_end = F.timestamp_seconds(F.unix_timestamp(midnight) + F.lit(last_slot))
+    end = F.when(F.col("_day") == F.to_date("_hi"), F.col("_hi")).otherwise(day_end)
+    step = F.expr(f"INTERVAL {freq_seconds} SECONDS")
+    return days.select(
+        *key_cols,
+        F.explode(F.sequence(start, end, step)).alias("bucket"),
     )
 
 
