@@ -162,3 +162,28 @@ def test_winnowing_shared_run_guarantee(spark):
     from wrds_data_pipeline_spark.operators.dedup import _shingled
     full = _shingled(docs, "doc_id", "text", 3).toPandas()
     assert len(fp) < len(full)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, driver_tables):
+    """Multi-probe (Hamming-1) recall vs the exact top-k is >= the
+    single-probe recall at equal n_planes, and the probed candidate
+    set is a superset of the single-probe set."""
+    emb = driver_tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = set(
+        brute_force_topk(emb, qv, k=10).toPandas()["vec_id"].astype(int)
+    )
+    single = set(
+        lsh_topk(emb, qv, k=10, n_planes=5).toPandas()["vec_id"].astype(int)
+    )
+    multi = set(
+        lsh_topk(emb, qv, k=10, n_planes=5, hamming_probe=1)
+        .toPandas()["vec_id"].astype(int)
+    )
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    # probing strictly more buckets can only add candidates; with k
+    # fixed the result set may rotate, but the query's own vector must
+    # stay rank-1 in both
+    assert 7 in single and 7 in multi

@@ -104,14 +104,26 @@ def lsh_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_probe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket.
-    Approximate (vectors in other buckets are unseen) — the scale
-    path: with b planes the scan cost drops ~2^b×; recall is tunable
-    by multi-probe (not needed at test scale)."""
+    """ANN top-k: score only vectors in the query's LSH bucket(s).
+    Approximate (vectors in unprobed buckets are unseen) — the scale
+    path: with b planes the scan cost drops ~2^b×.
+
+    ``hamming_probe`` enables multi-probe: additionally scan every
+    bucket within that Hamming distance of the query's sign pattern
+    (distance 1 → the n_planes buckets that differ by one flipped
+    hyperplane — the buckets a near-boundary neighbor most likely
+    fell into).  This decouples recall from the 2^n_planes bucket
+    coarseness: probing 1+b of 2^b buckets costs (1+b)/2^b of the
+    scan instead of halving the plane count (which would double every
+    bucket's population).  The probed set is a driver-side constant
+    ⇒ an IN-list filter that prunes on a bucketed/partitioned layout
+    exactly like the single-probe path."""
+    import itertools
+
     dim = len(query_vec)
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
-    import hashlib  # noqa: F401  (determinism note: planes are md5-derived)
 
     # compute the query's bucket driver-side with the same arithmetic
     qb = 0
@@ -119,8 +131,15 @@ def lsh_topk(
         d = sum(x * y for x, y in zip(query_vec, plane))
         if d >= 0:
             qb += 2 ** p
+    probe = {qb}
+    for r in range(1, min(hamming_probe, n_planes) + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = qb
+            for p in flips:
+                b ^= 2 ** p
+            probe.add(b)
     in_bucket = embeddings.filter(
-        lsh_bucket(F.col(vec_col), planes) == F.lit(qb)
+        lsh_bucket(F.col(vec_col), planes).isin(sorted(probe))
     )
     return brute_force_topk(in_bucket, query_vec, k, id_col, vec_col)
 
