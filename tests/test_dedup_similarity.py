@@ -187,3 +187,35 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, driver_tables):
     # fixed the result set may rotate, but the query's own vector must
     # stay rank-1 in both
     assert 7 in single and 7 in multi
+
+
+def test_brute_force_topk_batch_matches_per_query(spark, driver_tables):
+    """The batched two-stage top-k returns exactly the per-query
+    brute-force result for every query, and its plan never sorts the
+    whole corpus in one task (both windows partitioned)."""
+    from wrds_data_pipeline_spark.operators.similarity import brute_force_topk_batch
+
+    emb = driver_tables["embeddings"]
+    qids = [3, 11, 42]
+    queries = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    got = brute_force_topk_batch(queries, emb, k=5).toPandas()
+    assert sorted(got["query_id"].unique()) == qids
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        want = brute_force_topk(emb, qv, k=5).toPandas()
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert list(g["vec_id"]) == list(want["vec_id"])
+        assert list(g["rank"]) == list(want["rank"])
+
+    # no unpartitioned window: every Window spec carries a partition key
+    import re
+
+    plan = brute_force_topk_batch(queries, emb, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.count(",") >= 2, f"unpartitioned window: {spec}"

@@ -168,3 +168,50 @@ def test_video_frame_features(spark, driver_tables):
     assert frames.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_gopher_signals_match_python_oracle(spark):
+    """Repetition/structure signals vs a per-document python replay."""
+    from wrds_data_pipeline_spark.functions.text import (
+        alpha_word_ratio,
+        bullet_line_ratio,
+        dup_line_ratio,
+        ellipsis_line_ratio,
+        gopher_keep,
+        symbol_word_ratio,
+        top_ngram_ratio,
+    )
+
+    docs = [
+        ("d1", "the cat sat\nthe cat sat\non the mat"),
+        ("d2", "- one\n- two\n- three\nplain line"),
+        ("d3", "intro text\nmore here...\nand more…\nfinal"),
+        ("d4", "### ### ### lots of # symbols here"),
+        ("d5", "123 456 789 000"),
+        ("d6", "word " * 60),
+        ("d7", ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        dup_line_ratio("text").alias("dup"),
+        bullet_line_ratio("text").alias("bullet"),
+        ellipsis_line_ratio("text").alias("ell"),
+        symbol_word_ratio("text").alias("sym"),
+        alpha_word_ratio("text").alias("alpha"),
+        top_ngram_ratio("text", 2).alias("top2"),
+        gopher_keep("text", min_words=3).alias("keep"),
+    ).toPandas().set_index("doc_id")
+
+    assert abs(got.loc["d1", "dup"] - 1 / 3) < 1e-9      # 1 dup of 3 lines
+    assert abs(got.loc["d2", "bullet"] - 3 / 4) < 1e-9
+    assert abs(got.loc["d3", "ell"] - 2 / 4) < 1e-9
+    assert got.loc["d4", "sym"] > 0.5
+    assert got.loc["d5", "alpha"] == 0.0
+    # d6: 'word word' bigram repeats everywhere -> ratio 1.0
+    assert abs(got.loc["d6", "top2"] - 1.0) < 1e-9
+    assert got.loc["d7", "dup"] == 0.0 and not got.loc["d7", "keep"]
+    assert not got.loc["d5", "keep"]     # no alphabetic words
+    # d6 satisfies every rule (60 words, mwl 4, all alpha, no dup
+    # lines) — repetition is a *signal* here, not a keep rule
+    assert got.loc["d6", "keep"]

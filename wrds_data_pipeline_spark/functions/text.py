@@ -113,6 +113,107 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
+# --- repetition / structure signals (Gopher-style corpus filters) ----------
+# The published large-corpus quality rules (Rae et al. 2021 "Scaling
+# Language Models: ... Gopher", appendix A1.1; public knowledge) are
+# per-document and content-local, so each is one JVM expression —
+# no shuffle, codegen'd, linear scans except the n-gram top count
+# (quadratic in document length, still row-local).  These are
+# pytest-verified against python oracles (per-document python replay)
+# rather than DuckDB SQL: the registry's 50-query budget is spent on
+# the operator families, and these compose from already-oracled parts.
+
+
+def lines(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+
+
+def dup_line_ratio(text: Column | str) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier
+    line (boilerplate/navigation detector)."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(ls))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_ratio(text: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker."""
+    ls = lines(text)
+    n = F.size(ls)
+    bullets = F.size(
+        F.filter(ls, lambda x: F.trim(x).rlike(r"^([-*•]|\d+[.)])\s"))
+    )
+    return F.when(n > 0, bullets / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_ratio(text: Column | str) -> Column:
+    """Fraction of lines ending in an ellipsis (truncated scrapes)."""
+    ls = lines(text)
+    n = F.size(ls)
+    ell = F.size(F.filter(ls, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, ell / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column | str) -> Column:
+    """Hash/ellipsis symbols per word (spam/markup signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(text)
+    syms = F.regexp_count(c, F.lit(r"(#|\.\.\.|…)"))
+    return F.when(n > 0, syms / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio(text: Column | str) -> Column:
+    """Fraction of words containing at least one alphabetic char."""
+    t = tokens(text)
+    n = F.size(t)
+    alpha = F.size(F.filter(t, lambda x: x.rlike(r"\p{L}")))
+    return F.when(n > 0, alpha / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_ngram_ratio(text: Column | str, n: int = 2) -> Column:
+    """Occurrences of the most frequent word n-gram / total n-grams
+    (repetition signal).  Row-local quadratic in document n-gram
+    count — acceptable because it never shuffles and documents are
+    length-bounded upstream; for very long documents compute it on a
+    prefix slice."""
+    grams = word_shingles_ordered(text, n)
+    total = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total > 0, top / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def gopher_keep(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """Boolean Gopher-rule document filter: word count in range, mean
+    word length 3-10, symbol ratio < 0.1, < 90% bullet lines, < 30%
+    ellipsis lines, > 80% alphabetic words, < 30% duplicate lines.
+    One expression ⇒ pushes into the scan of a 100 TB corpus."""
+    n = token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (symbol_word_ratio(text) < 0.1)
+        & (bullet_line_ratio(text) < 0.9)
+        & (ellipsis_line_ratio(text) < 0.3)
+        & (alpha_word_ratio(text) > 0.8)
+        & (dup_line_ratio(text) < 0.3)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text.  Identical
     normalized content → identical fingerprint (exact-dedup key)."""

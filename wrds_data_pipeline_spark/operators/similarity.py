@@ -72,6 +72,55 @@ def brute_force_topk(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def brute_force_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partial_parallelism: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one plan: one
+    corpus scan serves every query.
+
+    Shape: broadcast the (small) query table, score each (query,
+    corpus-row) pair JVM-side, then take each query's top k in two
+    stages — a partial top-k per (query, corpus hash-slice) window
+    followed by a final top-k over the ≤ k × partial_parallelism
+    survivors per query.  Both windows are partitioned (slice
+    partitions are |corpus|/P rows, final partitions ≤ k·P rows), so
+    no task ever sorts the whole corpus per query — the per-query
+    generalization of TakeOrderedAndProject's partial/final split.
+
+    Returns (query_id, id, cos_sim, rank), rank 1..k per query, ties
+    broken by id (deterministic across partitionings)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(v, F.col("_qv")), 6).alias("cos_sim"),
+    )
+    slice_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
+    w_partial = W.partitionBy(F.col("query_id"), slice_key).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    survivors = scored.withColumn("_pr", F.row_number().over(w_partial)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j
     of plane p = (md5-derived integer in [-8,8)) — reproducible
