@@ -102,3 +102,26 @@ def test_export_daily_panels_distributed_parity(spark, wrds, tmp_path):
         with gzip.open(new) as f:
             got = f.read()
         assert got == want, f"content mismatch for {os.path.basename(old)}"
+
+
+def test_prices_date_filter_pushes_to_scan(spark, wrds_dir):
+    """The CLI's date-range restriction must reach the parquet scans
+    as PushedFilters (partition-pruning-shaped at scale), not live in
+    a post-scan Filter only."""
+    import datetime
+
+    from wrds_data_pipeline_spark.cli import _prices
+
+    prices = _prices(
+        spark, wrds_dir,
+        datetime.date(2016, 2, 1), datetime.date(2016, 2, 2), 300,
+    )
+    plan = prices._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+        if "date" in seg.split("]")[0]
+    ]
+    assert pushed, f"no date PushedFilters in:\n{plan[:2000]}"
+    assert any("GreaterThanOrEqual(date" in p and "LessThanOrEqual(date" in p
+               for p in pushed), pushed

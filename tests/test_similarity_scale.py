@@ -40,3 +40,44 @@ def test_ivf_partition_pruning(spark, driver_tables, tmp_path):
     qv = [float(x) for x in row["embedding"]]
     top = brute_force_topk(index.filter(F.col("cell") == 3), qv, k=3).toPandas()
     assert int(top.iloc[0]["vec_id"]) == int(row["vec_id"])
+
+
+def test_ivf_refine_improves_quantizer(spark, driver_tables):
+    """Lloyd rounds are non-decreasing in the mean-cosine objective
+    (spherical k-means update), deterministic, and keep cell ids
+    stable so the probe path is unchanged."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_build,
+        ivf_refine,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = driver_tables["embeddings"]
+    _, seeds = ivf_build(emb, n_cells=8)
+
+    def objective(cents):
+        assigned = ivf_assign(emb, cents)
+        cmap = F.map_from_arrays(
+            F.array(*[F.lit(i) for i, _ in cents]),
+            F.array(*[F.lit(v).cast("array<double>") for _, v in cents]),
+        )
+        return assigned.select(
+            F.avg(
+                cosine(F.col("embedding").cast("array<double>"),
+                       cmap[F.col("cell")])
+            ).alias("o")
+        ).first()["o"]
+
+    refined = ivf_refine(emb, seeds, n_iter=2)
+    assert [i for i, _ in refined] == [i for i, _ in seeds]  # stable ids
+    assert objective(refined) >= objective(seeds) - 1e-9
+    # deterministic
+    again = ivf_refine(emb, seeds, n_iter=2)
+    assert refined == again
+    # the probe path still answers queries on the refined quantizer
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = ivf_topk(ivf_assign(emb, refined), refined, qv, k=5).toPandas()
+    assert int(top.iloc[0]["vec_id"]) == 0

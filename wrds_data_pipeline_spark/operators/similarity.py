@@ -267,6 +267,43 @@ def ivf_build(
     return ivf_assign(embeddings, centroids, vec_col=vec_col), centroids
 
 
+def ivf_refine(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical-k-means (Lloyd) refinement of the IVF coarse
+    quantizer: ``n_iter`` rounds of (assign to argmax-cosine cell,
+    centroid := mean of the cell's *normalized* vectors).
+
+    Normalizing before the mean makes each round non-decreasing in the
+    mean-cosine objective (the spherical k-means update; cosine is
+    scale-invariant in the centroid, so no re-normalization needed).
+    Each round is one assignment expression plus one (cell, dim) hash
+    aggregate (posexplode → avg) — fully distributed; only the
+    n_cells × dim centroid table (KBs) ever reaches the driver.
+    Cells that lose every member keep their previous centroid, so the
+    cell count and ids are stable.  Deterministic given the seeds."""
+    for _ in range(n_iter):
+        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        unit = F.transform(v, lambda x: x / l2_norm(v))
+        rows = (
+            assigned.select("cell", F.posexplode(unit).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cell", F.transform("_pm", lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        means = {r["cell"]: [float(x) for x in r["cvec"]] for r in rows}
+        centroids = [(i, means.get(i, vec)) for i, vec in centroids]
+    return centroids
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
