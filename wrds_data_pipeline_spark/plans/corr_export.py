@@ -59,3 +59,58 @@ def export_corr_csvs(
         wide.to_csv(path)
         written.append(path)
     return written
+
+
+def export_corr_csvs_distributed(
+    corr: DataFrame,
+    out_dir: str,
+    window_start_col: str,
+    window_end_col: str | None = None,
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """Distributed twin of :func:`export_corr_csvs`: each window's
+    matrix is pivoted and written *inside* an Arrow task
+    (``groupBy(window).applyInPandas``), so a multi-year export
+    (thousands of windows) fans out across executors instead of
+    streaming every matrix through the driver.
+
+    Same filenames and CSV content as the driver-loop exporter.
+    Returns a lazy manifest (window_start, n_keys, path); files are
+    written when the manifest materializes.  ``out_dir`` must be
+    shared by all executors (true on local[n])."""
+    from pyspark.sql import types as T
+
+    import pandas as pd  # noqa: F401  (re-exported into the closure)
+
+    schema = T.StructType([
+        corr.schema[window_start_col],
+        T.StructField("n_keys", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+    ])
+    target, wend, wsecs, wstart = out_dir, window_end_col, window_seconds, window_start_col
+
+    def write_window(key, g):
+        # self-contained closure (ships by value; executors never
+        # import this package) — the filename format mirrors
+        # sinks.corr_window_filename exactly
+        import os as _os
+
+        import pandas as pd
+
+        start = key[0]
+        if wend:
+            end = g[wend].iloc[0]
+        elif wsecs:
+            end = pd.Timestamp(start) + pd.Timedelta(seconds=wsecs)
+        else:
+            end = start
+        s, e = pd.Timestamp(start), pd.Timestamp(end)
+        _os.makedirs(target, exist_ok=True)
+        path = _os.path.join(target, f"corr_{s:%Y%m%d_%H%M}_{e:%Y%m%d_%H%M}.csv")
+        wide = g.pivot_table(
+            index="k1", columns="k2", values="corr_val", aggfunc="first"
+        ).sort_index(axis=0).sort_index(axis=1)
+        wide.to_csv(path)
+        return pd.DataFrame([{wstart: start, "n_keys": len(wide), "path": path}])
+
+    return corr.groupBy(window_start_col).applyInPandas(write_window, schema)
