@@ -215,3 +215,38 @@ def test_gopher_signals_match_python_oracle(spark):
     # d6 satisfies every rule (60 words, mwl 4, all alpha, no dup
     # lines) — repetition is a *signal* here, not a keep rule
     assert got.loc["d6", "keep"]
+
+
+def test_redact_pii_and_urls(spark):
+    from wrds_data_pipeline_spark.functions.text import (
+        pii_count,
+        redact_pii,
+        strip_urls,
+        url_count,
+    )
+
+    docs = [
+        ("d1", "contact me at jane.doe+spam@example.co.uk or visit "
+               "https://example.com/a?b=1 thanks"),
+        ("d2", "server at 192.168.0.1 answered; call +1 (415) 555-0199 now"),
+        ("d3", "plain text, the year 2024 and price 3.50 stay untouched"),
+        ("d4", "see www.example.org/path and http://foo.bar/baz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        redact_pii("text").alias("red"),
+        strip_urls("text").alias("stripped"),
+        url_count("text").alias("urls"),
+        pii_count("text").alias("pii"),
+    ).toPandas().set_index("doc_id")
+
+    assert "[EMAIL]" in got.loc["d1", "red"] and "[URL]" in got.loc["d1", "red"]
+    assert "jane.doe" not in got.loc["d1", "red"]
+    assert "[IP]" in got.loc["d2", "red"] and "[PHONE]" in got.loc["d2", "red"]
+    assert "192.168" not in got.loc["d2", "red"]
+    assert got.loc["d3", "red"] == docs[2][1]            # no false positives
+    assert got.loc["d3", "pii"] == 0
+    assert got.loc["d4", "urls"] == 2
+    assert "example.org" not in got.loc["d4", "stripped"]
+    assert "foo.bar" not in got.loc["d4", "stripped"]

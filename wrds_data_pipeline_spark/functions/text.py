@@ -214,6 +214,56 @@ def gopher_keep(
     )
 
 
+# --- scrubbing / redaction (pre-training hygiene) ---------------------------
+# Conservative, deterministic regexes only — a corpus scrubber must
+# never crash on adversarial text, and every pattern below is plain
+# Java-regex (no backtracking blowups: bounded quantifiers, no nested
+# unbounded groups).  All are single regexp_replace/regexp_count
+# expressions: row-local, codegen'd, no shuffle.
+
+URL_PATTERN = r"(?i)\bhttps?://[^\s<>\"']+|\bwww\.[^\s<>\"']+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# 9-15 digits, up to two separator chars between digits ("1 (415" has
+# a space + paren run); leading + allowed — conservative enough to
+# skip prices/years, catches phone-shaped runs
+PHONE_PATTERN = r"\+?\d(?:[ .()-]{0,2}\d){8,14}"
+
+
+def strip_urls(text: Column | str, repl: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, URL_PATTERN, repl)
+
+
+def url_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(URL_PATTERN))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / URLs / IPv4s / phone-shaped digit runs with
+    typed placeholder tokens ([EMAIL], [URL], [IP], [PHONE]).  Order
+    matters: URLs first (they may embed digit runs and dots), then
+    emails, IPs, phones."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, URL_PATTERN, "[URL]")
+    c = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    c = F.regexp_replace(c, IPV4_PATTERN, "[IP]")
+    c = F.regexp_replace(c, PHONE_PATTERN, "[PHONE]")
+    return c
+
+
+def pii_count(text: Column | str) -> Column:
+    """Total email + IPv4 + phone-shaped matches (routing signal for
+    a scrub-vs-drop curation decision)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(EMAIL_PATTERN))
+        + F.regexp_count(c, F.lit(IPV4_PATTERN))
+        + F.regexp_count(c, F.lit(PHONE_PATTERN))
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text.  Identical
     normalized content → identical fingerprint (exact-dedup key)."""
