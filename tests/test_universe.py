@@ -73,3 +73,18 @@ def test_universe_rows_drop_when_intervals_cut(spark, wrds):
         wrds["ccmxpf_linktable"], as_of=AS_OF,
     ).count()
     assert 0 < got < unconstrained
+
+
+def test_universe_build_is_shuffle_free(spark, wrds):
+    """SCALE.md claims the universe build is three broadcast joins
+    over one dsf scan with ZERO shuffles — pin that in the plan: no
+    hash-partition exchange, only broadcast exchanges."""
+    import re
+
+    uni = build_universe(
+        wrds["dsp500list"], wrds["dsf"], wrds["msenames"],
+        wrds["ccmxpf_linktable"], as_of=AS_OF,
+    )
+    plan = uni._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan[:1500]
