@@ -64,3 +64,37 @@ def test_curate_driver_documents(spark, driver_tables):
     assert n_kept >= 0.8 * n_in        # but most of the corpus survives
     assert audit.count() == n_in        # every doc has a fate
     assert fates.get("near_dup", 0) + fates.get("exact_dup", 0) > 0
+
+
+def test_stratified_sample_exact(spark, driver_tables):
+    """Exact per-stratum counts, deterministic across runs and
+    repartitionings, dict-weighted mixture support."""
+    from wrds_data_pipeline_spark.plans.corpus import stratified_sample_exact
+
+    base = driver_tables["documents"].select("doc_id", "lang")
+    langs = {r["lang"] for r in base.select("lang").distinct().collect()}
+
+    s = stratified_sample_exact(base, "lang", 3, seed=7)
+    counts = {r["lang"]: r["n"] for r in
+              s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in langs:
+        avail = base.filter(F.col("lang") == lang).count()
+        assert counts.get(lang, 0) == min(3, avail)
+
+    # deterministic: same ids regardless of partitioning
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            base.repartition(13), "lang", 3, seed=7
+        ).collect()
+    )
+    assert a == b
+
+    # mixture weights via dict caps
+    some = sorted(langs)[:2]
+    mix = stratified_sample_exact(base, "lang", {some[0]: 2, some[1]: 1}, seed=7)
+    got = {r["lang"]: r["n"] for r in
+           mix.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get(some[0], 0) <= 2 and got.get(some[1], 0) <= 1
+    assert set(got) <= set(some)  # unlisted strata excluded

@@ -138,3 +138,43 @@ def select_to_token_budget(
         scored.withColumn("running_tokens", F.sum(token_col).over(w))
         .filter(F.col("running_tokens") <= budget_tokens)
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str] | str,
+    n_per_stratum: int | dict,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum (the domain-mixing
+    primitive: "exactly N documents from each source/language").
+
+    Rows are ranked inside each stratum by a seeded hash of their id
+    (uniform, reproducible, data-independent) and the top
+    ``n_per_stratum`` kept — unlike ``df.sampleBy`` (Bernoulli:
+    approximate counts, partitioning-sensitive), the result is exact
+    and identical on every run/cluster.  One window over the stratum
+    shuffle; per-partition state is one stratum.  ``n_per_stratum``
+    may be a dict keyed by stratum value (single strata column) for
+    mixture weights.
+    """
+    from pyspark.sql.window import Window as W
+
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    order = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = W.partitionBy(*strata_cols).orderBy(order, F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    if isinstance(n_per_stratum, dict):
+        if len(strata_cols) != 1:
+            raise ValueError("dict n_per_stratum needs exactly one strata column")
+        cap = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in n_per_stratum.items() for x in kv]
+            )[F.col(strata_cols[0])],
+            F.lit(0),
+        )
+    else:
+        cap = F.lit(int(n_per_stratum))
+    return ranked.filter(F.col("_rk") <= cap).drop("_rk")
