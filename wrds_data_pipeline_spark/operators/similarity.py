@@ -234,6 +234,7 @@ def ivf_build(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse index: centroids = a deterministic hash-bucket
     sample of the data (one vector per xxhash64(id) % n_cells bucket
@@ -245,6 +246,8 @@ def ivf_build(
     centroids toward early ids, hurting recall when ids correlate
     with content, e.g. time-ordered inserts).  Empty hash buckets
     yield no centroid, so up to ``n_cells`` centroids are returned.
+    ``refine_iters`` optionally polishes the seeds with that many
+    distributed spherical-k-means rounds (``ivf_refine``).
     Returns (assigned_df with `cell` column, centroids list)."""
     cents = (
         embeddings.select(
@@ -264,6 +267,11 @@ def ivf_build(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
+    if refine_iters > 0:  # optional spherical-k-means polish
+        centroids = ivf_refine(
+            embeddings, centroids, n_iter=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     return ivf_assign(embeddings, centroids, vec_col=vec_col), centroids
 
 
