@@ -1,0 +1,127 @@
+"""Connected-components dup-group resolution vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.components import (
+    connected_components,
+    dedup_keep_canonical,
+)
+from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+
+def _union_find_groups(edges):
+    """Oracle: {node: min id of its component} via plain union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:  # operator drops self-loops; mirror that
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["id"], r["group_id"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find_groups(edges).items())
+    assert got == want
+
+
+def test_cc_chain(spark):
+    # a long path is the worst case for naive label propagation;
+    # large-star/small-star must still converge within max_iters
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_cc_disjoint_stars_and_singleton_edge(spark):
+    _check(spark, [(10, 3), (10, 7), (20, 21), (5, 5), (30, 31), (31, 32)])
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_keep_canonical_transitive(spark):
+    # A~B and B~C but never A~C: pair-filtering alone would keep two
+    # of the three; group resolution must keep exactly doc 1.
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "unrelated")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert kept == [1, 9]
+
+
+def test_dedup_end_to_end_with_lsh(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some quiet rest"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),
+            (4, "  THE  quick   brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest to find some quiet rest "),
+            (3, "completely different content about spark query engines "
+                "and distributed columnar execution at massive scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_candidates(docs)
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # 0/1/4 collapse to 0; 3 untouched
+    assert kept == [0, 3]
+
+
+def test_cc_group_sizes_on_driver_documents(spark, driver_tables):
+    # smoke at sf0.001: resolve LSH candidates over the real documents
+    # table; every group id must be a member of its own group and the
+    # assignment must cover exactly the nodes in the pair set.
+    docs = driver_tables["documents"]
+    pairs = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    cc = connected_components(pairs)
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert cc.count() == nodes
+    bad = cc.groupBy("group_id").agg(F.min("id").alias("lo")).filter(
+        F.col("lo") != F.col("group_id")
+    )
+    assert bad.count() == 0

@@ -1,0 +1,109 @@
+"""Decontamination operator: planted benchmark overlap + DuckDB twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from wrds_data_pipeline_spark.operators.contamination import (
+    contamination_scores,
+    decontaminate,
+)
+
+BENCH_ITEM = (
+    "what is the capital of france the capital of france is paris "
+    "and it has been the capital since the middle ages"
+)
+CLEAN = (
+    "spark executes declarative dataframe plans through catalyst "
+    "which rewrites them into whole stage generated java bytecode"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, CLEAN),
+        # contains an 8-gram straight out of the benchmark item
+        (2, "as everyone knows " + BENCH_ITEM + " which is well documented"),
+        (3, "short doc"),
+        (4, CLEAN + " with an extra tail that changes nothing upstream"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, BENCH_ITEM), (101, "unrelated benchmark question text here "
+                                  "padded to cross the n gram width")],
+        ["qid", "text"],
+    )
+
+
+def test_contamination_scores_flags_only_overlap(spark):
+    out = (
+        contamination_scores(_docs(spark), _bench(spark), n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {1, 2, 3, 4}
+    assert out.loc[2, "n_contaminated"] > 0
+    assert out.loc[1, "n_contaminated"] == 0
+    assert out.loc[3, "n_contaminated"] == 0  # short doc = 1 whole-text shingle
+    assert out.loc[3, "n_ngrams"] == 1
+    assert 0 < out.loc[2, "contamination_ratio"] <= 1
+
+
+def test_decontaminate_drops_dirty_doc(spark):
+    kept = sorted(
+        r.doc_id for r in decontaminate(_docs(spark), _bench(spark), n=8).collect()
+    )
+    assert kept == [1, 3, 4]
+
+
+def test_contamination_duckdb_twin(spark):
+    """Exact parity with a DuckDB replay of the same hash pipeline."""
+    docs_pd = _docs(spark).toPandas()
+    bench_pd = _bench(spark).toPandas()
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    con.register("bench", bench_pd)
+    sql = """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM docs
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS gs
+      FROM norm
+    ), doc_h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1000000007 AS h
+      FROM grams, unnest(gs) AS t(g)
+    ), bnorm AS (
+      SELECT list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM bench
+    ), bgrams AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1000000007 AS h
+      FROM (
+        SELECT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                     FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+        FROM bnorm
+      )
+    )
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           sum(CASE WHEN h IN (SELECT h FROM bgrams) THEN 1 ELSE 0 END) AS n_contaminated
+    FROM doc_h GROUP BY doc_id ORDER BY doc_id
+    """
+    want = con.execute(sql).df()
+    got = (
+        contamination_scores(_docs(spark), _bench(spark), n=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_ngrams) == list(want.n_ngrams)
+    assert list(got.n_contaminated) == list(want.n_contaminated)

@@ -1,0 +1,133 @@
+"""Distributed connected components for duplicate-group resolution.
+
+MinHash/LSH/Jaccard dedup (operators/dedup.py) emits *pairs*; an
+actually-deduplicated corpus needs the transitive closure of those
+pairs — duplicate *groups* — so exactly one canonical document per
+group survives.  (A pair-only filter keeps B when A~B and B~C but
+A,C were never compared.)
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014, public).  Each round is two hash-aggregations
+and two joins on the edge relation; converges in O(log^2 n) rounds
+(2–4 in practice for near-dup graphs, whose components are tiny and
+dense), versus O(diameter) for naive min-label propagation — the
+difference matters at 100 TB where one adversarial chain of
+near-identical crawl pages can have diameter in the thousands.
+
+Scale notes:
+- The edge relation is `localCheckpoint`-ed every round: without it
+  the lineage doubles per iteration and Spark replays the whole
+  prefix on every action.  On a real cluster use a reliable
+  `checkpoint()` dir instead (survives executor loss).
+- Convergence is detected by an aggregate signature
+  (count, sum(xxhash64(u, v))) — one cheap map-side-combined
+  aggregation per round instead of a full set-difference join.
+  Collision probability ~2^-64 per check.
+- No driver-side state beyond the 2-value signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (u=hi, v=lo), self-loops dropped,
+    distinct.  Keeps the edge relation minimal between rounds."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, group_id) for every node appearing in ``pairs``, where
+    group_id is the minimum id of the node's connected component.
+
+    ``pairs`` is an undirected edge list (e.g. the output of
+    minhash_lsh_candidates or jaccard_pairs).  Ids must be integral
+    (cast to bigint internally).
+    """
+    e = _canon(
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("u"),
+            F.col(id_b).cast("bigint").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        bid = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = bid.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+        ls = (
+            bid.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls = _canon(ls)
+        # small-star: edges are (hi, lo) after _canon, so N_small(u) is
+        # exactly u's out-neighborhood; link each small neighbor AND u
+        # itself to min(N_small(u)).
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+        )
+        e = _canon(ss).localCheckpoint(eager=True)
+        # decimal sum: int64 hash sums overflow under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # Fixed point = disjoint stars (paper, Thm 3): every edge is
+    # (member, root) with root = component min.  Roots appear only on
+    # the v side; map them to themselves.
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("group_id"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .join(members.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("group_id"))
+    )
+    return members.unionByName(roots)
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: resolve ``pairs`` into groups and keep
+    exactly the minimum-id document of each group (plus every document
+    that appears in no pair).
+
+    One anti-join against the non-canonical member set.  The member
+    set is proportional to the number of *duplicates*, typically a few
+    percent of the corpus — AQE will broadcast it when it fits, and
+    the join degrades gracefully to a shuffled hash join when it
+    doesn't."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = cc.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,109 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark corpus by shared word n-grams.
+
+The standard hygiene step before training on web-scale corpora (the
+GPT-3 / Gopher / Llama reports all describe n-gram-overlap filters,
+all public): any training document containing a long-enough n-gram
+that also appears in a held-out benchmark is flagged (and usually
+dropped) so eval numbers aren't inflated by memorized test items.
+
+Scale design:
+- Benchmark side first collapses to a DISTINCT int64 n-gram hash set
+  — benchmarks are tiny relative to the corpus (thousands of items vs
+  billions of docs), so this relation is broadcast-joined; the 100 TB
+  training side is never shuffled.
+- Training side explodes to (doc, hash) pairs, map-side-combines the
+  per-doc distinct count, and left-joins the broadcast benchmark set.
+  One wide scan, zero corpus shuffles beyond the per-doc aggregate.
+- Hashing matches operators/dedup.py (md5→int64 mod p), so the whole
+  pipeline has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions.text import word_shingles
+from wrds_data_pipeline_spark.operators.dedup import shingle_hash
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct hashed n-grams of the benchmark corpus: one column
+    ``h`` (int64).  Small by construction — broadcast it."""
+    return (
+        benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .select(shingle_hash(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination against ``benchmark``:
+    (id, n_ngrams, n_contaminated, contamination_ratio).
+
+    Documents shorter than ``n`` words contribute their whole text as
+    one shingle (word_shingles' short-doc rule), so every doc gets a
+    row — n_ngrams >= 1.
+    """
+    bench = F.broadcast(benchmark_ngram_set(benchmark, bench_text_col, n))
+    doc_grams = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .select("_id", shingle_hash(F.col("shingle")).alias("h"))
+    )
+    flagged = doc_grams.join(
+        bench.withColumn("_hit", F.lit(1)), "h", "left"
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_ngrams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_ratio: float = 0.0,
+) -> DataFrame:
+    """Drop documents whose contamination_ratio exceeds ``max_ratio``
+    (default: any benchmark n-gram hit drops the doc).  Returns the
+    surviving rows of ``docs`` unchanged."""
+    scores = contamination_scores(
+        docs, benchmark, id_col, text_col, bench_text_col, n
+    )
+    dirty = scores.filter(
+        F.col("contamination_ratio") > F.lit(max_ratio)
+    ).select(id_col)
+    return docs.join(dirty, id_col, "left_anti")
