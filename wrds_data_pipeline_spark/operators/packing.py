@@ -1,0 +1,202 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the "pack short documents into 4k-token rows" step every
+LLM data pipeline runs between curation and tokenized-shard writing).
+
+Semantics: greedy first-fit-in-order — walk documents in a
+deterministic order, append each to the current sequence, and start a
+new sequence when the document would overflow ``max_tokens``.
+Documents longer than ``max_tokens`` are flagged oversize
+(seq_id null) for the caller to truncate or drop.
+
+Scale design — the naive plan is a global cumulative sum, i.e. one
+unpartitioned window (the scale-killer this repo bans).  Instead:
+
+1. **Distributed exclusive prefix sum**: range-repartition on the
+   order key, per-partition cumsum (window partitioned by
+   spark_partition_id), then add per-partition offsets.  The offset
+   relation has exactly one row per partition — the only
+   unpartitioned window runs over those ~10^2-10^3 rows, never the
+   corpus.
+2. **Chunking**: prefix sum / (max_tokens * chunk_bins) splits the
+   ordered corpus into chunks of ~chunk_bins sequences' worth of
+   tokens.  Sequences never cross chunks, so step 3 is embarrassingly
+   parallel with bounded state.
+3. **Exact greedy within each chunk** via applyInPandas (Arrow
+   batches; a chunk is ~chunk_bins * max_tokens tokens of *metadata*
+   — ids and counts, not text).
+
+Cost of chunking vs a single global greedy pass: at most one extra
+partially-filled sequence per chunk boundary.  With chunk_bins=64
+that is <1.6% fill loss, and parity with global greedy is exact
+whenever the corpus fits one chunk (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, order_cols: list[str], val_col: str
+) -> DataFrame:
+    """Adds ``_cum`` = sum of ``val_col`` over all rows strictly
+    before this one in ``order_cols`` order.  Distributed: range
+    partition -> local cumsum -> tiny offset join.  ``order_cols``
+    must be a unique key (ties across a range boundary would make the
+    prefix sum nondeterministic)."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    df = df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+    df = df.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    df = df.withColumn(
+        "_cum_local", F.sum(val_col).over(w) - F.col(val_col)
+    )
+    totals = df.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
+    # one row per partition: this window is over ~p rows, not the data
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(woff), F.lit(0)).alias("_off")
+    )
+    return df.join(F.broadcast(offsets), "_pid").withColumn(
+        "_cum", F.col("_cum_local") + F.col("_off")
+    ).drop("_pid", "_cum_local", "_off")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    order_col: str | None = None,
+    chunk_bins: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, seq_id, seq_pos, oversize) — greedy packing of
+    documents into sequences of at most ``max_tokens`` tokens.
+
+    - ``token_col``: precomputed token counts; default derives
+      bpe_ish_token_count(text_col).
+    - ``order_col``: packing order (ties broken by id); default id.
+    - seq_id is globally unique and increases with packing order;
+      seq_pos is the document's position within its sequence.
+    - Oversize docs (n_tokens > max_tokens) get seq_id null,
+      oversize true.
+    """
+    tok = (
+        F.col(token_col)
+        if token_col
+        else bpe_ish_token_count(text_col)
+    ).cast("long")
+    if order_col:
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            tok.alias("n_tokens"),
+            F.col(order_col).alias("_ord"),
+        )
+        order_cols = ["_ord", "_id"]
+    else:
+        base = docs.select(F.col(id_col).alias("_id"), tok.alias("n_tokens"))
+        order_cols = ["_id"]
+
+    oversize = base.filter(F.col("n_tokens") > max_tokens).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("int").alias("seq_pos"),
+        F.lit(True).alias("oversize"),
+    )
+    fit = base.filter(F.col("n_tokens") <= max_tokens)
+
+    chunk_budget = max_tokens * chunk_bins
+    fit = _exclusive_prefix_sum(fit, order_cols, "n_tokens")
+    fit = fit.withColumn(
+        "_chunk", (F.col("_cum") / F.lit(chunk_budget)).cast("long")
+    )
+
+    # greedy first-fit needs >= ceil(2*chunk_tokens/max)+1 ids per
+    # chunk in the worst case (consecutive sequences sum > max); 4x
+    # bins is comfortably above it and keeps seq_id monotone in order
+    seqs_per_chunk = 4 * chunk_bins
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        seq, run, local = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if run + t > max_tokens and run > 0:
+                local += 1
+                run = 0
+            seq.append(local)
+            run += t
+        out_pos, cur, prev = [], -1, None
+        for s in seq:
+            cur = cur + 1 if s == prev else 0
+            prev = s
+            out_pos.append(cur)
+        chunk = int(pdf["_chunk"].iloc[0])
+        assert local < seqs_per_chunk, "seq id namespace overflow"
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "n_tokens": pdf["n_tokens"],
+                "seq_id": [chunk * seqs_per_chunk + s for s in seq],
+                "seq_pos": out_pos,
+            }
+        )
+
+    packed = fit.groupBy("_chunk").applyInPandas(
+        _greedy, schema="_id long, n_tokens long, seq_id long, seq_pos int"
+    )
+    packed = packed.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "seq_id",
+        "seq_pos",
+        F.lit(False).alias("oversize"),
+    )
+    return packed.unionByName(oversize)
+
+
+def sequence_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-sequence fill statistics: (seq_id, n_docs, seq_tokens,
+    fill_ratio).  Oversize (null-seq) rows are excluded."""
+    return (
+        packed.filter(F.col("seq_id").isNotNull())
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("seq_tokens") / F.lit(max_tokens), 6),
+        )
+    )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    packed: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> None:
+    """Join the packing assignment back to the documents and write
+    parquet sharded by contiguous seq_id ranges: sequences that train
+    together are stored together, each output file covers a dense
+    seq_id interval, and the write needs one range shuffle."""
+    (
+        docs.join(packed.filter(F.col("seq_id").isNotNull()), id_col)
+        .repartitionByRange(n_shards, "seq_id", "seq_pos")
+        .sortWithinPartitions("seq_id", "seq_pos")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
