@@ -1,0 +1,57 @@
+"""Physical-plan audits for the round-3 corpus operators: the scale
+properties the docstrings claim must be visible in the executed plan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.contamination import (
+    contamination_scores,
+)
+from wrds_data_pipeline_spark.operators.packing import pack_sequences
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contamination_benchmark_side_is_broadcast(spark, driver_tables):
+    docs = driver_tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(contamination_scores(docs, bench))
+    # the benchmark n-gram set must arrive via broadcast: the corpus
+    # side of the probe join is never hash-shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_has_no_global_window(spark):
+    docs = spark.createDataFrame(
+        [(i, 100 + i % 50) for i in range(500)], ["doc_id", "n_tok"]
+    )
+    packed = pack_sequences(docs, 2048, token_col="n_tok", chunk_bins=8)
+    plan = _plan(packed)
+    # every Window over data rows is partitioned by _pid; the only
+    # allowed unpartitioned window is the per-partition-offsets one,
+    # which runs over exactly one row per partition
+    windows = re.findall(r"Window \[[^\]]*\](?:, \[[^\]]*\])*", plan)
+    assert windows, plan[:800]
+    unpartitioned = [
+        w for w in re.findall(r"Window .*", plan) if "_pid" not in w
+    ]
+    # offsets window: operates on the groupBy(_pid) aggregate output —
+    # identified by _ptot in its required child ordering/projection
+    for w in unpartitioned:
+        assert "_ptot" in w or "_off" in w, w
+
+
+def test_packing_prefix_sum_range_partitions(spark):
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(500)], ["doc_id", "n_tok"]
+    )
+    packed = pack_sequences(docs, 2048, token_col="n_tok", chunk_bins=8)
+    plan = _plan(packed)
+    assert "rangepartitioning" in plan.lower()
