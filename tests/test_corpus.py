@@ -66,6 +66,40 @@ def test_curate_driver_documents(spark, driver_tables):
     assert fates.get("near_dup", 0) + fates.get("exact_dup", 0) > 0
 
 
+def test_curate_group_dedup_closes_transitive_cluster(spark):
+    """Star-shaped near-dup cluster 1—3—2 (3 resembles both 1 and 2,
+    but 1 and 2 share nothing): pair mode drops only the higher id of
+    each pair {3}; group mode resolves the component and keeps only
+    its minimum {1}."""
+    # word sets chosen so the fixed-constant MinHash banding yields
+    # BOTH star edges as candidates (J≈0.48 sits below the LSH S-curve
+    # knee, so candidate recall is fixture-dependent; deterministic
+    # here because every hash constant is fixed)
+    wa = [f"a0w{i}" for i in range(30)]
+    wb = [f"b0w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(wa)),
+            (2, " ".join(wb)),
+            (3, " ".join(wa + wb)),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def near_dups(group_dedup):
+        _, audit = curate(
+            docs,
+            near_dup_threshold=0.4,
+            min_quality=0.0,
+            min_tokens=1,
+            group_dedup=group_dedup,
+        )
+        return {r.doc_id for r in audit.collect() if r.fate == "near_dup"}
+
+    assert near_dups(False) == {3}
+    assert near_dups(True) == {2, 3}
+
+
 def test_stratified_sample_exact(spark, driver_tables):
     """Exact per-stratum counts, deterministic across runs and
     repartitionings, dict-weighted mixture support."""

@@ -38,8 +38,19 @@ def curate(
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.85,
     min_tokens: int = 5,
+    group_dedup: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run the full curation flow.  Returns (kept, audit)."""
+    """Run the full curation flow.  Returns (kept, audit).
+
+    ``group_dedup=False`` (default, oracle-checked by q43) drops the
+    higher id of each verified near-dup *pair*.  That under-drops when
+    a duplicate cluster's minimum doc isn't directly paired with every
+    member (A~C, B~C keeps both A and B).  ``group_dedup=True``
+    resolves the verified pairs into connected components and keeps
+    exactly the min-id doc per component — the semantics large-scale
+    dedup pipelines use.  Group mode runs the iterative component
+    algorithm eagerly (checkpointed joins), so the plan is no longer a
+    single lazy expression tree; everything else is unchanged."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -72,7 +83,17 @@ def curate(
         survivors, id_col, text_col,
         threshold=near_dup_threshold, candidates=cand,
     )
-    near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    if group_dedup:
+        from wrds_data_pipeline_spark.operators.components import (
+            connected_components,
+        )
+
+        cc = connected_components(near)
+        near_losers = cc.filter(F.col("id") != F.col("group_id")).select(
+            F.col("id").alias("doc_id")
+        )
+    else:
+        near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
     tagged = tagged.join(
         near_losers.withColumn("near_dup", F.lit(True)), "doc_id", "left"
     ).withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
