@@ -1,0 +1,99 @@
+"""Cross-document boilerplate removal: drop lines that repeat across
+many documents (navigation, cookie banners, footers), keeping each
+surviving document's remaining lines in order.
+
+This is the line-level dedup step of the public CCNet / RefinedWeb
+recipes: a line is boilerplate when it occurs in >= ``min_docs``
+distinct documents (measured on the normalized form — lower, trim,
+collapsed whitespace), and every occurrence of a boilerplate line is
+removed from every document.
+
+Scale design:
+- One posexplode pass → (doc, pos, line_hash).  Distinct-doc counts
+  per line are a single hash aggregate with map-side combine.
+- The boilerplate relation holds only lines over the threshold —
+  typically a tiny fraction of distinct lines — and is joined back by
+  left_anti on the int64 hash; AQE broadcasts it when it fits.
+- Document reassembly is a per-doc collect_list of (pos, line)
+  structs: state is bounded by document length, never by corpus size,
+  and the groupBy reuses the exploded relation's doc partitioning.
+- Everything is built-in expressions (md5→int64 hashing shared with
+  operators/dedup.py), so the whole operator has an exact SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.dedup import shingle_hash
+
+
+def _norm_line(c) -> "F.Column":
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def doc_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(_id, pos, line, h): newline-split lines with position and the
+    normalized-line hash.  Blank lines are kept (position matters for
+    reassembly) but never counted as boilerplate."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", shingle_hash(_norm_line(F.col("line"))))
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Distinct normalized-line hashes occurring in >= ``min_docs``
+    documents: (h, n_docs).  Blank lines excluded."""
+    return (
+        doc_lines(docs, id_col, text_col)
+        .filter(_norm_line(F.col("line")) != "")
+        .groupBy("h")
+        .agg(F.count_distinct("_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Documents with boilerplate lines removed: (id, text,
+    n_lines_in, n_lines_removed).  Line order is preserved; documents
+    whose every line was boilerplate come back with empty text (the
+    caller's quality/length filters will drop them)."""
+    lines = doc_lines(docs, id_col, text_col)
+    bp = boilerplate_lines(docs, id_col, text_col, min_docs).select("h")
+    kept = lines.join(bp, "h", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines_in"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_lines_in",
+            (
+                F.col("n_lines_in") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_lines_removed"),
+        )
+    )

@@ -199,3 +199,36 @@ def stratified_sample_exact(
     else:
         cap = F.lit(int(n_per_stratum))
     return ranked.filter(F.col("_rk") <= cap).drop("_rk")
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    keep_frac: float,
+    stratum_col: str | None = None,
+    quality_col: str | None = None,
+    text_col: str = "text",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep (approximately) the top ``keep_frac`` of documents by
+    quality — per stratum when ``stratum_col`` is given, else
+    corpus-wide.  "Top 30% of each domain" beats a fixed threshold
+    when quality distributions differ by source.
+
+    The cutoff is ``percentile_approx`` (Greenwald-Khanna sketch:
+    single aggregation, bounded memory, mergeable across partitions —
+    the 100 TB-safe quantile).  The per-stratum cutoff relation has
+    one row per stratum and is broadcast back; the corpus side is
+    scanned once and never shuffled.  Adds ``_q_cut`` alongside the
+    input columns.
+    """
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    q = F.col(quality_col) if quality_col else X.quality_score(text_col)
+    scored = docs.withColumn("_q", F.round(q, 6))
+    pct = F.percentile_approx("_q", F.lit(1.0 - keep_frac), F.lit(accuracy))
+    if stratum_col:
+        cuts = scored.groupBy(stratum_col).agg(pct.alias("_q_cut"))
+        out = scored.join(F.broadcast(cuts), stratum_col)
+    else:
+        out = scored.crossJoin(F.broadcast(scored.agg(pct.alias("_q_cut"))))
+    return out.filter(F.col("_q") >= F.col("_q_cut")).drop("_q")
