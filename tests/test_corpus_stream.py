@@ -103,3 +103,76 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in got.itertuples()
     )
     assert got_t == sorted(want)
+
+
+def test_streaming_decontaminate_foreach_batch_parity(spark, tmp_path):
+    """decontaminate is per-doc independent, so the union of per-batch
+    outputs equals the batch-over-everything result exactly."""
+    from wrds_data_pipeline_spark.operators.contamination import decontaminate
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        run_stream_foreach_batch,
+    )
+
+    bench_item = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the middle ages"
+    )
+    bench = spark.createDataFrame([(0, bench_item)], ["qid", "text"])
+    batches = [
+        [(1, "clean words about distributed query engines and the "
+             "catalyst optimizer rewriting declarative plans")],
+        [(2, "prefix " + bench_item + " suffix"),
+         (3, "another clean document about arrow batches and codegen "
+             "stages fusing scalar expressions")],
+        [(4, "totally " + bench_item)],
+    ]
+    schema = "doc_id int, text string"
+    stage = os.path.join(str(tmp_path), "decon_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    got = run_stream_foreach_batch(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        lambda b: decontaminate(b, bench, n=8),
+        max_files_per_trigger=1,
+    )
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = decontaminate(all_docs, bench, n=8).toPandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"]) == [1, 3]
+
+
+def test_streaming_stateless_quality_filter_native(spark, tmp_path):
+    """Pure-expression filters stream natively in append mode — no
+    foreachBatch needed; parity with the batch filter."""
+    from wrds_data_pipeline_spark.functions.text import quality_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps "
+            "going with many normal readable words in this text",
+         _ts(0)),
+        (2, "x! y? z.", _ts(1)),
+        (3, "another perfectly ordinary document with the usual words "
+            "that score well for quality and length overall", _ts(2)),
+    ]
+    schema = "doc_id int, text string, ingest_ts timestamp"
+    stage = os.path.join(str(tmp_path), "quality_stream")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+
+    got = run_corpus_stream(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        lambda s: s.filter(quality_score("text") >= 0.5),
+        query_name="t_quality_stream",
+    ).toPandas()
+    batch = spark.createDataFrame(rows, schema).filter(
+        quality_score("text") >= 0.5
+    )
+    assert sorted(got["doc_id"]) == sorted(
+        r.doc_id for r in batch.collect()
+    )
+    assert 2 not in set(got["doc_id"])

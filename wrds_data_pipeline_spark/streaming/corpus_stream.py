@@ -81,6 +81,46 @@ def streaming_sessionize(
     )
 
 
+def run_stream_foreach_batch(
+    spark,
+    path: str,
+    schema,
+    batch_fn,
+    max_files_per_trigger: int | None = None,
+):
+    """Apply full batch semantics per micro-batch via ``foreachBatch``
+    — the streaming form of any *per-document-independent* batch
+    operator.  Inside the callback each micro-batch is an ordinary
+    batch DataFrame, so operators that need aggregation + anti-join
+    (e.g. operators/contamination.decontaminate against a static
+    benchmark — unsupported as a single append-mode streaming plan)
+    run unchanged, and per-doc independence makes the union of
+    per-batch outputs exactly the batch-over-everything result.
+
+    This harness collects each batch's output as pandas and returns
+    the concatenation; a production sink would write parquet/Kafka
+    inside the callback instead.  Stateless scalar filters
+    (gopher_keep, quality thresholds, redact_pii) do NOT need this —
+    they stream natively (see the parity test).
+    """
+    import pandas as pd
+
+    out: list = []
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        pdf = batch_fn(bdf).toPandas()
+        if len(pdf):
+            out.append(pdf)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
+    q.processAllAvailable()
+    q.stop()
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
 def run_corpus_stream(
     spark,
     path: str,
