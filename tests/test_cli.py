@@ -125,3 +125,34 @@ def test_prices_date_filter_pushes_to_scan(spark, wrds_dir):
     assert pushed, f"no date PushedFilters in:\n{plan[:2000]}"
     assert any("GreaterThanOrEqual(date" in p and "LessThanOrEqual(date" in p
                for p in pushed), pushed
+
+
+def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    # a 1/3 slice keeps the full pipeline exercised at 1/3 the cost
+    docs_path = os.path.join(str(tmp_path), "docs")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        "doc_id % 3 = 0"
+    ).write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "bench")
+    spark.read.parquet(docs_path).filter("doc_id % 97 = 0").select(
+        "text"
+    ).write.parquet(bench)
+    out = os.path.join(str(tmp_path), "corpus_out")
+    rc = corpus_main([
+        docs_path, out,
+        "--bench", bench,
+        "--max-tokens", "2048",
+        "--min-quality", "0.0",
+        "--group-dedup",
+        "--keep-frac", "0.8",
+    ])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    assert len(shards) > 0
+    assert {"doc_id", "text", "seq_id", "seq_pos"} <= set(shards.columns)
+    assert shards.groupby("seq_id")["n_tokens"].sum().max() <= 2048
+    report = pd.read_parquet(os.path.join(out, "report"))
+    assert {"fate", "n_docs"} <= set(report.columns)
+    assert report["n_docs"].sum() == len(pd.read_parquet(docs_path))

@@ -198,8 +198,79 @@ def corr_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def corpus_main(argv: list[str] | None = None) -> int:
+    """Training-corpus pipeline (beyond the reference surface):
+    boilerplate removal -> curation -> optional benchmark
+    decontamination -> optional quality-quantile cut -> sequence
+    packing -> sharded parquet, plus the audit report."""
+    from pyspark.sql import functions as F
+
+    p = argparse.ArgumentParser(prog="wrds-spark-corpus")
+    p.add_argument("docs_path", help="parquet with (doc_id, text)")
+    p.add_argument("out_dir")
+    p.add_argument("--bench", help="parquet with a text column to "
+                   "decontaminate against (8-gram overlap)")
+    p.add_argument("--max-tokens", type=int, default=4096)
+    p.add_argument("--keep-frac", type=float, default=None,
+                   help="keep top fraction by quality after filters")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--langs", default="en", help="comma-separated")
+    p.add_argument("--group-dedup", action="store_true",
+                   help="resolve near-dup pairs into components")
+    p.add_argument("--boilerplate-min-docs", type=int, default=0,
+                   help="strip lines occurring in >= N docs (0 = off)")
+    args = p.parse_args(argv)
+
+    from wrds_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        write_packed_shards,
+    )
+    from wrds_data_pipeline_spark.plans.corpus import (
+        curate,
+        curation_report,
+        quality_quantile_filter,
+    )
+
+    spark = get_spark(app_name="wrds-spark-corpus")
+    docs = spark.read.parquet(args.docs_path)
+    if args.boilerplate_min_docs:
+        from wrds_data_pipeline_spark.operators.boilerplate import (
+            remove_boilerplate,
+        )
+
+        docs = remove_boilerplate(
+            docs, min_docs=args.boilerplate_min_docs
+        ).select("doc_id", "text")
+    kept, audit = curate(
+        docs,
+        allowed_langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        group_dedup=args.group_dedup,
+    )
+    if args.bench:
+        from wrds_data_pipeline_spark.operators.contamination import (
+            decontaminate,
+        )
+
+        kept = decontaminate(kept, spark.read.parquet(args.bench), n=8)
+    if args.keep_frac:
+        kept = quality_quantile_filter(kept, keep_frac=args.keep_frac)
+    packed = pack_sequences(kept, args.max_tokens)
+    write_packed_shards(kept, packed, f"{args.out_dir}/shards")
+    curation_report(audit).write.mode("overwrite").parquet(
+        f"{args.out_dir}/report"
+    )
+    n_seqs = (
+        packed.filter(F.col("seq_id").isNotNull())
+        .select("seq_id").distinct().count()
+    )
+    print(f"{kept.count()} docs in {n_seqs} sequences -> {args.out_dir}")
+    return 0
+
+
 if __name__ == "__main__":  # python -m wrds_data_pipeline_spark.cli <cmd> ...
-    cmds = {"universe": universe_main, "panels": panels_main, "corr": corr_main}
+    cmds = {"universe": universe_main, "panels": panels_main,
+            "corr": corr_main, "corpus": corpus_main}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         raise SystemExit(f"usage: cli.py {{{'|'.join(cmds)}}} ...")
     raise SystemExit(cmds[sys.argv[1]](sys.argv[2:]))
