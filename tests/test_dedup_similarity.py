@@ -219,3 +219,32 @@ def test_brute_force_topk_batch_matches_per_query(spark, driver_tables):
         .executedPlan().toString()
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.count(",") >= 2, f"unpartitioned window: {spec}"
+
+
+def test_incremental_lsh_equals_full_recompute(spark, driver_tables):
+    """incremental(new, band_table(old)) ∪ candidates(old) must equal
+    candidates(old ∪ new) — the amortized-index contract."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+
+    all_docs = driver_tables["documents"].select("doc_id", "text")
+    old = all_docs.filter(F.col("doc_id") % 5 != 0)
+    new = all_docs.filter(F.col("doc_id") % 5 == 0)
+
+    band_table = minhash_band_table(old).persist()
+    inc = incremental_lsh_candidates(new, band_table)
+    old_pairs = minhash_lsh_candidates(old)
+    full = minhash_lsh_candidates(all_docs)
+
+    got = {(r.id_a, r.id_b) for r in inc.collect()} | {
+        (r.id_a, r.id_b) for r in old_pairs.collect()
+    }
+    want = {(r.id_a, r.id_b) for r in full.collect()}
+    assert got == want
+    # and the increment genuinely contributes cross pairs
+    assert any(
+        (a % 5 == 0) != (b % 5 == 0) for a, b in got
+    )

@@ -104,7 +104,7 @@ def minhash_signatures(
     return sh.groupBy("_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -112,13 +112,12 @@ def minhash_lsh_candidates(
     n_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs: signatures split into ``bands`` bands of
-    ``n_hashes/bands`` rows; documents colliding on any band's hash
-    are candidates.  The self-join is on (band, band_hash) — i.e. only
-    within buckets, never all-pairs.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct.
-    """
+    """(_id, band, band_hash): the LSH banding relation — signatures
+    split into ``bands`` bands of ``n_hashes/bands`` rows, one md5 per
+    band.  This is the *index* of LSH dedup: materialize it (parquet,
+    bucketed by (band, band_hash) at scale) once per corpus and each
+    new ingest increment joins against it instead of recomputing
+    signatures for the whole corpus (`incremental_lsh_candidates`)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
     # all bands in ONE pass over the signatures (a per-band union would
@@ -132,9 +131,28 @@ def minhash_lsh_candidates(
                 F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast("binary")).alias("band_hash"),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "_id", F.explode(F.array(*band_structs)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: documents colliding on any band's hash are
+    candidates.  The self-join is on (band, band_hash) — i.e. only
+    within buckets, never all-pairs.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    banded = minhash_band_table(
+        docs, id_col, text_col, k_shingle, n_hashes, bands
+    )
     # persist: the bucket self-join reads `banded` twice, and each
     # un-persisted read replays the full shingle+signature pipeline
     # (the expensive part).  One row per (doc, band) — tiny.
@@ -147,6 +165,58 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    band_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs for a NEW ingest increment against an existing
+    corpus, without touching the existing corpus's text: signatures
+    are computed for the increment only and joined against the
+    corpus's materialized ``band_table`` (minhash_band_table output,
+    same k/n/bands), plus the increment's own new-vs-new self-join.
+
+    Returns (id_a, id_b), id_a < id_b, distinct — exactly the pairs
+    `minhash_lsh_candidates(old ∪ new)` would emit minus the old-vs-old
+    pairs (already resolved in previous runs).  Ids must be globally
+    unique across increments (caller's contract).
+
+    Scale: per-ingest cost is O(|increment|) signature work plus a
+    join sized by bucket collisions.  With the band table bucketed by
+    (band, band_hash) at write time, the probe join needs no shuffle
+    of the stored side — the index amortizes across every future
+    increment, which is the point: a daily crawl never re-hashes the
+    accumulated 100 TB corpus.
+    """
+    new_banded = minhash_band_table(
+        new_docs, id_col, text_col, k_shingle, n_hashes, bands
+    ).persist()
+    old = band_table.select(
+        F.col("_id").alias("id_old"), "band", "band_hash"
+    )
+    new_a = new_banded.select(F.col("_id").alias("id_new"), "band", "band_hash")
+    cross = (
+        new_a.join(old, ["band", "band_hash"])
+        .select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    a = new_banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
+    b = new_banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
+    within = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cross.unionByName(within).distinct()
 
 
 def jaccard_pairs(
