@@ -250,3 +250,36 @@ def test_redact_pii_and_urls(spark):
     assert got.loc["d4", "urls"] == 2
     assert "example.org" not in got.loc["d4", "stripped"]
     assert "foo.bar" not in got.loc["d4", "stripped"]
+
+
+def test_script_detection(spark):
+    from wrds_data_pipeline_spark.functions.text import (
+        detect_script,
+        script_ratios,
+    )
+
+    rows = [
+        (1, "plain english words only"),
+        (2, "привет мир это кириллица всюду"),
+        (3, "مرحبا بالعالم هذا نص عربي"),
+        (4, "これは日本語のテキストです漢字もあります"),
+        (5, "mixed привет text с кириллицей и latin words here ok"),
+        (6, "1234 ... !!!"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r.id: r.s
+        for r in df.select("id", detect_script("text").alias("s")).collect()
+    }
+    assert got[1] == "latin"
+    assert got[2] == "cyrillic"
+    assert got[3] == "arabic"
+    assert got[4] == "cjk"
+    assert got[6] == "unknown"
+
+    ratios = df.filter("id = 5").select(
+        *[v.alias(k) for k, v in script_ratios("text").items()]
+    ).first()
+    assert 0 < ratios["cyrillic"] < 1
+    assert 0 < ratios["latin"] < 1
+    assert abs(ratios["latin"] + ratios["cyrillic"] - 1.0) < 1e-5

@@ -1,0 +1,100 @@
+"""Micro-bench for the training-corpus operator family at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): the operators
+added beyond the 14-query headline set — dup-group resolution,
+decontamination, boilerplate removal, sequence packing, incremental
+LSH, script routing.  Same output convention as bench.py: one JSON
+line with per-stage seconds (warm pass first, best of 2 timed).
+
+Usage: python tools/bench_corpus.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.boilerplate import (
+        remove_boilerplate,
+    )
+    from wrds_data_pipeline_spark.operators.components import (
+        dedup_keep_canonical,
+    )
+    from wrds_data_pipeline_spark.operators.contamination import (
+        contamination_scores,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+    from wrds_data_pipeline_spark.operators.packing import pack_sequences
+    from wrds_data_pipeline_spark.functions.text import detect_script
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench_set = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    band_table = minhash_band_table(old)
+
+    return {
+        "dup_groups_resolve": lambda: dedup_keep_canonical(
+            docs, minhash_lsh_candidates(docs)
+        ).count(),
+        "contamination": lambda: contamination_scores(
+            docs, bench_set
+        ).count(),
+        "boilerplate": lambda: remove_boilerplate(docs, min_docs=5).count(),
+        "packing": lambda: pack_sequences(docs, 4096).count(),
+        "incremental_lsh": lambda: incremental_lsh_candidates(
+            new, band_table
+        ).count(),
+        "script_route": lambda: docs.groupBy(
+            detect_script("text").alias("script")
+        ).count().count(),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from wrds_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-corpus")
+    ops = stages(spark, sf_dir)
+
+    for fn in ops.values():  # warm pass, untimed
+        fn()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in ops.items():
+        best = min(
+            (lambda t0=time.perf_counter(): (fn(), time.perf_counter() - t0)[1])()
+            for _ in range(2)
+        )
+        times[name] = round(best, 3)
+        total += best
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_operator_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
