@@ -248,3 +248,37 @@ def test_incremental_lsh_equals_full_recompute(spark, driver_tables):
     assert any(
         (a % 5 == 0) != (b % 5 == 0) for a, b in got
     )
+
+
+def test_int8_quantization_preserves_topk(spark, driver_tables):
+    """Round-trip error is bounded and brute-force top-10 on
+    dequantized vectors matches exact top-10 with high overlap."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = driver_tables["embeddings"]
+    rt = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("deq"),
+    )
+    # cosine(original, round-trip) must stay ~1 for every vector
+    worst = rt.select(
+        F.min(cosine(F.col("embedding"), F.col("deq"))).alias("m")
+    ).first()["m"]
+    assert worst > 0.999
+
+    query = emb.orderBy("vec_id").first()["embedding"]
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(emb, query, k=10).collect()
+    }
+    deq = rt.select("vec_id", F.col("deq").alias("embedding"))
+    approx = {
+        r.vec_id for r in brute_force_topk(deq, query, k=10).collect()
+    }
+    assert len(exact & approx) >= 9

@@ -66,6 +66,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
         bid = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -94,8 +95,16 @@ def connected_components(
         ).first()
         sig = (row["n"], row["s"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the star extraction below is only valid at the fixed point;
+        # returning early would be silently wrong, not approximate
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (O(log^2 n) expected — raise max_iters)"
+        )
 
     # Fixed point = disjoint stars (paper, Thm 3): every edge is
     # (member, root) with root = component min.  Roots appear only on
