@@ -153,6 +153,11 @@ def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
     assert len(shards) > 0
     assert {"doc_id", "text", "seq_id", "seq_pos"} <= set(shards.columns)
     assert shards.groupby("seq_id")["n_tokens"].sum().max() <= 2048
+    assert "_q_cut" not in shards.columns  # internal cutoff must not leak
     report = pd.read_parquet(os.path.join(out, "report"))
     assert {"fate", "n_docs"} <= set(report.columns)
     assert report["n_docs"].sum() == len(pd.read_parquet(docs_path))
+    # post-filter summary reconciles with the shards actually written
+    summary = pd.read_parquet(os.path.join(out, "shards_summary"))
+    assert summary["n_docs"].iloc[0] == shards["doc_id"].nunique()
+    assert summary["n_seqs"].iloc[0] == shards["seq_id"].nunique()

@@ -79,13 +79,13 @@ def test_contamination_duckdb_twin(spark):
                             FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS gs
       FROM norm
     ), doc_h AS (
-      SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1000000007 AS h
+      SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
       FROM grams, unnest(gs) AS t(g)
     ), bnorm AS (
       SELECT list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
       FROM bench
     ), bgrams AS (
-      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1000000007 AS h
+      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
       FROM (
         SELECT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
                                      FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g

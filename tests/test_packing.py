@@ -97,6 +97,27 @@ def test_oversize_flagged_not_packed(spark):
     assert not rows[0].oversize and not rows[2].oversize
 
 
+def test_null_tokens_routed_not_dropped(spark):
+    """Null text / null token counts must come back flagged, not
+    silently vanish (three-valued-logic regression)."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 200)],
+        "doc_id long, n_tok long",
+    )
+    rows = (
+        pack_sequences(docs, 1024, token_col="n_tok")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[1].oversize and rows[1].seq_id is None
+    docs_txt = spark.createDataFrame(
+        [(1, "some real words here"), (2, None)], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs_txt, 1024).orderBy("doc_id").collect()
+    assert len(rows) == 2 and rows[1].oversize
+
+
 def test_repartition_invariant(spark):
     rng = random.Random(3)
     toks = [rng.randrange(1, 700) for _ in range(300)]

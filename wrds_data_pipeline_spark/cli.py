@@ -254,17 +254,35 @@ def corpus_main(argv: list[str] | None = None) -> int:
 
         kept = decontaminate(kept, spark.read.parquet(args.bench), n=8)
     if args.keep_frac:
-        kept = quality_quantile_filter(kept, keep_frac=args.keep_frac)
-    packed = pack_sequences(kept, args.max_tokens)
+        kept = quality_quantile_filter(kept, keep_frac=args.keep_frac).drop(
+            "_q_cut"  # internal cutoff must not leak into the shards
+        )
+    # persist: kept feeds the packing plan AND the shard join; packed
+    # feeds the write AND the summary — without these the whole
+    # curate->decontaminate->quantile chain re-executes per action
+    kept = kept.persist()
+    packed = pack_sequences(kept, args.max_tokens).persist()
     write_packed_shards(kept, packed, f"{args.out_dir}/shards")
+    # curation-stage audit (fates up to the near-dup/quality filters)
     curation_report(audit).write.mode("overwrite").parquet(
         f"{args.out_dir}/report"
     )
-    n_seqs = (
-        packed.filter(F.col("seq_id").isNotNull())
-        .select("seq_id").distinct().count()
+    # post-filter truth: what actually landed in the shards — the
+    # curation report alone over-counts when --bench/--keep-frac
+    # dropped docs after the audit was stamped
+    summary = packed.filter(F.col("seq_id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("seq_id").alias("n_seqs"),
+        F.sum("n_tokens").alias("n_tokens"),
     )
-    print(f"{kept.count()} docs in {n_seqs} sequences -> {args.out_dir}")
+    summary.write.mode("overwrite").parquet(f"{args.out_dir}/shards_summary")
+    row = spark.read.parquet(f"{args.out_dir}/shards_summary").first()
+    kept.unpersist()
+    packed.unpersist()
+    print(
+        f"{row['n_docs']} docs in {row['n_seqs']} sequences "
+        f"({row['n_tokens']} tokens) -> {args.out_dir}"
+    )
     return 0
 
 

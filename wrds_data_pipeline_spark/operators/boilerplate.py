@@ -17,8 +17,12 @@ Scale design:
 - Document reassembly is a per-doc collect_list of (pos, line)
   structs: state is bounded by document length, never by corpus size,
   and the groupBy reuses the exploded relation's doc partitioning.
-- Everything is built-in expressions (md5→int64 hashing shared with
-  operators/dedup.py), so the whole operator has an exact SQL twin.
+- Everything is built-in expressions; line identity is the 60-bit
+  md5-prefix hash (dedup.shingle_hash_wide) — membership here is
+  exact, and the mod-1e9+7 MinHash space would collide rare lines
+  into boilerplate at corpus scale (10^8 distinct lines → millions
+  of expected 2^30 collisions, ~none at 2^60).  Normalization is the
+  repo-canonical functions/text.normalize.
 """
 
 from __future__ import annotations
@@ -26,11 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wrds_data_pipeline_spark.operators.dedup import shingle_hash
-
-
-def _norm_line(c) -> "F.Column":
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+from wrds_data_pipeline_spark.functions.text import normalize as _norm_line
+from wrds_data_pipeline_spark.operators.dedup import shingle_hash_wide
 
 
 def doc_lines(
@@ -42,7 +43,7 @@ def doc_lines(
     return docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("h", shingle_hash(_norm_line(F.col("line"))))
+    ).withColumn("h", shingle_hash_wide(_norm_line(F.col("line"))))
 
 
 def boilerplate_lines(

@@ -15,8 +15,10 @@ Scale design:
 - Training side explodes to (doc, hash) pairs, map-side-combines the
   per-doc distinct count, and left-joins the broadcast benchmark set.
   One wide scan, zero corpus shuffles beyond the per-doc aggregate.
-- Hashing matches operators/dedup.py (md5→int64 mod p), so the whole
-  pipeline has an exact DuckDB twin.
+- Hashing is the 60-bit md5-prefix form (dedup.shingle_hash_wide):
+  membership here is EXACT, so the mod-1e9+7 MinHash space would
+  false-hit clean documents at corpus scale.  Still has an exact
+  DuckDB twin (no modulus, same 15-hex-char cast).
 """
 
 from __future__ import annotations
@@ -25,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions.text import word_shingles
-from wrds_data_pipeline_spark.operators.dedup import shingle_hash
+from wrds_data_pipeline_spark.operators.dedup import (
+    _shingled,
+    shingle_hash_wide,
+)
 
 
 def benchmark_ngram_set(
@@ -37,7 +42,7 @@ def benchmark_ngram_set(
         benchmark.select(
             F.explode(word_shingles(text_col, n)).alias("shingle")
         )
-        .select(shingle_hash(F.col("shingle")).alias("h"))
+        .select(shingle_hash_wide(F.col("shingle")).alias("h"))
         .distinct()
     )
 
@@ -58,16 +63,7 @@ def contamination_scores(
     row — n_ngrams >= 1.
     """
     bench = F.broadcast(benchmark_ngram_set(benchmark, bench_text_col, n))
-    doc_grams = (
-        docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(word_shingles(text_col, n)).alias("shingle"),
-        )
-        .select("_id", shingle_hash(F.col("shingle")).alias("h"))
-    )
+    doc_grams = _shingled(docs, id_col, text_col, n, hash_fn=shingle_hash_wide)
     flagged = doc_grams.join(
         bench.withColumn("_hit", F.lit(1)), "h", "left"
     )
@@ -103,7 +99,10 @@ def decontaminate(
     scores = contamination_scores(
         docs, benchmark, id_col, text_col, bench_text_col, n
     )
+    # filter on the UNROUNDED ratio: the display column rounds to 6dp,
+    # so a multi-million-gram doc with one genuine hit would round to
+    # 0.0 and slip past a max_ratio=0.0 cut
     dirty = scores.filter(
-        F.col("contamination_ratio") > F.lit(max_ratio)
+        F.col("n_contaminated") / F.col("n_ngrams") > F.lit(max_ratio)
     ).select(id_col)
     return docs.join(dirty, id_col, "left_anti")

@@ -47,15 +47,29 @@ MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
 )
 
 
-def shingle_hash(shingle_col) -> "F.Column":
-    """Shingle → int64: first 15 md5 hex chars as a base-16 number,
-    reduced mod MINHASH_MOD.  (DuckDB twin:
-    ('0x' || substr(md5(s),1,15))::BIGINT % M.)"""
+def shingle_hash_wide(shingle_col) -> "F.Column":
+    """Shingle → 60-bit int64 (first 15 md5 hex chars, NO modulus):
+    the hash for EXACT set membership (contamination, boilerplate),
+    where the mod-1e9+7 MinHash space (~2^30) would produce false
+    hits at corpus scale — 10^5 benchmark n-grams × 10^3 grams/doc
+    gives ~10% false-contamination per doc at 2^30 vs ~10^-10 at
+    2^60.  DuckDB twin: CAST(concat('0x', substr(md5(s),1,15)) AS
+    BIGINT)."""
     h = F.conv(F.substring(F.md5(shingle_col.cast("binary")), 1, 15), 16, 10)
-    return h.cast("bigint") % MINHASH_MOD
+    return h.cast("bigint")
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def shingle_hash(shingle_col) -> "F.Column":
+    """Shingle → int64 mod MINHASH_MOD: the MinHash-arithmetic hash
+    (products must stay inside int64).  Collisions at ~2^-30/pair are
+    fine for *similarity estimates* — use shingle_hash_wide for exact
+    membership.  (DuckDB twin: shingle_hash_wide's % 1000000007.)"""
+    return shingle_hash_wide(shingle_col) % MINHASH_MOD
+
+
+def _shingled(
+    docs: DataFrame, id_col: str, text_col: str, k: int, hash_fn=None
+) -> DataFrame:
     """(_id, h): distinct hashed k-shingles per document.  One md5 per
     shingle total — signatures/joins downstream are integer-only.
 
@@ -73,13 +87,14 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     oracle mirrors by deduping shingle *strings* before hashing.)"""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
+    hash_fn = hash_fn or shingle_hash
     return (
         docs.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             F.explode(word_shingles(text_col, k)).alias("shingle"),
         )
-        .select("_id", shingle_hash(F.col("shingle")).alias("h"))
+        .select("_id", hash_fn(F.col("shingle")).alias("h"))
     )
 
 

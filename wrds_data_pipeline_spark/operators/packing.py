@@ -87,7 +87,8 @@ def pack_sequences(
     - seq_id is globally unique and increases with packing order;
       seq_pos is the document's position within its sequence.
     - Oversize docs (n_tokens > max_tokens) get seq_id null,
-      oversize true.
+      oversize true; docs whose token count is null (null text) are
+      routed the same way rather than silently dropped.
     """
     tok = (
         F.col(token_col)
@@ -105,7 +106,12 @@ def pack_sequences(
         base = docs.select(F.col(id_col).alias("_id"), tok.alias("n_tokens"))
         order_cols = ["_id"]
 
-    oversize = base.filter(F.col("n_tokens") > max_tokens).select(
+    # null token counts (null text / nulls in a user token_col) route
+    # to the unpackable branch — without the isNull arm they would
+    # match NEITHER filter (three-valued logic) and silently vanish
+    oversize = base.filter(
+        (F.col("n_tokens") > max_tokens) | F.col("n_tokens").isNull()
+    ).select(
         F.col("_id").alias(id_col),
         "n_tokens",
         F.lit(None).cast("long").alias("seq_id"),
