@@ -1,0 +1,75 @@
+"""TF-IDF keyword extraction: the classic corpus-statistics text
+analysis — per-document top-k terms by tf·idf.
+
+Scale design:
+- One token explode feeds BOTH aggregates: per-(doc, term) tf and
+  per-term document frequency (df is a count over the distinct
+  (doc, term) relation tf already materializes — no second pass over
+  text).
+- The corpus size enters as a broadcast 1-row aggregate (no driver
+  `.count()` round-trip — the plan stays lazy end-to-end).
+- ``max_df_frac`` prunes stopword-ish terms (df above the fraction)
+  BEFORE the tf⋈df join: those are exactly the join's skewed hot
+  keys, so the prune is simultaneously the relevance filter and the
+  skew guard.  AQE handles whatever residual skew remains.
+- Top-k per document is a window partitioned by doc — state bounded
+  by document vocabulary, never corpus vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from wrds_data_pipeline_spark.functions.text import tokens
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf, rank) — top ``k`` terms per document
+    by tf·idf, idf = ln((N+1)/(df+1)) + 1 (the smoothed scikit-style
+    form; public).  Terms in more than ``max_df_frac`` of documents or
+    fewer than ``min_df`` documents are excluded.  Ties break on term
+    text for determinism."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    df_rel = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("_n_docs") * max_df_frac)
+        )
+    )
+    scored = tf.join(df_rel, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.col("_n_docs") + 1) / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )
