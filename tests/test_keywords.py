@@ -77,3 +77,47 @@ def test_tfidf_driver_documents_smoke(spark, driver_tables):
     agg = out.groupBy("doc_id").agg(F.count("*").alias("n"))
     assert agg.filter(F.col("n") > 3).count() == 0
     assert out.count() > 0
+
+
+def test_build_vocab_top_terms(spark):
+    from wrds_data_pipeline_spark.operators.keywords import build_vocab
+
+    vocab = build_vocab(_docs(spark), size=3).orderBy("rank").collect()
+    assert len(vocab) == 3
+    # Row.count is a method — use item access for the count column
+    assert vocab[0].term == "the" and vocab[0]["count"] == 5
+    assert [r.rank for r in vocab] == [1, 2, 3]
+    assert vocab[1]["count"] >= vocab[2]["count"]
+
+
+def test_build_vocab_plans_take_ordered(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.keywords import build_vocab
+
+    vocab = build_vocab(driver_tables["documents"], size=100)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the synthetic docs draw from a small vocabulary (~31 tokens at
+    # sf0.001), so the limit may not bind — only bound the size
+    assert 0 < vocab.count() <= 100
+
+
+def test_mojibake_detect_and_fix(spark):
+    from wrds_data_pipeline_spark.functions.text import (
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    broken = "the caf\u00c3\u00a9 said \u00e2\u20ac\u2122hello\u00e2\u20ac\u2122 \u00e2\u20ac\u201d loudly"
+    fixed_want = "the caf\u00e9 said \u2019hello\u2019 \u2014 loudly"
+    df = spark.createDataFrame([(1, broken), (2, "totally clean text")], ["id", "text"])
+    out = {
+        r.id: (r.n, r.fixed)
+        for r in df.select(
+            "id",
+            mojibake_count("text").alias("n"),
+            fix_mojibake("text").alias("fixed"),
+        ).collect()
+    }
+    assert out[1][0] == 4
+    assert out[1][1] == fixed_want
+    assert out[2] == (0, "totally clean text")

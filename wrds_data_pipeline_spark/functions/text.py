@@ -341,3 +341,51 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles — the set form used by Jaccard /
     MinHash (order irrelevant there)."""
     return F.array_distinct(word_shingles_ordered(text, k))
+
+
+# Mojibake: the highest-frequency UTF-8-decoded-as-CP1252 artifacts
+# (the core of the public ftfy fix table; byte math is plain
+# Unicode/CP1252 knowledge).  Note the right-double-quote artifact's
+# third character IS the C1 control U+009D (CP1252 leaves 0x9D
+# undefined).  Ordered longest-first so 3-char artifacts repair
+# before any 2-char prefix could.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # a-hat euro tm   -> ’
+    ("â€œ", "“"),  # a-hat euro oe   -> “
+    ("â€", "”"),  # a-hat euro C1   -> ”
+    ("â€”", "—"),  # a-hat euro rdq  -> —
+    ("â€“", "–"),  # a-hat euro ldq  -> –
+    ("â€¦", "…"),  # a-hat euro brkn -> …
+    ("Ã©", "é"),        # A-tilde copy    -> é
+    ("Ã¨", "è"),        # -> è
+    ("Ã¡", "á"),        # -> á
+    ("Ã³", "ó"),        # -> ó
+    ("Ãº", "ú"),        # -> ú
+    ("Ã±", "ñ"),        # -> ñ
+    ("Ã¼", "ü"),        # -> ü
+    ("Ã¤", "ä"),        # -> ä
+    ("Ã¶", "ö"),        # -> ö
+    ("Â ", " "),             # A-circ nbsp     -> plain space
+)
+
+
+def mojibake_count(text: Column | str) -> Column:
+    """Occurrences of known double-encoding artifacts — a corpus
+    health signal (high counts mean the upstream extractor mis-decoded
+    a source).  One regexp_count over an alternation of literals."""
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    pat = "|".join(_re.escape(bad) for bad, _ in MOJIBAKE_MAP)
+    return F.regexp_count(c, F.lit(pat))
+
+
+def fix_mojibake(text: Column | str) -> Column:
+    """Repair the mapped artifacts (longest-first so compound
+    sequences never half-repair).  A chain of literal replaces —
+    row-local, codegen'd.  NOT a general ftfy: heuristic re-decoding
+    is out of scope, this is the high-frequency table only."""
+    c = F.col(text) if isinstance(text, str) else text
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c

@@ -73,3 +73,34 @@ def tfidf_top_terms(
             F.col("_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int = 30_000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(term, count, rank): the ``size`` most frequent tokens — the
+    vocabulary pass of a tokenizer pipeline.  One explode +
+    hash-aggregate (map-side combined); the sort+limit plans as
+    TakeOrderedAndProject (per-partition top-``size``, size-row driver
+    merge — never a global sort).  The rank window then runs over the
+    already-limited ``size`` rows, not the vocabulary.  Ties break on
+    term text."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("term")).limit(size)
+    # Column-referencing constant partition key (pmod(xxhash64(term),1)
+    # = 0 for every row) — a bare literal would be constant-folded out
+    # of the window spec and trigger the unpartitioned-window path;
+    # this keeps WindowExec partitioned while its input is ≤size rows.
+    w = W.partitionBy(F.pmod(F.xxhash64(F.col("term")), F.lit(1))).orderBy(
+        F.desc("count"), F.asc("term")
+    )
+    return top.withColumn("rank", F.row_number().over(w))
