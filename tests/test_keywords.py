@@ -121,3 +121,62 @@ def test_mojibake_detect_and_fix(spark):
     assert out[1][0] == 4
     assert out[1][1] == fixed_want
     assert out[2] == (0, "totally clean text")
+
+
+def test_doc_cross_entropy_vs_replay(spark):
+    import math
+
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_vocab,
+        doc_cross_entropy,
+    )
+
+    docs = _docs(spark)
+    alpha = 0.5
+    vocab = build_vocab(docs, size=100)
+    out = {
+        r.doc_id: r for r in doc_cross_entropy(docs, vocab, alpha=alpha).collect()
+    }
+
+    # python replay of the smoothed unigram LM
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    counts = {}
+    for _, t in rows:
+        for tok in t.lower().split():
+            counts[tok] = counts.get(tok, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    denom = n + alpha * (v + 1)
+
+    def logp(tok):
+        return math.log((counts.get(tok, 0) + alpha) / denom)
+
+    for i, t in rows:
+        toks = t.lower().split()
+        mean_ln = sum(logp(tok) for tok in toks) / len(toks)
+        assert out[i].n_tokens == len(toks)
+        assert out[i].cross_entropy == round(-mean_ln / math.log(2), 6)
+        assert out[i].perplexity == round(math.exp(-mean_ln), 6)
+        assert out[i].n_oov == 0  # vocab built from the same corpus
+
+
+def test_doc_cross_entropy_oov_scores_worse(spark):
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_vocab,
+        doc_cross_entropy,
+    )
+
+    train = _docs(spark)
+    vocab = build_vocab(train, size=100)
+    test_docs = spark.createDataFrame(
+        [
+            (10, "spark catalyst optimizer plans"),   # all in-vocab
+            (11, "zyx qwv unseen gibberish blorp"),   # all OOV
+            (12, ""),                                  # no tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in doc_cross_entropy(test_docs, vocab).collect()}
+    assert set(out) == {10, 11}
+    assert out[11].n_oov == 5 and out[10].n_oov == 0
+    assert out[11].cross_entropy > out[10].cross_entropy
+    assert out[11].perplexity > out[10].perplexity

@@ -167,3 +167,67 @@ def test_pack_from_text_and_order_col(spark, driver_tables):
     assert packed.count() == n_docs
     stats = sequence_stats(packed, 4096)
     assert stats.filter(F.col("seq_tokens") > 4096).count() == 0
+
+
+def _long_docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+        (2, "alpha beta gamma"),                      # 3 tokens (< window)
+        (3, ""),                                      # empty -> no chunks
+        (4, " ".join(f"u{i}" for i in range(8))),    # exactly 2 windows of 4
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_disjoint_rebuilds_document(spark):
+    from wrds_data_pipeline_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(_long_docs(spark), max_tokens=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 4}  # empty doc 3 absent
+    # disjoint stride rebuilds the normalized doc exactly
+    assert " ".join(c.chunk_text for c in by_doc[1]) == " ".join(
+        f"t{i}" for i in range(10)
+    )
+    assert [c.n_chunk_tokens for c in by_doc[1]] == [4, 4, 2]
+    assert [c.chunk_id for c in by_doc[1]] == [0, 1, 2]
+    assert [c.n_chunk_tokens for c in by_doc[2]] == [3]
+    assert [c.n_chunk_tokens for c in by_doc[4]] == [4, 4]
+
+
+def test_chunk_overlap_stride(spark):
+    from wrds_data_pipeline_spark.operators.packing import chunk_documents
+
+    out = sorted(
+        chunk_documents(
+            _long_docs(spark).filter("doc_id = 1"), max_tokens=4, stride=2
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 0,2,4,6,8 -> windows of 4,4,4,4,2
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 4, 2]
+    texts = [r.chunk_text.split() for r in out]
+    for a, b in zip(texts, texts[1:]):
+        assert a[2:] == b[: len(a) - 2]  # 2-token overlap carries over
+
+
+def test_chunk_no_shuffle_plan(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(driver_tables["documents"], max_tokens=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: explode + slice only
+    assert out.count() > 0
+
+
+def test_chunk_validates_args(spark):
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_long_docs(spark), max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_long_docs(spark), max_tokens=4, stride=-1)

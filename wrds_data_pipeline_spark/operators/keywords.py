@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -104,3 +106,61 @@ def build_vocab(
         F.desc("count"), F.asc("term")
     )
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def doc_cross_entropy(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, n_oov, cross_entropy, perplexity) per document
+    under an add-``alpha``-smoothed unigram LM estimated from
+    ``vocab`` (a ``(term, count)`` relation, e.g. ``build_vocab``
+    output) — the classic cheap perplexity proxy for corpus quality
+    filtering (CCNet-style: keep documents the reference LM finds
+    unsurprising).  P(t) = (count_t + α) / (N + α(V+1)); all
+    out-of-vocabulary tokens share the one reserved bucket
+    P(OOV) = α / (N + α(V+1)).  ``cross_entropy`` is bits/token;
+    ``perplexity`` = 2^H.  Documents with zero tokens produce no row.
+
+    Scale: the LM totals enter as a broadcast 1-row aggregate (lazy,
+    no driver round-trip); the vocab side is bounded by construction
+    (``build_vocab(size=...)``) so the token→logp join broadcasts;
+    the corpus side is explode → broadcast-join → one hash-agg per
+    document.  OOV mass is applied per-document (after the agg), so
+    the 1-row totals relation never joins the exploded token stream.
+    """
+    totals = vocab.agg(
+        F.sum("count").cast("double").alias("_n_tok"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    denom = F.col("_n_tok") + alpha * (F.col("_v") + 1)
+    vocab_logp = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select("term", F.log((F.col("count") + alpha) / denom).alias("_logp"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    scored = toks.join(F.broadcast(vocab_logp), "term", "left")
+    per_doc = (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_logp"), F.lit(0.0))).alias("_ln_known"),
+            F.sum(F.col("_logp").isNull().cast("long")).alias("n_oov"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    mean_ln = (
+        F.col("_ln_known") + F.col("n_oov") * F.log(F.lit(alpha) / denom)
+    ) / F.col("n_tokens")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        F.round(-mean_ln / math.log(2.0), 6).alias("cross_entropy"),
+        F.round(F.exp(-mean_ln), 6).alias("perplexity"),
+    )

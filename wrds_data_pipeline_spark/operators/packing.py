@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count
+from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count, tokens
 
 
 def _exclusive_prefix_sum(
@@ -205,4 +205,57 @@ def write_packed_shards(
         .sortWithinPartitions("seq_id", "seq_pos")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, n_chunk_tokens, chunk_text): split each document
+    into token windows of at most ``max_tokens`` tokens starting every
+    ``stride`` tokens — the long-document counterpart of
+    ``pack_sequences`` (packing merges short docs, chunking splits
+    long ones; a training pipeline runs chunking first, then packs the
+    pieces).  ``stride < max_tokens`` gives overlapping windows
+    (context-carryover chunking); the default ``stride = max_tokens``
+    is a disjoint partition of the token list, so
+    ``array_join(collect_list(chunk))`` in chunk_id order rebuilds the
+    normalized document exactly.  Trailing windows may be short;
+    zero-token documents produce no chunks.
+
+    Scale: entirely row-local (explode of a per-row ``sequence`` of
+    window starts + ``slice``) — no shuffle, no window, no UDF; chunk
+    count per row is ⌈n/stride⌉ so output size is linear in corpus
+    tokens even with overlap.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("_toks"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = toked.select(
+        "_id", "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    chunk = F.slice("_toks", F.col("_start") + 1, F.lit(max_tokens))
+    return (
+        exploded.select(
+            F.col("_id").alias(id_col),
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
     )
