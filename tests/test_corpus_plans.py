@@ -55,3 +55,20 @@ def test_packing_prefix_sum_range_partitions(spark):
     packed = pack_sequences(docs, 2048, token_col="n_tok", chunk_bins=8)
     plan = _plan(packed)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_cross_entropy_joins_are_broadcast(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_vocab,
+        doc_cross_entropy,
+    )
+
+    docs = driver_tables["documents"]
+    out = doc_cross_entropy(docs, build_vocab(docs, size=1000))
+    plan = _plan(out)
+    # the vocab→logp join and both 1-row totals joins must broadcast:
+    # the exploded corpus token stream is never shuffled for a join
+    # (its only Exchange is the per-document hash aggregate)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert out.count() > 0

@@ -24,6 +24,10 @@ def stages(spark, sf_dir):
     from wrds_data_pipeline_spark.operators.boilerplate import (
         remove_boilerplate,
     )
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_vocab,
+        doc_cross_entropy,
+    )
     from wrds_data_pipeline_spark.operators.components import (
         dedup_keep_canonical,
     )
@@ -35,7 +39,10 @@ def stages(spark, sf_dir):
         minhash_band_table,
         minhash_lsh_candidates,
     )
-    from wrds_data_pipeline_spark.operators.packing import pack_sequences
+    from wrds_data_pipeline_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
     from wrds_data_pipeline_spark.functions.text import detect_script
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -63,6 +70,10 @@ def stages(spark, sf_dir):
         "script_route": lambda: docs.groupBy(
             detect_script("text").alias("script")
         ).count().count(),
+        "cross_entropy": lambda: doc_cross_entropy(
+            docs, build_vocab(docs, size=30_000)
+        ).count(),
+        "chunking": lambda: chunk_documents(docs, max_tokens=256).count(),
     }
 
 
