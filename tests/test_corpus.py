@@ -132,3 +132,67 @@ def test_stratified_sample_exact(spark, driver_tables):
            mix.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got.get(some[0], 0) <= 2 and got.get(some[1], 0) <= 1
     assert set(got) <= set(some)  # unlisted strata excluded
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    import pytest
+
+    from wrds_data_pipeline_spark.plans.corpus import hash_split
+
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    fr = {
+        r.split: r.n / 20_000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(fr) == {"train", "val", "test"}  # exhaustive, one split each
+    assert abs(fr["train"] - 0.8) < 0.02
+    assert abs(fr["val"] - 0.1) < 0.02
+    assert abs(fr["test"] - 0.1) < 0.02
+
+    # pure function of (id, seed): repartitioning cannot move a row
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(
+            ids.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        ).collect()
+    }
+    assert a == b
+    # a new seed is a different assignment
+    c = {
+        r.doc_id: r.split
+        for r in hash_split(
+            ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=8
+        ).collect()
+    }
+    assert a != c
+
+    with pytest.raises(ValueError):
+        hash_split(ids, {"train": 0.8, "val": 0.1})  # doesn't sum to 1
+
+
+def test_shuffle_for_training_total_deterministic_order(spark):
+    from wrds_data_pipeline_spark.plans.corpus import shuffle_for_training
+
+    ids = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in shuffle_for_training(ids, seed=1).collect()]
+    assert sorted(a) == list(range(5_000))  # a permutation
+    assert a != list(range(5_000))  # and not the identity
+    # deterministic under re-run and repartition
+    b = [
+        r.doc_id
+        for r in shuffle_for_training(ids.repartition(13), seed=1).collect()
+    ]
+    assert a == b
+    # fresh seed, fresh permutation
+    c = [r.doc_id for r in shuffle_for_training(ids, seed=2).collect()]
+    assert a != c and sorted(c) == sorted(a)
+    # distributed total order: range partitioning, no single-partition sort
+    plan = (
+        shuffle_for_training(ids, seed=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()

@@ -232,3 +232,73 @@ def quality_quantile_filter(
     else:
         out = scored.crossJoin(F.broadcast(scored.agg(pct.alias("_q_cut"))))
     return out.filter(F.col("_q") >= F.col("_q_cut")).drop("_q")
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to one of the named
+    splits (default ``{"train": .98, "val": .01, "test": .01}``) by
+    seeded hash of the id — the standard deterministic train/val/test
+    partition.  Properties the ML workflow depends on: every row lands
+    in exactly one split; the assignment is a pure function of
+    (id, seed) — stable across re-runs, repartitioning, insertion
+    order, and cluster size; and fractions converge to the weights by
+    the law of large numbers.  No shuffle, no sampling pass, no state.
+
+    ``weights`` must sum to 1 (±1e-6).  Iteration order of the dict
+    fixes the cut order, so the same dict always yields the same
+    assignment.
+    """
+    weights = (
+        {"train": 0.98, "val": 0.01, "test": 0.01}
+        if weights is None
+        else weights
+    )
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    # uniform draw in [0, 1): non-negative 20-bit slice of the seeded
+    # 64-bit hash (xxhash64 is signed — mask, don't pmod, so the draw
+    # is exactly uniform over the slice)
+    u = (
+        F.shiftrightunsigned(
+            F.xxhash64(F.col(id_col), F.lit(seed)), 44
+        ).cast("double")
+        / F.lit(float(1 << 20))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+def shuffle_for_training(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global pseudo-random re-order — the "shuffle the
+    corpus once before sharding" step of training-data prep.  Sorts by
+    the seeded hash of the id (ties broken by id, so the order is
+    total and reproducible for a given seed; a new seed is a fresh
+    permutation).
+
+    Scale: plans as RangePartitioning over the hash + per-partition
+    sort — the distributed total order (sampled range boundaries, no
+    single-partition stage).  Downstream ``.write`` emits one file per
+    range partition, giving globally shuffled, deterministically
+    ordered shards.
+    """
+    return docs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
