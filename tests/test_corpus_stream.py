@@ -176,3 +176,63 @@ def test_streaming_stateless_quality_filter_native(spark, tmp_path):
         r.doc_id for r in batch.collect()
     )
     assert 2 not in set(got["doc_id"])
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Union of per-batch MinHash-band probe emissions == the batch
+    LSH candidates over the accumulated corpus: every pair emitted by
+    exactly one micro-batch (cross pairs by the later doc's batch,
+    within pairs by their own)."""
+    from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    batches = [
+        [(1, base + "version one"), (2, "completely unrelated text about spark plans")],
+        [(3, base + "version one"), (4, base + "version two slightly changed")],
+        [(5, "completely unrelated text about spark plans"), (6, base + "version one")],
+    ]
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "neardup_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx = os.path.join(str(tmp_path), "band_index")
+    got = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1,
+    )
+    got_pairs = sorted(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    # no pair emitted twice
+    assert len(got_pairs) == len(set(got_pairs))
+
+    all_docs = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(all_docs).collect()
+    )
+    assert got_pairs == want
+    # and the persisted index now answers a fresh increment without
+    # touching the corpus text again
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    stored = spark.read.parquet(idx)
+    new = spark.createDataFrame([(7, base + "version one")], schema)
+    probe = sorted(
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_candidates(new, stored).collect()
+    )
+    full = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            all_docs.unionByName(new)
+        ).collect()
+        if r.id_a == 7 or r.id_b == 7
+    )
+    assert probe == full

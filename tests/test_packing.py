@@ -231,3 +231,28 @@ def test_chunk_validates_args(spark):
         chunk_documents(_long_docs(spark), max_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(_long_docs(spark), max_tokens=4, stride=-1)
+
+
+def test_duplicate_order_keys_raise(spark):
+    """Non-unique order keys would make the distributed prefix sum
+    (and therefore seq assignment) nondeterministic — the guard makes
+    that impossible by construction."""
+    import pytest
+
+    rows = [(1, 10), (1, 20), (2, 30)]  # duplicate doc_id=1
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    with pytest.raises(ValueError, match="unique key"):
+        pack_sequences(docs, max_tokens=100, token_col="n_tok").collect()
+
+
+def test_unique_keys_do_not_raise_and_check_skippable(spark):
+    docs = spark.createDataFrame([(1, 10), (2, 20)], ["doc_id", "n_tok"])
+    out = pack_sequences(docs, max_tokens=100, token_col="n_tok")
+    assert out.count() == 2
+    from wrds_data_pipeline_spark.operators.packing import _exclusive_prefix_sum
+
+    # trusted-caller escape hatch: no eager uniqueness job
+    cum = _exclusive_prefix_sum(
+        docs, ["doc_id"], "n_tok", check_unique=False
+    ).orderBy("doc_id").collect()
+    assert [r["_cum"] for r in cum] == [0, 10]

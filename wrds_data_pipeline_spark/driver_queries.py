@@ -50,8 +50,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":
         e = e.withColumn("ts_us", F.expr("ts div 1000"))
-    else:  # parquet already micro-precision (future-proof)
-        e = e.withColumn("ts_us", F.unix_micros("ts"))
+    else:  # parquet already micro-precision (TIMESTAMP or _NTZ; the
+        # session TZ is pinned UTC above, so NTZ→LTZ cast is identity
+        # and ts_us matches DuckDB's epoch_us on the naive value)
+        e = e.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     return e.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
@@ -423,14 +425,10 @@ def q11_lag_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q12_distinct",
-    "SELECT DISTINCT event_type, user_id FROM events WHERE value > 50",
-)
-def q12_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 distinct (permnos-of-the-day, cloud_TAQ/taq_chunks.py:122)."""
-    e = _events(spark, sf_dir)
-    return e.filter(F.col("value") > 50).select("event_type", "user_id").distinct()
+# q12_distinct rotated out in round 4 (registry capped at 50): A3
+# distinct stays oracle-covered by q16's INTERSECT (set semantics) and
+# q17's dim-side .distinct(); the slot now checks connected components
+# (q52), which had pytest-only evidence.
 
 
 # ---------------------------------------------------------------------------
@@ -557,25 +555,33 @@ def q15_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT ALL
       SELECT user_id FROM events WHERE event_type = 'purchase'
     )
+    UNION ALL
+    SELECT 'market_hours' AS op, user_id FROM events
+    WHERE CAST(ts AS TIME) BETWEEN TIME '09:30:00' AND TIME '16:00:00'
     """,
 )
 def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 key-set intersection (the common-ticker set restriction,
     correlation_matrix_exporter.py:206) + EXCEPT ALL multiset
-    difference (SURVEY §2.7), tagged and stacked as one result so the
-    driver registry stays at 50 entries (rounds 1-2 showed the driver
-    records at most 50 queries; see q37 note at the former except-all
-    site): purchasers active in both week 1 and later weeks, and
-    viewers minus purchasers with multiplicity."""
+    difference (SURVEY §2.7) + P11 time-of-day BETWEEN (the
+    market-hours clip, cloud_TAQ/taq_chunks.py:63-68; folded in from
+    the rotated-out q20 so the predicate stays hash-checked within the
+    50-row driver cap), tagged and stacked as one result: purchasers
+    active in both week 1 and later weeks, viewers minus purchasers
+    with multiplicity, and per-event user ids inside 09:30-16:00."""
+    from wrds_data_pipeline_spark.functions.scalars import in_market_hours
+
     e = _events(spark, sf_dir)
     cut = F.lit("2024-01-08 00:00:00").cast("timestamp")
     w1 = e.filter((F.col("ts") < cut) & (F.col("event_type") == "purchase")).select("user_id")
     w2 = e.filter((F.col("ts") >= cut) & (F.col("event_type") == "purchase")).select("user_id")
     v = e.filter(F.col("event_type") == "view").select("user_id")
     p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    mh = e.filter(in_market_hours("ts")).select("user_id")
     return (
         w1.intersect(w2).select(F.lit("intersect").alias("op"), "user_id")
         .unionByName(v.exceptAll(p).select(F.lit("except_all").alias("op"), "user_id"))
+        .unionByName(mh.select(F.lit("market_hours").alias("op"), "user_id"))
     )
 
 
@@ -688,26 +694,9 @@ def q19_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q20_time_of_day",
-    """
-    SELECT event_type, count(*) AS n_in_session
-    FROM events
-    WHERE CAST(ts AS TIME) BETWEEN TIME '09:30:00' AND TIME '16:00:00'
-    GROUP BY 1
-    """,
-)
-def q20_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 time-of-day BETWEEN (market-hours clip,
-    cloud_TAQ/taq_chunks.py:63-68) at microsecond precision."""
-    from wrds_data_pipeline_spark.functions.scalars import in_market_hours
-
-    e = _events(spark, sf_dir)
-    return (
-        e.filter(in_market_hours("ts"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_in_session"))
-    )
+# q20_time_of_day rotated out in round 4: P11 (in_market_hours) moved
+# into q16_set_ops' tagged union, keeping the predicate hash-checked;
+# the slot now checks sequence packing (q53).
 
 
 @query(
@@ -856,14 +845,43 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q26_jaccard_pairs",
-    f"""
+def _jaccard_lsh_oracle_sql() -> str:
+    """LSH candidates (q27's banding) ∩ inverted-index intersection
+    counts — the q43-shaped twin of jaccard_pairs(candidates=...)."""
+    from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
+
+    sig_exprs = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MINHASH_MOD}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:12])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '|' || ".join(f"sig{band * 3 + j}::VARCHAR" for j in range(3)),
+        )
+        for band in range(4)
+    )
+    return f"""
     WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    sig AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh GROUP BY 1
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM sh a
+      JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -872,16 +890,27 @@ def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = id_a
     JOIN sizes nb ON nb.doc_id = id_b
     WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.2
-    """,
-)
-def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (3-word shingle) Jaccard near-duplicate pairs via
-    inverted-index join — the exact-verification half of near-dedup."""
-    from wrds_data_pipeline_spark.operators.dedup import jaccard_pairs
+    """
 
-    return jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+
+@query("q26_jaccard_pairs", _jaccard_lsh_oracle_sql())
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-word shingle) Jaccard verification restricted to the
+    MinHash-LSH candidate set — the LSH→verify composition that IS the
+    near-dedup scale path (candidate generation bucketed by band hash,
+    verification joins only candidate pairs; never all-pairs).
+    Re-registered this way in round 4 (VERDICT r3 "What's wrong" #1):
+    the unrestricted inverted-index form remains available as
+    ``jaccard_pairs(candidates=None)`` — the documented exact-oracle
+    path — but is no longer the registered plan."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
     )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, n_hashes=12, bands=4)
+    return jaccard_pairs(docs, threshold=0.2, candidates=cand)
 
 
 def _minhash_oracle_sql() -> str:
@@ -1015,44 +1044,10 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W5 business-day blocks
 # ---------------------------------------------------------------------------
 
-@query(
-    "q31_union_sort_limit",
-    """
-    SELECT * FROM (
-      SELECT 'big_spender' AS cohort, c_custkey AS key_id,
-             CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS score
-      FROM customer WHERE c_acctbal > 9000
-      UNION ALL
-      SELECT 'big_order' AS cohort, o_orderkey AS key_id,
-             CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS score
-      FROM orders WHERE o_totalprice > 400000
-    )
-    ORDER BY score DESC, cohort, key_id
-    LIMIT 100
-    """,
-)
-def q31_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 vertical union (pd.concat stacking,
-    correlation_matrix_exporter.py:208) + O1/O2 global ordered limit →
-    Spark plans TakeOrderedAndProject (no full sort at scale)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    u = (
-        c.filter(F.col("c_acctbal") > 9000)
-        .select(
-            F.lit("big_spender").alias("cohort"),
-            F.col("c_custkey").alias("key_id"),
-            F.col("c_acctbal").cast(DEC).cast("double").alias("score"),
-        )
-        .unionByName(
-            o.filter(F.col("o_totalprice") > 400000).select(
-                F.lit("big_order").alias("cohort"),
-                F.col("o_orderkey").alias("key_id"),
-                F.col("o_totalprice").cast(DEC).cast("double").alias("score"),
-            )
-        )
-    )
-    return u.orderBy(F.desc("score"), "cohort", "key_id").limit(100)
+# q31_union_sort_limit rotated out in round 4: U1 vertical union stays
+# oracle-covered by q16's UNION ALL stacking, and the global ordered
+# limit (O1/O2 TakeOrderedAndProject) by q29/q44's rank-and-LIMIT; the
+# slot now checks contamination + boilerplate removal (q54).
 
 
 @query(
@@ -1215,30 +1210,10 @@ def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q35_bpe_tokens",
-    r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
-             AS bpe_ish_tokens,
-           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
-             AS ws_tokens
-    FROM documents
-    """,
-)
-def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace words and the GPT-2-style
-    pre-tokenizer split (sub-word budget estimator) — both pure
-    regex expressions, identical under Java regex and RE2."""
-    from wrds_data_pipeline_spark.functions import text as X
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
-        X.token_count("text").alias("ws_tokens"),
-    )
+# q35_bpe_tokens rotated out in round 4: bpe_ish_token_count stays
+# hash-checked inside q49_token_budget and the q43 curation oracle;
+# whitespace token_count inside q24_token_stats and q53's packing
+# replay.  The slot now checks document chunking (q55).
 
 
 @query(
@@ -1880,6 +1855,305 @@ def q51_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         F.round("v_min", 6).alias("v_min"),
         F.round("v_max", 6).alias("v_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 rotation: driver-oracle rows for the formerly pytest-only
+# LLM-data operators (VERDICT r3 "Next round" #1) — connected
+# components, sequence packing, contamination + boilerplate, chunking.
+# ---------------------------------------------------------------------------
+
+
+def _dup_groups_oracle_sql() -> str:
+    """q27's LSH candidate pairs + recursive transitive closure: the
+    SQL twin of alternating large-star/small-star connected components
+    (the fixed point is the same partition of the candidate graph)."""
+    from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
+
+    sig_exprs = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MINHASH_MOD}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:12])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '|' || ".join(f"sig{band * 3 + j}::VARCHAR" for j in range(3)),
+        )
+        for band in range(4)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh GROUP BY 1
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    nodes AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach AS (
+      SELECT id AS src, id AS node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS doc_id, min(node) AS group_id FROM reach GROUP BY src
+    """
+
+
+@query("q52_dup_groups", _dup_groups_oracle_sql())
+def q52_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: MinHash-LSH candidate pairs resolved
+    into connected components (alternating large-star/small-star,
+    operators/components.py) — group_id = min doc id of the component.
+    ``dedup_keep_canonical`` is definitionally the id != group_id
+    anti-join over this same relation, so this row checks both.  The
+    oracle replays the closure with a recursive CTE (fine at sf0.01;
+    the distributed algorithm exists precisely because closure-by-
+    recursion isn't feasible at 100 TB)."""
+    from wrds_data_pipeline_spark.operators.components import connected_components
+    from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n_hashes=12, bands=4)
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "group_id")
+
+
+_PACK_MAX = 128
+_PACK_BINS = 4  # chunk budget = 512 tokens -> many chunks even at sf0.01
+
+
+@query(
+    "q53_pack_sequences",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    fit AS (SELECT * FROM tok WHERE n_tokens <= {_PACK_MAX}),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM fit
+    ),
+    chunked AS (
+      SELECT doc_id, n_tokens, c // {_PACK_MAX * _PACK_BINS} AS chunk,
+             row_number() OVER (PARTITION BY c // {_PACK_MAX * _PACK_BINS}
+                                ORDER BY doc_id) AS rn
+      FROM cum
+    ),
+    walk AS (
+      SELECT chunk, rn, doc_id, n_tokens,
+             0 AS s_local, n_tokens AS run, 0 AS seq_pos
+      FROM chunked WHERE rn = 1
+      UNION ALL
+      SELECT o.chunk, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.run + o.n_tokens > {_PACK_MAX} AND w.run > 0
+                  THEN w.s_local + 1 ELSE w.s_local END,
+             CASE WHEN w.run + o.n_tokens > {_PACK_MAX} AND w.run > 0
+                  THEN o.n_tokens ELSE w.run + o.n_tokens END,
+             CASE WHEN w.run + o.n_tokens > {_PACK_MAX} AND w.run > 0
+                  THEN 0 ELSE w.seq_pos + 1 END
+      FROM chunked o JOIN walk w ON o.chunk = w.chunk AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(chunk * {4 * _PACK_BINS} + s_local AS BIGINT) AS seq_id,
+           CAST(seq_pos AS INT) AS seq_pos,
+           FALSE AS oversize
+    FROM walk
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INT), TRUE
+    FROM tok WHERE n_tokens > {_PACK_MAX}
+    """,
+)
+def q53_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): greedy first-fit of
+    documents into 128-token training sequences, distributed via
+    exclusive prefix sum + chunk-local Arrow greedy.  The oracle
+    replays the exact pipeline — prefix-sum chunk assignment as a
+    window cumsum, the in-chunk greedy as a recursive CTE — so
+    seq_id/seq_pos match bit-for-bit including chunk-boundary
+    behavior (chunk budget 512 tokens forces many chunks even at
+    sf0.01)."""
+    from wrds_data_pipeline_spark.functions.text import token_count
+    from wrds_data_pipeline_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    out = pack_sequences(
+        d, max_tokens=_PACK_MAX, token_col="n_tok", chunk_bins=_PACK_BINS
+    )
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_pos", "oversize")
+
+
+_LINE_NORM = "regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "q54_corpus_hygiene",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    cnorm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM corpus
+    ),
+    cgrams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS gs
+      FROM cnorm
+    ),
+    doc_h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM cgrams, unnest(gs) AS t(g)
+    ),
+    bnorm AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM bench
+    ),
+    bgrams AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                     FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+        FROM bnorm
+      )
+    ),
+    contam AS (
+      SELECT doc_id,
+             count(*) AS n_a,
+             sum(CASE WHEN h IN (SELECT h FROM bgrams) THEN 1 ELSE 0 END) AS n_b
+      FROM doc_h GROUP BY doc_id
+    ),
+    syn AS (
+      SELECT doc_id,
+             concat('nav home about', chr(10), text, chr(10),
+                    'copyright footer 2024', chr(10), 'doc ', doc_id) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM syn),
+           unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    lh AS (
+      SELECT doc_id, pos, line,
+             CAST(concat('0x', substr(md5({_LINE_NORM}), 1, 15)) AS BIGINT) AS h
+      FROM lines
+    ),
+    bp AS (
+      SELECT h FROM lh WHERE {_LINE_NORM} <> ''
+      GROUP BY h HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (SELECT doc_id, pos, line FROM lh WHERE h NOT IN (SELECT h FROM bp)),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_in FROM lh GROUP BY doc_id)
+    SELECT 'contamination' AS op, doc_id, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, '' AS detail
+    FROM contam
+    UNION ALL
+    SELECT 'boilerplate' AS op, t.doc_id, CAST(t.n_in AS BIGINT) AS n_a,
+           CAST(t.n_in - coalesce(r.n_kept, 0) AS BIGINT) AS n_b,
+           md5(coalesce(r.text, '')) AS detail
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q54_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene, tagged union of two formerly pytest-only
+    operators:
+
+    - ``contamination``: per-doc 8-gram overlap of the corpus
+      (doc_id % 10 != 0) against a held-out benchmark slice
+      (doc_id % 10 == 0) — n_a = distinct n-grams, n_b = contaminated
+      (operators/contamination.py; benchmark set broadcast, corpus
+      never shuffled).
+    - ``boilerplate``: cross-document repeated-line removal over
+      synthesized multi-line docs (two constant nav/footer lines in
+      every doc cross the min_docs=3 threshold, the per-doc unique
+      line survives) — n_a = lines in, n_b = removed, detail = md5 of
+      the reassembled text pinning line ORDER, not just counts
+      (operators/boilerplate.py)."""
+    from wrds_data_pipeline_spark.operators.boilerplate import remove_boilerplate
+    from wrds_data_pipeline_spark.operators.contamination import contamination_scores
+
+    full = _t(spark, sf_dir, "documents")
+    corpus = full.filter(F.col("doc_id") % 10 != 0)
+    bench = full.filter(F.col("doc_id") % 10 == 0)
+    contam = contamination_scores(corpus, bench, n=8).select(
+        F.lit("contamination").alias("op"),
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_a"),
+        F.col("n_contaminated").cast("bigint").alias("n_b"),
+        F.lit("").alias("detail"),
+    )
+    syn = full.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("nav home about"),
+            F.col("text"),
+            F.lit("copyright footer 2024"),
+            F.concat(F.lit("doc "), F.col("doc_id")),
+        ).alias("text"),
+    )
+    boiler = remove_boilerplate(syn, min_docs=3).select(
+        F.lit("boilerplate").alias("op"),
+        "doc_id",
+        F.col("n_lines_in").cast("bigint").alias("n_a"),
+        F.col("n_lines_removed").cast("bigint").alias("n_b"),
+        F.md5(F.col("text").cast("binary")).alias("detail"),
+    )
+    return contam.unionByName(boiler)
+
+
+@query(
+    "q55_chunk_documents",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(s // 32 AS INT) AS chunk_id,
+           len(c) AS n_chunk_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, s, toks[s+1:s+40] AS c
+      FROM toked, unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS u(s)
+    )
+    WHERE len(c) > 0
+    """,
+)
+def q55_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (operators/packing.py
+    chunk_documents): 40-token windows every 32 tokens (overlapping
+    context-carryover), entirely row-local — sequence + slice, zero
+    shuffle.  chunk_id = start // stride because window starts are
+    exact stride multiples."""
+    from wrds_data_pipeline_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=40, stride=32
     )
 
 

@@ -212,6 +212,19 @@ def incremental_lsh_candidates(
     new_banded = minhash_band_table(
         new_docs, id_col, text_col, k_shingle, n_hashes, bands
     ).persist()
+    return lsh_probe_bands(new_banded, band_table)
+
+
+def lsh_probe_bands(
+    new_banded: DataFrame, band_table: DataFrame
+) -> DataFrame:
+    """The band-level half of ``incremental_lsh_candidates``: candidate
+    pairs of a precomputed increment band relation (minhash_band_table
+    output) against the stored corpus band table, plus the increment's
+    new-vs-new self-join.  Split out so a caller that also needs to
+    *store* the increment's bands (the streaming ingest path,
+    streaming/corpus_stream.streaming_near_dedup) computes the
+    signature pipeline exactly once per document."""
     old = band_table.select(
         F.col("_id").alias("id_old"), "band", "band_hash"
     )

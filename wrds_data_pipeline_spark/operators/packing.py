@@ -41,14 +41,36 @@ from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count, tokens
 
 
 def _exclusive_prefix_sum(
-    df: DataFrame, order_cols: list[str], val_col: str
+    df: DataFrame, order_cols: list[str], val_col: str,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Adds ``_cum`` = sum of ``val_col`` over all rows strictly
     before this one in ``order_cols`` order.  Distributed: range
     partition -> local cumsum -> tiny offset join.  ``order_cols``
-    must be a unique key (ties across a range boundary would make the
-    prefix sum nondeterministic)."""
+    must be a unique key: with ties, "strictly before" is ambiguous
+    and the tied rows' prefix sums depend on which side of a range
+    boundary each lands — silently nondeterministic packing.  The
+    default guard makes that impossible by construction (raises
+    ValueError on any duplicate); it costs one hash-aggregate over
+    the id/count relation (not the corpus), which a bulk caller that
+    has already guaranteed uniqueness upstream can skip with
+    ``check_unique=False``."""
     spark = df.sparkSession
+    if check_unique:
+        dup = (
+            df.groupBy(*[F.col(c) for c in order_cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"order_cols {order_cols} are not a unique key; "
+                "prefix-sum order (and therefore packing) would be "
+                "nondeterministic — deduplicate or add a tie-break "
+                "column"
+            )
     p = spark.sparkContext.defaultParallelism
     df = df.repartitionByRange(p, *[F.col(c) for c in order_cols])
     df = df.withColumn("_pid", F.spark_partition_id())

@@ -81,6 +81,104 @@ def streaming_sessionize(
     )
 
 
+def streaming_near_dedup(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming MinHash-LSH near-dedup: each micro-batch's documents
+    are signature-banded ONCE, probed against the persisted corpus
+    band table (``index_dir``) for cross-batch candidates plus the
+    batch's own new-vs-new pairs, and then appended to the index —
+    the streaming form of the batch incremental path
+    (operators/dedup.incremental_lsh_candidates).
+
+    Invariant (the parity test's contract): with globally-unique ids,
+    the union of per-batch candidate pairs over any arrival order
+    equals ``minhash_lsh_candidates`` over the accumulated corpus —
+    every pair is emitted exactly once, by whichever batch completes
+    it.
+
+    Scale: per-batch cost is O(|batch|) signature work + a probe join
+    sized by band-bucket collisions; the accumulated corpus is never
+    re-hashed.  At production scale write the index bucketed by
+    (band, band_hash) into a transactional table format so the probe
+    join needs no shuffle of the stored side and a failed batch can't
+    double-append bands (plain parquet append here is at-least-once;
+    re-emitted pairs are idempotent under the downstream distinct /
+    group-resolution, but the index would hold duplicate band rows).
+
+    Returns the concatenated pandas of all emitted (id_a, id_b).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        lsh_probe_bands,
+        minhash_band_table,
+    )
+
+    band_schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("band", IntegerType()),
+            StructField("band_hash", StringType()),
+        ]
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    out: list = []
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        banded = minhash_band_table(
+            bdf, id_col, text_col, k_shingle, n_hashes, bands
+        ).persist()
+        has_index = any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ) or any(
+            os.path.isdir(os.path.join(index_dir, f))
+            for f in os.listdir(index_dir)
+        )
+        stored = (
+            bdf.sparkSession.read.schema(band_schema).parquet(index_dir)
+            if has_index
+            else bdf.sparkSession.createDataFrame([], band_schema)
+        )
+        pairs = lsh_probe_bands(banded, stored).toPandas()
+        if len(pairs):
+            out.append(pairs)
+        banded.write.mode("append").parquet(index_dir)
+        banded.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
+    q.processAllAvailable()
+    q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["id_a", "id_b"])
+    )
+
+
 def run_stream_foreach_batch(
     spark,
     path: str,
