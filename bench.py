@@ -34,6 +34,14 @@ HEADLINE = [
     "q27_minhash_lsh",
     "q28_simhash",
     "q29_embedding_topk",
+    # LLM-corpus family (round 4): make round-over-round regressions
+    # in the curation stages visible in BENCH itself, not just notes —
+    # end-to-end curation, dup-group resolution (connected
+    # components), sequence packing, contamination + boilerplate.
+    "q43_curation_report",
+    "q52_dup_groups",
+    "q53_pack_sequences",
+    "q54_corpus_hygiene",
 ]
 
 

@@ -81,3 +81,91 @@ def test_ivf_refine_improves_quantizer(spark, driver_tables):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     top = ivf_topk(ivf_assign(emb, refined), refined, qv, k=5).toPandas()
     assert int(top.iloc[0]["vec_id"]) == 0
+
+
+def test_ivf_reloaded_index_probe_parity_and_files_read(spark, driver_tables, tmp_path):
+    """The full ivf_topk through a RELOADED cell-partitioned index
+    returns exactly the in-memory result, and the probe job reads
+    only the probed cells' files (input_file_name evidence on top of
+    the PartitionFilters plan assert above)."""
+    from wrds_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = driver_tables["embeddings"]
+    assigned, cents = ivf_build(emb, n_cells=8)
+    path = os.path.join(str(tmp_path), "ivf_rt")
+    assigned.write.partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+
+    qv = [float(x) for x in emb.first()["embedding"]]
+    mem = ivf_topk(assigned, cents, qv, k=5, n_probe=2).toPandas()
+    disk = ivf_topk(index, cents, qv, k=5, n_probe=2).toPandas()
+    assert mem[["vec_id", "rank"]].values.tolist() == disk[["vec_id", "rank"]].values.tolist()
+
+    # files actually read by the probe = files under the probed cells
+    # only — the scan never touched the other partitions' files
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    probe = [c[0] for c in sorted(cents, key=lambda c: -cos(c[1], qv))[:2]]
+    probed = index.filter(F.col("cell").isin(probe))
+    read_files = {
+        r[0] for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = set(index.inputFiles())
+    assert read_files
+    assert len(read_files) < len(all_files)
+    assert all(any(f"cell={c}" in f for c in probe) for f in read_files)
+
+
+def test_band_table_bucketed_probe_avoids_stored_side_shuffle(
+    spark, driver_tables, tmp_path
+):
+    """minhash_band_table persisted BUCKETED by (band, band_hash):
+    the incremental probe join reads the stored side bucket-aligned —
+    one fewer hash Exchange than the plain-parquet layout, which is
+    the 'index amortizes across increments' claim in
+    operators/dedup.incremental_lsh_candidates made visible in the
+    plan.  (Broadcast disabled so the join strategy is the SMJ/SHJ a
+    100 TB stored side would force.)"""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        lsh_probe_bands,
+        minhash_band_table,
+    )
+
+    docs = driver_tables["documents"]
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    banded_old = minhash_band_table(old)
+    new_banded = minhash_band_table(new).persist()
+
+    loc = os.path.join(str(tmp_path), "band_idx")
+    plain_loc = os.path.join(str(tmp_path), "band_plain")
+    (
+        banded_old.write.bucketBy(8, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .option("path", loc)
+        .mode("overwrite")
+        .saveAsTable("band_idx_bucketed")
+    )
+    banded_old.write.mode("overwrite").parquet(plain_loc)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = lsh_probe_bands(new_banded, spark.table("band_idx_bucketed"))
+        plain = lsh_probe_bands(new_banded, spark.read.parquet(plain_loc))
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        n_ex_b = plan_b.count("Exchange hashpartitioning")
+        n_ex_p = plan_p.count("Exchange hashpartitioning")
+        assert n_ex_b < n_ex_p
+        # same answer either way
+        got_b = sorted((r.id_a, r.id_b) for r in bucketed.collect())
+        got_p = sorted((r.id_a, r.id_b) for r in plain.collect())
+        assert got_b == got_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_idx_bucketed")
