@@ -1,0 +1,119 @@
+"""Tokenizer-grade token counting: injected-fake parity, optional-dep
+guard, and the packing/budget e2e wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions.tokenize import (
+    hf_tokenizer_factory,
+    tokenizer_token_counts,
+)
+
+
+def _make_fake_factory():
+    """Deterministic stand-in exposing the tokenizers API surface:
+    whitespace pieces, plus one extra id per 4 trailing chars of each
+    piece (a crude sub-word split, so counts differ from plain word
+    counts and the test can't pass by accident).  The returned factory
+    is a CLOSURE with the classes defined inside it, so cloudpickle
+    ships everything by value — executors can't import test modules."""
+
+    def factory():
+        class _FakeEncoding:
+            def __init__(self, ids):
+                self.ids = ids
+
+        class _FakeTokenizer:
+            def encode_batch(self, texts):
+                out = []
+                for t in texts:
+                    ids = []
+                    for w in t.split():
+                        ids.extend(range(1 + (len(w) - 1) // 4))
+                    out.append(_FakeEncoding(ids))
+                return out
+
+        return _FakeTokenizer()
+
+    return factory
+
+
+def _expected(t: str) -> int:
+    return sum(1 + (len(w) - 1) // 4 for w in t.split())
+
+
+def test_counts_match_driver_side_replay(spark):
+    rows = [
+        (1, "short words here"),
+        (2, "antidisestablishmentarianism is quite long"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_tokens
+        for r in tokenizer_token_counts(docs, _make_fake_factory()).collect()
+    }
+    assert got == {1: _expected(rows[0][1]), 2: _expected(rows[1][1]), 3: 0, 4: 0}
+
+
+def test_row_local_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = tokenizer_token_counts(docs, _make_fake_factory())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_existing_column_rejected(spark):
+    docs = spark.createDataFrame([(1, "x", 9)], "doc_id long, text string, n_tokens long")
+    with pytest.raises(ValueError, match="already exists"):
+        tokenizer_token_counts(docs, _make_fake_factory())
+
+
+def test_missing_library_raises_importerror():
+    factory = hf_tokenizer_factory("/nonexistent/tokenizer.json")
+    try:
+        import tokenizers  # noqa: F401
+
+        pytest.skip("tokenizers installed; guard path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="tokenizers"):
+        factory()
+
+
+def test_counts_feed_packing_and_budget(spark):
+    """The counting strategy is orthogonal to packing/budget: real
+    (here: fake-real) counts flow through pack_sequences(token_col=)
+    and select_to_token_budget(token_col=) unchanged, and packing
+    equals packing over the same counts computed driver-side."""
+    from wrds_data_pipeline_spark.operators.packing import pack_sequences
+    from wrds_data_pipeline_spark.plans.corpus import select_to_token_budget
+
+    rows = [(i, "word " * (i + 1) + "supercalifragilistic") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = tokenizer_token_counts(docs, _make_fake_factory())
+
+    packed = pack_sequences(
+        counted, max_tokens=32, token_col="n_tokens", chunk_bins=2
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    expected_counts = spark.createDataFrame(
+        [(i, _expected(t)) for i, t in rows], "doc_id long, n_tokens long"
+    )
+    want = pack_sequences(
+        expected_counts, max_tokens=32, token_col="n_tokens", chunk_bins=2
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert packed[["doc_id", "n_tokens", "seq_id", "seq_pos", "oversize"]].equals(
+        want[["doc_id", "n_tokens", "seq_id", "seq_pos", "oversize"]]
+    )
+
+    budget = select_to_token_budget(
+        counted.withColumn("quality", F.lit(1.0)).withColumn("lang", F.lit("en")),
+        budget_tokens=40, strata_cols="lang",
+        quality_col="quality", token_col="n_tokens",
+    ).toPandas()
+    assert budget["n_tokens"].sum() <= 40
+    assert len(budget) > 0

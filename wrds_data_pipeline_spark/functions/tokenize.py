@@ -1,0 +1,92 @@
+"""Tokenizer-grade token counting (optional dependency path).
+
+``bpe_ish_token_count`` (functions/text.py) is a GPT-2-style regex
+pre-tokenizer APPROXIMATION — fine for filtering heuristics, but
+packing and token-budget decisions in a production training pipeline
+count with the actual model tokenizer.  This module provides that
+path on top of the public HuggingFace ``tokenizers`` library
+(import-guarded like the torch sink: the library is optional and the
+Spark-side plumbing is testable without it via an injected
+tokenizer factory).
+
+Scale design:
+- ``mapInPandas`` with ONE tokenizer construction per task, not per
+  row — tokenizer init (vocab load) is the expensive part; encoding
+  is then Rust-side and batched (``encode_batch`` releases the GIL).
+- Arrow-batched transfer, row-local computation, zero shuffle: the
+  count column rides along with the input partitioning.
+- The output feeds ``operators/packing.pack_sequences(token_col=...)``
+  and ``plans/corpus.select_to_token_budget(token_col=...)``
+  unchanged — counting strategy and packing are orthogonal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructType
+
+
+def hf_tokenizer_factory(tokenizer_json_path: str) -> Callable[[], Any]:
+    """Factory building a HuggingFace ``tokenizers.Tokenizer`` from a
+    serialized tokenizer.json (the public format every HF tokenizer
+    ships).  Returned callable runs ON THE EXECUTOR, once per task.
+    Raises ImportError at call time when the optional library is
+    absent."""
+
+    def factory() -> Any:
+        try:
+            from tokenizers import Tokenizer  # public optional dep
+        except ImportError as exc:  # pragma: no cover - env without lib
+            raise ImportError(
+                "tokenizer_token_counts needs the public 'tokenizers' "
+                "package (pip install tokenizers) or an injected "
+                "tokenizer_factory"
+            ) from exc
+        return Tokenizer.from_file(tokenizer_json_path)
+
+    return factory
+
+
+def tokenizer_token_counts(
+    docs: DataFrame,
+    tokenizer_factory: Callable[[], Any],
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Input rows + ``out_col`` = exact token count of ``text_col``
+    under the tokenizer built by ``tokenizer_factory``.
+
+    The factory contract: returns an object with ``encode_batch(list
+    [str]) -> list`` of encodings exposing ``.ids`` (the ``tokenizers``
+    API), or ``encode(str)`` as a fallback; a plain list return also
+    works (``len`` is taken either way) — which is what lets tests
+    inject a deterministic fake where the library is absent.
+
+    Null text counts 0 tokens (mirrors the curation pipeline's
+    treatment of null docs as empty, not as errors).
+    """
+    if out_col in docs.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    # copy the field list: StructType stores the passed list by
+    # reference and .add mutates it — without the copy the INPUT
+    # DataFrame's schema object would grow the new column too
+    schema = StructType(list(docs.schema.fields)).add(out_col, LongType())
+
+    def _mapper(batches: Iterator) -> Iterator:
+        tok = tokenizer_factory()  # once per task: init is the cost
+        encode_batch = getattr(tok, "encode_batch", None)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            if encode_batch is not None:
+                encs = encode_batch(texts)
+            else:
+                encs = [tok.encode(t) for t in texts]
+            pdf[out_col] = [
+                len(getattr(e, "ids", e)) for e in encs
+            ]
+            yield pdf
+
+    return docs.mapInPandas(_mapper, schema=schema)
