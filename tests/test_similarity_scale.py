@@ -169,3 +169,64 @@ def test_band_table_bucketed_probe_avoids_stored_side_shuffle(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS band_idx_bucketed")
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Planted geometry: two tight clusters + one outlier.  Within-
+    cluster near-pairs found, cross-cluster pairs ignored (SemDeDup
+    contract), chained near-sets resolved to one survivor by
+    components, outlier untouched."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    c1, c2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, unit([1.0, 0.01, 0.0, 0.0])),   # cluster 1
+        (1, unit([1.0, 0.02, 0.0, 0.0])),   # near-dup of 0
+        (2, unit([1.0, 0.03, 0.0, 0.0])),   # chained: near 1, maybe not 0
+        (3, unit([0.01, 1.0, 0.0, 0.0])),   # cluster 2
+        (4, unit([0.02, 1.0, 0.0, 0.0])),   # near-dup of 3
+        (5, unit([0.0, 0.0, 1.0, 0.0])),    # outlier, own cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(0, c1), (1, c2), (2, [0.0, 0.0, 1.0, 0.0])]
+
+    pairs = semantic_dup_pairs(emb, centroids, threshold=0.999).toPandas()
+    got = sorted(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    # all found pairs stay within one cluster
+    assert all((a < 3) == (b < 3) for a, b in got)
+    assert (0, 1) in got and (3, 4) in got
+    # no cross-cluster pair even though e.g. cos(0,3) is well-defined
+    assert not any(a < 3 <= b for a, b in got)
+
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(emb, centroids, threshold=0.999).collect()
+    )
+    # one survivor (min id) per near-component, outlier kept
+    assert 0 in kept and 3 in kept and 5 in kept
+    assert 1 not in kept and 4 not in kept
+    assert len(kept) == len(set(kept))
+
+
+def test_semantic_dup_pairs_cell_join_is_equi(spark):
+    """The within-cell comparison plans as an equi-join on cell —
+    never a cartesian over the corpus."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    rows = [(i, [float(i % 3 == j) for j in range(3)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    plan = (
+        semantic_dup_pairs(emb, cents, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan

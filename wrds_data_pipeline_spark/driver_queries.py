@@ -667,31 +667,11 @@ def q18_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_business_days",
-    """
-    SELECT isodow(o_orderdate) AS weekday,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-    FROM orders
-    WHERE isodow(o_orderdate) <= 5
-    GROUP BY 1
-    """,
-)
-def q19_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6/P17 business-day calendar semantics (weekend skip,
-    cloud_TAQ/taq_chunks.py:117): ISO weekday, weekends excluded.
-    Spark weekday() is Mon=0 → +1 == DuckDB isodow."""
-    o = _t(spark, sf_dir, "orders")
-    wd = (F.weekday("o_orderdate") + 1).alias("weekday")
-    return (
-        o.filter(F.weekday("o_orderdate") + 1 <= 5)
-        .groupBy(wd)
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
-        )
-    )
+# q19_business_days rotated out in round 4: W6/P17 business-calendar
+# semantics (weekday()+1 == isodow, weekend exclusion) stay
+# hash-checked inside q32_business_day_blocks, which derives its
+# trading calendar with the identical predicate; the slot now checks
+# SemDeDup-style semantic dedup (q56).
 
 
 # q20_time_of_day rotated out in round 4: P11 (in_market_hours) moved
@@ -902,15 +882,14 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-registered this way in round 4 (VERDICT r3 "What's wrong" #1):
     the unrestricted inverted-index form remains available as
     ``jaccard_pairs(candidates=None)`` — the documented exact-oracle
-    path — but is no longer the registered plan."""
-    from wrds_data_pipeline_spark.operators.dedup import (
-        jaccard_pairs,
-        minhash_lsh_candidates,
-    )
+    path — but is no longer the registered plan.  near_dup_pairs
+    shares ONE shingle relation between candidate generation and
+    verification (tokenize+md5 dominates; see dedup.near_dup_pairs)."""
+    from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, n_hashes=12, bands=4)
-    return jaccard_pairs(docs, threshold=0.2, candidates=cand)
+    return near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, n_hashes=12, bands=4
+    )
 
 
 def _minhash_oracle_sql() -> str:
@@ -2155,6 +2134,53 @@ def q55_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), max_tokens=40, stride=32
     )
+
+
+@query(
+    "q56_semantic_dedup",
+    """
+    WITH cc AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    asg AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cc.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cc.cvec) DESC,
+                          cc.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cc
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
+    """,
+)
+def q56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (operators/similarity.
+    semantic_dup_pairs): embeddings clustered by the IVF coarse
+    quantizer, cosine compared WITHIN cells only — the quadratic step
+    bounded per cell, cross-cell pairs deliberately ignored.  Pinned
+    centroids (16 lowest-id vectors, q44's rule) make assignment and
+    pairs deterministic and fully hash-checkable; ``semantic_dedup``
+    (components + min-id keep) is resolved over exactly this pair
+    relation and is covered by q52's components oracle."""
+    from wrds_data_pipeline_spark.operators.similarity import semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)]
+    return semantic_dup_pairs(emb, centroids, threshold=0.45)
 
 
 def _promote(name: str, after: str) -> None:

@@ -104,14 +104,26 @@ def minhash_signatures(
     text_col: str = "text",
     k_shingle: int = 3,
     n_hashes: int = 12,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, wide form: (_id, sig0..sig{n-1}).
 
     One aggregation computes all n mins (no per-seed explosion): the
     shuffle carries one row per doc and map-side partial agg has
     already collapsed each partition's shingles.
+
+    ``shingles``: optionally a precomputed ``_shingled``-shaped
+    relation (_id, h) — tokenize+md5 is the CPU-heavy stage of the
+    whole near-dedup pipeline, and a caller composing candidate
+    generation with Jaccard verification (near_dup_pairs) computes it
+    once, persists it, and feeds both consumers; at cluster scale the
+    same role is a materialized per-corpus shingle table.
     """
-    sh = _shingled(docs, id_col, text_col, k_shingle)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingled(docs, id_col, text_col, k_shingle)
+    )
     aggs = [
         F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"sig{i}")
         for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
@@ -126,6 +138,7 @@ def minhash_band_table(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, band, band_hash): the LSH banding relation — signatures
     split into ``bands`` bands of ``n_hashes/bands`` rows, one md5 per
@@ -134,7 +147,9 @@ def minhash_band_table(
     new ingest increment joins against it instead of recomputing
     signatures for the whole corpus (`incremental_lsh_candidates`)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k_shingle, n_hashes)
+    sig = minhash_signatures(
+        docs, id_col, text_col, k_shingle, n_hashes, shingles=shingles
+    )
     # all bands in ONE pass over the signatures (a per-band union would
     # replay the whole shingle+signature pipeline once per band)
     band_structs = []
@@ -158,6 +173,7 @@ def minhash_lsh_candidates(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding on any band's hash are
     candidates.  The self-join is on (band, band_hash) — i.e. only
@@ -166,7 +182,7 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b) with id_a < id_b, distinct.
     """
     banded = minhash_band_table(
-        docs, id_col, text_col, k_shingle, n_hashes, bands
+        docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=shingles
     )
     # persist: the bucket self-join reads `banded` twice, and each
     # un-persisted read replays the full shingle+signature pipeline
@@ -254,45 +270,87 @@ def jaccard_pairs(
     k_shingle: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
     Without ``candidates``: inverted-index join (pairs sharing ≥1
     shingle) — exact but fans out on common shingles.  With
     ``candidates`` (e.g. from LSH): verification is restricted to the
-    candidate set — the scale path.
+    candidate set — the scale path.  ``shingles``: precomputed
+    (_id, h) relation (see minhash_signatures) so the LSH→verify
+    composition hashes each document once.
     Returns (id_a, id_b, jaccard).
     """
     from pyspark.sql.window import Window as W
 
-    sh = _shingled(docs, id_col, text_col, k_shingle)
-
-    # join on the int64 shingle hash (not the string) — ~10× smaller
-    # shuffle payload; collisions at 1e-9 scale are acceptable for a
-    # similarity measure (and mirrored exactly by the oracle).
-    # Shingle-set sizes ride along on each side so the size-ratio
-    # bound (jaccard ≤ min(n)/max(n)) prunes hopeless pairs BEFORE
-    # the per-pair aggregation — semantics-preserving, since pruned
-    # pairs cannot reach the threshold.  The size comes from a window
-    # count (sh is already hash-partitioned by _id, so no shuffle and
-    # no doc-count-sized broadcast), and the result is persisted: the
-    # h self-join below reads the same relation twice, and without the
-    # persist Spark replays the whole tokenize+shingle+md5 subtree per
-    # side (~3× the CPU).  At cluster scale the same role is played by
-    # materializing the shingle table to parquet once per corpus.
-    shn = sh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("_id"))).persist()
-    a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
-    b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
-    pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
-    if threshold > 0:
-        pairs = pairs.filter(
-            F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
-        )
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("n_inter")
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingled(docs, id_col, text_col, k_shingle)
     )
+
+    if candidates is not None:
+        # Candidate-DRIVEN verification (the scale path): start from
+        # the (small, LSH-bounded) candidate pairs and join shingles
+        # onto them — the inverted-index h-self-join's quadratic
+        # fan-out on common shingles never happens.  Intermediate is
+        # |candidates| × shingles-per-doc, linear in the candidate
+        # set.  Size-ratio prune (jaccard ≤ min(n)/max(n)) drops
+        # hopeless pairs before the intersection join.
+        if shingles is None:
+            # read 3× below (sizes, a-side, b-side)
+            sh = sh.persist()
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        c = (
+            candidates.select("id_a", "id_b")
+            .join(
+                sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
+                "id_b",
+            )
+        )
+        if threshold > 0:
+            c = c.filter(
+                F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+            )
+        a = sh.select(F.col("_id").alias("id_a"), "h")
+        b = sh.select(F.col("_id").alias("id_b"), "h")
+        inter = (
+            c.join(a, "id_a")
+            .join(b, ["id_b", "h"])
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # Exact inverted-index join on the int64 shingle hash (not the
+        # string) — ~10× smaller shuffle payload; collisions at 1e-9
+        # scale are acceptable for a similarity measure (and mirrored
+        # exactly by the oracle).  Shingle-set sizes ride along on each
+        # side so the size-ratio bound prunes hopeless pairs BEFORE the
+        # per-pair aggregation.  The size comes from a window count (sh
+        # is already hash-partitioned by _id, so no shuffle and no
+        # doc-count-sized broadcast), and the result is persisted: the
+        # h self-join reads the same relation twice, and without the
+        # persist Spark replays the whole tokenize+shingle+md5 subtree
+        # per side (~3× the CPU).  At cluster scale the same role is
+        # played by materializing the shingle table to parquet once.
+        shn = sh.withColumn(
+            "n", F.count(F.lit(1)).over(W.partitionBy("_id"))
+        ).persist()
+        a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
+        b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
+        pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+        if threshold > 0:
+            pairs = pairs.filter(
+                F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+            )
+        inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
 
     out = (
         inter.withColumn(
@@ -303,6 +361,33 @@ def jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """The near-dedup composition: MinHash-LSH candidate generation +
+    exact Jaccard verification, with the shingle relation computed
+    ONCE and shared by both stages (tokenize+md5 dominates the
+    pipeline's CPU; running the stages independently doubles it).
+    At cluster scale the persist below is a materialized per-corpus
+    shingle table feeding both the band index build and verification.
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold among LSH
+    candidates."""
+    sh = _shingled(docs, id_col, text_col, k_shingle).persist()
+    cand = minhash_lsh_candidates(
+        docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=sh
+    )
+    return jaccard_pairs(
+        docs, id_col, text_col, k_shingle, threshold,
+        candidates=cand, shingles=sh,
+    )
 
 
 def winnowing_fingerprints(

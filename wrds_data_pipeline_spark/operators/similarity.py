@@ -392,3 +392,65 @@ def dequantize_int8(qstruct: Column) -> Column:
     return F.transform(
         qstruct["q"], lambda x: (x.cast("float") * qstruct["scale"]).cast("float")
     )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, public): cluster embeddings with the IVF coarse quantizer,
+    then compare cosine WITHIN each cluster only — (id_a, id_b, cell,
+    cos_sim) for rounded cosine ≥ threshold, id_a < id_b.
+
+    Scale: the quadratic all-pairs step is bounded per cell (the
+    SemDeDup tradeoff — n_cells grows with the corpus, cell
+    populations stay bounded), the self-join is an equi-join on
+    ``cell`` so Spark buckets it, and the cross-cell pairs SemDeDup
+    deliberately ignores are exactly the ones the clustering deems
+    unrelated.  With injected (pinned) centroids the whole pipeline
+    is deterministic and SQL-oracle-checkable like q44's IVF probe.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cell", "cos_sim")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows of ``embeddings`` surviving semantic dedup: within-cell
+    cosine-near groups resolved to connected components (the pair
+    relation is not transitive; component resolution keeps exactly
+    one representative per chained near-set) and only each group's
+    minimum id kept.  Vectors in no near-pair survive untouched."""
+    from wrds_data_pipeline_spark.operators.components import (
+        dedup_keep_canonical,
+    )
+
+    pairs = semantic_dup_pairs(
+        embeddings, centroids, threshold, id_col, vec_col
+    )
+    return dedup_keep_canonical(embeddings, pairs, id_col=id_col)
