@@ -235,13 +235,14 @@ def test_chunk_validates_args(spark):
 
 def test_duplicate_order_keys_raise(spark):
     """Non-unique order keys would make the distributed prefix sum
-    (and therefore seq assignment) nondeterministic — the guard makes
-    that impossible by construction."""
+    (and therefore seq assignment) nondeterministic — the fused
+    raise_error guard makes that impossible by construction (fires at
+    action time; no extra job when keys are unique)."""
     import pytest
 
     rows = [(1, 10), (1, 20), (2, 30)]  # duplicate doc_id=1
     docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
-    with pytest.raises(ValueError, match="unique key"):
+    with pytest.raises(Exception, match="unique key"):
         pack_sequences(docs, max_tokens=100, token_col="n_tok").collect()
 
 

@@ -48,36 +48,40 @@ def _exclusive_prefix_sum(
     before this one in ``order_cols`` order.  Distributed: range
     partition -> local cumsum -> tiny offset join.  ``order_cols``
     must be a unique key: with ties, "strictly before" is ambiguous
-    and the tied rows' prefix sums depend on which side of a range
-    boundary each lands — silently nondeterministic packing.  The
-    default guard makes that impossible by construction (raises
-    ValueError on any duplicate); it costs one hash-aggregate over
-    the id/count relation (not the corpus), which a bulk caller that
-    has already guaranteed uniqueness upstream can skip with
-    ``check_unique=False``."""
+    and the tied rows' prefix sums depend on arbitrary within-tie
+    order — silently nondeterministic packing.  The default guard
+    makes that impossible by construction: any duplicate raises (a
+    ``raise_error`` fused into the per-partition totals aggregate —
+    no extra job; equal keys share a range partition, so the
+    per-partition distinct count is a complete check).  A caller that
+    has guaranteed uniqueness upstream can skip the count_distinct
+    CPU with ``check_unique=False``."""
     spark = df.sparkSession
-    if check_unique:
-        dup = (
-            df.groupBy(*[F.col(c) for c in order_cols])
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"order_cols {order_cols} are not a unique key; "
-                "prefix-sum order (and therefore packing) would be "
-                "nondeterministic — deduplicate or add a tie-break "
-                "column"
-            )
     p = spark.sparkContext.defaultParallelism
     df = df.repartitionByRange(p, *[F.col(c) for c in order_cols])
     df = df.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    df = df.withColumn(
-        "_cum_local", F.sum(val_col).over(w) - F.col(val_col)
-    )
+    cum = F.sum(val_col).over(w) - F.col(val_col)
+    if check_unique:
+        # Uniqueness guard fused into the SAME window pass (identical
+        # partition + order spec → one WindowExec, no extra job or
+        # shuffle): equal keys share a range partition and sort
+        # adjacent, so a lag comparison is a complete duplicate check;
+        # raise_error fires on the first action that touches the row.
+        key = F.struct(*[F.col(c) for c in order_cols])
+        dup = F.lag(key).over(w).eqNullSafe(key)
+        cum = F.when(
+            dup,
+            F.raise_error(
+                F.lit(
+                    f"order_cols {order_cols} are not a unique key; "
+                    "prefix-sum order (and therefore packing) would be "
+                    "nondeterministic — deduplicate or add a tie-break "
+                    "column"
+                )
+            ).cast("long"),
+        ).otherwise(cum)
+    df = df.withColumn("_cum_local", cum)
     totals = df.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
     # one row per partition: this window is over ~p rows, not the data
     woff = Window.orderBy("_pid").rowsBetween(
