@@ -196,3 +196,51 @@ def test_shuffle_for_training_total_deterministic_order(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_temperature_weights_and_sample(spark):
+    """alpha=1 reproduces natural shares, alpha=0 is uniform,
+    alpha=0.5 lifts the low-resource stratum; the realized sample hits
+    the per-stratum targets exactly and is deterministic."""
+    from wrds_data_pipeline_spark.plans.corpus import (
+        temperature_sample,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(800 + i, "de") for i in range(150)]
+        + [(950 + i, "fr") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    w1 = {r.lang: r for r in temperature_weights(df, "lang", alpha=1.0).collect()}
+    assert abs(w1["en"].q - 0.8) < 1e-6 and abs(w1["en"].upsample - 1.0) < 1e-6
+
+    w0 = {r.lang: r for r in temperature_weights(df, "lang", alpha=0.0).collect()}
+    assert all(abs(w0[lang].q - 1 / 3) < 1e-5 for lang in ("en", "de", "fr"))
+
+    wh = {r.lang: r for r in temperature_weights(df, "lang", alpha=0.5).collect()}
+    import math
+
+    un = {lang: math.sqrt(n / 1000) for lang, n in (("en", 800), ("de", 150), ("fr", 50))}
+    z = sum(un.values())
+    for lang in un:
+        assert abs(wh[lang].q - un[lang] / z) < 1e-5
+    assert wh["fr"].upsample > 1.0 > wh["en"].upsample
+
+    got = temperature_sample(df, n_total=200, stratum_col="lang", alpha=0.5, seed=7)
+    by_lang = {
+        r.lang: r.n for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {lang: round(un[lang] / z * 200) for lang in un}
+    assert by_lang == want
+    # deterministic: same seed -> same ids
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            df, n_total=200, stratum_col="lang", alpha=0.5, seed=7
+        ).collect()
+    )
+    assert a == b

@@ -282,3 +282,40 @@ def test_int8_quantization_preserves_topk(spark, driver_tables):
         r.vec_id for r in brute_force_topk(deq, query, k=10).collect()
     }
     assert len(exact & approx) >= 9
+
+
+def test_candidate_driven_verification_equals_allpairs_restricted(
+    spark, driver_tables
+):
+    """The round-4 candidate-DRIVEN jaccard path (join candidates →
+    shingles; no inverted-index self-join) must return exactly the
+    all-pairs result intersected with the candidate set — same pairs,
+    same jaccard values — and near_dup_pairs (shared single shingle
+    relation) must equal composing the stages independently."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        near_dup_pairs,
+    )
+
+    docs = driver_tables["documents"]
+    cand = minhash_lsh_candidates(docs)
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+
+    allp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    driven = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.2, candidates=cand).collect()
+    }
+    assert driven == {k: v for k, v in allp.items() if k in cand_set}
+
+    composed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs(docs, threshold=0.2).collect()
+    }
+    assert composed == driven
+    # sanity: the planted corpus makes this non-vacuous
+    assert len(driven) > 0

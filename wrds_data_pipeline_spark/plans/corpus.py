@@ -302,3 +302,68 @@ def shuffle_for_training(
     ordered shards.
     """
     return docs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based sampling weights for multilingual/multi-source
+    training mixes (the p_l^alpha re-weighting of the public
+    mBERT/XLM-R/mT5 recipes): per stratum, (n_docs, p = share of
+    corpus, q = p^alpha renormalized, upsample = q/p).  alpha=1 keeps
+    natural proportions, alpha=0 is uniform over strata, alpha in
+    (0,1) lifts low-resource strata.
+
+    Scale: one hash-aggregate over the corpus; everything after runs
+    on the strata relation (one row per language/source — trivially
+    small), where the two unpartitioned windows are harmless.
+    """
+    from pyspark.sql.window import Window as W
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    everything = W.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(everything)
+    out = counts.withColumn("p", p)
+    unnorm = F.pow(F.col("p"), F.lit(float(alpha)))
+    out = out.withColumn("_u", unnorm).withColumn(
+        "q", F.col("_u") / F.sum("_u").over(everything)
+    )
+    return out.select(
+        stratum_col,
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(F.col("q") / F.col("p"), 6).alias("upsample"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    n_total: int,
+    stratum_col: str = "lang",
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic sample of ~``n_total`` rows realizing the
+    temperature-``alpha`` mix: per-stratum targets = round(q_l ×
+    n_total) capped at the stratum's population (no replacement —
+    upsampling beyond 1× is the training loader's job, this operator
+    fixes the downsampling side of the mix), drawn with the seeded-
+    hash ranking of ``stratified_sample_exact`` (exact counts,
+    repartition-invariant, reproducible).
+
+    Driver state: one row per stratum (the weights relation) — KBs.
+    """
+    rows = temperature_weights(df, stratum_col, alpha).collect()
+    targets = {
+        r[stratum_col]: min(int(round(r["q"] * n_total)), int(r["n_docs"]))
+        for r in rows
+    }
+    return stratified_sample_exact(
+        df, stratum_col, targets, id_col=id_col, seed=seed
+    )
