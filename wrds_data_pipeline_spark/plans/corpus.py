@@ -78,10 +78,17 @@ def curate(
     survivors = docs.join(
         canon_ids, docs[id_col] == F.col("_canon_id"), "left_semi"
     )
-    cand = minhash_lsh_candidates(survivors, id_col, text_col)
+    # one shingle pass feeds both candidate generation and
+    # verification (dedup.near_dup_pairs' single-pass composition)
+    from wrds_data_pipeline_spark.operators.dedup import _shingled
+
+    sh = _shingled(survivors, id_col, text_col, 3).persist()
+    cand = minhash_lsh_candidates(
+        survivors, id_col, text_col, shingles=sh
+    )
     near = jaccard_pairs(
         survivors, id_col, text_col,
-        threshold=near_dup_threshold, candidates=cand,
+        threshold=near_dup_threshold, candidates=cand, shingles=sh,
     )
     if group_dedup:
         from wrds_data_pipeline_spark.operators.components import (
