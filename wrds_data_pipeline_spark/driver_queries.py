@@ -679,24 +679,9 @@ def q18_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the slot now checks sequence packing (q53).
 
 
-@query(
-    "q21_rollup",
-    """
-    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
-    FROM events
-    GROUP BY ROLLUP (event_type, day)
-    """,
-)
-def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup hierarchy (engine completeness; SURVEY §2.4 'available
-    built-in'): per (type, day), per type, and grand total."""
-    e = _events(spark, sf_dir)
-    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    return e.select("event_type", day, "value").rollup("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
-    )
+# q21_rollup rotated out in round 4: the grouping-sets family stays
+# oracle-covered by q38_cube (CUBE emits every ROLLUP grouping and
+# more); the slot now checks TF-IDF keyword extraction (q57).
 
 
 @query(
@@ -759,35 +744,11 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "q24_token_stats",
-    f"""
-    SELECT doc_id,
-           length(text) AS n_chars_actual,
-           len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
-           round(len(regexp_extract_all(text, '[.,;:!?]'))
-                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-           round(len(regexp_extract_all({_NORM_SQL},
-                 '\\b(the|and|of|to|in|is|that|for|with|a)\\b'))
-                 / CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE), 6) AS stop_ratio
-    FROM documents
-    WHERE length(text) > 0
-    """,
-)
-def q24_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality statistics: token count, punctuation ratio,
-    stopword ratio — all JVM-side expressions over the documents
-    table (no UDF; runs inside whole-stage codegen)."""
-    from wrds_data_pipeline_spark.functions import text as X
-
-    d = _t(spark, sf_dir, "documents")
-    return d.filter(F.length("text") > 0).select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        X.token_count("text").alias("n_tokens"),
-        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
-    )
+# q24_token_stats rotated out in round 4: its signals stay
+# hash-checked — token counts inside q53's packing replay and q25/q43
+# (n_tok), punct ratio inside q25/q49's quality scores, stopword hits
+# inside q25's language scores; the slot now checks unigram-LM
+# cross-entropy scoring (q58).
 
 
 @query(
@@ -2181,6 +2142,103 @@ def q56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)]
     return semantic_dup_pairs(emb, centroids, threshold=0.45)
+
+
+_TOKS_SQL = f"""
+    toks2 AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    )
+"""
+
+
+@query(
+    "q57_tfidf_keywords",
+    f"""
+    WITH {_TOKS_SQL},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dff AS (SELECT term, df FROM dfr, nd WHERE df >= 1 AND df <= n * 0.8),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dff.df,
+             round(tf.tf * (ln((nd.n + 1) / (dff.df + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dff USING (term), nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q57_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/keywords.tfidf_top_terms):
+    one token explode feeds both tf and df aggregates, corpus size as
+    a broadcast 1-row aggregate (no driver count), max_df prune doubles
+    as the join's skew guard, per-doc top-5 window.  tfidf is a
+    per-row scalar (no float sum), so the 6dp round hash-matches.
+    max_df_frac=0.8 on the driver corpus: its synthetic vocabulary is
+    tiny (~31 distinct terms at sf0.01), so 0.5 would prune all but
+    one term — 0.8 keeps the prune ACTIVE (the most common terms do
+    cross it) while most documents retain ranked terms."""
+    from wrds_data_pipeline_spark.operators.keywords import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=5, min_df=1, max_df_frac=0.8
+    )
+
+
+@query(
+    "q58_cross_entropy",
+    f"""
+    WITH {_TOKS_SQL},
+    counts AS (SELECT term, count(*) AS count FROM toks2 GROUP BY 1),
+    vocab AS (SELECT term, count FROM counts ORDER BY count DESC, term LIMIT 200),
+    tot AS (
+      SELECT CAST(sum(count) AS DOUBLE) AS n_tok,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    ),
+    vlp AS (
+      SELECT term, ln((count + 0.5) / (n_tok + 0.5 * (v + 1))) AS logp
+      FROM vocab, tot
+    ),
+    perdoc AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(CAST(coalesce(v.logp, 0.0) AS DECIMAL(38,18))) AS DOUBLE)
+               AS ln_known,
+             sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM toks2 t LEFT JOIN vlp v USING (term)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+           round(-(ln_known + n_oov * ln(0.5 / (n_tok + 0.5 * (v + 1))))
+                 / n_tokens / ln(2), 6) AS cross_entropy,
+           round(exp(-(ln_known + n_oov * ln(0.5 / (n_tok + 0.5 * (v + 1))))
+                 / n_tokens), 6) AS perplexity
+    FROM perdoc, tot
+    """,
+)
+def q58_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy / perplexity scoring
+    (operators/keywords.doc_cross_entropy over a build_vocab LM) — the
+    CCNet-style cheap quality proxy.  Vocabulary = top-200 corpus
+    terms; add-0.5 smoothing with a single OOV bucket.  The per-doc
+    log-prob sum goes through DECIMAL(38,18) in BOTH engines (exact,
+    order-independent — per-term logp doubles are bit-identical under
+    IEEE), so the 6dp round hash-matches."""
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_vocab,
+        doc_cross_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=200).select("term", "count")
+    return doc_cross_entropy(docs, vocab, alpha=0.5)
 
 
 def _promote(name: str, after: str) -> None:

@@ -149,7 +149,14 @@ def doc_cross_entropy(
         scored.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_logp"), F.lit(0.0))).alias("_ln_known"),
+            # decimal sum: per-term logp doubles are identical in any
+            # IEEE engine, but a DOUBLE sum is partition-order-
+            # dependent at the ulp level — the exact decimal sum makes
+            # the aggregate order-independent (repo determinism rule),
+            # which is what lets this operator hash-check vs DuckDB
+            F.sum(
+                F.coalesce(F.col("_logp"), F.lit(0.0)).cast("decimal(38,18)")
+            ).cast("double").alias("_ln_known"),
             F.sum(F.col("_logp").isNull().cast("long")).alias("n_oov"),
         )
         .crossJoin(F.broadcast(totals))
