@@ -230,3 +230,44 @@ def test_semantic_dup_pairs_cell_join_is_equi(spark):
     )
     assert "CartesianProduct" not in plan
     assert "cell" in plan
+
+
+def test_truncate_normalize_and_mean_pool(spark):
+    """Matryoshka truncation re-normalizes prefixes (zero prefixes stay
+    zero, not NaN); mean pooling equals the driver-side mean and the
+    pooled vector is unit-norm."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        mean_pool_embeddings,
+        truncate_normalize,
+    )
+
+    rows = [
+        (1, 0, [3.0, 4.0, 0.0, 7.0]),
+        (1, 1, [1.0, 0.0, 0.0, 9.0]),
+        (2, 0, [0.0, 0.0, 2.0, 0.0]),
+        (3, 0, [0.0, 0.0, 5.0, 5.0]),  # zero 2-prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, embedding array<double>")
+
+    got = {
+        (r.doc_id, r.chunk_id): r.t
+        for r in df.select(
+            "doc_id", "chunk_id",
+            truncate_normalize(F.col("embedding"), 2).alias("t"),
+        ).collect()
+    }
+    assert got[(1, 0)] == [0.6, 0.8]
+    assert got[(3, 0)] == [0.0, 0.0]  # not NaN
+
+    pooled = {
+        r.doc_id: (r.embedding, r.n_members)
+        for r in mean_pool_embeddings(df, "doc_id").collect()
+    }
+    import math
+
+    mean = [2.0, 2.0, 0.0, 8.0]  # doc 1: mean of the two chunks
+    nrm = math.sqrt(sum(x * x for x in mean))
+    assert pooled[1][1] == 2
+    assert all(abs(a - b / nrm) < 1e-12 for a, b in zip(pooled[1][0], mean))
+    assert abs(sum(x * x for x in pooled[1][0]) - 1.0) < 1e-12
+    assert pooled[2][1] == 1

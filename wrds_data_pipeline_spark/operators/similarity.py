@@ -454,3 +454,58 @@ def semantic_dedup(
         embeddings, centroids, threshold, id_col, vec_col
     )
     return dedup_keep_canonical(embeddings, pairs, id_col=id_col)
+
+
+def truncate_normalize(vec: Column, dim: int) -> Column:
+    """Matryoshka-style truncation: first ``dim`` components,
+    re-normalized to unit L2 (public MRL usage: nested prefixes of a
+    trained embedding remain usable at lower cost).  Pure array
+    expressions — row-local, codegen'd; all-zero prefixes come back
+    all-zero instead of NaN."""
+    t = F.slice(vec.cast("array<double>"), 1, dim)
+    n = l2_norm(t)
+    return F.when(
+        n > 0, F.transform(t, lambda x: x / n)
+    ).otherwise(t)
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(group, embedding, n_members): per-group mean of embedding
+    vectors — the chunk→document pooling step when long documents are
+    embedded chunk-wise (chunk_documents → encode → pool).
+
+    Scale: posexplode → (group, pos) hash-aggregate with map-side
+    combine — one shuffle of (group × dim) scalar rows, state bounded
+    by dim; the re-assembly collect_list is per (group), bounded by
+    dim elements.  Same shape as ivf_refine's centroid update."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        df.select(F.col(group_col).alias("_g"), F.posexplode(v).alias("pos", "x"))
+        .groupBy("_g", "pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("_n"))
+    )
+    pooled = (
+        rows.groupBy("_g")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"),
+            F.first("_n").alias("n_members"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.transform("_pm", lambda s: s["m"]).alias(vec_col),
+            "n_members",
+        )
+    )
+    if normalize:
+        vv = F.col(vec_col)
+        n = l2_norm(vv)
+        pooled = pooled.withColumn(
+            vec_col,
+            F.when(n > 0, F.transform(vv, lambda x: x / n)).otherwise(vv),
+        )
+    return pooled
