@@ -317,5 +317,16 @@ def test_candidate_driven_verification_equals_allpairs_restricted(
         for r in near_dup_pairs(docs, threshold=0.2).collect()
     }
     assert composed == driven
+
+    # duplicate candidate rows must not double-count intersections
+    # (the old left_semi restriction was idempotent; the candidate-
+    # driven join restores that via an internal distinct)
+    duped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, threshold=0.2, candidates=cand.unionAll(cand)
+        ).collect()
+    }
+    assert duped == driven
     # sanity: the planted corpus makes this non-vacuous
     assert len(driven) > 0

@@ -1152,8 +1152,9 @@ def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q35_bpe_tokens rotated out in round 4: bpe_ish_token_count stays
 # hash-checked inside q49_token_budget and the q43 curation oracle;
-# whitespace token_count inside q24_token_stats and q53's packing
-# replay.  The slot now checks document chunking (q55).
+# whitespace token_count inside q53's packing replay and q25/q43's
+# n_tok (q24_token_stats was rotated out the same round).  The slot
+# now checks document chunking (q55).
 
 
 @query(
@@ -1916,7 +1917,7 @@ _PACK_BINS = 4  # chunk budget = 512 tokens -> many chunks even at sf0.01
     UNION ALL
     SELECT doc_id, CAST(n_tokens AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS INT), TRUE
-    FROM tok WHERE n_tokens > {_PACK_MAX}
+    FROM tok WHERE n_tokens > {_PACK_MAX} OR n_tokens IS NULL
     """,
 )
 def q53_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1982,9 +1983,12 @@ _LINE_NORM = "regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')"
       FROM doc_h GROUP BY doc_id
     ),
     syn AS (
+      -- concat_ws, not concat: Spark's concat_ws drops a NULL text
+      -- element AND its separator (3-line doc); plain concat would
+      -- keep the separators (4 lines incl. an empty one) and diverge
       SELECT doc_id,
-             concat('nav home about', chr(10), text, chr(10),
-                    'copyright footer 2024', chr(10), 'doc ', doc_id) AS text
+             concat_ws(chr(10), 'nav home about', text,
+                       'copyright footer 2024', 'doc ' || doc_id) AS text
       FROM documents
     ),
     lines AS (

@@ -302,8 +302,12 @@ def jaccard_pairs(
             # read 3× below (sizes, a-side, b-side)
             sh = sh.persist()
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        # distinct: the old left_semi restriction was idempotent under
+        # duplicate candidate rows; the candidate-driven join is not
+        # (each duplicate would double-count the intersection and
+        # inflate jaccard past 1) — restore that tolerance here
         c = (
-            candidates.select("id_a", "id_b")
+            candidates.select("id_a", "id_b").distinct()
             .join(
                 sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
                 "id_a",

@@ -50,12 +50,12 @@ def _exclusive_prefix_sum(
     must be a unique key: with ties, "strictly before" is ambiguous
     and the tied rows' prefix sums depend on arbitrary within-tie
     order — silently nondeterministic packing.  The default guard
-    makes that impossible by construction: any duplicate raises (a
-    ``raise_error`` fused into the per-partition totals aggregate —
-    no extra job; equal keys share a range partition, so the
-    per-partition distinct count is a complete check).  A caller that
-    has guaranteed uniqueness upstream can skip the count_distinct
-    CPU with ``check_unique=False``."""
+    makes that impossible by construction: a ``lag`` comparison fused
+    into the same cumsum window (equal keys share a range partition
+    and sort adjacent, so the check is complete) raises on the first
+    action that touches a duplicate — no extra job or shuffle.  A
+    caller that has guaranteed uniqueness upstream can skip the
+    per-row comparison with ``check_unique=False``."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
     df = df.repartitionByRange(p, *[F.col(c) for c in order_cols])

@@ -493,7 +493,11 @@ def mean_pool_embeddings(
         rows.groupBy("_g")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"),
-            F.first("_n").alias("n_members"),
+            # max, not first: with ragged member lengths (caller bug)
+            # per-position counts differ and first() would be
+            # nondeterministic — max reports the true member count
+            # (the count at position 0, which every member has)
+            F.max("_n").alias("n_members"),
         )
         .select(
             F.col("_g").alias(group_col),

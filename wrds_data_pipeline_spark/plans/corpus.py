@@ -23,11 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions import text as X
-from wrds_data_pipeline_spark.operators.dedup import (
-    exact_duplicates,
-    jaccard_pairs,
-    minhash_lsh_candidates,
-)
+from wrds_data_pipeline_spark.operators.dedup import exact_duplicates
 
 
 def curate(
@@ -78,17 +74,13 @@ def curate(
     survivors = docs.join(
         canon_ids, docs[id_col] == F.col("_canon_id"), "left_semi"
     )
-    # one shingle pass feeds both candidate generation and
-    # verification (dedup.near_dup_pairs' single-pass composition)
-    from wrds_data_pipeline_spark.operators.dedup import _shingled
+    # LSH candidates + candidate-driven verification over ONE shared
+    # shingle pass — delegate to the canonical composition rather
+    # than re-inlining it (one place owns the persist discipline)
+    from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
 
-    sh = _shingled(survivors, id_col, text_col, 3).persist()
-    cand = minhash_lsh_candidates(
-        survivors, id_col, text_col, shingles=sh
-    )
-    near = jaccard_pairs(
-        survivors, id_col, text_col,
-        threshold=near_dup_threshold, candidates=cand, shingles=sh,
+    near = near_dup_pairs(
+        survivors, id_col, text_col, threshold=near_dup_threshold
     )
     if group_dedup:
         from wrds_data_pipeline_spark.operators.components import (
@@ -365,11 +357,24 @@ def temperature_sample(
     repartition-invariant, reproducible).
 
     Driver state: one row per stratum (the weights relation) — KBs.
+    Rows with a NULL stratum are dropped (they cannot key the target
+    map; route or fill them upstream if they should participate).
     """
     rows = temperature_weights(df, stratum_col, alpha).collect()
-    targets = {
-        r[stratum_col]: min(int(round(r["q"] * n_total)), int(r["n_docs"]))
+    # recompute q from the EXACT counts: the weights relation's q
+    # column is display-rounded to 6dp, and round(q * n_total) would
+    # amplify that rounding by n_total (the same display-vs-decision
+    # trap contamination.decontaminate documents)
+    counts = {
+        r[stratum_col]: int(r["n_docs"])
         for r in rows
+        if r[stratum_col] is not None
+    }
+    total = sum(counts.values())
+    un = {k: (n / total) ** alpha for k, n in counts.items()}
+    z = sum(un.values())
+    targets = {
+        k: min(int(round(un[k] / z * n_total)), counts[k]) for k in counts
     }
     return stratified_sample_exact(
         df, stratum_col, targets, id_col=id_col, seed=seed

@@ -108,12 +108,16 @@ def streaming_near_dedup(
 
     Scale: per-batch cost is O(|batch|) signature work + a probe join
     sized by band-bucket collisions; the accumulated corpus is never
-    re-hashed.  At production scale write the index bucketed by
-    (band, band_hash) into a transactional table format so the probe
-    join needs no shuffle of the stored side and a failed batch can't
-    double-append bands (plain parquet append here is at-least-once;
-    re-emitted pairs are idempotent under the downstream distinct /
-    group-resolution, but the index would hold duplicate band rows).
+    re-hashed.  NOTE this harness manages ``index_dir`` with
+    driver-local os calls, so it is LOCAL-FILESYSTEM-ONLY (an
+    s3a://-style URI would silently probe an empty index).  At
+    production scale write the index bucketed by (band, band_hash)
+    into a transactional table format — which also replaces the
+    existence check with the catalog and prevents a failed batch
+    double-appending bands (plain parquet append here is
+    at-least-once; re-emitted pairs are idempotent under the
+    downstream distinct / group-resolution, but the index would hold
+    duplicate band rows).
 
     Returns the concatenated pandas of all emitted (id_a, id_b).
     """
