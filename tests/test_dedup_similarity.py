@@ -127,6 +127,39 @@ def test_embedding_dup_pairs_lsh_recall(spark, driver_tables):
         assert len(ap) / len(ep) >= 0.5  # modest planes -> decent recall
 
 
+def test_embedding_dup_pairs_multiprobe(spark, driver_tables):
+    """Hamming-1 multi-probe: a strict superset of the exact-bucket
+    pairs, still a subset of all-pairs truth, and emits each pair at
+    most once (distinct XOR masks -> distinct probe values)."""
+    from wrds_data_pipeline_spark.operators.similarity import embedding_dup_pairs
+
+    emb = driver_tables["embeddings"]
+    planes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(7, 113, 251, 401))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    exact = embedding_dup_pairs(emb, threshold=0.45, n_planes=0).toPandas()
+    bucket = embedding_dup_pairs(emb, threshold=0.45, planes=planes).toPandas()
+    probe = embedding_dup_pairs(
+        emb, threshold=0.45, planes=planes, hamming_probe=1
+    ).toPandas()
+    ep = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+    bp = {(int(a), int(b)) for a, b in zip(bucket.id_a, bucket.id_b)}
+    pp = {(int(a), int(b)) for a, b in zip(probe.id_a, probe.id_b)}
+    assert bp <= pp <= ep
+    assert len(pp) == len(probe)  # no pair emitted twice
+    if ep:
+        assert len(pp) / len(ep) >= 0.5
+    # the scale shape: bucket equi-join, never a nested-loop product
+    plan = embedding_dup_pairs(
+        emb, threshold=0.45, planes=planes, hamming_probe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bpe_ish_token_count(spark):
     from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count
 

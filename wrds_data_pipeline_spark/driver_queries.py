@@ -1160,21 +1160,55 @@ def q34_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q36_embedding_dups",
     """
+    WITH pl AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p,
+             embedding::DOUBLE[] AS pvec
+      FROM embeddings WHERE vec_id IN (7, 113, 251, 401)
+    ),
+    bk AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pvec) >= 0
+                           THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN pl
+      GROUP BY e.vec_id, e.embedding
+    ),
+    pr AS (
+      SELECT vec_id, emb,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS probe
+      FROM bk
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-             AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM pr a JOIN bk b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
     """,
 )
 def q36_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact baseline;
-    `embedding_dup_pairs(n_planes>0)` is the LSH-bucketed scale
-    variant, recall-tested in pytest)."""
+    """Embedding-cosine near-duplicate pairs via the LSH-bucketed
+    scale path: sign-bucket on 4 pinned hyperplanes (drawn from the
+    data by fixed vec_ids, the q44 pinned-centroid pattern, so both
+    engines derive identical buckets), Hamming-distance-1 multi-probe,
+    then exact cosine over the surviving equi-join — never all-pairs.
+    The all-pairs baseline (n_planes=0) plans as a
+    BroadcastNestedLoopJoin and is banned from the registry by the
+    plan audit; it survives only as a pytest recall baseline.
+
+    Sign-flip safety: the smallest |dot(v, plane)| across the driver
+    tables is ~4e-7 — nine orders above cross-engine summation-order
+    noise, so the bucket bits agree bit-for-bit."""
     from wrds_data_pipeline_spark.operators.similarity import embedding_dup_pairs
 
+    emb = _t(spark, sf_dir, "embeddings")
+    pl = (
+        emb.filter(F.col("vec_id").isin(7, 113, 251, 401))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [[float(x) for x in r["embedding"]] for r in pl]
     return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=0
+        emb, threshold=0.45, planes=planes, hamming_probe=1
     )
 
 

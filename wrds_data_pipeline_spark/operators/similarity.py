@@ -199,25 +199,59 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 0,
+    planes: list[list[float]] | None = None,
+    hamming_probe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with rounded cosine ≥ threshold and id_a < id_b.
 
-    ``n_planes=0`` compares all pairs (exact; the oracle-checkable
-    baseline — quadratic, fine to ~10^4 vectors).  ``n_planes>0``
-    restricts comparisons to vectors sharing an LSH sign-bucket —
-    near-linear, the 100 TB path (near-duplicates almost surely share
-    the bucket since their angle is tiny)."""
+    ``n_planes=0`` (and no ``planes``) compares all pairs — exact but
+    quadratic (BroadcastNestedLoopJoin): a debugging baseline for
+    ≤10^4 vectors, banned from registered plans by the registry
+    audit.  With ``n_planes>0`` (md5-derived hyperplanes) or an
+    explicit ``planes`` list (caller-pinned, e.g. drawn from the data
+    — the oracle-checkable path, like q44's pinned centroids),
+    comparisons are restricted to vectors sharing an LSH sign-bucket:
+    the self-join becomes a bucket equi-join — near-linear, the
+    100 TB path (near-duplicates almost surely share the bucket since
+    their angle is tiny).
+
+    ``hamming_probe=r`` additionally compares pairs whose buckets
+    differ in at most ``r`` sign bits (multi-probe): side a explodes
+    each vector to its bucket plus every bucket within Hamming
+    distance r, side b keeps the exact bucket — still an equi-join,
+    with a sum_{i<=r} C(n_planes, i) fan-out factor on one side.
+    Probing distance 1 roughly triples recall at threshold-grade
+    angles without touching the join shape (a near-boundary neighbor
+    most likely differs by exactly one flipped hyperplane)."""
+    import itertools
+
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
     )
     b = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
     )
-    if n_planes > 0:
+    if planes is None and n_planes > 0:
         dim = len(embeddings.select(vec_col).first()[0])
         planes = [_hyperplane(dim, p) for p in range(n_planes)]
-        a = a.withColumn("_bucket", lsh_bucket(F.col("_va"), planes))
+    if planes:
+        bucket_a = lsh_bucket(F.col("_va"), planes)
+        if hamming_probe > 0:
+            flips = [0]  # XOR masks: identity + every <=r-bit flip
+            for r in range(1, min(hamming_probe, len(planes)) + 1):
+                for combo in itertools.combinations(range(len(planes)), r):
+                    flips.append(sum(2 ** p for p in combo))
+            probe = F.explode(
+                F.array(*[bucket_a.bitwiseXOR(F.lit(m)) for m in flips])
+            )
+            # distinct XOR masks => distinct probe values per vector
+            # => each (id_a, id_b) pair joins at most once (no dedup
+            # needed); Hamming distance is symmetric, so probing only
+            # the a side finds every pair within distance r.
+            a = a.withColumn("_bucket", probe)
+        else:
+            a = a.withColumn("_bucket", bucket_a)
         b = b.withColumn("_bucket", lsh_bucket(F.col("_vb"), planes))
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
