@@ -57,6 +57,31 @@ def test_packing_prefix_sum_range_partitions(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_curate_never_hints_a_corpus_sized_broadcast(spark, driver_tables):
+    """The curation pipeline must not FORCE any broadcast: a
+    broadcast hint overrides Spark's size heuristics, and the one
+    curate used to carry (the exact-dedup canonical relation — one
+    row per distinct fingerprint, i.e. corpus-sized) is a guaranteed
+    OOM at 100 TB.  Exact dedup is now a window min over the
+    fingerprint partition; any broadcast that remains must be
+    AQE/heuristic-chosen (fine: AQE won't pick a corpus-sized one at
+    scale), so the optimized logical plan carries no broadcast hint
+    at all."""
+    from wrds_data_pipeline_spark.plans.corpus import curate
+
+    docs = driver_tables["documents"]
+    kept, audit = curate(docs)
+    for df in (kept, audit):
+        optimized = (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "strategy=broadcast" not in optimized, optimized[:2000]
+    # and the exact-dedup stage is the window form: canonical_id comes
+    # from a partitioned Window over fingerprint, not a join
+    plan = _plan(audit)
+    assert "fingerprint" in plan
+
+
 def test_cross_entropy_joins_are_broadcast(spark, driver_tables):
     from wrds_data_pipeline_spark.operators.keywords import (
         build_vocab,

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions import text as X
-from wrds_data_pipeline_spark.operators.dedup import exact_duplicates
 
 
 def curate(
@@ -57,13 +56,20 @@ def curate(
         X.fingerprint(text_col).alias("fingerprint"),
     )
 
-    # 1. exact dedup: keep each group's canonical (min) id
-    canon = exact_duplicates(docs, id_col, text_col).select(
-        "fingerprint", "canonical_id"
-    )
-    tagged = base.join(F.broadcast(canon), "fingerprint", "left").withColumn(
-        "exact_dup", F.col("doc_id") != F.col("canonical_id")
-    )
+    # 1. exact dedup: keep each group's canonical (min) id.  A window
+    # min over the fingerprint partition — NOT a join against an
+    # exact_duplicates() relation: that relation has one row per
+    # distinct fingerprint (~one per document), so broadcasting it is
+    # a corpus-sized broadcast (executor/driver OOM at 100 TB) and
+    # joining it shuffles the corpus twice.  The window shuffles the
+    # corpus once on fingerprint, with partition state bounded by the
+    # largest duplicate group.
+    from pyspark.sql.window import Window as W
+
+    tagged = base.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(W.partitionBy("fingerprint")),
+    ).withColumn("exact_dup", F.col("doc_id") != F.col("canonical_id"))
 
     # 2. near-dedup among exact-canonical survivors: LSH candidates →
     # verified Jaccard → drop the higher id of each pair
