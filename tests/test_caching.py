@@ -1,0 +1,113 @@
+"""Persist-lifecycle audit: the dedup/curation operators must not
+leak executor cache in a long-lived session (VERDICT r4 #3).
+
+Two contracts:
+
+- caller-owned PersistScope: intermediates are registered on the
+  scope and ALL of them are gone from getPersistentRDDs after
+  release().
+- default (no scope): the operator returns with every intermediate
+  cache already freed; the only pinned storage it may add is the
+  localCheckpoint of its own (pairs-sized) result, which the
+  ContextCleaner frees when the caller drops the DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.caching import PersistScope
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_scope_releases_all_caches(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = driver_tables["documents"]
+    before = _persistent_ids(spark)
+    with PersistScope() as scope:
+        pairs = near_dup_pairs(docs, threshold=0.2, scope=scope)
+        n = pairs.count()
+        assert n >= 0
+        # the shingle + band caches are live while the scope is open
+        assert scope.tracked >= 2
+        assert _persistent_ids(spark) - before
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_default_mode_frees_intermediates(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = driver_tables["documents"]
+    with PersistScope() as scope:
+        expected = sorted(
+            map(tuple, near_dup_pairs(docs, threshold=0.2, scope=scope).collect())
+        )
+    before = _persistent_ids(spark)
+    out = near_dup_pairs(docs, threshold=0.2)
+    added = _persistent_ids(spark) - before
+    # every intermediate cache (shingles, bands) is already gone; at
+    # most the result's own localCheckpoint remains, freed by the
+    # ContextCleaner with the DataFrame
+    assert len(added) <= 1, added
+    assert sorted(map(tuple, out.collect())) == expected
+
+
+def test_lsh_candidates_scope_and_default_agree(spark, driver_tables):
+    from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = driver_tables["documents"]
+    before = _persistent_ids(spark)
+    with PersistScope() as scope:
+        lazy = sorted(
+            map(tuple, minhash_lsh_candidates(docs, scope=scope).collect())
+        )
+    assert _persistent_ids(spark) - before == set()
+    eager = minhash_lsh_candidates(docs)
+    assert sorted(map(tuple, eager.collect())) == lazy
+    assert len(_persistent_ids(spark) - before) <= 1
+
+
+def test_curate_scope_lifecycle(spark, driver_tables):
+    from wrds_data_pipeline_spark.plans.corpus import curate, curation_report
+
+    docs = driver_tables["documents"]
+    before = _persistent_ids(spark)
+    with PersistScope() as scope:
+        _, audit = curate(docs, scope=scope)
+        report = {
+            r["fate"]: r["n_docs"] for r in curation_report(audit).collect()
+        }
+        assert sum(report.values()) == docs.count()
+    assert _persistent_ids(spark) - before == set()
+    # default mode: intermediates freed at return, audit still lazy
+    _, audit2 = curate(docs)
+    added = _persistent_ids(spark) - before
+    assert len(added) <= 1, added
+    report2 = {
+        r["fate"]: r["n_docs"] for r in curation_report(audit2).collect()
+    }
+    assert report2 == report
+
+
+def test_jaccard_exact_path_default_frees(spark):
+    from wrds_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely unrelated text about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    before = _persistent_ids(spark)
+    out = jaccard_pairs(docs, threshold=0.3)
+    added = _persistent_ids(spark) - before
+    assert len(added) <= 1, added
+    rows = out.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}

@@ -26,6 +26,17 @@ from pyspark.sql.window import Window as W
 
 _T = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, _T] = {}
+
+# One cache scope for the driver's one-shot process: registered plans
+# must stay fully lazy (the driver and the registry plan audit build
+# all 50 plans before running any), and repeated bench invocations
+# CacheManager-share the shingle/band caches exactly as before the
+# scope API existed.  Deliberately never released — process exit frees
+# it.  Long-lived services use the operators' default (materialize +
+# release) mode or their own PersistScope.
+from wrds_data_pipeline_spark.caching import PersistScope as _PersistScope
+
+_DRIVER_SCOPE = _PersistScope()
 ORACLES: dict[str, str] = {}
 
 
@@ -849,7 +860,8 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
 
     return near_dup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, n_hashes=12, bands=4
+        _t(spark, sf_dir, "documents"), threshold=0.2, n_hashes=12, bands=4,
+        scope=_DRIVER_SCOPE,
     )
 
 
@@ -895,7 +907,8 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), n_hashes=12, bands=4
+        _t(spark, sf_dir, "documents"), n_hashes=12, bands=4,
+        scope=_DRIVER_SCOPE,
     )
 
 
@@ -1491,7 +1504,7 @@ def q43_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds_data_pipeline_spark.plans.corpus import curate, curation_report
 
     docs = _t(spark, sf_dir, "documents")
-    _, audit = curate(docs)
+    _, audit = curate(docs, scope=_DRIVER_SCOPE)
     return curation_report(audit).select(
         "fate",
         "n_docs",
@@ -1900,7 +1913,9 @@ def q52_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, n_hashes=12, bands=4)
+    pairs = minhash_lsh_candidates(
+        docs, n_hashes=12, bands=4, scope=_DRIVER_SCOPE
+    )
     cc = connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"), "group_id")
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wrds_data_pipeline_spark.caching import PersistScope, materialize_release
 from wrds_data_pipeline_spark.functions.text import fingerprint, word_shingles
 
 
@@ -174,28 +175,37 @@ def minhash_lsh_candidates(
     n_hashes: int = 12,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    scope: PersistScope | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding on any band's hash are
     candidates.  The self-join is on (band, band_hash) — i.e. only
     within buckets, never all-pairs.
 
     Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``scope``: caller-owned cache lifecycle (see caching.PersistScope)
+    — result stays lazy, caller releases.  Without it the candidate
+    relation is materialized eagerly and the band-table cache freed
+    before returning.
     """
+    own = scope is None
+    scope = scope or PersistScope()
     banded = minhash_band_table(
         docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=shingles
     )
     # persist: the bucket self-join reads `banded` twice, and each
     # un-persisted read replays the full shingle+signature pipeline
     # (the expensive part).  One row per (doc, band) — tiny.
-    banded = banded.persist()
+    banded = scope.persist(banded)
     a = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
-    return (
+    out = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return materialize_release(out, scope) if own else out
 
 
 def incremental_lsh_candidates(
@@ -206,6 +216,7 @@ def incremental_lsh_candidates(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
+    scope: PersistScope | None = None,
 ) -> DataFrame:
     """Candidate pairs for a NEW ingest increment against an existing
     corpus, without touching the existing corpus's text: signatures
@@ -225,10 +236,13 @@ def incremental_lsh_candidates(
     increment, which is the point: a daily crawl never re-hashes the
     accumulated 100 TB corpus.
     """
-    new_banded = minhash_band_table(
-        new_docs, id_col, text_col, k_shingle, n_hashes, bands
-    ).persist()
-    return lsh_probe_bands(new_banded, band_table)
+    own = scope is None
+    scope = scope or PersistScope()
+    new_banded = scope.persist(
+        minhash_band_table(new_docs, id_col, text_col, k_shingle, n_hashes, bands)
+    )
+    out = lsh_probe_bands(new_banded, band_table)
+    return materialize_release(out, scope) if own else out
 
 
 def lsh_probe_bands(
@@ -271,6 +285,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    scope: PersistScope | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -284,6 +299,8 @@ def jaccard_pairs(
     """
     from pyspark.sql.window import Window as W
 
+    own = scope is None
+    scope = scope or PersistScope()
     sh = (
         shingles
         if shingles is not None
@@ -300,7 +317,7 @@ def jaccard_pairs(
         # hopeless pairs before the intersection join.
         if shingles is None:
             # read 3× below (sizes, a-side, b-side)
-            sh = sh.persist()
+            sh = scope.persist(sh)
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
         # distinct: the old left_semi restriction was idempotent under
         # duplicate candidate rows; the candidate-driven join is not
@@ -342,9 +359,9 @@ def jaccard_pairs(
         # persist Spark replays the whole tokenize+shingle+md5 subtree
         # per side (~3× the CPU).  At cluster scale the same role is
         # played by materializing the shingle table to parquet once.
-        shn = sh.withColumn(
-            "n", F.count(F.lit(1)).over(W.partitionBy("_id"))
-        ).persist()
+        shn = scope.persist(
+            sh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("_id")))
+        )
         a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
         b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
         pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
@@ -364,7 +381,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+    return materialize_release(out, scope) if own else out
 
 
 def near_dup_pairs(
@@ -375,6 +392,7 @@ def near_dup_pairs(
     threshold: float = 0.5,
     n_hashes: int = 12,
     bands: int = 4,
+    scope: PersistScope | None = None,
 ) -> DataFrame:
     """The near-dedup composition: MinHash-LSH candidate generation +
     exact Jaccard verification, with the shingle relation computed
@@ -383,15 +401,24 @@ def near_dup_pairs(
     At cluster scale the persist below is a materialized per-corpus
     shingle table feeding both the band index build and verification.
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold among LSH
-    candidates."""
-    sh = _shingled(docs, id_col, text_col, k_shingle).persist()
+    candidates.
+
+    ``scope``: caller-owned cache lifecycle — result stays lazy and
+    the caller releases the shingle/band caches.  Without it the
+    (pairs-sized) result is materialized eagerly and every
+    intermediate cache is freed before returning."""
+    own = scope is None
+    scope = scope or PersistScope()
+    sh = scope.persist(_shingled(docs, id_col, text_col, k_shingle))
     cand = minhash_lsh_candidates(
-        docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=sh
+        docs, id_col, text_col, k_shingle, n_hashes, bands,
+        shingles=sh, scope=scope,
     )
-    return jaccard_pairs(
+    out = jaccard_pairs(
         docs, id_col, text_col, k_shingle, threshold,
-        candidates=cand, shingles=sh,
+        candidates=cand, shingles=sh, scope=scope,
     )
+    return materialize_release(out, scope) if own else out
 
 
 def winnowing_fingerprints(

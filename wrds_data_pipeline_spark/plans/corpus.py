@@ -34,8 +34,15 @@ def curate(
     near_dup_threshold: float = 0.85,
     min_tokens: int = 5,
     group_dedup: bool = False,
+    scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation flow.  Returns (kept, audit).
+
+    ``scope`` (caching.PersistScope): caller-owned lifecycle for the
+    near-dedup stage's shingle/band caches — everything stays lazy and
+    the caller releases.  Without it the (pairs-sized) near-dup
+    relation is materialized eagerly, its intermediate caches freed
+    before returning, and kept/audit stay lazy on top of it.
 
     ``group_dedup=False`` (default, oracle-checked by q43) drops the
     higher id of each verified near-dup *pair*.  That under-drops when
@@ -86,7 +93,8 @@ def curate(
     from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
 
     near = near_dup_pairs(
-        survivors, id_col, text_col, threshold=near_dup_threshold
+        survivors, id_col, text_col, threshold=near_dup_threshold,
+        scope=scope,
     )
     if group_dedup:
         from wrds_data_pipeline_spark.operators.components import (
