@@ -236,3 +236,38 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
         if r.id_a == 7 or r.id_b == 7
     )
     assert probe == full
+
+
+def test_streaming_near_dedup_string_ids(spark, tmp_path):
+    """The stored band index takes its schema from the band table, so
+    non-long doc ids (here strings) round-trip through the persisted
+    parquet instead of failing a hardcoded LongType read."""
+    from wrds_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    batches = [
+        [("a1", base + "version one")],
+        [("b2", base + "version one"), ("c3", "unrelated text about plans")],
+        [("d4", base + "version one")],
+    ]
+    schema = "doc_id string, text string"
+    stage = os.path.join(str(tmp_path), "neardup_stream_str")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx = os.path.join(str(tmp_path), "band_index_str")
+    got = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1,
+    )
+    got_pairs = sorted(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    all_docs = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(all_docs).collect()
+    )
+    assert got_pairs == want == [("a1", "b2"), ("a1", "d4"), ("b2", "d4")]

@@ -59,6 +59,35 @@ def test_counts_match_driver_side_replay(spark):
     assert got == {1: _expected(rows[0][1]), 2: _expected(rows[1][1]), 3: 0, 4: 0}
 
 
+def test_empty_text_counts_zero_despite_special_tokens(spark):
+    """A BERT-style post-processor emits [CLS]/[SEP] even for "" —
+    the count must still be 0 for null/empty docs (short-circuited
+    before the tokenizer), while non-empty docs DO include the
+    special-token overhead the tokenizer reports."""
+
+    def factory():
+        class _Enc:
+            def __init__(self, ids):
+                self.ids = ids
+
+        class _Tok:
+            def encode_batch(self, texts):
+                # [CLS] + one id per word + [SEP]
+                return [_Enc([101] + [1] * len(t.split()) + [102]) for t in texts]
+
+        return _Tok()
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_tokens
+        for r in tokenizer_token_counts(docs, factory).collect()
+    }
+    assert got == {1: 4, 2: 0, 3: 0, 4: 3}
+
+
 def test_row_local_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     out = tokenizer_token_counts(docs, _make_fake_factory())

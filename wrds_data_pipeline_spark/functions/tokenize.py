@@ -65,8 +65,13 @@ def tokenizer_token_counts(
     works (``len`` is taken either way) — which is what lets tests
     inject a deterministic fake where the library is absent.
 
-    Null text counts 0 tokens (mirrors the curation pipeline's
-    treatment of null docs as empty, not as errors).
+    Null/empty text counts 0 tokens BY CONSTRUCTION: empty strings
+    are short-circuited before the tokenizer, because tokenizers with
+    special-token post-processors (BERT-style [CLS]/[SEP]) return >0
+    ids even for "" — and a packing/budget pipeline must treat an
+    empty document as 0 tokens, not as the post-processor overhead.
+    (Mirrors the curation pipeline's treatment of null docs as empty,
+    not as errors.)
     """
     if out_col in docs.columns:
         raise ValueError(f"output column {out_col!r} already exists")
@@ -80,12 +85,14 @@ def tokenizer_token_counts(
         encode_batch = getattr(tok, "encode_batch", None)
         for pdf in batches:
             texts = pdf[text_col].fillna("").astype(str).tolist()
+            nonempty = [t for t in texts if t]
             if encode_batch is not None:
-                encs = encode_batch(texts)
+                encs = iter(encode_batch(nonempty))
             else:
-                encs = [tok.encode(t) for t in texts]
+                encs = iter(tok.encode(t) for t in nonempty)
             pdf[out_col] = [
-                len(getattr(e, "ids", e)) for e in encs
+                len((lambda e: getattr(e, "ids", e))(next(encs))) if t else 0
+                for t in texts
             ]
             yield pdf
 

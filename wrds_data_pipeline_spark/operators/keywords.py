@@ -149,11 +149,14 @@ def doc_cross_entropy(
         scored.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # decimal sum: per-term logp doubles are identical in any
-            # IEEE engine, but a DOUBLE sum is partition-order-
-            # dependent at the ulp level — the exact decimal sum makes
-            # the aggregate order-independent (repo determinism rule),
-            # which is what lets this operator hash-check vs DuckDB
+            # decimal sum: a DOUBLE sum is partition-order-dependent
+            # at the ulp level; summing through decimal(38,18) makes
+            # the aggregate order-independent WITHIN each engine (repo
+            # determinism rule).  Cross-engine it is near-exact, not
+            # exact: Spark renders double->decimal via the shortest
+            # decimal repr while DuckDB rounds the exact binary value,
+            # a ~1e-16-per-term divergence that the 6dp output rounding
+            # absorbs except at astronomically unlikely boundaries
             F.sum(
                 F.coalesce(F.col("_logp"), F.lit(0.0)).cast("decimal(38,18)")
             ).cast("double").alias("_ln_known"),

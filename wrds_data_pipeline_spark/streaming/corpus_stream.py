@@ -124,26 +124,12 @@ def streaming_near_dedup(
     import os
 
     import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
     from wrds_data_pipeline_spark.operators.dedup import (
         lsh_probe_bands,
         minhash_band_table,
     )
 
-    band_schema = StructType(
-        [
-            StructField("_id", LongType()),
-            StructField("band", IntegerType()),
-            StructField("band_hash", StringType()),
-        ]
-    )
     os.makedirs(index_dir, exist_ok=True)
     out: list = []
 
@@ -153,6 +139,12 @@ def streaming_near_dedup(
         banded = minhash_band_table(
             bdf, id_col, text_col, k_shingle, n_hashes, bands
         ).persist()
+        # the index schema is whatever minhash_band_table produces —
+        # in particular _id has the stream's id type (long, string,
+        # ...), so a non-long id round-trips through the stored
+        # parquet unchanged instead of failing against a hardcoded
+        # LongType
+        band_schema = banded.schema
         has_index = any(
             f.endswith(".parquet") for f in os.listdir(index_dir)
         ) or any(
