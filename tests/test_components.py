@@ -69,6 +69,28 @@ def test_cc_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= routes every per-round snapshot through
+    reliable checkpoint(): same result as the union-find oracle, and
+    the round snapshots actually land in the directory (the property
+    that survives executor loss on a cluster)."""
+    import os
+
+    ckpt = os.path.join(str(tmp_path), "cc_ckpt")
+    edges = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["id"], r["group_id"])
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert got == set(_union_find_groups(edges).items())
+    # reliable snapshots persisted to the shared dir, one per round
+    rdd_dirs = [
+        d for root, dirs, _ in os.walk(ckpt) for d in dirs if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) >= 2
+
+
 def test_dedup_keep_canonical_transitive(spark):
     # A~B and B~C but never A~C: pair-filtering alone would keep two
     # of the three; group resolution must keep exactly doc 1.

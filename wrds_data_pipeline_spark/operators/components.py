@@ -16,10 +16,12 @@ difference matters at 100 TB where one adversarial chain of
 near-identical crawl pages can have diameter in the thousands.
 
 Scale notes:
-- The edge relation is `localCheckpoint`-ed every round: without it
-  the lineage doubles per iteration and Spark replays the whole
-  prefix on every action.  On a real cluster use a reliable
-  `checkpoint()` dir instead (survives executor loss).
+- The edge relation is snapshotted every round: without it the
+  lineage doubles per iteration and Spark replays the whole prefix
+  on every action.  Default is `localCheckpoint` (single-node /
+  interactive); pass ``checkpoint_dir=`` to switch to reliable
+  `checkpoint()` on a shared filesystem, which survives executor
+  loss — the right setting on a real cluster.
 - Convergence is detected by an aggregate signature
   (count, sum(xxhash64(u, v))) — one cheap map-side-combined
   aggregation per round instead of a full set-difference join.
@@ -50,6 +52,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, group_id) for every node appearing in ``pairs``, where
     group_id is the minimum id of the node's connected component.
@@ -57,13 +60,37 @@ def connected_components(
     ``pairs`` is an undirected edge list (e.g. the output of
     minhash_lsh_candidates or jaccard_pairs).  Ids must be integral
     (cast to bigint internally).
+
+    ``checkpoint_dir``: per-round lineage truncation strategy.  None
+    (default) uses ``localCheckpoint`` — executor-memory blocks, fine
+    for a single-node/interactive session but LOST on executor
+    failure, which aborts the job mid-iteration at cluster scale.  A
+    path (HDFS/S3A at scale) switches every round to reliable
+    ``checkpoint()``: edge snapshots live on the shared filesystem and
+    survive executor loss.  Sets the SparkContext checkpoint dir if
+    not already set; files accumulate per round and are cleaned by
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or by
+    deleting the directory after the result is consumed.
     """
-    e = _canon(
-        pairs.select(
-            F.col(id_a).cast("bigint").alias("u"),
-            F.col(id_b).cast("bigint").alias("v"),
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _snapshot(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _snapshot(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = _snapshot(
+        _canon(
+            pairs.select(
+                F.col(id_a).cast("bigint").alias("u"),
+                F.col(id_b).cast("bigint").alias("v"),
+            )
         )
-    ).localCheckpoint(eager=True)
+    )
 
     prev_sig = None
     converged = False
@@ -87,7 +114,7 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
         )
-        e = _canon(ss).localCheckpoint(eager=True)
+        e = _snapshot(_canon(ss))
         # decimal sum: int64 hash sums overflow under ANSI mode
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
