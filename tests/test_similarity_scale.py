@@ -14,6 +14,39 @@ from wrds_data_pipeline_spark.operators.similarity import (
 )
 
 
+def test_auto_n_cells_bounds_cell_population(spark, driver_tables):
+    """n_cells=None sizes the quantizer so cell populations track
+    target_cell_size instead of the corpus: the invariant SemDeDup's
+    within-cell quadratic step depends on (a fixed n_cells at 100×
+    the data would give 100× cells and 10,000× per-cell pair work)."""
+    from wrds_data_pipeline_spark.operators.similarity import auto_n_cells
+
+    # the sizing rule itself: linear growth, floor at min_cells
+    assert auto_n_cells(0) == 16
+    assert auto_n_cells(10_000, target_cell_size=1024) == 16
+    assert auto_n_cells(1_000_000, target_cell_size=1024) == 977
+    assert auto_n_cells(100_000_000, target_cell_size=1024) == 97657
+    # 100x the corpus at fixed target -> ~100x the cells
+    assert (
+        auto_n_cells(100_000_000, 1024) / auto_n_cells(1_000_000, 1024) > 90
+    )
+
+    emb = driver_tables["embeddings"]
+    n = emb.count()
+    assigned, cents = ivf_build(emb, n_cells=None, target_cell_size=16)
+    assert len(cents) >= n / 16 * 0.9
+    pops = [
+        r["n"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    # populations stay near the target (hash-sampled centroids are
+    # imperfect; 4x is a loose skew bound, observed max ~1.5x)
+    assert max(pops) <= 4 * 16
+    assert sum(pops) == n
+
+
 def test_ivf_partition_pruning(spark, driver_tables, tmp_path):
     emb = driver_tables["embeddings"]
     assigned, cents = ivf_build(emb, n_cells=8)

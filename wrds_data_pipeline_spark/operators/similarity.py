@@ -263,12 +263,37 @@ def embedding_dup_pairs(
     )
 
 
+def auto_n_cells(
+    n_vectors: int,
+    target_cell_size: int = 1024,
+    min_cells: int = 16,
+) -> int:
+    """Cell count that keeps IVF/SemDeDup cell populations BOUNDED as
+    the corpus grows: ``max(min_cells, ceil(n / target_cell_size))``.
+
+    Why this matters: SemDeDup's within-cell comparison is quadratic
+    in the cell population — with a FIXED n_cells, 100× the corpus
+    means 100× the average cell and 10,000× the per-cell pair work.
+    Growing n_cells linearly pins the expected population at
+    ``target_cell_size``, so total pair work grows linearly with the
+    corpus (n/T cells × T² pairs = n·T).  Probe-style ANN readers can
+    instead choose target ~ sqrt(n) to balance the n·c assignment
+    cost against the n²/c scan cost; for dedup the bounded-population
+    rule is the one the SemDeDup recipe assumes."""
+    import math
+
+    if n_vectors <= 0:
+        return min_cells
+    return max(min_cells, math.ceil(n_vectors / target_cell_size))
+
+
 def ivf_build(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    target_cell_size: int = 1024,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse index: centroids = a deterministic hash-bucket
     sample of the data (one vector per xxhash64(id) % n_cells bucket
@@ -282,7 +307,13 @@ def ivf_build(
     yield no centroid, so up to ``n_cells`` centroids are returned.
     ``refine_iters`` optionally polishes the seeds with that many
     distributed spherical-k-means rounds (``ivf_refine``).
+    ``n_cells=None`` auto-sizes via ``auto_n_cells`` (one count job):
+    cells grow with the corpus so cell populations stay near
+    ``target_cell_size`` instead of growing without bound — the
+    property SemDeDup's within-cell quadratic step depends on.
     Returns (assigned_df with `cell` column, centroids list)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count(), target_cell_size)
     cents = (
         embeddings.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).alias("_b"),
