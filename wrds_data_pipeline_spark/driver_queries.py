@@ -695,22 +695,181 @@ def q18_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more); the slot now checks TF-IDF keyword extraction (q57).
 
 
-@query(
-    "q22_percentiles",
-    """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90
-    FROM events GROUP BY 1
-    """,
+# q22_percentiles rotated out in round 5 (the last single-function
+# trivia row, per VERDICT r4 #5): exact interpolated percentiles stay
+# verified by tests/test_percentile.py (Spark percentile == closed-form
+# replay) and the quantile family by quality_quantile_filter's
+# percentile_approx tests; the slot now checks the text-signals
+# composite (q59: Gopher filter components + script routing + PII/URL
+# counts — eight previously pytest-only functions).
+
+
+# q59's mutation arms: the driver corpus is uniformly clean prose
+# (every bullet/ellipsis/symbol/PII/URL/mojibake/script signal would
+# be constant zero), so — q54's synthesized-boilerplate precedent —
+# the query deterministically mutates a doc_id-keyed slice with
+# identical string expressions in BOTH engines, making every signal
+# column carry information while still exercising the real functions.
+_SIG_BULLET = (
+    "\n- bullet item one\n- bullet item one\n* item two\n"
+    "this line trails off…\nplain closing line"
 )
-def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark percentile == DuckDB
-    quantile_cont definition)."""
-    e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+_SIG_PII = " contact bob@example.com from 10.0.0.1 or call +1 (415) 555-0100"
+_SIG_URL = " see https://example.com/alpha and www.example.org/beta for details"
+_SIG_CYR = "привет мир это документ на русском языке для проверки скрипта"
+_SIG_CJK = "你好世界 这是一份用于脚本检测的中文文档"
+_SIG_MOJ = " the cafÃ© said â€™hello and â€œquoted"
+
+
+def _text_signals_oracle_sql() -> str:
+    """DuckDB twin of q59: every signal recomputed from the same
+    regex/array definitions (functions/text.py docstrings note each is
+    deliberately portable).  Unrounded ratio expressions feed both the
+    rounded output columns and the gopher_keep CASE, exactly like the
+    Spark side."""
+    import re as _re
+
+    from wrds_data_pipeline_spark.functions.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        MOJIBAKE_MAP,
+        PHONE_PATTERN,
+        SCRIPT_RANGES,
+        URL_PATTERN,
+    )
+
+    def q(pat: str) -> str:  # SQL single-quote escaping
+        return pat.replace("'", "''")
+
+    def s(lit: str) -> str:  # SQL string literal incl. newlines
+        return "'" + lit.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    # _NORM_SQL is defined further down the module (decoration order);
+    # inline the identical normalization expression here
+    norm_sql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    moj = "|".join(_re.escape(bad) for bad, _ in MOJIBAKE_MAP)
+    mutate = f"""
+      CASE doc_id % 10
+        WHEN 0 THEN text || {s(_SIG_BULLET)}
+        WHEN 1 THEN text || {s(_SIG_PII)}
+        WHEN 2 THEN text || {s(_SIG_URL)}
+        WHEN 3 THEN {s(_SIG_CYR)}
+        WHEN 4 THEN {s(_SIG_CJK)}
+        WHEN 5 THEN text || {s(_SIG_MOJ)}
+        ELSE text
+      END"""
+    script_counts = ",\n             ".join(
+        f"len(regexp_extract_all(text, '[{q(rng)}]')) AS c_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    g = "greatest(" + ", ".join(f"c_{n}" for n in SCRIPT_RANGES) + ")"
+    script_case = (
+        f"CASE WHEN {g} = 0 THEN 'unknown' "
+        + " ".join(f"WHEN c_{n} = {g} THEN '{n}'" for n in SCRIPT_RANGES)
+        + " END"
+    )
+    return f"""
+    WITH mutated AS (
+      SELECT doc_id, {mutate} AS text
+      FROM documents WHERE length(text) > 0
+    ),
+    base AS (
+      SELECT doc_id, text,
+             {norm_sql} AS norm,
+             list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls
+      FROM mutated
+    ),
+    feat AS (
+      SELECT doc_id, text, ls,
+             len(string_split(norm, ' ')) AS n_words,
+             string_split(norm, ' ') AS toks,
+             (length(norm) - (len(string_split(norm, ' ')) - 1))
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS mwl,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.|…)'))
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS r_symbol,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls, x -> regexp_matches(trim(x), '^([-*•]|\\d+[.)])\\s')))
+                       / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS r_bullet,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                       / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS r_ellipsis,
+             len(list_filter(string_split(norm, ' '), x -> regexp_matches(x, '\\p{{L}}')))
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS r_alpha,
+             CASE WHEN len(ls) > 0
+                  THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                  ELSE 0.0 END AS r_dup,
+             {script_counts},
+             len(regexp_extract_all(text, '{q(EMAIL_PATTERN)}'))
+               + len(regexp_extract_all(text, '{q(IPV4_PATTERN)}'))
+               + len(regexp_extract_all(text, '{q(PHONE_PATTERN)}')) AS pii_count,
+             len(regexp_extract_all(text, '{q(URL_PATTERN)}')) AS url_count,
+             len(regexp_extract_all(text, '{q(moj)}')) AS mojibake_count
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_wlen,
+           round(r_symbol, 6) AS symbol_ratio,
+           round(r_bullet, 6) AS bullet_ratio,
+           round(r_ellipsis, 6) AS ellipsis_ratio,
+           round(r_alpha, 6) AS alpha_ratio,
+           round(r_dup, 6) AS dup_line_ratio,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mwl BETWEEN 3 AND 10
+                 AND r_symbol < 0.1 AND r_bullet < 0.9
+                 AND r_ellipsis < 0.3 AND r_alpha > 0.8
+                 AND r_dup < 0.3
+                THEN 1 ELSE 0 END AS gopher_keep,
+           {script_case} AS script,
+           pii_count, url_count, mojibake_count
+    FROM feat
+    """
+
+
+@query("q59_text_signals", _text_signals_oracle_sql())
+def q59_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-signals composite: the Gopher-rule filter components
+    (Rae et al. 2021 appendix A1.1 — word count, mean word length,
+    symbol/bullet/ellipsis/alpha/duplicate-line ratios) plus the
+    boolean filter itself, Unicode-script routing, and the PII/URL/
+    mojibake scrub counters — one row per document, all row-local JVM
+    expressions codegen'd into a single scan (the shape that pushes
+    into a 100 TB corpus read).  Mirrors the rule that gopher_keep
+    decides on UNROUNDED ratios while outputs display at 6dp.
+
+    A doc_id-keyed slice of the corpus is deterministically mutated
+    (bullets/PII/URLs/non-Latin scripts/mojibake appended or swapped
+    in — q54's synthesized-input precedent) so every signal column
+    varies: the raw driver corpus is uniformly clean single-line
+    prose and would leave most counters constant-zero."""
+    from wrds_data_pipeline_spark.functions import text as X
+
+    base = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    arm = F.col("doc_id") % 10
+    d = base.select(
+        "doc_id",
+        F.when(arm == 0, F.concat("text", F.lit(_SIG_BULLET)))
+        .when(arm == 1, F.concat("text", F.lit(_SIG_PII)))
+        .when(arm == 2, F.concat("text", F.lit(_SIG_URL)))
+        .when(arm == 3, F.lit(_SIG_CYR))
+        .when(arm == 4, F.lit(_SIG_CJK))
+        .when(arm == 5, F.concat("text", F.lit(_SIG_MOJ)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_words"),
+        F.round(X.mean_word_length("text"), 6).alias("mean_wlen"),
+        F.round(X.symbol_word_ratio("text"), 6).alias("symbol_ratio"),
+        F.round(X.bullet_line_ratio("text"), 6).alias("bullet_ratio"),
+        F.round(X.ellipsis_line_ratio("text"), 6).alias("ellipsis_ratio"),
+        F.round(X.alpha_word_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(X.dup_line_ratio("text"), 6).alias("dup_line_ratio"),
+        X.gopher_keep("text").cast("int").alias("gopher_keep"),
+        X.detect_script("text").alias("script"),
+        X.pii_count("text").alias("pii_count"),
+        X.url_count("text").alias("url_count"),
+        X.mojibake_count("text").alias("mojibake_count"),
     )
 
 
