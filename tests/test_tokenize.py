@@ -113,6 +113,65 @@ def test_missing_library_raises_importerror():
         factory()
 
 
+_FIXTURE = __file__.rsplit("/", 1)[0] + "/fixtures/tiny_tokenizer.json"
+
+# Golden counts derived from the vendored fixture's definition:
+# Lowercase normalizer, Whitespace pre-tokenizer (\w+ runs |
+# punctuation runs), WordLevel model (OOV -> [UNK], still 1 id), and
+# a TemplateProcessing post-processor adding [CLS] + [SEP] (= +2) to
+# every NON-EMPTY encoding.  Empty/null short-circuits to 0 before
+# the tokenizer (the contract tokenize.py documents).
+_GOLDEN = [
+    ("Hello world", 2 + 2),
+    ("The quick brown fox", 4 + 2),
+    ("Hello, world!", 4 + 2),          # , and ! are separate pieces
+    ("unknownword xyzzy", 2 + 2),      # OOV -> [UNK] each
+    ("SPARK tokenizer", 2 + 2),        # lowercased into vocab
+    ("", 0),
+    (None, 0),
+]
+
+
+def test_real_tokenizer_golden_parity(spark):
+    """Skip-guarded golden test for the REAL tokenizers path: wherever
+    the optional library is installed, the vendored tokenizer.json
+    must reproduce the hand-derived counts (and flow through
+    pack_sequences e2e).  In environments without the library the
+    fake-tokenizer tests above still cover the Spark-side plumbing."""
+    pytest.importorskip("tokenizers")
+    from wrds_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(_GOLDEN)],
+        "doc_id long, text string",
+    )
+    counted = tokenizer_token_counts(docs, hf_tokenizer_factory(_FIXTURE))
+    got = {r.doc_id: r.n_tokens for r in counted.collect()}
+    assert got == {i: n for i, (_, n) in enumerate(_GOLDEN)}
+
+    packed = pack_sequences(
+        counted.filter(F.col("n_tokens") > 0),
+        max_tokens=8, token_col="n_tokens", chunk_bins=1,
+    ).toPandas()
+    assert packed["n_tokens"].sum() == sum(n for _, n in _GOLDEN)
+    assert (packed.groupby("seq_id")["n_tokens"].sum() <= 8).all()
+
+
+def test_fixture_is_valid_json_wordlevel():
+    """Always-on sanity (no optional dep): the vendored fixture parses
+    and has the structure the golden counts were derived from."""
+    import json
+
+    with open(_FIXTURE) as fh:
+        tok = json.load(fh)
+    assert tok["model"]["type"] == "WordLevel"
+    assert tok["pre_tokenizer"]["type"] == "Whitespace"
+    assert tok["normalizer"]["type"] == "Lowercase"
+    assert tok["post_processor"]["type"] == "TemplateProcessing"
+    assert {t["content"] for t in tok["added_tokens"]} == {"[UNK]", "[CLS]", "[SEP]"}
+    assert all(w in tok["model"]["vocab"] for w in ("hello", "world", "[UNK]"))
+
+
 def test_counts_feed_packing_and_budget(spark):
     """The counting strategy is orthogonal to packing/budget: real
     (here: fake-real) counts flow through pack_sequences(token_col=)
