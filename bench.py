@@ -42,6 +42,14 @@ HEADLINE = [
     "q52_dup_groups",
     "q53_pack_sequences",
     "q54_corpus_hygiene",
+    # round 5: the rest of the corpus family tracked round-over-round
+    # (VERDICT r4 #8) — chunking, semantic dedup (IVF cells), TF-IDF,
+    # unigram-LM cross-entropy — plus the new text-signals composite.
+    "q55_chunk_documents",
+    "q56_semantic_dedup",
+    "q57_tfidf_keywords",
+    "q58_cross_entropy",
+    "q59_text_signals",
 ]
 
 

@@ -47,6 +47,18 @@ def test_auto_n_cells_bounds_cell_population(spark, driver_tables):
     assert sum(pops) == n
 
 
+def test_auto_n_planes_bounds_bucket_population():
+    from wrds_data_pipeline_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(1000, target_bucket_size=1024) == 4
+    assert auto_n_planes(1 << 20, target_bucket_size=1024) == 10
+    # one extra plane per corpus doubling -> bucket size pinned
+    assert (
+        auto_n_planes(1 << 21, 1024) == auto_n_planes(1 << 20, 1024) + 1
+    )
+
+
 def test_ivf_partition_pruning(spark, driver_tables, tmp_path):
     emb = driver_tables["embeddings"]
     assigned, cents = ivf_build(emb, n_cells=8)

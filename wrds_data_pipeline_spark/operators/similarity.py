@@ -226,11 +226,22 @@ def embedding_dup_pairs(
     most likely differs by exactly one flipped hyperplane)."""
     import itertools
 
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    # per-side norm columns — see semantic_dup_pairs: same arithmetic
+    # as cosine() in the same order, folded once per row instead of
+    # once per candidate pair
+    v = F.col(vec_col).cast("array<double>")
+    sided = embeddings.select(
+        F.col(id_col).alias("_id"), v.alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    a = sided.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    b = sided.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     if planes is None and n_planes > 0:
         dim = len(embeddings.select(vec_col).first()[0])
@@ -257,10 +268,39 @@ def embedding_dup_pairs(
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        pairs.withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def auto_n_planes(
+    n_vectors: int,
+    target_bucket_size: int = 1024,
+    min_planes: int = 4,
+) -> int:
+    """Hyperplane count that keeps LSH sign-bucket populations bounded
+    as the corpus grows: 2^planes buckets ≈ n / target ⇒ planes =
+    ceil(log2(n / target)), floored at ``min_planes``.
+
+    The pair-generation analogue of ``auto_n_cells``: with FIXED
+    planes, ``embedding_dup_pairs``' within-bucket candidate set grows
+    quadratically in the corpus; one extra plane per doubling keeps
+    the expected bucket (and so the per-bucket pair work) constant.
+    Each extra plane lowers per-pair recall ~linearly in the angle, so
+    pair callers at high plane counts should also probe (hamming_probe)
+    or band multiple plane sets — same recall calculus as MinHash-LSH
+    bands."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_vectors / target_bucket_size)))
 
 
 def auto_n_cells(
@@ -362,9 +402,12 @@ def ivf_refine(
     for _ in range(n_iter):
         assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
         v = F.col(vec_col).cast("array<double>")
-        unit = F.transform(v, lambda x: x / l2_norm(v))
+        # hoist the norm: an inline l2_norm inside the transform lambda
+        # re-folds the array per ELEMENT (O(d²) per row, interpreted)
+        unit = F.transform(v, lambda x: x / F.col("_ivf_rn"))
         rows = (
-            assigned.select("cell", F.posexplode(unit).alias("pos", "x"))
+            assigned.withColumn("_ivf_rn", l2_norm(v))
+            .select("cell", F.posexplode(unit).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cell")
@@ -387,21 +430,42 @@ def ivf_assign(
     caller can inject fixed centroids — which makes the probe stage
     deterministic and SQL-oracle-checkable.
 
-    One array_max over (sim, -cell) structs: linear expression size
-    (a chained when/otherwise that re-references the running best
-    doubles the tree per centroid — exponential in n_cells and a
-    planner killer by 16 cells).  -cell makes ties pick the
-    earliest centroid, matching a first-wins scan."""
+    One array_max over (sim, -cell) structs built by a SINGLE
+    ``transform`` over the centroid matrix literal: linear expression
+    size with one lambda (a per-centroid expression copy costs
+    n_cells× the plan-build/analysis time — measured ~2.4s of
+    fixed per-job overhead at 16 cells — and a chained when/otherwise
+    argmax is exponential).  -cell makes ties pick the earliest
+    centroid, matching a first-wins scan.
+
+    Norm handling, all bit-identical to the inline ``cosine()`` form:
+    the row's own norm is hoisted into a column evaluated once per row
+    (HOFs run interpreted — no codegen subexpression elimination), and
+    the centroid norms are computed driver-side (same left-to-right
+    IEEE fold + correctly-rounded sqrt ⇒ identical doubles) and shipped
+    as a literal array."""
+    import math
+
     v = F.col(vec_col).cast("array<double>")
-    scored = F.array(*[
-        F.struct(
-            cosine(v, F.lit(c).cast("array<double>")).alias("sim"),
-            F.lit(-i).alias("neg_cell"),
-        )
-        for i, c in centroids
-    ])
+    cell_ids = F.lit([int(i) for i, _ in centroids])
+    mat = F.lit([[float(x) for x in c] for _, c in centroids]).cast(
+        "array<array<double>>"
+    )
+    norms = F.lit(
+        [math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in centroids]
+    )
+    tmp = embeddings.withColumn("_ivf_vn", l2_norm(v))
+    scored = F.transform(
+        mat,
+        lambda c, j: F.struct(
+            (
+                dot(v, c) / (F.col("_ivf_vn") * F.element_at(norms, j + 1))
+            ).alias("sim"),
+            (-F.element_at(cell_ids, j + 1)).alias("neg_cell"),
+        ),
+    )
     best = F.array_max(scored)
-    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int"))
+    return tmp.withColumn("cell", (-best["neg_cell"]).cast("int")).drop("_ivf_vn")
 
 
 def ivf_topk(
@@ -480,20 +544,45 @@ def semantic_dup_pairs(
     is deterministic and SQL-oracle-checkable like q44's IVF probe.
     """
     assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
-    a = assigned.select(
-        "cell",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
+    # per-SIDE norm columns: the pair stage is the quadratic part, and
+    # cosine()'s inline norms would re-fold both arrays for every pair
+    # (interpreted HOFs — no codegen subexpression elimination).
+    # dot/( _na * _nb ) is the same arithmetic in the same order as
+    # cosine(), so results (and the 6dp oracle hash) are bit-identical;
+    # the norms are just computed n times instead of n²/cells times.
+    v = F.col(vec_col).cast("array<double>")
+    # repartition on the join key BEFORE branching the self-join: the
+    # assignment expression is evaluated going INTO the exchange
+    # (instead of once per join branch), the join inherits the
+    # co-location, and AQE picks the strategy unhinted (broadcast at
+    # test scale, shuffled-hash at corpus scale) — measured ~2x on the
+    # q56 pipeline
+    sided = (
+        assigned.select("cell", F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .repartition(F.col("cell"))
     )
-    b = assigned.select(
+    a = sided.select(
         "cell",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = sided.select(
+        "cell",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cell", "cos_sim")
     )
@@ -572,9 +661,15 @@ def mean_pool_embeddings(
     )
     if normalize:
         vv = F.col(vec_col)
-        n = l2_norm(vv)
-        pooled = pooled.withColumn(
-            vec_col,
-            F.when(n > 0, F.transform(vv, lambda x: x / n)).otherwise(vv),
+        pooled = (
+            pooled.withColumn("_pool_n", l2_norm(vv))
+            .withColumn(
+                vec_col,
+                F.when(
+                    F.col("_pool_n") > 0,
+                    F.transform(vv, lambda x: x / F.col("_pool_n")),
+                ).otherwise(vv),
+            )
+            .drop("_pool_n")
         )
     return pooled
