@@ -63,13 +63,20 @@ class PersistScope:
     def release(self, blocking: bool = True) -> None:
         """Unpersist every tracked DataFrame.  ``blocking=True`` waits
         for the blocks to be dropped (deterministic for tests);
-        services freeing caches opportunistically can pass False."""
+        services freeing caches opportunistically can pass False.
+
+        A stopped session is tolerated (its caches died with it);
+        any other unpersist failure re-raises — swallowing it would
+        silently reintroduce the leak this class exists to prevent."""
         dfs, self._dfs = self._dfs, []
         for df in dfs:
             try:
                 df.unpersist(blocking=blocking)
             except Exception:
-                pass  # session already stopped — nothing to free
+                sc = getattr(df.sparkSession, "_sc", None)
+                jsc = getattr(sc, "_jsc", None) if sc is not None else None
+                if jsc is not None:
+                    raise  # session alive: a real failure, surface it
 
     def __enter__(self) -> "PersistScope":
         return self

@@ -79,6 +79,12 @@ def query(name: str, oracle: str | None):
 
 DEC = "decimal(38,6)"
 
+# DuckDB twin of functions.text.normalize — defined up here (not with
+# the shingle SQL below) because every text oracle, q59 included, must
+# share ONE copy: a diverging inlined duplicate would fail hash checks
+# for a non-obvious reason if the normalization ever changes.
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
 
 # ---------------------------------------------------------------------------
 # Aggregation core (SURVEY A1; reference groupby-mean cloud_TAQ/taq_chunks.py:84)
@@ -744,9 +750,7 @@ def _text_signals_oracle_sql() -> str:
     def s(lit: str) -> str:  # SQL string literal incl. newlines
         return "'" + lit.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
-    # _NORM_SQL is defined further down the module (decoration order);
-    # inline the identical normalization expression here
-    norm_sql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    norm_sql = _NORM_SQL
     moj = "|".join(_re.escape(bad) for bad, _ in MOJIBAKE_MAP)
     mutate = f"""
       CASE doc_id % 10
@@ -878,7 +882,6 @@ def q59_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # north star): dedup, text analysis, similarity search, multimodal
 # ---------------------------------------------------------------------------
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 # hashed shingles: one md5 per shingle reduced to int64 mod M — the
 # exact twin of operators.dedup.shingle_hash
 _SHINGLES_SQL = f"""
@@ -1379,6 +1382,15 @@ def q36_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     planes = [[float(x) for x in r["embedding"]] for r in pl]
+    if len(planes) != 4:
+        # fail fast: with planes=[] embedding_dup_pairs would fall back
+        # to the registry-banned all-pairs crossJoin (and the oracle's
+        # pl CTE would silently shrink too).  Testdata regeneration is
+        # a known drift source — make a missing pinned id loud.
+        raise ValueError(
+            f"q36 pinned plane vec_ids missing from embeddings: got "
+            f"{len(planes)}/4"
+        )
     return embedding_dup_pairs(
         emb, threshold=0.45, planes=planes, hamming_probe=1
     )
@@ -2440,9 +2452,11 @@ def q58_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/keywords.doc_cross_entropy over a build_vocab LM) — the
     CCNet-style cheap quality proxy.  Vocabulary = top-200 corpus
     terms; add-0.5 smoothing with a single OOV bucket.  The per-doc
-    log-prob sum goes through DECIMAL(38,18) in BOTH engines (exact,
-    order-independent — per-term logp doubles are bit-identical under
-    IEEE), so the 6dp round hash-matches."""
+    log-prob sum goes through DECIMAL(38,18) in BOTH engines:
+    order-independent WITHIN each engine (per-term logp doubles are
+    IEEE-identical); cross-engine the double→decimal renderings differ
+    at ~1e-16/term (Spark shortest-repr vs DuckDB exact-binary — see
+    keywords.py), which the 6dp output rounding absorbs."""
     from wrds_data_pipeline_spark.operators.keywords import (
         build_vocab,
         doc_cross_entropy,

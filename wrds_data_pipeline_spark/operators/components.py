@@ -67,17 +67,30 @@ def connected_components(
     failure, which aborts the job mid-iteration at cluster scale.  A
     path (HDFS/S3A at scale) switches every round to reliable
     ``checkpoint()``: edge snapshots live on the shared filesystem and
-    survive executor loss.  Sets the SparkContext checkpoint dir if
-    not already set; files accumulate per round and are cleaned by
+    survive executor loss.  Sets the SparkContext checkpoint dir only
+    if the session has none (the setting is context-global; an
+    already-configured dir wins); files accumulate per round and are
+    cleaned by
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or by
     deleting the directory after the result is consumed.
     """
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        # honor a session-configured dir: setCheckpointDir is GLOBAL to
+        # the SparkContext, so clobbering it would redirect every other
+        # job's reliable checkpoints to ours
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(checkpoint_dir)
 
         def _snapshot(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            # persist first: an unpersisted checkpoint(eager=True)
+            # computes the lineage TWICE (once for the action, again
+            # when ReliableCheckpointRDD writes the files) — Spark's
+            # own docs recommend persist-before-checkpoint
+            df = df.persist()
+            out = df.checkpoint(eager=True)
+            df.unpersist(blocking=False)
+            return out
     else:
 
         def _snapshot(df: DataFrame) -> DataFrame:

@@ -1,8 +1,12 @@
 """Corpus curation: the end-to-end training-data cleaning pipeline.
 
 Composes the engine's text/dedup operators into the standard
-LLM-pretraining data flow, all lazily planned so Catalyst fuses the
-scalar stages into one pass over the corpus:
+LLM-pretraining data flow.  The scalar stages are lazily planned so
+Catalyst fuses them into one pass over the corpus; the near-dedup
+stage is lazy when the caller passes a ``caching.PersistScope`` and
+otherwise materializes its (pairs-sized) relation eagerly at
+``curate()`` call time so its shingle/band caches can be released
+(see ``curate``'s docstring).  The flow:
 
 1. exact dedup (content fingerprint, keep canonical id),
 2. near-dedup (MinHash-LSH candidates → Jaccard verification →
