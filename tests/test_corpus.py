@@ -66,6 +66,25 @@ def test_curate_driver_documents(spark, driver_tables):
     assert fates.get("near_dup", 0) + fates.get("exact_dup", 0) > 0
 
 
+def test_curate_null_text_docs_do_not_alias(spark):
+    """Null-text docs have NULL fingerprints; Window.partitionBy puts
+    all NULLs in ONE partition (unlike the old join formulation, where
+    NULL keys never matched), so without the per-doc sentinel two
+    null-text docs would tag each other exact_dup.  Pinned intended
+    behavior (ADVICE r5): each null-text doc is its OWN dedup group
+    and falls through to the content gates — deterministically 'lang'
+    (NULL stopword scores argmax to the tie-break tail)."""
+    docs = spark.createDataFrame(
+        [(0, GOOD), (1, None), (2, None)],
+        schema="doc_id INT, text STRING",
+    )
+    _, audit = curate(docs)
+    fates = {r.doc_id: r.fate for r in audit.collect()}
+    assert fates[0] == "kept"
+    assert fates[1] != "exact_dup" and fates[2] != "exact_dup"
+    assert fates[1] == fates[2] == "lang"
+
+
 def test_curate_group_dedup_closes_transitive_cluster(spark):
     """Star-shaped near-dup cluster 1—3—2 (3 resembles both 1 and 2,
     but 1 and 2 share nothing): pair mode drops only the higher id of

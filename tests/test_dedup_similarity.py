@@ -160,6 +160,18 @@ def test_embedding_dup_pairs_multiprobe(spark, driver_tables):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_dup_pairs_probe_without_planes_raises(spark, driver_tables):
+    """hamming_probe>0 with no buckets must fail loudly instead of
+    silently handing back the quadratic all-pairs plan (ADVICE r5)."""
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.similarity import embedding_dup_pairs
+
+    emb = driver_tables["embeddings"]
+    with pytest.raises(ValueError, match="hamming_probe"):
+        embedding_dup_pairs(emb, threshold=0.45, hamming_probe=1)
+
+
 def test_bpe_ish_token_count(spark):
     from wrds_data_pipeline_spark.functions.text import bpe_ish_token_count
 

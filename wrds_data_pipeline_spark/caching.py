@@ -67,16 +67,23 @@ class PersistScope:
 
         A stopped session is tolerated (its caches died with it);
         any other unpersist failure re-raises — swallowing it would
-        silently reintroduce the leak this class exists to prevent."""
+        silently reintroduce the leak this class exists to prevent.
+        Every tracked DataFrame is attempted even when one fails (an
+        early raise would leave the rest pinned — the partial-leak the
+        class exists to close); the first live-session failure is
+        re-raised after the sweep completes."""
         dfs, self._dfs = self._dfs, []
+        first_failure: Exception | None = None
         for df in dfs:
             try:
                 df.unpersist(blocking=blocking)
-            except Exception:
+            except Exception as exc:
                 sc = getattr(df.sparkSession, "_sc", None)
                 jsc = getattr(sc, "_jsc", None) if sc is not None else None
-                if jsc is not None:
-                    raise  # session alive: a real failure, surface it
+                if jsc is not None and first_failure is None:
+                    first_failure = exc  # session alive: a real failure
+        if first_failure is not None:
+            raise first_failure
 
     def __enter__(self) -> "PersistScope":
         return self

@@ -79,8 +79,21 @@ def connected_components(
         # honor a session-configured dir: setCheckpointDir is GLOBAL to
         # the SparkContext, so clobbering it would redirect every other
         # job's reliable checkpoints to ours
-        if sc.getCheckpointDir() is None:
+        configured = sc.getCheckpointDir()
+        if configured is None:
             sc.setCheckpointDir(checkpoint_dir)
+        elif configured.rstrip("/") != checkpoint_dir.rstrip("/") and not (
+            configured.rstrip("/").endswith(checkpoint_dir.rstrip("/"))
+        ):
+            import warnings
+
+            warnings.warn(
+                f"connected_components: checkpoint_dir={checkpoint_dir!r} "
+                f"ignored — SparkContext already checkpoints to "
+                f"{configured!r} (context-global setting wins); snapshots "
+                f"will land there",
+                stacklevel=2,
+            )
 
         def _snapshot(df: DataFrame) -> DataFrame:
             # persist first: an unpersisted checkpoint(eager=True)

@@ -226,6 +226,14 @@ def embedding_dup_pairs(
     most likely differs by exactly one flipped hyperplane)."""
     import itertools
 
+    if hamming_probe > 0 and planes is None and n_planes <= 0:
+        # silently falling through to the all-pairs crossJoin would
+        # hand a caller who asked for multi-probe the quadratic plan
+        raise ValueError(
+            "hamming_probe > 0 requires LSH buckets: pass planes= or "
+            "n_planes > 0 (without buckets the plan is the all-pairs "
+            "baseline and there is nothing to probe)"
+        )
     # per-side norm columns — see semantic_dup_pairs: same arithmetic
     # as cosine() in the same order, folded once per row instead of
     # once per candidate pair
@@ -614,13 +622,25 @@ def truncate_normalize(vec: Column, dim: int) -> Column:
     """Matryoshka-style truncation: first ``dim`` components,
     re-normalized to unit L2 (public MRL usage: nested prefixes of a
     trained embedding remain usable at lower cost).  Pure array
-    expressions — row-local, codegen'd; all-zero prefixes come back
-    all-zero instead of NaN."""
+    expressions — row-local; all-zero prefixes come back all-zero
+    instead of NaN.
+
+    Shape: the sum-of-squares fold runs ONCE via ``aggregate``'s
+    finish lambda, which binds the folded value as a lambda variable
+    before the inner ``transform`` iterates — an inline ``l2_norm``
+    in the transform body would re-fold the prefix per ELEMENT
+    (O(dim²) per row, interpreted: HOFs get no codegen subexpression
+    elimination).  Same left-to-right IEEE fold + sqrt as ``l2_norm``,
+    so outputs are bit-identical to the previous form."""
     t = F.slice(vec.cast("array<double>"), 1, dim)
-    n = l2_norm(t)
-    return F.when(
-        n > 0, F.transform(t, lambda x: x / n)
-    ).otherwise(t)
+    return F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda ss: F.when(
+            ss > 0, F.transform(t, lambda x: x / F.sqrt(ss))
+        ).otherwise(t),
+    )
 
 
 def mean_pool_embeddings(

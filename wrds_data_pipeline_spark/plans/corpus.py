@@ -77,15 +77,29 @@ def curate(
     # largest duplicate group.
     from pyspark.sql.window import Window as W
 
+    # NULL-fingerprint rows (null-text docs) get a per-doc sentinel
+    # key: Window.partitionBy groups NULLs into ONE partition (unlike
+    # the previous join formulation, where NULL keys never matched), so
+    # without the sentinel two null-text docs would alias each other
+    # and all but one be mis-tagged exact_dup.  With it each null-text
+    # doc is its own group and falls through to the content gates —
+    # pinned by tests/test_corpus_plans.
+    dedup_key = F.coalesce(
+        F.col("fingerprint"), F.concat(F.lit("\x00null:"), F.col("doc_id"))
+    )
     tagged = base.withColumn(
         "canonical_id",
-        F.min("doc_id").over(W.partitionBy("fingerprint")),
+        F.min("doc_id").over(W.partitionBy(dedup_key)),
     ).withColumn("exact_dup", F.col("doc_id") != F.col("canonical_id"))
 
     # 2. near-dedup among exact-canonical survivors: LSH candidates →
-    # verified Jaccard → drop the higher id of each pair
+    # verified Jaccard → drop the higher id of each pair.  Null-text
+    # docs are excluded: they have no shingleable content — their
+    # degenerate shingle set (concat_ws over a NULL token array → [""])
+    # would J=1-match every other contentless doc, mis-tagging them
+    # near_dup instead of letting the content gates judge them.
     canon_ids = (
-        tagged.filter(~F.col("exact_dup"))
+        tagged.filter(~F.col("exact_dup") & F.col("text").isNotNull())
         .select(F.col("doc_id").alias("_canon_id"))
     )
     survivors = docs.join(
