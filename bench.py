@@ -50,6 +50,10 @@ HEADLINE = [
     "q57_tfidf_keywords",
     "q58_cross_entropy",
     "q59_text_signals",
+    # round 6: the ANN family tracked round-over-round (VERDICT r5 #2)
+    # — auto-scaled LSH near-dup pairs and the IVF probe top-k.
+    "q36_embedding_dups",
+    "q44_ann_ivf_topk",
 ]
 
 

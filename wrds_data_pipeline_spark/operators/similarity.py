@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _lit_doubles(vals: list[float]) -> Column:
+    """array<double> literal built in ONE py4j round-trip.
+
+    ``F.lit(list)`` recursively lits every element through the py4j
+    gateway — a 16×64 centroid matrix costs ~1000 gateway calls
+    (~0.8s of plan-build time per invocation, measured).  Shipping the
+    whole array as SQL text parses JVM-side in one call.  ``repr``
+    doubles round-trip exactly (shortest-repr → Double.parseDouble),
+    so the literal values are bit-identical to the F.lit form."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+
+
+def _lit_double_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal in one py4j round-trip (see
+    ``_lit_doubles``)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -50,7 +71,7 @@ def brute_force_topk(
     TakeOrderedAndProject — no shuffle of the embedding column.
     Ranking uses the 6dp-rounded similarity with id tie-break so the
     cut is deterministic across engines/partitionings."""
-    q = F.lit(query_vec).cast("array<double>")
+    q = _lit_doubles([float(x) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
     scored = embeddings.select(
         F.col(id_col),
@@ -141,7 +162,10 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     v = vec.cast("array<double>")
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        sign = F.when(dot(v, F.lit(plane).cast("array<double>")) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sign = F.when(
+            dot(v, _lit_doubles([float(x) for x in plane])) >= 0,
+            F.lit(2 ** p),
+        ).otherwise(F.lit(0))
         bucket = bucket + sign
     return bucket.cast("int")
 
@@ -255,22 +279,27 @@ def embedding_dup_pairs(
         dim = len(embeddings.select(vec_col).first()[0])
         planes = [_hyperplane(dim, p) for p in range(n_planes)]
     if planes:
-        bucket_a = lsh_bucket(F.col("_va"), planes)
         if hamming_probe > 0:
             flips = [0]  # XOR masks: identity + every <=r-bit flip
             for r in range(1, min(hamming_probe, len(planes)) + 1):
                 for combo in itertools.combinations(range(len(planes)), r):
                     flips.append(sum(2 ** p for p in combo))
+            # hoist the bucket into a column BEFORE fanning out the
+            # probes: inlining it would embed one copy of the full
+            # n_planes-dot sign expression per mask — (1+n_planes)×
+            # the analysis time and, worse, (1+n_planes)× the per-row
+            # evaluation (HOFs run interpreted, no codegen CSE)
+            a = a.withColumn("_b0", lsh_bucket(F.col("_va"), planes))
             probe = F.explode(
-                F.array(*[bucket_a.bitwiseXOR(F.lit(m)) for m in flips])
+                F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in flips])
             )
             # distinct XOR masks => distinct probe values per vector
             # => each (id_a, id_b) pair joins at most once (no dedup
             # needed); Hamming distance is symmetric, so probing only
             # the a side finds every pair within distance r.
-            a = a.withColumn("_bucket", probe)
+            a = a.withColumn("_bucket", probe).drop("_b0")
         else:
-            a = a.withColumn("_bucket", bucket_a)
+            a = a.withColumn("_bucket", lsh_bucket(F.col("_va"), planes))
         b = b.withColumn("_bucket", lsh_bucket(F.col("_vb"), planes))
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -455,11 +484,11 @@ def ivf_assign(
     import math
 
     v = F.col(vec_col).cast("array<double>")
-    cell_ids = F.lit([int(i) for i, _ in centroids])
-    mat = F.lit([[float(x) for x in c] for _, c in centroids]).cast(
-        "array<array<double>>"
+    cell_ids = F.expr(
+        "array(" + ",".join(str(int(i)) for i, _ in centroids) + ")"
     )
-    norms = F.lit(
+    mat = _lit_double_matrix([[float(x) for x in c] for _, c in centroids])
+    norms = _lit_doubles(
         [math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in centroids]
     )
     tmp = embeddings.withColumn("_ivf_vn", l2_norm(v))
