@@ -160,6 +160,35 @@ def test_embedding_dup_pairs_multiprobe(spark, driver_tables):
     assert "CartesianProduct" not in plan
 
 
+def test_auto_sizing_formulas_match_duckdb():
+    """The q36/q44/q56 registrations derive hyperparameter COUNTS from
+    the corpus size on both engines — Python (auto_n_planes /
+    auto_n_cells) and the oracle SQL (greatest/ceil/log2 over
+    count(*)).  If the two formulas ever disagree for any n, the
+    driver's hash check fails with a baffling bucket mismatch; pin
+    the parity across a wide, boundary-heavy range of n here."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        auto_n_cells,
+        auto_n_planes,
+    )
+
+    ns = sorted(
+        {1, 2, 31, 32, 33, 63, 64, 65, 500, 511, 512, 513, 2000, 4095, 4096,
+         4097, 10_000, 65_536, 1_000_000, 2**24, 2**24 + 1}
+        | {2**k + d for k in range(5, 22, 3) for d in (-1, 0, 1)}
+    )
+    con = duckdb.connect()
+    for n in ns:
+        sql_planes, sql_cells = con.execute(
+            f"SELECT greatest(4, CAST(ceil(log2({n} / 32.0)) AS INT)),"
+            f"       greatest(16, CAST(ceil({n} / 64.0) AS INT))"
+        ).fetchone()
+        assert auto_n_planes(n, target_bucket_size=32) == sql_planes, n
+        assert auto_n_cells(n, target_cell_size=64) == sql_cells, n
+
+
 def test_embedding_dup_pairs_probe_without_planes_raises(spark, driver_tables):
     """hamming_probe>0 with no buckets must fail loudly instead of
     silently handing back the quadratic all-pairs plan (ADVICE r5)."""

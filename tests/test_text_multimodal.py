@@ -283,3 +283,48 @@ def test_script_detection(spark):
     assert 0 < ratios["cyrillic"] < 1
     assert 0 < ratios["latin"] < 1
     assert abs(ratios["latin"] + ratios["cyrillic"] - 1.0) < 1e-5
+
+
+def test_json_props_extraction_matches_duckdb(spark, sf_dir):
+    """The rotated q40 shape (registry slot now q60): events.props
+    JSON extraction stays covered — get_json_object parses JVM-side
+    and the grouped aggregate matches DuckDB's json_extract_string
+    on the same parquet."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.driver_queries import _events
+
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    got = {
+        r["event_type"]: (r["n"], r["k_total"], r["k_max"])
+        for r in e.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_total"),
+            F.max(k).alias("k_max"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            SELECT event_type, count(*),
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT),
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp and got

@@ -115,32 +115,54 @@ def _pinned(key: str, sf_dir: str, build):
     return _PIN_CACHE[k]
 
 
+_IVF_TARGET_CELL = 64
+
+# DuckDB twin of auto_n_cells(count, target_cell_size=64): shared by
+# the q44/q56 oracles so the centroid-count rule lives in ONE place.
+# count/64.0 is a division by a power of two — exact in doubles — so
+# ceil is cross-engine deterministic (no log in this formula).
+_NK_SQL = f"""
+    nk AS (
+      SELECT greatest(16, CAST(ceil(count(*) / {_IVF_TARGET_CELL}.0) AS INT)) AS k
+      FROM embeddings
+    )
+"""
+
+
 def _pinned_centroids(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
-    """q44/q56's pinned IVF centroids: the 16 lowest-id vectors.
-    Fails fast when the testdata drifts (a pinned id missing) instead
-    of surfacing as a hash mismatch downstream."""
+    """q44/q56's pinned IVF centroids: the K lowest-id vectors, with
+    K AUTO-SCALED by ``auto_n_cells(count, target_cell_size=64)`` —
+    the cell count grows linearly with the corpus so cell populations
+    (and SemDeDup's within-cell quadratic pair work) stay bounded,
+    the same closure q36 got for its plane count (16 cells at
+    sf0.01's 500 vectors, 32 at sf0.1's 2000).  The oracle recomputes
+    K from ``count(*)`` via ``_NK_SQL``.  Fails fast when the
+    testdata drifts (a pinned id missing) instead of surfacing as a
+    hash mismatch downstream."""
+    from wrds_data_pipeline_spark.operators.similarity import auto_n_cells
 
     def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        k = auto_n_cells(emb.count(), target_cell_size=_IVF_TARGET_CELL)
         cents = (
-            _t(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < 16)
+            emb.filter(F.col("vec_id") < k)
             .orderBy("vec_id")
             .select("vec_id", "embedding")
             .collect()
         )
-        if len(cents) != 16:
+        if len(cents) != k:
             raise ValueError(
-                f"pinned centroid vec_ids [0,16) missing from embeddings "
-                f"at {sf_dir}: got {len(cents)}/16 — testdata drift (the "
+                f"pinned centroid vec_ids [0,{k}) missing from embeddings "
+                f"at {sf_dir}: got {len(cents)}/{k} — testdata drift (the "
                 f"oracle's cc CTE would silently shrink too)"
             )
         return [
             (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)
         ]
 
-    return _pinned("centroids16", sf_dir, build)
+    return _pinned("centroids", sf_dir, build)
 
 
 def _pinned_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1153,7 +1175,9 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(pair_filter: str = "") -> str:
+    """The MinHash-LSH candidate oracle; ``pair_filter`` optionally
+    restricts the emitted pairs (q60's incremental variant)."""
     from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
 
     sig_exprs = ",\n             ".join(
@@ -1183,6 +1207,7 @@ def _minhash_oracle_sql() -> str:
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id
+    {pair_filter}
     """
 
 
@@ -1588,33 +1613,45 @@ def q39_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q40_json_props rotated out in round 6 (VERDICT r5 #5: the last
+# single-function trivia slot): get_json_object stays exercised in
+# tests (test_text_multimodal) and the JSON-extraction shape is a
+# one-expression JVM scalar with no plan risk.  The slot now checks
+# the production-critical continuous-ingest path: incremental LSH
+# candidate generation against a stored band table (q60).
+
+
 @query(
-    "q40_json_props",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    GROUP BY 1
-    """,
+    "q60_incremental_lsh",
+    _minhash_oracle_sql(
+        "WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"
+    ),
 )
-def q40_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: the events.props JSON payload
-    parsed JVM-side (get_json_object — no Python, no schema scan).
-    At scale, prefer from_json with a declared schema once per
-    pipeline; get_json_object is the ad-hoc path."""
-    e = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        e.filter(k.isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(k).alias("k_total"),
-            F.max(k).alias("k_max"),
-        )
+def q60_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup candidates for a new ingest increment
+    (docs with doc_id % 5 = 4, ~20% of the corpus at every sf) probed
+    against the accumulated corpus's LSH band table — the continuous-
+    ingest path: per-ingest cost is O(|increment|) signature work plus
+    bucket-collision joins; the stored corpus is NEVER re-shingled
+    (dedup.incremental_lsh_candidates / lsh_probe_bands; in production
+    the band table is a materialized parquet index bucketed by (band,
+    band_hash), here it is derived lazily from the old partition).
+    Emits exactly the pairs minhash_lsh_candidates(old ∪ new) would,
+    minus old-vs-old (already resolved in prior runs) — which is what
+    the oracle expresses: the full banded self-join filtered to pairs
+    with at least one new-side id.  Covered operator-level by
+    tests/test_dedup_similarity (incremental ∪ old == full)."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    band_table = minhash_band_table(old)
+    return incremental_lsh_candidates(
+        new, band_table, scope=_DRIVER_SCOPE
     )
 
 
@@ -1807,11 +1844,12 @@ def q43_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q44_ann_ivf_topk",
-    """
-    WITH cc AS (
+    f"""
+    WITH {_NK_SQL},
+    cc AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings, nk WHERE vec_id < nk.k
     ),
     q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
     asg AS (
@@ -1845,9 +1883,10 @@ def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-score inside them — partition the index by cell and the
     probe becomes partition pruning at 100 TB.
 
-    Centroids here are pinned by a SQL-expressible rule (the 16
-    lowest-id vectors, via the cached+drift-guarded
-    ``_pinned_centroids``) and injected via ``ivf_assign``, so
+    Centroids here are pinned by a SQL-expressible rule (the K
+    lowest-id vectors, K auto-scaled from the corpus count via the
+    cached+drift-guarded ``_pinned_centroids`` — 16 at sf0.01, 32 at
+    sf0.1) and injected via ``ivf_assign``, so
     assignment, probe selection, and the in-cell top-k are all
     deterministic and the full pipeline hash-checks against DuckDB.
     The production ``ivf_build`` path (distributed hash-bucket
@@ -2440,11 +2479,12 @@ def q55_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q56_semantic_dedup",
-    """
-    WITH cc AS (
+    f"""
+    WITH {_NK_SQL},
+    cc AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings, nk WHERE vec_id < nk.k
     ),
     asg AS (
       SELECT vec_id, emb, cell FROM (
@@ -2468,8 +2508,11 @@ def q56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dup_pairs): embeddings clustered by the IVF coarse
     quantizer, cosine compared WITHIN cells only — the quadratic step
     bounded per cell, cross-cell pairs deliberately ignored.  Pinned
-    centroids (16 lowest-id vectors, q44's rule, via the
-    cached+drift-guarded ``_pinned_centroids``) make assignment and
+    centroids (the K lowest-id vectors with K auto-scaled by
+    ``auto_n_cells`` — one extra cell per 64 vectors, so the
+    within-cell quadratic work stays bounded as the corpus grows; 16
+    at sf0.01, 32 at sf0.1 — via the cached+drift-guarded
+    ``_pinned_centroids``) make assignment and
     pairs deterministic and fully hash-checkable; ``semantic_dedup``
     (components + min-id keep) is resolved over exactly this pair
     relation and is covered by q52's components oracle."""
