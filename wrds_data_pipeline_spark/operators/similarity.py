@@ -158,16 +158,28 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id for random-hyperplane LSH: bit p =
     sign(v · plane_p).  Vectors in the same bucket are near in angle
-    with high probability."""
+    with high probability.
+
+    Built as ONE ``transform`` over the plane-matrix literal plus one
+    fold (the ivf_assign shape): expression size stays linear in the
+    plane count with a single lambda, where the per-plane
+    when-chain it replaces grew one full dot subtree per plane —
+    auto_n_planes legitimately asks for 10+ planes at large corpora,
+    and plan-build/analysis cost should not grow with the corpus.
+    Bit values are identical (sum of 2^p over non-negative dots)."""
     v = vec.cast("array<double>")
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        sign = F.when(
-            dot(v, _lit_doubles([float(x) for x in plane])) >= 0,
-            F.lit(2 ** p),
-        ).otherwise(F.lit(0))
-        bucket = bucket + sign
-    return bucket.cast("int")
+    mat = _lit_double_matrix([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        mat,
+        # 2^j via pow (exact in doubles for j < 53; bucket ids cap at
+        # int anyway) — shiftleft's bit-count arg is Python-int-only
+        lambda c, j: F.when(
+            dot(v, c) >= 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("int")
 
 
 def lsh_topk(
