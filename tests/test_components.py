@@ -91,6 +91,38 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     assert len(rdd_dirs) >= 2
 
 
+def test_cc_checkpoint_dir_warning_semantics(spark, tmp_path):
+    """The 'checkpoint_dir ignored' warning must fire only on a REAL
+    conflict: getCheckpointDir returns '<scheme>:<dir>/<uuid>', so a
+    repeat call with the same dir must stay silent (the comparison
+    strips the scheme and the UUID leaf) while a different dir warns."""
+    import os
+    import re
+    import warnings
+
+    import pytest
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # ensure a context-global dir exists (first call sets it if unset)
+    connected_components(
+        df, checkpoint_dir=os.path.join(str(tmp_path), "cc_a")
+    ).collect()
+    configured = sc.getCheckpointDir()
+    same = (
+        re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", configured)
+        .rstrip("/")
+        .rsplit("/", 1)[0]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        connected_components(df, checkpoint_dir=same).collect()
+    with pytest.warns(UserWarning, match="ignored"):
+        connected_components(
+            df, checkpoint_dir=os.path.join(str(tmp_path), "cc_other")
+        ).collect()
+
+
 def test_dedup_keep_canonical_transitive(spark):
     # A~B and B~C but never A~C: pair-filtering alone would keep two
     # of the three; group resolution must keep exactly doc 1.

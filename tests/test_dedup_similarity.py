@@ -199,6 +199,26 @@ def test_embedding_dup_pairs_probe_without_planes_raises(spark, driver_tables):
     emb = driver_tables["embeddings"]
     with pytest.raises(ValueError, match="hamming_probe"):
         embedding_dup_pairs(emb, threshold=0.45, hamming_probe=1)
+    # an EMPTY plane list (e.g. a collect over missing pinned ids)
+    # must hit the same guard, not fall through to all-pairs
+    with pytest.raises(ValueError, match="hamming_probe"):
+        embedding_dup_pairs(emb, threshold=0.45, planes=[], hamming_probe=1)
+
+
+def test_lsh_topk_zero_planes_degrades_to_exact(spark, driver_tables):
+    """n_planes=0 is the documented degenerate baseline: one bucket
+    holding everything, i.e. exact brute-force top-k."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = driver_tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = brute_force_topk(emb, qv, k=5).toPandas()
+    degenerate = lsh_topk(emb, qv, k=5, n_planes=0).toPandas()
+    assert list(degenerate["vec_id"]) == list(exact["vec_id"])
+    assert list(degenerate["cos_sim"]) == list(exact["cos_sim"])
 
 
 def test_bpe_ish_token_count(spark):

@@ -82,18 +82,29 @@ def connected_components(
         configured = sc.getCheckpointDir()
         if configured is None:
             sc.setCheckpointDir(checkpoint_dir)
-        elif configured.rstrip("/") != checkpoint_dir.rstrip("/") and not (
-            configured.rstrip("/").endswith(checkpoint_dir.rstrip("/"))
-        ):
+        else:
+            # getCheckpointDir returns '<scheme>:<dir>/<random-uuid>'
+            # (Spark appends a per-context UUID leaf) — the dir the
+            # caller set is the scheme-stripped PARENT, so compare at
+            # that altitude or a repeat call with the SAME dir would
+            # spuriously warn
+            import re
             import warnings
 
-            warnings.warn(
-                f"connected_components: checkpoint_dir={checkpoint_dir!r} "
-                f"ignored — SparkContext already checkpoints to "
-                f"{configured!r} (context-global setting wins); snapshots "
-                f"will land there",
-                stacklevel=2,
-            )
+            def _strip_scheme(p: str) -> str:
+                return re.sub(
+                    r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", p
+                ).rstrip("/")
+
+            parent = _strip_scheme(configured).rsplit("/", 1)[0]
+            if parent != _strip_scheme(checkpoint_dir):
+                warnings.warn(
+                    f"connected_components: checkpoint_dir="
+                    f"{checkpoint_dir!r} ignored — SparkContext already "
+                    f"checkpoints to {configured!r} (context-global "
+                    f"setting wins); snapshots will land there",
+                    stacklevel=2,
+                )
 
         def _snapshot(df: DataFrame) -> DataFrame:
             # persist first: an unpersisted checkpoint(eager=True)

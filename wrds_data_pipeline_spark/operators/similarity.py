@@ -29,13 +29,30 @@ def _lit_doubles(vals: list[float]) -> Column:
     (~0.8s of plan-build time per invocation, measured).  Shipping the
     whole array as SQL text parses JVM-side in one call.  ``repr``
     doubles round-trip exactly (shortest-repr → Double.parseDouble),
-    so the literal values are bit-identical to the F.lit form."""
+    so the literal values are bit-identical to the F.lit form.
+
+    Finite, non-empty input only: ``inf``/``nan`` have no SQL double
+    literal spelling and an empty ``array()`` types as array<void> —
+    both would surface as a baffling parse/analysis error downstream,
+    so fail here with the real reason."""
+    import math
+
+    if not vals:
+        raise ValueError("_lit_doubles needs a non-empty vector")
+    if not all(math.isfinite(x) for x in vals):
+        raise ValueError("_lit_doubles needs finite values (got inf/nan)")
     return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
 
 
 def _lit_double_matrix(rows: list[list[float]]) -> Column:
     """array<array<double>> literal in one py4j round-trip (see
-    ``_lit_doubles``)."""
+    ``_lit_doubles`` — same finite/non-empty contract per row)."""
+    import math
+
+    if not rows or not all(rows):
+        raise ValueError("_lit_double_matrix needs non-empty rows")
+    if not all(math.isfinite(x) for r in rows for x in r):
+        raise ValueError("_lit_double_matrix needs finite values")
     inner = ",".join(
         "array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in rows
     )
@@ -167,6 +184,10 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     auto_n_planes legitimately asks for 10+ planes at large corpora,
     and plan-build/analysis cost should not grow with the corpus.
     Bit values are identical (sum of 2^p over non-negative dots)."""
+    if not planes:
+        # degenerate baseline: zero planes = one bucket holding every
+        # vector (lsh_topk(n_planes=0) degrades to an exact full scan)
+        return F.lit(0).cast("int")
     v = vec.cast("array<double>")
     mat = _lit_double_matrix([[float(x) for x in p] for p in planes])
     bits = F.transform(
@@ -262,7 +283,7 @@ def embedding_dup_pairs(
     most likely differs by exactly one flipped hyperplane)."""
     import itertools
 
-    if hamming_probe > 0 and planes is None and n_planes <= 0:
+    if hamming_probe > 0 and not planes and n_planes <= 0:
         # silently falling through to the all-pairs crossJoin would
         # hand a caller who asked for multi-probe the quadratic plan
         raise ValueError(

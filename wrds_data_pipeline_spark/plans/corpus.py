@@ -83,7 +83,7 @@ def curate(
     # without the sentinel two null-text docs would alias each other
     # and all but one be mis-tagged exact_dup.  With it each null-text
     # doc is its own group and falls through to the content gates —
-    # pinned by tests/test_corpus_plans.
+    # pinned by tests/test_corpus.py::test_curate_null_text_docs_do_not_alias.
     dedup_key = F.coalesce(
         F.col("fingerprint"), F.concat(F.lit("\x00null:"), F.col("doc_id"))
     )
