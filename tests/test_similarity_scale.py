@@ -259,6 +259,92 @@ def test_semantic_dedup_planted_clusters(spark):
     assert len(kept) == len(set(kept))
 
 
+def test_hierarchical_assign_agrees_with_exact(spark):
+    """Two-level assignment ≈ exact argmax: ≥95% identical cells on
+    clustered data, every divergence explained by a super-cell
+    boundary (the hierarchical cell's cosine is within a small delta
+    of the exact best), and the planted-cluster SemDeDup result is
+    unchanged — near-identical vectors route together under either
+    assignment."""
+    import math
+    import random
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_hierarchical,
+        semantic_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    dim, n_topics, n = 16, 24, 600
+    topics = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_topics)
+    ]
+    rows = []
+    for i in range(n):
+        t = topics[i % n_topics]
+        rows.append((i, [x + 0.25 * rng.gauss(0, 1) for x in t]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(j, topics[j]) for j in range(n_topics)]
+
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    hier = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_hierarchical(emb, centroids)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert set(hier.values()) <= {c for c, _ in centroids}
+    same = sum(exact[i] == hier[i] for i in exact)
+    assert same / n >= 0.95, f"agreement {same}/{n}"
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    vecs = dict(rows)
+    # mis-routings are rare boundary cases: the MEAN cosine given up
+    # across the whole corpus is negligible, and no single routing is
+    # a blunder (k-means supers bound the miss; the stratified-subset
+    # construction this replaced produced 0.93-vs-0.30 misses)
+    degradation = [
+        cos(vecs[i], topics[exact[i]]) - cos(vecs[i], topics[hier[i]])
+        for i in exact
+    ]
+    assert sum(degradation) / n < 0.005, sum(degradation) / n
+    assert max(degradation) < 0.35, max(degradation)
+
+    # planted-duplicate invariance: the SemDeDup pair set over tight
+    # duplicates is identical under either assignment
+    def unit(v):
+        z = math.sqrt(sum(x * x for x in v))
+        return [x / z for x in v]
+
+    dup_rows = [
+        (0, unit([1.0, 0.01, 0.0, 0.0])),
+        (1, unit([1.0, 0.02, 0.0, 0.0])),
+        (3, unit([0.01, 1.0, 0.0, 0.0])),
+        (4, unit([0.02, 1.0, 0.0, 0.0])),
+        (5, unit([0.0, 0.0, 1.0, 0.0])),
+    ]
+    demb = spark.createDataFrame(dup_rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    p_exact = sorted(
+        map(tuple, semantic_dup_pairs(demb, cents, threshold=0.999)
+            .select("id_a", "id_b").collect())
+    )
+    p_hier = sorted(
+        map(tuple, semantic_dup_pairs(
+            demb, cents, threshold=0.999, hierarchical_assign=True)
+            .select("id_a", "id_b").collect())
+    )
+    assert p_exact == p_hier == [(0, 1), (3, 4)]
+
+
 def test_semantic_dup_pairs_cell_join_is_equi(spark):
     """The within-cell comparison plans as an equi-join on cell —
     never a cartesian over the corpus."""
