@@ -473,6 +473,7 @@ def ivf_refine(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "exact",
 ) -> list[tuple[int, list[float]]]:
     """Spherical-k-means (Lloyd) refinement of the IVF coarse
     quantizer: ``n_iter`` rounds of (assign to argmax-cosine cell,
@@ -485,9 +486,19 @@ def ivf_refine(
     aggregate (posexplode → avg) — fully distributed; only the
     n_cells × dim centroid table (KBs) ever reaches the driver.
     Cells that lose every member keep their previous centroid, so the
-    cell count and ids are stable.  Deterministic given the seeds."""
+    cell count and ids are stable.  Deterministic given the seeds.
+
+    ``assign="hierarchical"`` runs each round's assignment through
+    ``ivf_assign_hierarchical`` — approximate k-means, the standard
+    move once the quantizer is large enough that exact assignment's
+    n·c dots dominate (each Lloyd round pays it)."""
+    if assign not in ("exact", "hierarchical"):
+        raise ValueError(f"assign must be exact|hierarchical, got {assign!r}")
+    assign_fn = (
+        ivf_assign_hierarchical if assign == "hierarchical" else ivf_assign
+    )
     for _ in range(n_iter):
-        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+        assigned = assign_fn(embeddings, centroids, vec_col=vec_col)
         v = F.col(vec_col).cast("array<double>")
         # hoist the norm: an inline l2_norm inside the transform lambda
         # re-folds the array per ELEMENT (O(d²) per row, interpreted)
@@ -526,11 +537,17 @@ def ivf_assign(
     centroid, matching a first-wins scan.
 
     Norm handling, all bit-identical to the inline ``cosine()`` form:
-    the row's own norm is hoisted into a column evaluated once per row
-    (HOFs run interpreted — no codegen subexpression elimination), and
-    the centroid norms are computed driver-side (same left-to-right
-    IEEE fold + correctly-rounded sqrt ⇒ identical doubles) and shipped
-    as a literal array."""
+    the row's sum-of-squares folds ONCE via ``aggregate``'s finish
+    lambda, which binds the folded value as a lambda VARIABLE before
+    the per-centroid transform runs — a ``withColumn`` hoist is not
+    safe here because CollapseProject inlines a once-referenced alias
+    into the consuming lambda, where it would re-fold the norm per
+    centroid (verified in the optimized plan; ~2× assignment work).
+    ``sqrt(ss)`` inside the inner lambda is one scalar op per
+    centroid and yields the identical double to ``l2_norm``; the
+    centroid norms are computed driver-side (same left-to-right IEEE
+    fold + correctly-rounded sqrt ⇒ identical doubles) and shipped as
+    a literal array."""
     import math
 
     v = F.col(vec_col).cast("array<double>")
@@ -541,18 +558,22 @@ def ivf_assign(
     norms = _lit_doubles(
         [math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in centroids]
     )
-    tmp = embeddings.withColumn("_ivf_vn", l2_norm(v))
-    scored = F.transform(
-        mat,
-        lambda c, j: F.struct(
-            (
-                dot(v, c) / (F.col("_ivf_vn") * F.element_at(norms, j + 1))
-            ).alias("sim"),
-            (-F.element_at(cell_ids, j + 1)).alias("neg_cell"),
+    scored = F.aggregate(
+        F.transform(v, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda ss: F.transform(
+            mat,
+            lambda c, j: F.struct(
+                (
+                    dot(v, c) / (F.sqrt(ss) * F.element_at(norms, j + 1))
+                ).alias("sim"),
+                (-F.element_at(cell_ids, j + 1)).alias("neg_cell"),
+            ),
         ),
     )
     best = F.array_max(scored)
-    return tmp.withColumn("cell", (-best["neg_cell"]).cast("int")).drop("_ivf_vn")
+    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int"))
 
 
 def _lit_double_cube(cube: list[list[list[float]]]) -> Column:
