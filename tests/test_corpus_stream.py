@@ -271,3 +271,58 @@ def test_streaming_near_dedup_string_ids(spark, tmp_path):
         (r.id_a, r.id_b) for r in minhash_lsh_candidates(all_docs).collect()
     )
     assert got_pairs == want == [("a1", "b2"), ("a1", "d4"), ("b2", "d4")]
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Union of per-batch SemDeDup emissions == batch
+    semantic_dup_pairs over the accumulated corpus, each pair emitted
+    exactly once regardless of arrival order (cell assignment is a
+    pure function of (vector, centroids), so both members of a pair
+    land in the same cell whenever they arrive)."""
+    import math
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_semantic_dedup,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # two clusters + an outlier, spread across arrival batches so
+    # cross-batch AND within-batch pairs both occur
+    batches = [
+        [(0, unit([1.0, 0.01, 0.0])), (5, unit([0.0, 0.0, 1.0]))],
+        [(1, unit([1.0, 0.02, 0.0])), (3, unit([0.01, 1.0, 0.0]))],
+        [(2, unit([1.0, 0.03, 0.0])), (4, unit([0.02, 1.0, 0.0]))],
+    ]
+    schema = "vec_id long, embedding array<double>"
+    stage = os.path.join(str(tmp_path), "sem_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    idx = os.path.join(str(tmp_path), "cell_index")
+    got = streaming_semantic_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        centroids=cents, threshold=0.999, max_files_per_trigger=1,
+    )
+    got_pairs = sorted(
+        map(tuple, got[["id_a", "id_b", "cell", "cos_sim"]].values.tolist())
+    )
+    assert len(got_pairs) == len({(a, b) for a, b, _, _ in got_pairs})
+
+    all_vecs = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(
+        (r.id_a, r.id_b, r.cell, r.cos_sim)
+        for r in semantic_dup_pairs(all_vecs, cents, threshold=0.999).collect()
+    )
+    assert got_pairs == want
+    assert want  # the fixture really plants near-pairs
+    # the persisted per-cell index holds every assigned vector
+    assert spark.read.parquet(idx).count() == 6

@@ -175,6 +175,145 @@ def streaming_near_dedup(
     )
 
 
+def streaming_semantic_dedup(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hierarchical_assign: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming SemDeDup: each micro-batch's embeddings are
+    IVF-assigned ONCE against the pinned coarse quantizer
+    (``centroids`` — in production built offline and versioned, like
+    the MinHash band constants), compared within-cell against the
+    persisted per-cell vector index for cross-batch near-pairs plus
+    the batch's own new-vs-new pairs, then appended to the index —
+    the embedding-space twin of ``streaming_near_dedup``.
+
+    Invariant (the parity test's contract): with globally-unique ids,
+    the union of per-batch (id_a, id_b, cell, cos_sim) over any
+    arrival order equals batch
+    ``operators.similarity.semantic_dup_pairs`` over the accumulated
+    corpus — each pair is emitted exactly once, by whichever batch
+    completes it (cell assignment is a pure function of (vector,
+    centroids), so both members of a pair always land in the same
+    cell regardless of arrival order).
+
+    Scale: per-batch cost is O(|batch|) assignment (route through
+    ``hierarchical_assign=True`` when the quantizer is large) plus a
+    cell equi-join sized by the probed cells' populations; the
+    accumulated corpus is never re-embedded or re-assigned.  Same
+    local-filesystem caveat as ``streaming_near_dedup``; at
+    production scale the index is a transactional table partitioned
+    by ``cell`` so the probe join prunes to the batch's cells.
+
+    Returns the concatenated pandas of all emitted pairs.
+    """
+    import os
+
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        ivf_assign_hierarchical,
+        l2_norm,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    out: list = []
+    assign_fn = ivf_assign_hierarchical if hierarchical_assign else ivf_assign
+
+    def _pairs(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        return (
+            a.join(b, "cell")
+            .filter(cond)
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        v = F.col(vec_col).cast("array<double>")
+        assigned = (
+            assign_fn(bdf, centroids, vec_col=vec_col)
+            .select("cell", F.col(id_col).alias("_id"), v.alias("_v"))
+            .withColumn("_n", l2_norm(F.col("_v")))
+            .persist()
+        )
+        idx_schema = assigned.schema
+        has_index = any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ) or any(
+            os.path.isdir(os.path.join(index_dir, f))
+            for f in os.listdir(index_dir)
+        )
+        stored = (
+            bdf.sparkSession.read.schema(idx_schema).parquet(index_dir)
+            if has_index
+            else bdf.sparkSession.createDataFrame([], idx_schema)
+        )
+
+        def side(df: DataFrame, suffix: str) -> DataFrame:
+            return df.select(
+                "cell",
+                F.col("_id").alias(f"id_{suffix}"),
+                F.col("_v").alias(f"_v{suffix}"),
+                F.col("_n").alias(f"_n{suffix}"),
+            )
+
+        # cross-batch: cosine is symmetric, so compute it on the raw
+        # sides and normalize the id order afterwards
+        cross = (
+            _pairs(
+                side(stored, "a"),
+                side(assigned, "b"),
+                F.col("id_a") != F.col("id_b"),
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cell",
+                "cos_sim",
+            )
+        )
+        within = _pairs(
+            side(assigned, "a"),
+            side(assigned, "b"),
+            F.col("id_a") < F.col("id_b"),
+        ).select("id_a", "id_b", "cell", "cos_sim")
+        pairs = cross.unionByName(within).toPandas()
+        if len(pairs):
+            out.append(pairs)
+        assigned.write.mode("append").parquet(index_dir)
+        assigned.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
+    q.processAllAvailable()
+    q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["id_a", "id_b", "cell", "cos_sim"])
+    )
+
+
 def run_stream_foreach_batch(
     spark,
     path: str,
