@@ -1,0 +1,125 @@
+"""Scale rehearsal: measure how the auto-sized dedup/ANN paths grow
+with the corpus, on synthetic clustered embeddings far larger than the
+driver's testdata.  This is the experiment that exposed (round 6) the
+hidden O(n²/target) of EXACT IVF assignment under bounded-population
+auto-sizing, and validated the fixes — run it after touching
+operators/similarity.py's assignment or candidate-generation paths.
+
+Usage:  python tools/scale_rehearsal.py [sizes ...]   (default 2000 8000 32000)
+
+Prints one line per size:
+  n, lsh: planes / candidate pairs / wall;  ivf: cells / assign-mode walls;
+  semdedup (hierarchical): pairs / wall.
+
+Expected shape (the claims SCALE.md makes, made falsifiable):
+- LSH candidate pairs grow ~O(n·log n + P), where P is the TRUE
+  near-pair count: auto_n_planes pins the hash-random bucket
+  population, the (1+planes) multi-probe fan-out is the log, and P
+  is the output-sensitive floor no sound method can undercut.  On
+  THIS fixture P dominates at large n (64 dense topics ⇒ P is
+  quadratic in cluster size — e.g. ~11M genuine candidates at 32k);
+  real corpora cap it by resolving duplicate groups as they form
+  (connected components → keep canonical) instead of enumerating
+  every pair of a 500-member near-identical cluster.
+- exact IVF assign wall grows ~quadratically (n·c dots, c ∝ n) — it
+  is expected to become infeasible; the harness caps it at the
+  smallest size and skips beyond unless --exact-all.
+- hierarchical assign and the full SemDeDup pipeline grow ~linearly
+  (2·sqrt(c) dots/row; within-cell pair work n·target).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+N_TOPICS = 64
+STAGE = "/tmp/scale_rehearsal"
+
+
+def _generate(n: int) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(STAGE, f"emb_{n}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(STAGE, exist_ok=True)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N_TOPICS, DIM))
+    topics = rng.integers(0, N_TOPICS, n)
+    vecs = base[topics] + 0.3 * rng.standard_normal((n, DIM))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype("float32").tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(t, path)
+    return path
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2000, 8000, 32000]
+    exact_all = "--exact-all" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        _hyperplane,
+        auto_n_planes,
+        embedding_dup_pairs,
+        ivf_assign,
+        ivf_build,
+        semantic_dup_pairs,
+    )
+    from wrds_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_rehearsal")
+    for i, n in enumerate(sizes):
+        emb = spark.read.parquet(_generate(n))
+
+        np_ = auto_n_planes(n, target_bucket_size=32)
+        planes = [_hyperplane(DIM, p) for p in range(np_)]
+        t0 = time.time()
+        cand = embedding_dup_pairs(
+            emb, threshold=-1.0, planes=planes, hamming_probe=1
+        ).count()
+        w_lsh = time.time() - t0
+
+        t0 = time.time()
+        assigned, cents = ivf_build(
+            emb, n_cells=None, target_cell_size=64, assign="hierarchical"
+        )
+        assigned.agg(F.sum("cell")).first()
+        w_hier = time.time() - t0
+        if exact_all or i == 0:
+            t0 = time.time()
+            ivf_assign(emb, cents).agg(F.sum("cell")).first()
+            w_exact = f"{time.time() - t0:.1f}s"
+        else:
+            w_exact = "skipped(n*c quadratic; --exact-all to force)"
+
+        t0 = time.time()
+        sem = semantic_dup_pairs(
+            emb, cents, threshold=0.9, hierarchical_assign=True
+        ).count()
+        w_sem = time.time() - t0
+
+        print(
+            f"n={n}: lsh planes={np_} cand_pairs={cand} wall={w_lsh:.1f}s | "
+            f"ivf cells={len(cents)} hier_assign={w_hier:.1f}s "
+            f"exact_assign={w_exact} | semdedup pairs={sem} wall={w_sem:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
