@@ -88,11 +88,17 @@ def brute_force_topk(
     TakeOrderedAndProject — no shuffle of the embedding column.
     Ranking uses the 6dp-rounded similarity with id tie-break so the
     cut is deterministic across engines/partitionings."""
+    import math
+
     q = _lit_doubles([float(x) for x in query_vec])
+    # the query norm is a constant: fold it driver-side (same
+    # left-to-right IEEE sum + sqrt as l2_norm ⇒ identical double)
+    # instead of re-folding the query literal once per corpus row
+    qn = F.lit(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
     v = F.col(vec_col).cast("array<double>")
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(v, q), 6).alias("cos_sim"),
+        F.round(dot(v, q) / (l2_norm(v) * qn), 6).alias("cos_sim"),
     )
     # orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
     # top-k, then a k-row merge on the driver — no global sort, no
@@ -134,15 +140,27 @@ def brute_force_topk_batch(
 
     Returns (query_id, id, cos_sim, rank), rank 1..k per query, ties
     broken by id (deterministic across partitionings)."""
+    # norms hoisted to each SIDE of the join (the join is a collapse
+    # barrier, so these really do evaluate once per query / corpus
+    # row): an inline cosine() re-folds BOTH norms per scored
+    # (query × corpus-row) pair — a q× redundancy for the corpus norm
+    # and an n× redundancy for each query norm.  Same multiply order
+    # as cosine(), so values are bit-identical.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     v = F.col(vec_col).cast("array<double>")
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine(v, F.col("_qv")), 6).alias("cos_sim"),
+    scored = (
+        corpus.withColumn("_cn", l2_norm(v))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                dot(v, F.col("_qv")) / (F.col("_cn") * F.col("_qn")), 6
+            ).alias("cos_sim"),
+        )
     )
     slice_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
     w_partial = W.partitionBy(F.col("query_id"), slice_key).orderBy(
