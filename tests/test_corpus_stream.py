@@ -326,3 +326,45 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     assert want  # the fixture really plants near-pairs
     # the persisted per-cell index holds every assigned vector
     assert spark.read.parquet(idx).count() == 6
+
+
+def test_streaming_semantic_dedup_order_invariant(spark, tmp_path):
+    """The union of emitted pairs is identical under a reversed
+    arrival order (each cross-batch pair is completed by whichever
+    member arrives later; the set algebra cannot depend on which one
+    that is)."""
+    import math
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_semantic_dedup,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    batches = [
+        [(0, unit([1.0, 0.01, 0.0])), (5, unit([0.0, 0.0, 1.0]))],
+        [(1, unit([1.0, 0.02, 0.0])), (3, unit([0.01, 1.0, 0.0]))],
+        [(2, unit([1.0, 0.03, 0.0])), (4, unit([0.02, 1.0, 0.0]))],
+    ]
+    schema = "vec_id long, embedding array<double>"
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+
+    results = []
+    for tag, order in (("fwd", batches), ("rev", list(reversed(batches)))):
+        stage = os.path.join(str(tmp_path), f"sem_{tag}")
+        for rows in order:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        got = streaming_semantic_dedup(
+            spark, stage, spark.createDataFrame([], schema).schema,
+            os.path.join(str(tmp_path), f"idx_{tag}"),
+            centroids=cents, threshold=0.999, max_files_per_trigger=1,
+        )
+        results.append(
+            sorted(map(tuple, got[["id_a", "id_b", "cell", "cos_sim"]].values.tolist()))
+        )
+    assert results[0] == results[1]
+    assert results[0]
