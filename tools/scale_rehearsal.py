@@ -46,7 +46,10 @@ def _generate(n: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(STAGE, f"emb_{n}.parquet")
+    # cache key carries the generation parameters: a cached fixture
+    # from an earlier DIM/N_TOPICS configuration must not silently
+    # masquerade as the current one
+    path = os.path.join(STAGE, f"emb_{n}_d{DIM}_t{N_TOPICS}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(STAGE, exist_ok=True)
@@ -84,7 +87,7 @@ def main() -> None:
     from wrds_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="scale_rehearsal")
-    for i, n in enumerate(sizes):
+    for n in sizes:
         emb = spark.read.parquet(_generate(n))
 
         np_ = auto_n_planes(n, target_bucket_size=32)
@@ -101,7 +104,7 @@ def main() -> None:
         )
         assigned.agg(F.sum("cell")).first()
         w_hier = time.time() - t0
-        if exact_all or i == 0:
+        if exact_all or n == min(sizes):  # smallest size, whatever order
             t0 = time.time()
             ivf_assign(emb, cents).agg(F.sum("cell")).first()
             w_exact = f"{time.time() - t0:.1f}s"

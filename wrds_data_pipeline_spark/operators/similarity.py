@@ -473,14 +473,19 @@ def ivf_build(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
+    # resolve the routing BEFORE refinement: every Lloyd round pays a
+    # full assignment, so the hierarchical choice must apply there
+    # too, not just to the final pass (the centroid count is fixed by
+    # the seed step, so the auto rule can be decided here)
+    hier = assign == "hierarchical" or (
+        assign == "auto" and len(centroids) > 128
+    )
     if refine_iters > 0:  # optional spherical-k-means polish
         centroids = ivf_refine(
             embeddings, centroids, n_iter=refine_iters,
             id_col=id_col, vec_col=vec_col,
+            assign="hierarchical" if hier else "exact",
         )
-    hier = assign == "hierarchical" or (
-        assign == "auto" and len(centroids) > 128
-    )
     assign_fn = ivf_assign_hierarchical if hier else ivf_assign
     return assign_fn(embeddings, centroids, vec_col=vec_col), centroids
 
@@ -566,6 +571,18 @@ def ivf_assign(
     centroid norms are computed driver-side (same left-to-right IEEE
     fold + correctly-rounded sqrt ⇒ identical doubles) and shipped as
     a literal array."""
+    return exact_assigner(centroids, vec_col)(embeddings)
+
+
+def exact_assigner(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+):
+    """Factory form of ``ivf_assign``: builds the centroid literals
+    and the assignment expression ONCE and returns a ``df -> df``
+    closure.  For repeated application — a streaming sink assigning
+    every micro-batch against pinned centroids — this avoids
+    re-serializing and re-analyzing the c×dim literal per batch."""
     import math
 
     v = F.col(vec_col).cast("array<double>")
@@ -590,26 +607,12 @@ def ivf_assign(
             ),
         ),
     )
-    best = F.array_max(scored)
-    return embeddings.withColumn("cell", (-best["neg_cell"]).cast("int"))
+    cell = (-F.array_max(scored)["neg_cell"]).cast("int")
 
+    def apply(df: DataFrame) -> DataFrame:
+        return df.withColumn("cell", cell)
 
-def _lit_double_cube(cube: list[list[list[float]]]) -> Column:
-    """array<array<array<double>>> literal in one py4j round-trip
-    (see ``_lit_doubles``).  Inner lists may be ragged."""
-    import math
-
-    if not cube or not all(cube):
-        raise ValueError("_lit_double_cube needs non-empty groups")
-    if not all(math.isfinite(x) for g in cube for r in g for x in r):
-        raise ValueError("_lit_double_cube needs finite values")
-    txt = ",".join(
-        "array("
-        + ",".join("array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in g)
-        + ")"
-        for g in cube
-    )
-    return F.expr(f"array({txt})")
+    return apply
 
 
 def ivf_assign_hierarchical(
@@ -661,6 +664,22 @@ def ivf_assign_hierarchical(
     comment for why the member scan must only touch its own struct
     element (CollapseProject inlines once-referenced aliases INTO HOF
     lambdas, turning a 'hoist' into per-element re-evaluation)."""
+    return hierarchical_assigner(centroids, vec_col, n_super, n_probe_super)(
+        embeddings
+    )
+
+
+def hierarchical_assigner(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    n_super: int | None = None,
+    n_probe_super: int = 2,
+):
+    """Factory form of ``ivf_assign_hierarchical``: runs the
+    driver-side super-cell k-means and builds the two-level expression
+    ONCE, returning a ``df -> df`` closure.  A streaming sink applying
+    the same pinned quantizer to every micro-batch must not pay the
+    k-means plus the c×dim literal serialization/analysis per batch."""
     import math
 
     import numpy as np
@@ -743,7 +762,6 @@ def ivf_assign_hierarchical(
             lambda s, j: F.struct(dot(v, s).alias("sim"), (-j).alias("neg_s")),
         )
     )
-    tmp = embeddings.withColumn("_l1", lvl1)
     picks = [
         (-F.element_at(F.col("_l1"), -k)["neg_s"] + 1) for k in range(1, probe + 1)
     ]
@@ -758,8 +776,16 @@ def ivf_assign_hierarchical(
             (-m["cid"]).alias("neg_cell"),
         ),
     )
-    best = F.array_max(lvl2)
-    return tmp.withColumn("cell", (-best["neg_cell"]).cast("int")).drop("_l1")
+    cell = (-F.array_max(lvl2)["neg_cell"]).cast("int")
+
+    def apply(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_l1", lvl1)
+            .withColumn("cell", cell)
+            .drop("_l1")
+        )
+
+    return apply
 
 
 def ivf_topk(

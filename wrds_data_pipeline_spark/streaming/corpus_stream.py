@@ -81,6 +81,79 @@ def streaming_sessionize(
     )
 
 
+def _run_indexed_stream(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    index_rows,
+    pairs,
+    empty_cols: list[str],
+    max_files_per_trigger: int | None = None,
+):
+    """Shared persisted-index micro-batch harness for the incremental
+    dedup twins: per batch, ``index_rows(bdf)`` derives the rows to
+    index (band table / assigned vectors), ``pairs(rows, stored)``
+    emits that batch's candidate pairs against the accumulated index,
+    and the rows are appended to ``index_dir`` afterwards — so every
+    pair is completed by exactly one batch.
+
+    NOTE this harness manages ``index_dir`` with driver-local os
+    calls, so it is LOCAL-FILESYSTEM-ONLY (an s3a://-style URI would
+    silently probe an empty index).  At production scale the index is
+    a transactional table (bucketed/partitioned by its probe key) —
+    which also replaces the existence check with the catalog and
+    prevents a failed batch double-appending rows (plain parquet
+    append here is at-least-once; re-emitted pairs are idempotent
+    under the downstream distinct / group-resolution, but the index
+    would hold duplicate rows).  The index schema is whatever
+    ``index_rows`` produces — in particular the id column keeps the
+    stream's id type (long, string, ...), so non-long ids round-trip
+    through the stored parquet unchanged.
+
+    Returns the concatenated pandas of all emitted pairs."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(index_dir, exist_ok=True)
+    out: list = []
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        rows = index_rows(bdf).persist()
+        row_schema = rows.schema
+        has_index = any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ) or any(
+            os.path.isdir(os.path.join(index_dir, f))
+            for f in os.listdir(index_dir)
+        )
+        stored = (
+            bdf.sparkSession.read.schema(row_schema).parquet(index_dir)
+            if has_index
+            else bdf.sparkSession.createDataFrame([], row_schema)
+        )
+        p = pairs(rows, stored).toPandas()
+        if len(p):
+            out.append(p)
+        rows.write.mode("append").parquet(index_dir)
+        rows.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
+    q.processAllAvailable()
+    q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=empty_cols)
+    )
+
+
 def streaming_near_dedup(
     spark,
     path: str,
@@ -108,70 +181,27 @@ def streaming_near_dedup(
 
     Scale: per-batch cost is O(|batch|) signature work + a probe join
     sized by band-bucket collisions; the accumulated corpus is never
-    re-hashed.  NOTE this harness manages ``index_dir`` with
-    driver-local os calls, so it is LOCAL-FILESYSTEM-ONLY (an
-    s3a://-style URI would silently probe an empty index).  At
-    production scale write the index bucketed by (band, band_hash)
-    into a transactional table format — which also replaces the
-    existence check with the catalog and prevents a failed batch
-    double-appending bands (plain parquet append here is
-    at-least-once; re-emitted pairs are idempotent under the
-    downstream distinct / group-resolution, but the index would hold
-    duplicate band rows).
+    re-hashed.  Index durability/filesystem caveats: see
+    ``_run_indexed_stream``.
 
     Returns the concatenated pandas of all emitted (id_a, id_b).
     """
-    import os
-
-    import pandas as pd
-
     from wrds_data_pipeline_spark.operators.dedup import (
         lsh_probe_bands,
         minhash_band_table,
     )
 
-    os.makedirs(index_dir, exist_ok=True)
-    out: list = []
-
-    def _sink(bdf: DataFrame, _epoch: int) -> None:
-        if bdf.isEmpty():
-            return
-        banded = minhash_band_table(
+    return _run_indexed_stream(
+        spark,
+        path,
+        schema,
+        index_dir,
+        index_rows=lambda bdf: minhash_band_table(
             bdf, id_col, text_col, k_shingle, n_hashes, bands
-        ).persist()
-        # the index schema is whatever minhash_band_table produces —
-        # in particular _id has the stream's id type (long, string,
-        # ...), so a non-long id round-trips through the stored
-        # parquet unchanged instead of failing against a hardcoded
-        # LongType
-        band_schema = banded.schema
-        has_index = any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ) or any(
-            os.path.isdir(os.path.join(index_dir, f))
-            for f in os.listdir(index_dir)
-        )
-        stored = (
-            bdf.sparkSession.read.schema(band_schema).parquet(index_dir)
-            if has_index
-            else bdf.sparkSession.createDataFrame([], band_schema)
-        )
-        pairs = lsh_probe_bands(banded, stored).toPandas()
-        if len(pairs):
-            out.append(pairs)
-        banded.write.mode("append").parquet(index_dir)
-        banded.unpersist()
-
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
-    q.processAllAvailable()
-    q.stop()
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["id_a", "id_b"])
+        ),
+        pairs=lsh_probe_bands,
+        empty_cols=["id_a", "id_b"],
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -207,29 +237,48 @@ def streaming_semantic_dedup(
     Scale: per-batch cost is O(|batch|) assignment (route through
     ``hierarchical_assign=True`` when the quantizer is large) plus a
     cell equi-join sized by the probed cells' populations; the
-    accumulated corpus is never re-embedded or re-assigned.  Same
-    local-filesystem caveat as ``streaming_near_dedup``; at
-    production scale the index is a transactional table partitioned
-    by ``cell`` so the probe join prunes to the batch's cells.
+    accumulated corpus is never re-embedded or re-assigned.  The
+    assigner closure — including the hierarchical path's driver-side
+    super-cell k-means and the c×dim literal serialization — is built
+    ONCE for the stream's lifetime, not per micro-batch (the
+    quantizer is pinned, so per-batch rebuilds would be pure
+    redundant driver+analysis work).  Index durability/filesystem
+    caveats: see ``_run_indexed_stream``; at production scale the
+    index table is partitioned by ``cell`` so the probe join prunes
+    to the batch's cells.
 
     Returns the concatenated pandas of all emitted pairs.
     """
-    import os
-
-    import pandas as pd
-
     from wrds_data_pipeline_spark.operators.similarity import (
         dot,
-        ivf_assign,
-        ivf_assign_hierarchical,
+        exact_assigner,
+        hierarchical_assigner,
         l2_norm,
     )
 
-    os.makedirs(index_dir, exist_ok=True)
-    out: list = []
-    assign_fn = ivf_assign_hierarchical if hierarchical_assign else ivf_assign
+    assigner = (
+        hierarchical_assigner(centroids, vec_col=vec_col)
+        if hierarchical_assign
+        else exact_assigner(centroids, vec_col=vec_col)
+    )
+    v = F.col(vec_col).cast("array<double>")
 
-    def _pairs(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+    def index_rows(bdf: DataFrame) -> DataFrame:
+        return (
+            assigner(bdf)
+            .select("cell", F.col(id_col).alias("_id"), v.alias("_v"))
+            .withColumn("_n", l2_norm(F.col("_v")))
+        )
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            "cell",
+            F.col("_id").alias(f"id_{suffix}"),
+            F.col("_v").alias(f"_v{suffix}"),
+            F.col("_n").alias(f"_n{suffix}"),
+        )
+
+    def scored(a: DataFrame, b: DataFrame, cond) -> DataFrame:
         return (
             a.join(b, "cell")
             .filter(cond)
@@ -244,73 +293,35 @@ def streaming_semantic_dedup(
             .filter(F.col("cos_sim") >= threshold)
         )
 
-    def _sink(bdf: DataFrame, _epoch: int) -> None:
-        if bdf.isEmpty():
-            return
-        v = F.col(vec_col).cast("array<double>")
-        assigned = (
-            assign_fn(bdf, centroids, vec_col=vec_col)
-            .select("cell", F.col(id_col).alias("_id"), v.alias("_v"))
-            .withColumn("_n", l2_norm(F.col("_v")))
-            .persist()
-        )
-        idx_schema = assigned.schema
-        has_index = any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ) or any(
-            os.path.isdir(os.path.join(index_dir, f))
-            for f in os.listdir(index_dir)
-        )
-        stored = (
-            bdf.sparkSession.read.schema(idx_schema).parquet(index_dir)
-            if has_index
-            else bdf.sparkSession.createDataFrame([], idx_schema)
-        )
-
-        def side(df: DataFrame, suffix: str) -> DataFrame:
-            return df.select(
-                "cell",
-                F.col("_id").alias(f"id_{suffix}"),
-                F.col("_v").alias(f"_v{suffix}"),
-                F.col("_n").alias(f"_n{suffix}"),
-            )
-
+    def pairs(assigned: DataFrame, stored: DataFrame) -> DataFrame:
         # cross-batch: cosine is symmetric, so compute it on the raw
         # sides and normalize the id order afterwards
-        cross = (
-            _pairs(
-                side(stored, "a"),
-                side(assigned, "b"),
-                F.col("id_a") != F.col("id_b"),
-            )
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-                "cell",
-                "cos_sim",
-            )
+        cross = scored(
+            side(stored, "a"),
+            side(assigned, "b"),
+            F.col("id_a") != F.col("id_b"),
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cell",
+            "cos_sim",
         )
-        within = _pairs(
+        within = scored(
             side(assigned, "a"),
             side(assigned, "b"),
             F.col("id_a") < F.col("id_b"),
         ).select("id_a", "id_b", "cell", "cos_sim")
-        pairs = cross.unionByName(within).toPandas()
-        if len(pairs):
-            out.append(pairs)
-        assigned.write.mode("append").parquet(index_dir)
-        assigned.unpersist()
+        return cross.unionByName(within)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
-    q.processAllAvailable()
-    q.stop()
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["id_a", "id_b", "cell", "cos_sim"])
+    return _run_indexed_stream(
+        spark,
+        path,
+        schema,
+        index_dir,
+        index_rows=index_rows,
+        pairs=pairs,
+        empty_cols=["id_a", "id_b", "cell", "cos_sim"],
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
