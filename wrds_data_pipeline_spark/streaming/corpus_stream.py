@@ -1,8 +1,9 @@
-"""Streaming corpus operators: exact dedup and sessionization.
+"""Streaming corpus operators: dedup (exact / MinHash-LSH /
+semantic), sessionization, and the foreachBatch escape hatch.
 
 Beyond the reference's batch surface (SURVEY §2.10): a training-data
-ingest pipeline is naturally a stream of documents/events, and the
-two batch operators with real streaming twins are
+ingest pipeline is naturally a stream of documents/events.  The
+native-plan twins:
 
 - **exact dedup** (operators/dedup.exact_duplicates): in a stream,
   global dedup state is unbounded, so the production form is
@@ -14,6 +15,15 @@ two batch operators with real streaming twins are
   ``session_window(ts, gap)`` is the built-in incremental equivalent
   — state is one open session per key, windows emit when the
   watermark passes their close.
+
+The persisted-index twins (``_run_indexed_stream``): MinHash-LSH
+near-dedup (``streaming_near_dedup`` — per-batch band signatures
+probe the accumulated band table) and SemDeDup
+(``streaming_semantic_dedup`` — per-batch IVF assignment against the
+pinned quantizer probes the accumulated per-cell vector index).
+Both carry the exactly-once pair invariant: the union of per-batch
+emissions equals the batch operator over the accumulated corpus,
+each pair completed by whichever batch sees its later member.
 
 Edge note on session gaps: the batch formulation starts a new session
 when ``diff > gap``; ``session_window`` merges when ``diff < gap`` —
