@@ -25,6 +25,21 @@ STOPWORDS = {
 _WS = r"\s+"
 
 
+def _bound(arr: Column, zero: Column, body) -> Column:
+    """Evaluate ``arr`` ONCE per row and hand it to ``body`` as a
+    bound lambda variable (a 1-element ``aggregate``).
+
+    Why: higher-order functions run interpreted, and any non-lambda
+    expression referenced inside a lambda body is RE-EVALUATED per
+    array element — ``transform(idx, i -> f(tokens(text), i))``
+    re-tokenizes the document once per index, turning O(n) builders
+    into O(n²) (see SCALE.md's CollapseProject/HOF note; the same
+    trap cost similarity.py a 25× slowdown).  ``zero`` must carry the
+    RESULT type of ``body`` (the merge lambda's return type is the
+    aggregate's type); its value is never used."""
+    return F.aggregate(F.array(arr), zero, lambda acc, a: body(a))
+
+
 def normalize(text: Column | str) -> Column:
     """lower + trim + collapse whitespace — the canonical form used by
     fingerprints and shingles."""
@@ -235,15 +250,24 @@ def top_ngram_ratio(text: Column | str, n: int = 2) -> Column:
     count — acceptable because it never shuffles and documents are
     length-bounded upstream; for very long documents compute it on a
     prefix slice."""
-    grams = word_shingles_ordered(text, n)
-    total = F.size(grams)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # bind the gram array once: referenced from TWO nested lambdas
+    # below, where an inline copy would rebuild the whole shingle
+    # array per distinct gram (O(g·n) just to re-materialize it,
+    # before the inherent per-gram count scan)
+    return _bound(
+        word_shingles_ordered(text, n),
+        F.lit(0.0),
+        lambda grams: F.when(
+            F.size(grams) > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
+                )
+            )
+            / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0)),
     )
-    return F.when(total > 0, top / total.cast("double")).otherwise(F.lit(0.0))
 
 
 def gopher_keep(
@@ -329,12 +353,19 @@ def fingerprint(text: Column | str) -> Column:
 def word_shingles_ordered(text: Column | str, k: int = 3) -> Column:
     """Positional k-word shingles (array<string>, duplicates kept, in
     token order) — the rolling k-gram stream winnowing needs.
-    Codegen'd: sequence + transform + slice, no UDF."""
-    t = tokens(text)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    # documents shorter than k words shingle to the whole text
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    Sequence + transform + slice, no UDF.  The token array is bound
+    ONCE via ``_bound``: inlining ``tokens(text)`` in the per-index
+    lambda re-tokenized the document per shingle — an O(n²) tax on
+    every MinHash/winnowing/Jaccard consumer of this function."""
+    return _bound(
+        tokens(text),
+        F.array().cast("array<string>"),
+        # documents shorter than k words shingle to the whole text
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    )
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

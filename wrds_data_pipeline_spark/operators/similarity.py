@@ -822,18 +822,30 @@ def quantize_int8(vec: Column) -> Column:
     vectors that is the difference between one copy and four — at
     <1% cosine-similarity error for typical embedding distributions
     (recall preservation tested).  Pure array expressions; all-zero
-    vectors quantize to scale=0 / all-zero q."""
-    absmax = F.aggregate(
+    vectors quantize to scale=0 / all-zero q.
+
+    The abs-max fold runs ONCE via ``aggregate``'s finish lambda (the
+    truncate_normalize/ivf_assign shape): embedding the ``absmax``
+    expression inside the quantizing transform would re-run the fold
+    per ELEMENT — O(d²) per row, interpreted.  Same arithmetic
+    (``x / (am/127)``), so outputs are bit-identical."""
+    return F.aggregate(
         F.transform(vec, lambda x: F.abs(x)),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
+        lambda am: F.struct(
+            (am / F.lit(127.0)).cast("float").alias("scale"),
+            F.when(
+                am > 0,
+                F.transform(
+                    vec,
+                    lambda x: F.round(x / (am / F.lit(127.0))).cast("tinyint"),
+                ),
+            )
+            .otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+            .alias("q"),
+        ),
     )
-    scale = absmax / F.lit(127.0)
-    q = F.when(
-        absmax > 0,
-        F.transform(vec, lambda x: F.round(x / scale).cast("tinyint")),
-    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
-    return F.struct(scale.cast("float").alias("scale"), q.alias("q"))
 
 
 def dequantize_int8(qstruct: Column) -> Column:
