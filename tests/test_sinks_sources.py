@@ -102,13 +102,19 @@ def test_read_jsonl(spark, tmp_path):
 def test_write_bucketed_kills_groupby_shuffle(spark, wrds):
     from wrds_data_pipeline_spark.sinks import write_bucketed
 
+    import uuid
+
     nbbo = wrds["nbbo"].withColumn(
         "price", (F.col("best_bid") + F.col("best_ask")) / 2
     ).select("sym_root", "time_m", "price")
 
-    write_bucketed(nbbo, "nbbo_bucketed", "sym_root", 8, sort_cols="sym_root")
+    # unique name per run: a fixed table name can collide with stale
+    # metastore state if an earlier run died between saveAsTable and
+    # the DROP (observed as a once-only full-suite flake)
+    name = f"nbbo_bucketed_{uuid.uuid4().hex[:8]}"
+    write_bucketed(nbbo, name, "sym_root", 8, sort_cols="sym_root")
     try:
-        t = spark.table("nbbo_bucketed")
+        t = spark.table(name)
         agg = t.groupBy("sym_root").agg(F.avg("price").alias("p"))
         plan = agg._jdf.queryExecution().executedPlan().toString()
         # bucketed layout satisfies the agg's distribution: no Exchange
@@ -128,7 +134,7 @@ def test_write_bucketed_kills_groupby_shuffle(spark, wrds):
         jplan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in jplan, jplan
     finally:
-        spark.sql("DROP TABLE IF EXISTS nbbo_bucketed")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_read_jdbc_live_roundtrip(spark, tmp_path):

@@ -849,7 +849,13 @@ def quantize_int8(vec: Column) -> Column:
 
 
 def dequantize_int8(qstruct: Column) -> Column:
-    """Inverse of quantize_int8: array<float> ≈ the original vector."""
+    """Inverse of quantize_int8: array<float> ≈ the original vector.
+
+    Pass a MATERIALIZED struct column (the stored quantized vector),
+    not a nested ``quantize_int8(...)`` expression: the lambda reads
+    ``qstruct["scale"]`` per element, which is O(1) on a column but
+    would re-run the whole quantization per element on an inline
+    expression (the HOF re-evaluation rule in SCALE.md)."""
     return F.transform(
         qstruct["q"], lambda x: (x.cast("float") * qstruct["scale"]).cast("float")
     )
