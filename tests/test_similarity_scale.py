@@ -402,3 +402,68 @@ def test_truncate_normalize_and_mean_pool(spark):
     assert all(abs(a - b / nrm) < 1e-12 for a, b in zip(pooled[1][0], mean))
     assert abs(sum(x * x for x in pooled[1][0]) - 1.0) < 1e-12
     assert pooled[2][1] == 1
+
+
+def test_arrow_assigner_matches_exact(spark):
+    """The vectorized BLAS assigner returns the same argmax-cosine
+    cells as the exact JVM expression (same unit-centroid dot
+    ordering, first-max tie rule; BLAS summation order can differ in
+    the last ulp, so demand >=99% and full validity), and the
+    SemDeDup pair set through assigner= is identical on planted
+    duplicates."""
+    import math
+    import random
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        arrow_assigner,
+        ivf_assign,
+        semantic_dup_pairs,
+    )
+
+    rng = random.Random(23)
+    dim, n_topics, n = 16, 24, 500
+    topics = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_topics)]
+    rows = [
+        (i, [x + 0.25 * rng.gauss(0, 1) for x in topics[i % n_topics]])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(j, topics[j]) for j in range(n_topics)]
+
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cell"]
+        for r in arrow_assigner(centroids)(emb)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert set(arrow.values()) <= {c for c, _ in centroids}
+    same = sum(exact[i] == arrow[i] for i in exact)
+    assert same / n >= 0.99, f"agreement {same}/{n}"
+
+    def unit(v):
+        z = math.sqrt(sum(x * x for x in v))
+        return [x / z for x in v]
+
+    dup_rows = [
+        (0, unit([1.0, 0.01, 0.0])),
+        (1, unit([1.0, 0.02, 0.0])),
+        (3, unit([0.01, 1.0, 0.0])),
+        (4, unit([0.02, 1.0, 0.0])),
+        (5, unit([0.0, 0.0, 1.0])),
+    ]
+    demb = spark.createDataFrame(dup_rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    p_exact = sorted(
+        map(tuple, semantic_dup_pairs(demb, cents, threshold=0.999)
+            .select("id_a", "id_b").collect())
+    )
+    p_arrow = sorted(
+        map(tuple, semantic_dup_pairs(
+            demb, cents, threshold=0.999, assigner=arrow_assigner(cents))
+            .select("id_a", "id_b").collect())
+    )
+    assert p_exact == p_arrow == [(0, 1), (3, 4)]

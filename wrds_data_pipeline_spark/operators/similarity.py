@@ -16,6 +16,10 @@ function.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint strings
+# (PEP 563 via `from __future__ import annotations`) are resolved
+# against module globals, so a lazy in-function import would break
+# arrow_assigner's eval-type inference
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -444,15 +448,19 @@ def ivf_build(
     ``assign``: ``"exact"`` (argmax over every centroid — n·c dots,
     the hidden quadratic once auto-sizing grows c with the corpus),
     ``"hierarchical"`` (``ivf_assign_hierarchical``: ~2·sqrt(c) dots
-    per row, slightly approximate at super-cell boundaries), or
-    ``"auto"`` (default): exact while the quantizer is small (≤128
-    cells — exhaustive is both cheap and exactly reproducible there),
-    hierarchical beyond (measured at 32k vectors / 500 cells: exact
-    assignment alone blows a minute-scale budget; hierarchical runs
-    the whole SemDeDup pipeline in ~37s).
+    per row, slightly approximate at super-cell boundaries),
+    ``"arrow"`` (``arrow_assigner``: vectorized BLAS matmul per Arrow
+    batch — ~27× the hierarchical path at 32k/500 cells, but puts a
+    Python stage in the plan), or ``"auto"`` (default): exact while
+    the quantizer is small (≤128 cells — exhaustive is both cheap and
+    exactly reproducible there), hierarchical beyond (the fastest
+    PURE-JVM path; auto never adds Python to a plan uninvited —
+    opt into "arrow" explicitly).
     Returns (assigned_df with `cell` column, centroids list)."""
-    if assign not in ("auto", "exact", "hierarchical"):
-        raise ValueError(f"assign must be auto|exact|hierarchical, got {assign!r}")
+    if assign not in ("auto", "exact", "hierarchical", "arrow"):
+        raise ValueError(
+            f"assign must be auto|exact|hierarchical|arrow, got {assign!r}"
+        )
     if n_cells is None:
         n_cells = auto_n_cells(embeddings.count(), target_cell_size)
     cents = (
@@ -474,19 +482,19 @@ def ivf_build(
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
     # resolve the routing BEFORE refinement: every Lloyd round pays a
-    # full assignment, so the hierarchical choice must apply there
-    # too, not just to the final pass (the centroid count is fixed by
-    # the seed step, so the auto rule can be decided here)
-    hier = assign == "hierarchical" or (
-        assign == "auto" and len(centroids) > 128
-    )
+    # full assignment, so the choice must apply there too, not just to
+    # the final pass (the centroid count is fixed by the seed step, so
+    # the auto rule can be decided here)
+    if assign == "auto":
+        assign = "hierarchical" if len(centroids) > 128 else "exact"
     if refine_iters > 0:  # optional spherical-k-means polish
         centroids = ivf_refine(
             embeddings, centroids, n_iter=refine_iters,
-            id_col=id_col, vec_col=vec_col,
-            assign="hierarchical" if hier else "exact",
+            id_col=id_col, vec_col=vec_col, assign=assign,
         )
-    assign_fn = ivf_assign_hierarchical if hier else ivf_assign
+    if assign == "arrow":
+        return arrow_assigner(centroids, vec_col)(embeddings), centroids
+    assign_fn = ivf_assign_hierarchical if assign == "hierarchical" else ivf_assign
     return assign_fn(embeddings, centroids, vec_col=vec_col), centroids
 
 
@@ -512,14 +520,22 @@ def ivf_refine(
     cell count and ids are stable.  Deterministic given the seeds.
 
     ``assign="hierarchical"`` runs each round's assignment through
-    ``ivf_assign_hierarchical`` — approximate k-means, the standard
+    ``ivf_assign_hierarchical`` (approximate k-means — the standard
     move once the quantizer is large enough that exact assignment's
-    n·c dots dominate (each Lloyd round pays it)."""
-    if assign not in ("exact", "hierarchical"):
-        raise ValueError(f"assign must be exact|hierarchical, got {assign!r}")
-    assign_fn = (
-        ivf_assign_hierarchical if assign == "hierarchical" else ivf_assign
-    )
+    n·c dots dominate; each Lloyd round pays it); ``"arrow"`` uses
+    the vectorized BLAS assigner (fastest, Python in the plan)."""
+    if assign not in ("exact", "hierarchical", "arrow"):
+        raise ValueError(
+            f"assign must be exact|hierarchical|arrow, got {assign!r}"
+        )
+
+    def assign_fn(df, cents, vec_col=vec_col):
+        if assign == "arrow":
+            return arrow_assigner(cents, vec_col)(df)
+        if assign == "hierarchical":
+            return ivf_assign_hierarchical(df, cents, vec_col=vec_col)
+        return ivf_assign(df, cents, vec_col=vec_col)
+
     for _ in range(n_iter):
         assigned = assign_fn(embeddings, centroids, vec_col=vec_col)
         v = F.col(vec_col).cast("array<double>")
@@ -788,6 +804,58 @@ def hierarchical_assigner(
     return apply
 
 
+def arrow_assigner(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+):
+    """Vectorized (Arrow/BLAS) cell assignment: a ``pandas_udf`` that
+    matmuls each record batch against the captured unit-centroid
+    matrix — the third rung of the assignment ladder:
+
+    - ``exact_assigner``: JVM expression, bit-reproducible, c dots per
+      row interpreted — right for small quantizers (the oracle-checked
+      registered rows; ivf_build keeps it to ≤128 cells).
+    - ``hierarchical_assigner``: ~2·sqrt(c) dots per row — kills the
+      n·c quadratic once ``auto_n_cells`` grows c with the corpus.
+    - this: one ``V @ C.T`` per Arrow batch (SIMD BLAS, ~100× the
+      per-dot throughput of interpreted HOFs) — right when Python in
+      the plan is acceptable and c·dim outgrows what expression
+      literals should carry (the c×dim matrix rides along with the
+      serialized udf: fine to ~10⁵×10³; beyond that, broadcast it
+      explicitly).  NOT used by any registered plan — the §2.9
+      zero-Python-UDF audit stays intact; this is the operator-level
+      scale path, like the multimodal Arrow decode.
+
+    Semantics match ``ivf_assign``: argmax cosine (dot against UNIT
+    centroids — scale-invariant), ties to the earliest cell
+    (np.argmax returns the first maximum and the matrix is in cell-id
+    order).  BLAS pairwise summation can differ from the sequential
+    JVM fold in the last ulp, so exact-tie rows MAY route differently
+    — the same class of boundary approximation as the hierarchical
+    path, and why registered rows keep the exact assigner."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    ids = np.asarray([int(i) for i, _ in centroids], dtype=np.int64)
+
+    @pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        if not len(batch):
+            return pd.Series([], dtype="int32")
+        v = np.stack(batch.to_numpy()).astype(np.float64)
+        sims = v @ unit.T
+        return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.withColumn("cell", _assign(F.col(vec_col)))
+
+    return apply
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -868,6 +936,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hierarchical_assign: bool = False,
+    assigner=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023, public): cluster embeddings with the IVF coarse quantizer,
@@ -889,8 +958,14 @@ def semantic_dup_pairs(
     function's docstring).  Slightly approximate at super-cell
     boundaries, so the oracle-checked registered row keeps the exact
     default."""
-    assign = ivf_assign_hierarchical if hierarchical_assign else ivf_assign
-    assigned = assign(embeddings, centroids, vec_col=vec_col)
+    if assigner is not None:
+        # caller-supplied df -> df assignment closure — e.g.
+        # arrow_assigner(centroids) for the BLAS path, or a
+        # pre-built exact/hierarchical assigner reused across calls
+        assigned = assigner(embeddings)
+    else:
+        assign = ivf_assign_hierarchical if hierarchical_assign else ivf_assign
+        assigned = assign(embeddings, centroids, vec_col=vec_col)
     # per-SIDE norm columns: the pair stage is the quadratic part, and
     # cosine()'s inline norms would re-fold both arrays for every pair
     # (interpreted HOFs — no codegen subexpression elimination).
