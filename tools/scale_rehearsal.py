@@ -78,6 +78,7 @@ def main() -> None:
 
     from wrds_data_pipeline_spark.operators.similarity import (
         _hyperplane,
+        arrow_assigner,
         auto_n_planes,
         embedding_dup_pairs,
         ivf_assign,
@@ -104,6 +105,9 @@ def main() -> None:
         )
         assigned.agg(F.sum("cell")).first()
         w_hier = time.time() - t0
+        t0 = time.time()
+        arrow_assigner(cents)(emb).agg(F.sum("cell")).first()
+        w_arrow = time.time() - t0
         if exact_all or n == min(sizes):  # smallest size, whatever order
             t0 = time.time()
             ivf_assign(emb, cents).agg(F.sum("cell")).first()
@@ -120,7 +124,8 @@ def main() -> None:
         print(
             f"n={n}: lsh planes={np_} cand_pairs={cand} wall={w_lsh:.1f}s | "
             f"ivf cells={len(cents)} hier_assign={w_hier:.1f}s "
-            f"exact_assign={w_exact} | semdedup pairs={sem} wall={w_sem:.1f}s"
+            f"arrow_assign={w_arrow:.1f}s exact_assign={w_exact} | "
+            f"semdedup pairs={sem} wall={w_sem:.1f}s"
         )
 
 
