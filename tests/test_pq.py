@@ -1,0 +1,176 @@
+"""Product quantization: train/encode/ADC-scan/rerank contracts.
+
+Geometry fixture: clustered unit vectors (deterministic rng) — the
+regime PQ is built for.  Assertions pin determinism, code bounds,
+schema, recall floors, and that the rerank stage's scores are the
+EXACT cosine (approximation may only choose candidates, never alter
+reported scores)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.pq import (
+    PQCodebooks,
+    pq_adc_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from wrds_data_pipeline_spark.operators.similarity import brute_force_topk
+
+
+N, DIM, TOPICS = 400, 64, 8
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((TOPICS, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    topics = rng.integers(0, TOPICS, N)
+    vecs = base[topics] + 0.25 * rng.standard_normal((N, DIM))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.persist().count()
+    yield df, vecs
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def codebooks(clustered):
+    df, _ = clustered
+    return pq_train(df, m=8, k=16, sample_cap=N)
+
+
+def test_train_shape_and_determinism(clustered, codebooks):
+    df, _ = clustered
+    cb = codebooks
+    assert (cb.dim, cb.m, cb.k, cb.dsub) == (DIM, 8, 16, 8)
+    assert len(cb.books) == 8 and all(len(b) == 16 for b in cb.books)
+    again = pq_train(df, m=8, k=16, sample_cap=N)
+    assert again == cb  # frozen dataclass equality: bit-identical books
+
+
+def test_encode_schema_bounds_determinism(spark, clustered, codebooks):
+    df, _ = clustered
+    coded = pq_encode(df, codebooks)
+    assert coded.schema["pq_code"].dataType.simpleString() == "array<tinyint>"
+    stats = coded.select(
+        F.min(F.array_min("pq_code")).alias("lo"),
+        F.max(F.array_max("pq_code")).alias("hi"),
+        F.min(F.size("pq_code")).alias("m_lo"),
+        F.max(F.size("pq_code")).alias("m_hi"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] < codebooks.k
+    assert stats["m_lo"] == stats["m_hi"] == codebooks.m
+    a = {r["vec_id"]: r["pq_code"] for r in coded.collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, codebooks).collect()}
+    assert a == b
+
+
+def test_smallint_codes_beyond_127(clustered):
+    df, _ = clustered
+    cb = pq_train(df, m=4, k=128, sample_cap=N)
+    coded = pq_encode(df, cb)
+    assert coded.schema["pq_code"].dataType.simpleString() == "array<smallint>"
+
+
+def test_zero_vector_encodes_to_code_zero(spark, codebooks):
+    df = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    [row] = pq_encode(df, codebooks).collect()
+    assert list(row["pq_code"]) == [0] * codebooks.m
+
+
+def test_validation_errors(spark, clustered):
+    df, _ = clustered
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=7, k=16, sample_cap=N)
+    with pytest.raises(ValueError, match="k >= 2"):
+        pq_train(df, m=8, k=1)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=8, k=16)
+
+
+def _recall(df, ref_ids):
+    got = [r["vec_id"] for r in df.collect()]
+    return len(set(got) & set(ref_ids)) / len(ref_ids)
+
+
+def test_adc_and_rerank_recall(clustered, codebooks):
+    df, vecs = clustered
+    recalls_adc, recalls_rr = [], []
+    for qid in (3, 57, 200):
+        q = [float(x) for x in vecs[qid]]
+        exact_ids = [r["vec_id"] for r in brute_force_topk(df, q, 10).collect()]
+        coded = pq_encode(df, codebooks)
+        recalls_adc.append(_recall(pq_adc_topk(coded, codebooks, q, 10), exact_ids))
+        recalls_rr.append(
+            _recall(pq_topk(df, codebooks, q, 10, rerank_factor=8), exact_ids)
+        )
+    # tight clusters are PQ's hard case for FINE ranking: members of
+    # one topic share near-identical codes, so ADC alone ties within
+    # the cluster and recall@10 is modest — which is exactly why the
+    # exact-rerank stage exists (candidates from an 8k ADC cut sized
+    # to span a cluster's ~50 members, scores exact).  Pin ADC above
+    # chance and rerank near-exact.
+    assert sum(recalls_adc) / 3 >= 0.2
+    assert sum(recalls_rr) / 3 >= 0.8
+
+
+def test_rerank_scores_are_exact_cosine(clustered, codebooks):
+    """pq_topk's reported cos_sim must equal brute_force_topk's for
+    the same ids — PQ chooses candidates, the scores are exact."""
+    df, vecs = clustered
+    q = [float(x) for x in vecs[42]]
+    rr = {r["vec_id"]: r["cos_sim"] for r in pq_topk(df, codebooks, q, 10).collect()}
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in brute_force_topk(df, q, N).collect()  # full ranking
+    }
+    for vid, sim in rr.items():
+        assert sim == exact[vid]
+
+
+def test_ivf_pq_probe_path(clustered, codebooks):
+    """centroids + n_probe prune before the ADC scan; with every cell
+    probed the result matches the unpruned rerank path exactly."""
+    from wrds_data_pipeline_spark.operators.similarity import ivf_build
+
+    df, vecs = clustered
+    q = [float(x) for x in vecs[11]]
+    assigned, cents = ivf_build(df, n_cells=8)
+    full = [
+        r["vec_id"]
+        for r in pq_topk(df, codebooks, q, 10, rerank_factor=4).collect()
+    ]
+    all_probed = [
+        r["vec_id"]
+        for r in pq_topk(
+            assigned, codebooks, q, 10, rerank_factor=4,
+            centroids=cents, n_probe=len(cents),
+        ).collect()
+    ]
+    assert all_probed == full
+    # pruned probe still finds most of the exact top-10 on clustered data
+    exact_ids = [r["vec_id"] for r in brute_force_topk(df, q, 10).collect()]
+    pruned = pq_topk(
+        assigned, codebooks, q, 10, rerank_factor=4, centroids=cents, n_probe=3
+    )
+    assert _recall(pruned, exact_ids) >= 0.6
+
+
+def test_precomputed_code_column_is_reused(clustered, codebooks):
+    """A stored code column short-circuits inline encoding: results
+    identical, and the plan contains no second encode expression."""
+    df, vecs = clustered
+    q = [float(x) for x in vecs[5]]
+    stored = pq_encode(df, codebooks)
+    via_stored = [r["vec_id"] for r in pq_topk(stored, codebooks, q, 10).collect()]
+    inline = [r["vec_id"] for r in pq_topk(df, codebooks, q, 10).collect()]
+    assert via_stored == inline

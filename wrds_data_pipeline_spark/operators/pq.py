@@ -1,0 +1,341 @@
+"""Product quantization (PQ) for embedding columns: the memory rung
+of the ANN ladder.
+
+``similarity.py`` answers "which vectors are near" with exact scan
+(brute force), candidate pruning (LSH buckets / IVF cells), and
+scalar compression (``quantize_int8``, 4×).  PQ is the next
+compression step and the standard design for billion-vector ANN
+(IVF-PQ): split each unit vector into ``m`` subvectors, replace each
+subvector with the id of its nearest codeword from a per-subspace
+codebook of ``k`` entries, and score queries against the CODES with
+an m-entry table lookup per row (asymmetric distance computation,
+ADC) instead of a dim-element dot product.
+
+Storage: dim float32 → m uint8-ish codes.  dim=64, m=8 is 32×
+smaller than the raw vectors — at 100 TB of embeddings, the PQ code
+table fits where the raw vectors never could, and the ADC scan reads
+m bytes + does m lookups per row instead of 256 bytes + 64 multiplies.
+
+Division of labor (the same split as the IVF family):
+- codebook TRAINING is driver-side numpy over a deterministic
+  hash-sample — codebooks are m·k·(dim/m) = dim·k doubles (KBs),
+  exactly the "quantizer is driver-resident by construction" regime
+  of ``ivf_build``; the corpus is never collected.
+- ENCODING and SCORING are pure JVM expressions over single-parse
+  literals (``_lit_double_cube`` / ``_lit_double_matrix``), with the
+  row norm folded ONCE via ``aggregate``'s finish lambda (the
+  ivf_assign shape — an inline norm would re-fold per codeword).
+
+No reference-repo counterpart (the reference's similarity surface is
+pandas ``DataFrame.corr``, ``correlation_matrix_exporter.py``); this
+extends the LLM-data layer alongside LSH/IVF/SemDeDup.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .similarity import (
+    _lit_double_matrix,
+    _lit_doubles,
+    brute_force_topk,
+)
+
+
+def _lit_double_cube(cube: list[list[list[float]]]) -> Column:
+    """array<array<array<double>>> literal in ONE py4j round-trip
+    (see ``similarity._lit_doubles`` for why: ``F.lit`` recursion
+    costs one gateway call per element — an 8×16×8 codebook cube
+    would be ~1000 calls ≈ plan-build seconds)."""
+    if not cube or not all(cube) or not all(all(r) for r in cube):
+        raise ValueError("_lit_double_cube needs non-empty rows")
+    if not all(math.isfinite(x) for m_ in cube for r in m_ for x in r):
+        raise ValueError("_lit_double_cube needs finite values")
+    mats = ",".join(
+        "array("
+        + ",".join("array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in m_)
+        + ")"
+        for m_ in cube
+    )
+    return F.expr(f"array({mats})")
+
+
+@dataclass(frozen=True)
+class PQCodebooks:
+    """Trained product-quantizer: ``books[j]`` is the k×dsub codebook
+    for subspace j (unit-vector space — train and encode normalize
+    rows first, so ADC sums approximate cosine directly)."""
+
+    dim: int
+    m: int
+    k: int
+    books: tuple  # m × k × dsub, tuples for hashability
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 2048,
+    n_iter: int = 8,
+) -> PQCodebooks:
+    """Train per-subspace codebooks on a deterministic sample.
+
+    Sample = the ``sample_cap`` corpus rows with the smallest
+    (xxhash64(id), id) — hash-random so it is decorrelated from
+    insertion order, reproducible, and planned as
+    TakeOrderedAndProject (per-partition top-k + driver merge; no
+    global sort, no full collect).  Rows are L2-normalized; zero
+    vectors are dropped from training (they carry no direction).
+    Per subspace: Lloyd's k-means (L2) with evenly-strided seeds from
+    the hash-ordered sample and empty-cluster carry-over — fully
+    deterministic, numpy-only, O(sample_cap · k · dim) flops on the
+    driver per iteration.
+    """
+    import numpy as np
+
+    if m <= 0 or k <= 1:
+        raise ValueError(f"need m >= 1 subspaces and k >= 2 codes, got m={m} k={k}")
+    rows = (
+        embeddings.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_i"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_h", "_i")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty embeddings input")
+    dim = len(rows[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n = len(X)
+    if n < k:
+        raise ValueError(f"pq_train: only {n} non-zero sample rows for k={k} codes")
+    dsub = dim // m
+    books = []
+    seed_idx = [(t * n) // k for t in range(k)]
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[seed_idx].copy()
+        for _ in range(n_iter):
+            # ||s - c||² = ||s||² - 2 s·c + ||c||²; ||s||² constant per argmin
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(tuple(tuple(float(x) for x in c) for c in C))
+    return PQCodebooks(dim=dim, m=m, k=k, books=tuple(books))
+
+
+def pq_encode_col(cb: PQCodebooks, vec: Column) -> Column:
+    """Expression: array<tinyint/smallint> of length m — per subspace,
+    the argmin-L2 codeword id for the UNIT vector's subvector.
+
+    argmin_c ||v̂_sub - c||² ≡ argmax_c (dot(v_sub, c)/‖v‖ - ‖c‖²/2),
+    so the row norm appears as one scalar per codeword: the
+    sum-of-squares folds ONCE via ``aggregate``'s finish lambda and
+    binds as a lambda variable (the ivf_assign shape — a withColumn
+    "hoist" would be CollapseProject-inlined back into the lambda and
+    re-fold per codeword).  The codebook cube and the ‖c‖²/2 matrix
+    ship as single-parse literals; subvector slices are evaluated
+    once per (subspace, codeword) HOF invocation — a constant factor
+    on the m·k·dsub multiply work the argmin needs anyway.  Ties pick
+    the earliest codeword (struct max on (score, -code)).  All-zero
+    vectors have no direction: a guarded branch assigns them code 0
+    in every subspace without evaluating the 1/‖v‖ score (ANSI mode
+    makes 0/0 an error, not NaN).
+    """
+    dsub = cb.dsub
+    cube = _lit_double_cube([[list(c) for c in book] for book in cb.books])
+    halfn = _lit_double_matrix(
+        [[sum(x * x for x in c) / 2.0 for c in book] for book in cb.books]
+    )
+    v = vec.cast("array<double>")
+    code_t = "tinyint" if cb.k <= 127 else "smallint"
+    zero_codes = F.expr(
+        "array(" + ",".join(["0"] * cb.m) + ")"
+    ).cast(f"array<{code_t}>")
+
+    def sub_dot(j: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.slice(v, j * dsub + 1, dsub), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        F.transform(v, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda ss: F.when(ss == 0, zero_codes).otherwise(
+            F.transform(
+                cube,
+                lambda book, j: (
+                    -F.array_max(
+                        F.transform(
+                            book,
+                            lambda c, i: F.struct(
+                                (
+                                    sub_dot(j, c) / F.sqrt(ss)
+                                    - F.element_at(
+                                        F.element_at(halfn, j + 1), i + 1
+                                    )
+                                ).alias("score"),
+                                (-i).alias("neg_code"),
+                            ),
+                        )
+                    )["neg_code"]
+                ).cast(code_t),
+            )
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: PQCodebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code column.  At scale this runs once at ingest
+    and the code table is what gets stored/scanned — dim float32 →
+    m bytes per row (32× at dim=64, m=8)."""
+    return df.withColumn(out_col, pq_encode_col(cb, F.col(vec_col)))
+
+
+def pq_adc_scores(
+    cb: PQCodebooks, query_vec: list[float], code_col: Column
+) -> Column:
+    """ADC score expression: approximate cosine(query, v) as
+    Σ_j LUT[j][code_j] where LUT[j][i] = dot(q̂_sub_j, book[j][i]) is
+    computed driver-side (m·k·dsub = dim·k flops) and shipped as one
+    matrix literal.  Per corpus row: m element_at lookups + m adds —
+    no dim-element arithmetic touches the scan."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qn == 0:
+        raise ValueError("pq_adc_scores: zero query vector")
+    q = [float(x) / qn for x in query_vec]
+    dsub = cb.dsub
+    if len(q) != cb.dim:
+        raise ValueError(f"query dim {len(q)} != codebook dim {cb.dim}")
+    lut = _lit_double_matrix(
+        [
+            [
+                sum(q[j * dsub + t] * c[t] for t in range(dsub))
+                for c in cb.books[j]
+            ]
+            for j in range(cb.m)
+        ]
+    )
+    return F.aggregate(
+        F.transform(
+            code_col,
+            lambda c, j: F.element_at(
+                F.element_at(lut, j + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    cb: PQCodebooks,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Top-k by ADC score over a PQ-coded table: one scan of the code
+    column, TakeOrderedAndProject (per-partition top-k + k-row driver
+    merge — no global sort).  Ranking uses the 6dp-rounded score with
+    id tie-break, the ``brute_force_topk`` determinism contract; the
+    rank window reuses its constant-partition key so WindowExec stays
+    partitioned over the surviving ≤k rows."""
+    scored = encoded.select(
+        F.col(id_col),
+        F.round(pq_adc_scores(cb, query_vec, F.col(code_col)), 6).alias("adc_sim"),
+    )
+    topk = scored.orderBy(F.desc("adc_sim"), F.asc(id_col)).limit(k)
+    w = W.partitionBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))).orderBy(
+        F.desc("adc_sim"), F.asc(id_col)
+    )
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    cb: PQCodebooks,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_factor: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The full IVF-PQ-rerank search path, composed from the ladder:
+
+    1. (optional) IVF prune: keep only the ``n_probe`` cells nearest
+       the query — uses a precomputed ``cell`` column when present
+       (the stored-index layout; partition pruning at 100 TB),
+       otherwise assigns on the fly via ``exact_assigner``.
+    2. ADC scan: top ``k·rerank_factor`` candidates by ADC score —
+       reuses a precomputed ``code_col`` when present (the stored PQ
+       table), otherwise encodes inline.
+    3. exact re-rank: the ≤ k·rerank_factor candidate ids broadcast
+       back against the raw vectors (the big side never shuffles) and
+       the final top-k is exact cosine among them.
+
+    Output schema/determinism matches ``brute_force_topk``
+    (id, cos_sim, rank); approximation enters only through which
+    candidates survive steps 1–2.
+    """
+    base = embeddings
+    if centroids is not None:
+        if "cell" not in base.columns:
+            from .similarity import exact_assigner
+
+            base = exact_assigner(centroids, vec_col)(base)
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        ranked = sorted(centroids, key=lambda c: -cos(c[1], query_vec))
+        base = base.filter(
+            F.col("cell").isin([c[0] for c in ranked[:n_probe]])
+        )
+    coded = (
+        base
+        if code_col in base.columns
+        else pq_encode(base, cb, vec_col, code_col)
+    )
+    cand = pq_adc_topk(
+        coded, cb, query_vec, k * rerank_factor, id_col, code_col
+    ).select(id_col)
+    survivors = embeddings.join(F.broadcast(cand), id_col)
+    return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
