@@ -91,3 +91,97 @@ def test_quality_quantile_filter_global_from_text(spark, driver_tables):
     # the >= cutoff keeps the whole tie mass at the median quality
     # value, so the kept fraction can exceed keep_frac by the tie width
     assert 0.5 * n <= kept < n
+
+
+# --- paragraph-level keep-first dedup --------------------------------------
+
+QUOTE = "To be, or not to be, that is the question."
+LICENSE = "Licensed under the Apache License, Version 2.0"
+
+
+def _par_docs(spark):
+    rows = [
+        (1, f"intro paragraph one\n\n{QUOTE}\n\nclosing thoughts"),
+        (2, f"{QUOTE}\n\nanother take on the same quote"),  # later copy dropped
+        (3, f"{LICENSE}\n\n\n\nbody after a long separator\n\n{LICENSE}"),
+        (4, f"  {QUOTE.upper()}  \n\nnormalization unifies case+pad"),
+        (5, ""),          # single empty paragraph, bypasses dedup
+        (6, None),        # null text passes through
+        (7, f"fresh content only\n\n{LICENSE}"),  # later copy dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from wrds_data_pipeline_spark.operators.boilerplate import paragraph_dedup
+
+    out = {r.doc_id: r for r in paragraph_dedup(_par_docs(spark)).collect()}
+    # first occurrence (doc 1) keeps the quote; doc 2 and doc 4 lose it
+    assert QUOTE in out[1].text and out[1].n_dropped == 0
+    assert out[2].text == "another take on the same quote" and out[2].n_dropped == 1
+    assert out[4].text == "normalization unifies case+pad" and out[4].n_dropped == 1
+    # within-doc repeat also collapses: doc 3 keeps one LICENSE copy
+    assert out[3].text.count(LICENSE) == 1 and out[3].n_dropped == 1
+    assert out[3].text == f"{LICENSE}\n\nbody after a long separator"
+    assert out[7].text == "fresh content only" and out[7].n_dropped == 1
+    # empty + null docs pass through
+    assert out[5].text == "" and out[5].n_dropped == 0
+    assert out[6].text is None and out[6].n_paragraphs == 0
+    # ordering within each doc preserved
+    assert out[1].text == f"intro paragraph one\n\n{QUOTE}\n\nclosing thoughts"
+
+
+def test_paragraph_dedup_matches_duckdb(spark):
+    """Oracle twin: DuckDB replay of keep-first paragraph dedup on the
+    raw paragraph strings (no hash — agreement shows the 60-bit hash
+    path is collision-free here and the window semantics match)."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.boilerplate import paragraph_dedup
+
+    pdf = _par_docs(spark).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(
+            r"""
+            WITH split AS (
+              SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS arr
+              FROM docs WHERE text IS NOT NULL
+            ), pars0 AS (  -- lockstep unnest = posexplode
+              SELECT doc_id, unnest(range(len(arr))) AS pos,
+                     unnest(arr) AS par
+              FROM split
+            ), pars AS (
+              SELECT doc_id, pos, par,
+                     regexp_replace(lower(trim(par)), '\s+', ' ', 'g') AS np
+              FROM pars0
+            ), kept AS (
+              SELECT * FROM (
+                SELECT doc_id, pos, par, np,
+                       CASE WHEN length(np) < 1 THEN 1
+                            ELSE row_number() OVER
+                                 (PARTITION BY np ORDER BY doc_id, pos)
+                       END AS rn,
+                       length(np) >= 1 AS dedupable
+                FROM pars)
+              WHERE rn = 1
+            )
+            SELECT p.doc_id,
+                   coalesce(string_agg(k.par, e'\n\n' ORDER BY k.pos), '') AS text,
+                   count(p.pos) AS n_paragraphs,
+                   count(p.pos) FILTER (p.dedupable)
+                     - count(k.pos) FILTER (k.dedupable) AS n_dropped
+            FROM (SELECT *, length(np) >= 1 AS dedupable FROM pars) p
+            LEFT JOIN kept k USING (doc_id, pos)
+            GROUP BY p.doc_id
+            """
+        ).fetchall()
+    }
+    got = {
+        (r.doc_id, r.text, r.n_paragraphs, r.n_dropped)
+        for r in paragraph_dedup(_par_docs(spark)).collect()
+        if r.text is not None  # null-text rows have no DuckDB twin rows
+    }
+    assert got == want

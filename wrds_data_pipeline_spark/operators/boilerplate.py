@@ -98,3 +98,98 @@ def remove_boilerplate(
             ).alias("n_lines_removed"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus exact paragraph dedup: every paragraph keeps only
+    its FIRST occurrence (smallest (doc_id, pos)) corpus-wide; later
+    copies are cut out of their documents and the survivors are
+    re-joined in order.  This is the paragraph-level exact-substring
+    dedup of the public training-data curation recipes — quoted blocks,
+    syndicated passages, and license headers that full-document dedup
+    cannot touch because the surrounding text differs.
+
+    Complements ``remove_boilerplate``: that drops a line EVERYWHERE
+    once it repeats across ``min_docs`` documents (navigation chrome);
+    this keeps exactly one copy of every paragraph regardless of how
+    often it repeats (content you want once, not zero times).
+
+    Semantics:
+    - paragraphs = ``\\n{2,}``-separated blocks; matching is on the
+      normalized form (lower/trim/collapse-ws, the repo-canonical
+      ``functions/text.normalize``) via the 60-bit exact-membership
+      hash; the ORIGINAL paragraph text is what survives.
+    - paragraphs whose normalized form is shorter than ``min_chars``
+      (blank separators by default) bypass dedup and are always kept.
+    - null-text documents pass through unchanged (no paragraphs).
+
+    Scale design: one posexplode pass; keep-first is a window MIN of
+    (doc_id, pos) partitioned by paragraph hash — one shuffle of the
+    paragraph relation, the same shape as ``plans/corpus.curate``'s
+    fingerprint window (no corpus-sized broadcast, no join back).
+    Bypass rows get a synthetic per-row partition key (flag +
+    xxhash64(doc, pos)) so the hash-of-empty-string partition cannot
+    become a corpus-sized hot key — blank paragraphs are a constant
+    fraction of every document, the one guaranteed-skewed key at
+    100 TB.  Reassembly state is bounded by document length.
+    """
+    from pyspark.sql.window import Window
+
+    pars = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "par"),
+    ).withColumn("_bypass", F.length(_norm_line(F.col("par"))) < min_chars)
+    key = F.when(F.col("_bypass"), F.xxhash64(F.col("_id"), F.col("pos"))).otherwise(
+        shingle_hash_wide(_norm_line(F.col("par")))
+    )
+    w = Window.partitionBy(F.col("_bypass"), key)
+    first = F.min(F.struct(F.col("_id"), F.col("pos"))).over(w)
+    kept = (
+        pars.withColumn("_first", first)
+        .filter(
+            F.col("_bypass")
+            | (
+                (F.col("_first._id") == F.col("_id"))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        )
+        .drop("_first")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"],
+            ),
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.count_if(~F.col("_bypass")).alias("_n_kept_dedupable"),
+    )
+    totals = pars.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.count_if(~F.col("_bypass")).alias("_n_dedupable"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_orig")
+    )
+    return (
+        base.join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_orig").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_new_text"), F.lit("")))
+            .alias(text_col),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            (
+                F.coalesce(F.col("_n_dedupable"), F.lit(0))
+                - F.coalesce(F.col("_n_kept_dedupable"), F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )
