@@ -1,0 +1,134 @@
+"""Persisted vector index: build/load/append/topk lifecycle.
+
+The quantizer state (centroids, PQ codebooks) must round-trip through
+disk bit-exactly — a reloaded index answers queries identically to the
+in-memory build — and the probe must read only the probed cells'
+partition directories."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build,
+    ivf_topk,
+)
+from wrds_data_pipeline_spark.operators.vector_index import (
+    append_vector_index,
+    build_vector_index,
+    load_vector_index,
+    vector_index_topk,
+)
+
+
+def _query(emb, vid=7):
+    return [float(x) for x in emb.filter(F.col("vec_id") == vid).first()["embedding"]]
+
+
+def test_build_load_roundtrip_exact(spark, driver_tables, tmp_path):
+    emb = driver_tables["embeddings"]
+    path = str(tmp_path / "vidx")
+    built = build_vector_index(emb, path, n_cells=8)
+    opened = load_vector_index(spark, path)
+    assert opened.centroids == built.centroids
+    assert opened.codebooks is None and opened.id_col == "vec_id"
+
+    q = _query(emb)
+    # through the reloaded index == in-memory ivf_topk on the same quantizer
+    assigned, _ = ivf_build(emb, n_cells=8)
+    mem = ivf_topk(assigned, opened.centroid_list(), q, k=5, n_probe=2).toPandas()
+    disk = vector_index_topk(opened, q, k=5, n_probe=2).toPandas()
+    assert mem[["vec_id", "rank"]].values.tolist() == disk[
+        ["vec_id", "rank"]
+    ].values.tolist()
+
+
+def test_pq_index_roundtrip_and_probe(spark, driver_tables, tmp_path):
+    emb = driver_tables["embeddings"]
+    path = str(tmp_path / "vidx_pq")
+    built = build_vector_index(emb, path, n_cells=8, pq_m=8, pq_k=16)
+    opened = load_vector_index(spark, path)
+    # codebooks round-trip bit-exactly (frozen dataclass equality)
+    assert opened.codebooks == built.codebooks
+    assert "pq_code" in opened.df.columns
+
+    q = _query(emb, vid=11)
+    got = vector_index_topk(opened, q, k=5, n_probe=len(opened.centroids))
+    # probing every cell: the PQ path's candidates come from the whole
+    # corpus, and the exact rerank pins the scores — the top hit is the
+    # query vector itself with cos_sim 1.0
+    top = got.toPandas().iloc[0]
+    assert int(top["vec_id"]) == 11 and abs(top["cos_sim"] - 1.0) < 1e-6
+    # exact path through the same index agrees with brute force
+    exact = vector_index_topk(
+        opened, q, k=5, n_probe=len(opened.centroids), use_pq=False
+    ).toPandas()
+    want = brute_force_topk(emb, q, 5).toPandas()
+    assert exact["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_probe_reads_only_probed_cells(spark, driver_tables, tmp_path):
+    emb = driver_tables["embeddings"]
+    path = str(tmp_path / "vidx_prune")
+    opened = build_vector_index(emb, path, n_cells=8)
+    q = _query(emb, vid=3)
+    got = vector_index_topk(opened, q, k=5, n_probe=2)
+    got.collect()
+    # replicate the probe filter: files actually read are under the
+    # two probed cells only, and a strict subset of the index
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    cents = opened.centroid_list()
+    probe = [c[0] for c in sorted(cents, key=lambda c: -cos(c[1], q))[:2]]
+    read = {
+        r[0]
+        for r in opened.df.filter(F.col("cell").isin(probe))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read and read < set(opened.df.inputFiles())
+    assert all(any(f"cell={c}/" in f for c in probe) for f in read)
+    # layout: ~one file per cell, not tasks × cells
+    assert len(opened.df.inputFiles()) <= len(cents)
+
+
+def test_append_assigns_with_stored_quantizer(spark, driver_tables, tmp_path):
+    emb = driver_tables["embeddings"]
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "vidx_app")
+    build_vector_index(base, path, n_cells=8, pq_m=8, pq_k=16)
+    append_vector_index(inc, path)
+    opened = load_vector_index(spark, path)
+
+    # every vector present exactly once; appended rows carry PQ codes
+    ids = [r["vec_id"] for r in opened.df.select("vec_id").collect()]
+    assert sorted(ids) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    assert opened.df.filter(F.col("pq_code").isNull()).count() == 0
+
+    # appended vectors sit in their nearest STORED cell (exact assigner
+    # replay over the increment)
+    from wrds_data_pipeline_spark.operators.similarity import exact_assigner
+
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in exact_assigner(opened.centroid_list())(inc).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in opened.df.join(inc.select("vec_id"), "vec_id").collect()
+    }
+    assert got == want
+
+    # a query for an appended vector finds it through the index
+    q = _query(emb, vid=0)
+    top = vector_index_topk(opened, q, k=3, n_probe=len(opened.centroids)).toPandas()
+    assert int(top.iloc[0]["vec_id"]) == 0

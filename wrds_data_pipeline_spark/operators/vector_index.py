@@ -1,0 +1,219 @@
+"""Persisted vector index: the on-disk lifecycle for the ANN ladder.
+
+``similarity.ivf_build`` / ``pq.pq_train`` produce three artifacts —
+the cell-assigned vector table, the coarse quantizer (centroids), and
+optionally the PQ codebooks — but only the first is a DataFrame; the
+quantizer state lives in driver memory and dies with the process.
+This module gives the trio one durable home so a search service, a
+streaming dedup sink, or tomorrow's ingest job can open yesterday's
+index:
+
+    path/vectors/cell=N/…   cell-partitioned parquet (+ pq_code col)
+    path/centroids/         (cell, centroid array<double>)
+    path/pq_codebooks/      (subspace, code, vec) rows, if PQ enabled
+    path/meta/              one row: column names, cell count, pq m/k
+
+The probe side is partition pruning: ``vector_index_topk`` filters to
+the n_probe nearest cells, so the scan lists and reads ONLY those
+``cell=`` directories — at 100 TB the query cost is proportional to
+the probed cells, not the corpus (evidence: the input_file_name /
+PartitionFilters asserts in tests/test_similarity_scale and
+tests/test_vector_index).
+
+Append = assign new vectors with the STORED quantizer (and encode
+with the stored codebooks) — the accumulated corpus is never
+re-assigned, the exact analogue of ``dedup.append_band_index``.
+
+Mirrors the band-index design (`dedup.build_band_index`): a one-row
+meta makes parameter compatibility enforced rather than documented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pq import PQCodebooks, pq_adc_topk, pq_encode, pq_train
+from .similarity import (
+    brute_force_topk,
+    exact_assigner,
+    hierarchical_assigner,
+    ivf_build,
+)
+
+
+@dataclass(frozen=True)
+class VectorIndex:
+    """An opened index: the lazy cell-partitioned DataFrame plus the
+    driver-resident quantizer state."""
+
+    df: DataFrame
+    centroids: tuple  # ((cell, (vec...)), ...)
+    codebooks: PQCodebooks | None
+    id_col: str
+    vec_col: str
+
+    def centroid_list(self) -> list[tuple[int, list[float]]]:
+        return [(int(c), [float(x) for x in v]) for c, v in self.centroids]
+
+
+def _assigner_for(centroids: list[tuple[int, list[float]]], vec_col: str):
+    # the ivf_build auto rule: exhaustive while the quantizer is small,
+    # two-level routing beyond (pure JVM either way)
+    if len(centroids) > 128:
+        return hierarchical_assigner(centroids, vec_col)
+    return exact_assigner(centroids, vec_col)
+
+
+def build_vector_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    target_cell_size: int = 1024,
+    refine_iters: int = 0,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "VectorIndex":
+    """Build and persist: IVF-assign (auto-sized cells by default),
+    optionally PQ-encode (``pq_m`` subspaces × ``pq_k`` codes), write
+    cell-partitioned.  The cell repartition before the write keeps the
+    layout at ~one file per cell instead of tasks × cells (the
+    band-index lesson).  Returns the opened index."""
+    spark = embeddings.sparkSession
+    assigned, cents = ivf_build(
+        embeddings,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iters=refine_iters,
+        target_cell_size=target_cell_size,
+    )
+    cb = None
+    if pq_m is not None:
+        cb = pq_train(embeddings, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col)
+        assigned = pq_encode(assigned, cb, vec_col=vec_col)
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if cb is not None:
+        spark.createDataFrame(
+            [
+                (j, i, list(cb.books[j][i]))
+                for j in range(cb.m)
+                for i in range(cb.k)
+            ],
+            "subspace int, code int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    spark.createDataFrame(
+        [
+            (
+                id_col,
+                vec_col,
+                len(cents),
+                cb.dim if cb else None,
+                cb.m if cb else None,
+                cb.k if cb else None,
+            )
+        ],
+        "id_col string, vec_col string, n_cells int, "
+        "pq_dim int, pq_m int, pq_k int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return load_vector_index(spark, path)
+
+
+def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
+    """Open a persisted index: lazy vectors scan + collected quantizer
+    state (centroid table and codebooks are KBs by construction)."""
+    [meta] = spark.read.parquet(f"{path}/meta").collect()
+    cents = tuple(
+        sorted(
+            (int(r["cell"]), tuple(float(x) for x in r["centroid"]))
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        )
+    )
+    cb = None
+    if meta["pq_m"] is not None:
+        rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+        books: dict = {}
+        for r in rows:
+            books.setdefault(int(r["subspace"]), {})[int(r["code"])] = tuple(
+                float(x) for x in r["vec"]
+            )
+        cb = PQCodebooks(
+            dim=int(meta["pq_dim"]),
+            m=int(meta["pq_m"]),
+            k=int(meta["pq_k"]),
+            books=tuple(
+                tuple(books[j][i] for i in range(int(meta["pq_k"])))
+                for j in range(int(meta["pq_m"]))
+            ),
+        )
+    return VectorIndex(
+        df=spark.read.parquet(f"{path}/vectors"),
+        centroids=cents,
+        codebooks=cb,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
+def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
+    """Add new vectors: assign with the STORED quantizer (auto
+    exact/hierarchical by its size), encode with the stored codebooks
+    when present, append cell-partitioned.  Centroids are NOT moved —
+    the accumulated corpus keeps its assignment (re-quantize by
+    rebuilding when drift warrants it).  Ids must be globally unique
+    across appends (the band-index contract)."""
+    idx = load_vector_index(new_embeddings.sparkSession, path)
+    assigned = _assigner_for(idx.centroid_list(), idx.vec_col)(new_embeddings)
+    if idx.codebooks is not None:
+        assigned = pq_encode(assigned, idx.codebooks, vec_col=idx.vec_col)
+    assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+
+
+def vector_index_topk(
+    index: VectorIndex,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    use_pq: bool | None = None,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Top-k through the opened index.  Probes the ``n_probe`` nearest
+    cells (partition pruning on the stored layout); within them either
+    exact cosine (``use_pq=False``) or the ADC scan + exact rerank
+    (``use_pq=True``; default: PQ when the index carries codebooks).
+    Output schema/determinism matches ``brute_force_topk``."""
+    import math
+
+    if use_pq is None:
+        use_pq = index.codebooks is not None
+    if use_pq and index.codebooks is None:
+        raise ValueError("index has no PQ codebooks; rebuild with pq_m set")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    cents = index.centroid_list()
+    probe = [c[0] for c in sorted(cents, key=lambda c: -cos(c[1], query_vec))[:n_probe]]
+    probed = index.df.filter(F.col("cell").isin(probe))
+    if not use_pq:
+        return brute_force_topk(probed, query_vec, k, index.id_col, index.vec_col)
+    cand = pq_adc_topk(
+        probed, index.codebooks, query_vec, k * rerank_factor, index.id_col
+    ).select(index.id_col)
+    survivors = probed.join(F.broadcast(cand), index.id_col)
+    return brute_force_topk(survivors, query_vec, k, index.id_col, index.vec_col)
