@@ -368,3 +368,63 @@ def test_streaming_semantic_dedup_order_invariant(spark, tmp_path):
         )
     assert results[0] == results[1]
     assert results[0]
+
+
+def test_streaming_paragraph_dedup(spark, tmp_path):
+    """Keep-first paragraph dedup across micro-batches: every distinct
+    paragraph survives in exactly ONE emitted document (whichever
+    arrived first), bypass/blank handling matches the batch operator,
+    and a single-batch stream reproduces the batch result exactly."""
+    from wrds_data_pipeline_spark.operators.boilerplate import paragraph_dedup
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_paragraph_dedup,
+    )
+
+    quote = "shared quotation that repeats in many documents"
+    lic = "licensed under the public license version two"
+    batches = [
+        [(1, f"alpha body\n\n{quote}"), (2, f"{lic}\n\nbeta body")],
+        [(3, f"{quote}\n\ngamma body\n\n{lic}"), (4, "delta body only")],
+        [(5, f"{quote}\n\n{lic}")],
+    ]
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "pardedup_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx = os.path.join(str(tmp_path), "par_index")
+    got = streaming_paragraph_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1,
+    )
+    # each doc emitted exactly once
+    assert sorted(got["doc_id"].tolist()) == [1, 2, 3, 4, 5]
+    texts = dict(zip(got["doc_id"], got["text"]))
+    # arrival-order-invariant: each repeated paragraph survives exactly
+    # once across the whole corpus; unique content is untouched
+    all_text = "\n\n".join(texts.values())
+    assert all_text.count(quote) == 1 and all_text.count(lic) == 1
+    for frag in ("alpha body", "beta body", "gamma body", "delta body only"):
+        assert all_text.count(frag) == 1
+    # total drops = total dedupable paragraphs minus distinct ones
+    assert int(got["n_dropped"].sum()) == 10 - 6
+    # the persisted index holds exactly the distinct paragraph hashes
+    stored = spark.read.parquet(idx)
+    assert stored.distinct().count() == 6
+
+    # single-batch stream == batch operator, row for row
+    stage1 = os.path.join(str(tmp_path), "pardedup_one")
+    all_rows = [r for b in batches for r in b]
+    spark.createDataFrame(all_rows, schema).coalesce(1).write.parquet(stage1)
+    one = streaming_paragraph_dedup(
+        spark, stage1, spark.createDataFrame([], schema).schema,
+        os.path.join(str(tmp_path), "par_index_one"),
+    )
+    want = paragraph_dedup(spark.createDataFrame(all_rows, schema)).toPandas()
+    merged = one.sort_values("doc_id").reset_index(drop=True)
+    wantd = want.sort_values("doc_id").reset_index(drop=True)
+    assert merged[["doc_id", "text", "n_paragraphs", "n_dropped"]].equals(
+        wantd[["doc_id", "text", "n_paragraphs", "n_dropped"]]
+    )

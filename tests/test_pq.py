@@ -13,7 +13,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.operators.pq import (
-    PQCodebooks,
     pq_adc_topk,
     pq_encode,
     pq_topk,

@@ -138,18 +138,55 @@ def paragraph_dedup(
     fraction of every document, the one guaranteed-skewed key at
     100 TB.  Reassembly state is bounded by document length.
     """
-    from pyspark.sql.window import Window
+    pars = paragraph_relation(docs, id_col, text_col, min_chars)
+    return _rebuild_paragraph_docs(
+        docs, pars, _keep_first_paragraphs(pars), id_col, text_col
+    )
 
+
+def paragraph_relation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """(_id, pos, par, _bypass, _h): the exploded paragraph relation.
+    ``_h`` is the dedup key — the normalized-paragraph hash for
+    dedupable rows, a synthetic per-row xxhash64 for bypass rows (so
+    the empty-paragraph hash can never become a corpus hot key)."""
     pars = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "par"),
     ).withColumn("_bypass", F.length(_norm_line(F.col("par"))) < min_chars)
-    key = F.when(F.col("_bypass"), F.xxhash64(F.col("_id"), F.col("pos"))).otherwise(
-        shingle_hash_wide(_norm_line(F.col("par")))
+    return pars.withColumn(
+        "_h",
+        F.when(
+            F.col("_bypass"), F.xxhash64(F.col("_id"), F.col("pos"))
+        ).otherwise(shingle_hash_wide(_norm_line(F.col("par")))),
     )
-    w = Window.partitionBy(F.col("_bypass"), key)
+
+
+def _keep_first_paragraphs(
+    pars: DataFrame, seen: DataFrame | None = None
+) -> DataFrame:
+    """Keep-first filter over a paragraph relation: bypass rows always
+    survive; dedupable rows survive iff (a) their hash is not in the
+    optional ``seen`` relation (single column ``h`` — previously-seen
+    hashes, the streaming index) and (b) they are the min (doc, pos)
+    occurrence of their hash within ``pars``."""
+    from pyspark.sql.window import Window
+
+    if seen is not None:
+        # condition-scoped anti join: bypass rows can never match (their
+        # synthetic key must not collide a row away)
+        pars = pars.alias("p").join(
+            seen.alias("s"),
+            (F.col("p._h") == F.col("s.h")) & (~F.col("p._bypass")),
+            "left_anti",
+        )
+    w = Window.partitionBy(F.col("_bypass"), F.col("_h"))
     first = F.min(F.struct(F.col("_id"), F.col("pos"))).over(w)
-    kept = (
+    return (
         pars.withColumn("_first", first)
         .filter(
             F.col("_bypass")
@@ -160,6 +197,17 @@ def paragraph_dedup(
         )
         .drop("_first")
     )
+
+
+def _rebuild_paragraph_docs(
+    docs: DataFrame,
+    pars: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Reassemble (id, text, n_paragraphs, n_dropped) from the full
+    paragraph relation and its surviving subset."""
     rebuilt = kept.groupBy("_id").agg(
         F.concat_ws(
             "\n\n",

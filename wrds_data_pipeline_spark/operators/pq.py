@@ -42,7 +42,6 @@ from pyspark.sql.window import Window as W
 
 from .similarity import (
     _lit_double_matrix,
-    _lit_doubles,
     brute_force_topk,
 )
 

@@ -100,6 +100,7 @@ def _run_indexed_stream(
     pairs,
     empty_cols: list[str],
     max_files_per_trigger: int | None = None,
+    index_select=None,
 ):
     """Shared persisted-index micro-batch harness for the incremental
     dedup twins: per batch, ``index_rows(bdf)`` derives the rows to
@@ -133,7 +134,13 @@ def _run_indexed_stream(
         if bdf.isEmpty():
             return
         rows = index_rows(bdf).persist()
-        row_schema = rows.schema
+        # what gets APPENDED (and therefore what `stored` reads back):
+        # by default the probe relation itself; twins whose probe
+        # relation is richer than their membership index (paragraph
+        # dedup: full paragraphs probed, distinct hashes stored) pass
+        # index_select to shrink it
+        to_index = index_select(rows) if index_select is not None else rows
+        row_schema = to_index.schema
         has_index = any(
             f.endswith(".parquet") for f in os.listdir(index_dir)
         ) or any(
@@ -148,7 +155,7 @@ def _run_indexed_stream(
         p = pairs(rows, stored).toPandas()
         if len(p):
             out.append(p)
-        rows.write.mode("append").parquet(index_dir)
+        to_index.write.mode("append").parquet(index_dir)
         rows.unpersist()
 
     reader = spark.readStream.schema(schema)
@@ -332,6 +339,73 @@ def streaming_semantic_dedup(
         pairs=pairs,
         empty_cols=["id_a", "id_b", "cell", "cos_sim"],
         max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def streaming_paragraph_dedup(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming keep-first paragraph dedup: each micro-batch's
+    documents are exploded into paragraphs ONCE, paragraphs whose
+    hash already sits in the persisted seen-hash index (``index_dir``)
+    are dropped, within-batch copies resolve by min (doc, pos), the
+    surviving documents are re-assembled and emitted, and the batch's
+    distinct dedupable hashes are appended to the index — the
+    streaming form of ``operators/boilerplate.paragraph_dedup``.
+
+    Invariant (the parity test's contract): when increments arrive in
+    (doc_id) order, the union of per-batch outputs equals the batch
+    operator over the accumulated corpus.  Under other arrival orders
+    the KEPT copy of a repeated paragraph is the first to ARRIVE
+    (streaming has no other choice); the set of surviving paragraph
+    hashes is arrival-order invariant.
+
+    The stored index holds only distinct int64 hashes per batch (not
+    paragraphs), so it is a fraction of corpus size; a hash re-seen
+    in a later batch is appended again — membership semantics are
+    unaffected, growth is bounded by batches × distinct-per-batch.
+    Durability/filesystem caveats: see ``_run_indexed_stream``.
+
+    Returns the concatenated pandas of all emitted
+    (id, text, n_paragraphs, n_dropped) rows.
+    """
+    from wrds_data_pipeline_spark.operators.boilerplate import (
+        _keep_first_paragraphs,
+        _rebuild_paragraph_docs,
+        paragraph_relation,
+    )
+
+    def index_rows(bdf: DataFrame) -> DataFrame:
+        return paragraph_relation(bdf, id_col, text_col, min_chars)
+
+    def dedup_batch(pars: DataFrame, stored: DataFrame) -> DataFrame:
+        kept = _keep_first_paragraphs(pars, seen=stored)
+        # the batch's documents = the distinct _ids of its own relation
+        docs = pars.select(F.col("_id").alias(id_col)).distinct().withColumn(
+            text_col, F.lit("")
+        )
+        out = _rebuild_paragraph_docs(docs, pars, kept, id_col, text_col)
+        return out
+
+    return _run_indexed_stream(
+        spark,
+        path,
+        schema,
+        index_dir,
+        index_rows=index_rows,
+        pairs=dedup_batch,
+        empty_cols=[id_col, text_col, "n_paragraphs", "n_dropped"],
+        max_files_per_trigger=max_files_per_trigger,
+        index_select=lambda rows: rows.filter(~F.col("_bypass"))
+        .select(F.col("_h").alias("h"))
+        .distinct(),
     )
 
 
