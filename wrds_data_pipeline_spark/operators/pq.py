@@ -314,9 +314,17 @@ def pq_topk(
     base = embeddings
     if centroids is not None:
         if "cell" not in base.columns:
-            from .similarity import exact_assigner
+            # the ivf_build auto rule: exhaustive while the quantizer is
+            # small, two-level routing beyond (assignment is n·c dots —
+            # the hidden quadratic once cells scale with the corpus)
+            from .similarity import exact_assigner, hierarchical_assigner
 
-            base = exact_assigner(centroids, vec_col)(base)
+            make = (
+                hierarchical_assigner
+                if len(centroids) > 128
+                else exact_assigner
+            )
+            base = make(centroids, vec_col)(base)
 
         def cos(a, b):
             d = sum(x * y for x, y in zip(a, b))

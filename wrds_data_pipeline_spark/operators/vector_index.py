@@ -173,6 +173,14 @@ def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     rebuilding when drift warrants it).  Ids must be globally unique
     across appends (the band-index contract)."""
     idx = load_vector_index(new_embeddings.sparkSession, path)
+    dim = len(idx.centroids[0][1])
+    row = new_embeddings.select(idx.vec_col).first()
+    if row is not None and len(row[0]) != dim:
+        # a mismatched increment would mis-assign silently (short
+        # slices zip to nulls, wrong cells/codes) — fail loudly instead
+        raise ValueError(
+            f"increment vectors have dim {len(row[0])}, index has {dim}"
+        )
     assigned = _assigner_for(idx.centroid_list(), idx.vec_col)(new_embeddings)
     if idx.codebooks is not None:
         assigned = pq_encode(assigned, idx.codebooks, vec_col=idx.vec_col)
