@@ -173,3 +173,52 @@ def test_precomputed_code_column_is_reused(clustered, codebooks):
     via_stored = [r["vec_id"] for r in pq_topk(stored, codebooks, q, 10).collect()]
     inline = [r["vec_id"] for r in pq_topk(df, codebooks, q, 10).collect()]
     assert via_stored == inline
+
+
+def test_adc_batch_matches_per_query(spark, clustered, codebooks):
+    """pq_adc_topk_batch == per-query pq_adc_topk for every query (ids,
+    ranks, and 6dp scores), and both windows stay partitioned."""
+    import re
+
+    from wrds_data_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_adc_topk_batch,
+        pq_encode,
+    )
+
+    df, vecs = clustered
+    coded = pq_encode(df, codebooks)
+    qids = [3, 57, 200]
+    queries = spark.createDataFrame(
+        [(int(q), [float(x) for x in vecs[q]]) for q in qids],
+        "query_id long, query_vec array<double>",
+    )
+    batch = pq_adc_topk_batch(queries, coded, codebooks, k=10)
+    got = batch.toPandas()
+    for q in qids:
+        solo = pq_adc_topk(coded, codebooks, [float(x) for x in vecs[q]], 10)
+        want = solo.toPandas()[["vec_id", "adc_sim", "rank"]]
+        sub = got[got["query_id"] == q].sort_values("rank")[
+            ["vec_id", "adc_sim", "rank"]
+        ]
+        assert sub.values.tolist() == want.values.tolist()
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.count(",") >= 2, f"unpartitioned window: {spec}"
+
+
+def test_adc_batch_zero_query_is_null_scored(spark, clustered, codebooks):
+    from wrds_data_pipeline_spark.operators.pq import (
+        pq_adc_topk_batch,
+        pq_encode,
+    )
+
+    df, vecs = clustered
+    coded = pq_encode(df, codebooks)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [float(x) for x in vecs[9]])],
+        "query_id long, query_vec array<double>",
+    )
+    got = pq_adc_topk_batch(queries, coded, codebooks, k=5).toPandas()
+    assert got[got["query_id"] == 0]["adc_sim"].isna().all()
+    assert got[got["query_id"] == 1]["adc_sim"].notna().all()

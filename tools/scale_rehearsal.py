@@ -121,11 +121,45 @@ def main() -> None:
         ).count()
         w_sem = time.time() - t0
 
+        # PQ rung: ADC scan vs exact scan for one query over the full
+        # corpus (both O(n) rows, but m lookups vs dim multiplies per
+        # row — the ratio should hold flat as n grows), plus recall@10
+        # of the rerank path vs brute force
+        from wrds_data_pipeline_spark.operators.pq import (
+            pq_encode,
+            pq_adc_topk,
+            pq_topk,
+            pq_train,
+        )
+        from wrds_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        cb = pq_train(emb, m=8, k=16)
+        # encode once, persisted: the stored-code-table regime
+        coded = pq_encode(emb, cb).persist()
+        coded.count()
+        qv = [float(x) for x in emb.first()["embedding"]]
+        t0 = time.time()
+        pq_adc_topk(coded, cb, qv, k=10).collect()
+        w_adc = time.time() - t0
+        t0 = time.time()
+        exact_ids = [r["vec_id"] for r in brute_force_topk(emb, qv, 10).collect()]
+        w_bf = time.time() - t0
+        rr_ids = [
+            r["vec_id"]
+            for r in pq_topk(coded, cb, qv, 10, rerank_factor=8).collect()
+        ]
+        recall = len(set(exact_ids) & set(rr_ids)) / 10
+        coded.unpersist()
+
         print(
             f"n={n}: lsh planes={np_} cand_pairs={cand} wall={w_lsh:.1f}s | "
             f"ivf cells={len(cents)} hier_assign={w_hier:.1f}s "
             f"arrow_assign={w_arrow:.1f}s exact_assign={w_exact} | "
-            f"semdedup pairs={sem} wall={w_sem:.1f}s"
+            f"semdedup pairs={sem} wall={w_sem:.1f}s | "
+            f"pq adc_scan={w_adc:.1f}s exact_scan={w_bf:.1f}s "
+            f"rerank_recall@10={recall:.2f}"
         )
 
 

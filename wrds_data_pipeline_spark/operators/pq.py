@@ -346,3 +346,95 @@ def pq_topk(
     ).select(id_col)
     survivors = embeddings.join(F.broadcast(cand), id_col)
     return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
+
+
+def pq_adc_topk_batch(
+    queries: DataFrame,
+    coded: DataFrame,
+    cb: PQCodebooks,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    partial_parallelism: int = 32,
+) -> DataFrame:
+    """ADC top-k for MANY query vectors in one code-table scan: the
+    PQ twin of ``similarity.brute_force_topk_batch``.
+
+    Each query's m×k lookup table is built JVM-side as a COLUMN of
+    the broadcast query relation (LUT[j][i] = dot(q_sub_j, book[j][i])
+    / ‖q‖, with the query norm folded once via ``aggregate``'s finish
+    lambda — the join is a collapse barrier, so the LUT evaluates
+    once per query, never per scored pair).  Per (query, corpus-row)
+    pair the scan then does m lookups + m adds — no dim-element
+    arithmetic — followed by the partial/final per-query top-k split
+    (both windows partitioned; no task sorts the corpus).
+
+    All-zero query vectors have no direction: their LUT is null, their
+    scores sort last (desc_nulls_last), and their ranks are
+    meaningless — filter such queries upstream.
+
+    Returns (query_id, id, adc_sim, rank), rank 1..k per query, ties
+    by id.  Scores match the single-query ``pq_adc_scores`` at the
+    6dp rounding used for ranking (the two normalize in a different
+    order, so raw doubles may differ in the last ulp).
+    """
+    dsub = cb.dsub
+    cube = _lit_double_cube([[list(c) for c in book] for book in cb.books])
+    qv = F.col(query_vec_col).cast("array<double>")
+
+    def sub_dot(j: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.slice(qv, j * dsub + 1, dsub), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda ss: F.when(
+            ss > 0,
+            F.transform(
+                cube,
+                lambda book, j: F.transform(
+                    book, lambda c: sub_dot(j, c) / F.sqrt(ss)
+                ),
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), lut.alias("_lut")
+    )
+    scored = coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col(code_col),
+                    lambda c, j: F.element_at(
+                        F.element_at(F.col("_lut"), j + 1), c.cast("int") + 1
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_sim"),
+    )
+    slice_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
+    w_partial = W.partitionBy(F.col("query_id"), slice_key).orderBy(
+        F.desc("adc_sim"), F.asc(id_col)
+    )
+    survivors = scored.withColumn("_pr", F.row_number().over(w_partial)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_sim", "rank")
+    )
