@@ -185,3 +185,71 @@ def test_paragraph_dedup_matches_duckdb(spark):
         if r.text is not None  # null-text rows have no DuckDB twin rows
     }
     assert got == want
+
+
+def test_paragraph_dedup_properties(spark):
+    """Property-style invariants on generated corpora: (1) every
+    distinct normalized paragraph survives exactly once corpus-wide,
+    (2) surviving paragraphs are a subset of the doc's originals in
+    original order, (3) idempotence — a deduped corpus is a fixed
+    point."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wrds_data_pipeline_spark.operators.boilerplate import paragraph_dedup
+
+    par = st.sampled_from(
+        ["alpha", "beta beta", "Gamma  ray", "gamma ray", "", "  ", "delta"]
+    )
+    doc = st.lists(par, min_size=0, max_size=5).map(lambda ps: "\n\n".join(ps))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        import re
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = paragraph_dedup(docs).toPandas().sort_values("doc_id")
+        norm = lambda s: re.sub(r"\s+", " ", s.strip().lower())
+
+        # (1) each distinct normalized non-blank paragraph survives once
+        survived = [
+            norm(p)
+            for t in out["text"]
+            for p in t.split("\n\n")
+            if norm(p) != ""
+        ]
+        assert len(survived) == len(set(survived))
+        want = {
+            norm(p) for t in texts for p in t.split("\n\n") if norm(p) != ""
+        }
+        assert set(survived) == want
+
+        # (2) per-doc: kept paragraphs are an ordered subsequence
+        for did, t in zip(out["doc_id"], out["text"]):
+            orig = texts[did].split("\n\n")
+            kept = t.split("\n\n") if t != "" else []
+            it = iter(orig)
+            assert all(any(p == o for o in it) for p in kept), (orig, kept)
+
+        # (3) idempotence on the deduped corpus
+        again = (
+            paragraph_dedup(
+                spark.createDataFrame(
+                    list(zip(out["doc_id"], out["text"])),
+                    "doc_id long, text string",
+                )
+            )
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert again["text"].tolist() == out["text"].tolist()
+        assert (again["n_dropped"] == 0).all()
+
+    check()
