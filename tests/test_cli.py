@@ -161,3 +161,76 @@ def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
     summary = pd.read_parquet(os.path.join(out, "shards_summary"))
     assert summary["n_docs"].iloc[0] == shards["doc_id"].nunique()
     assert summary["n_seqs"].iloc[0] == shards["seq_id"].nunique()
+
+
+def test_index_cli_band_lifecycle(spark, sf_dir, tmp_path):
+    """build-band -> probe-band -> append-band -> probe again: the
+    shell form of the continuous-ingest loop, checked against the
+    library path."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_p = os.path.join(str(tmp_path), "base.parquet")
+    inc_p = os.path.join(str(tmp_path), "inc.parquet")
+    docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").write.parquet(base_p)
+    docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").write.parquet(inc_p)
+    idx = os.path.join(str(tmp_path), "band_idx")
+    out = os.path.join(str(tmp_path), "cand")
+
+    assert index_main(["build-band", base_p, idx]) == 0
+    assert index_main(["probe-band", inc_p, idx, out]) == 0
+    got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_candidates(
+            spark.read.parquet(inc_p),
+            minhash_band_table(spark.read.parquet(base_p)),
+        ).collect()
+    }
+    assert got == want
+    # append, then an empty probe of the SAME increment now also hits itself
+    assert index_main(["append-band", inc_p, idx]) == 0
+    assert index_main(["probe-band", inc_p, idx, out]) == 0
+    again = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
+    assert want <= again  # old cross pairs still found via the index
+
+
+def test_index_cli_vector_lifecycle(spark, sf_dir, tmp_path):
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    emb_p = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(str(tmp_path), "vec_idx")
+    assert index_main(["build-vector", emb_p, idx, "--n-cells", "8",
+                       "--pq-m", "8"]) == 0
+
+    emb = spark.read.parquet(emb_p)
+    qrow = emb.filter(F.col("vec_id") == 5).first()
+    q_p = os.path.join(str(tmp_path), "queries.parquet")
+    spark.createDataFrame(
+        [(5, [float(x) for x in qrow["embedding"]])],
+        "query_id long, query_vec array<double>",
+    ).write.parquet(q_p)
+    out = os.path.join(str(tmp_path), "topk")
+    assert index_main(["query-vector", idx, q_p, out, "--k", "5",
+                       "--n-probe", "8"]) == 0
+    got = spark.read.parquet(out).toPandas().sort_values("rank")
+    assert int(got.iloc[0]["vec_id"]) == 5
+    assert set(got["query_id"]) == {5}
+    assert abs(got.iloc[0]["cos_sim"] - 1.0) < 1e-6
+    # --exact within probed cells: with every cell probed this must
+    # equal brute force over the corpus, id for id
+    out2 = os.path.join(str(tmp_path), "topk_exact")
+    assert index_main(["query-vector", idx, q_p, out2, "--k", "5",
+                       "--n-probe", "8", "--exact"]) == 0
+    exact = spark.read.parquet(out2).toPandas().sort_values("rank")
+    want = brute_force_topk(emb, [float(x) for x in qrow["embedding"]], 5).toPandas()
+    assert exact["vec_id"].tolist() == want["vec_id"].tolist()

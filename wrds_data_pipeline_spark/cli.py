@@ -286,9 +286,130 @@ def corpus_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def index_main(argv: list[str] | None = None) -> int:
+    """Persisted-index lifecycle (beyond the reference surface): the
+    continuous-ingest loop for LSH near-dedup (band index) and ANN
+    search (vector index) as shell commands, so a scheduled crawl can
+    probe -> resolve -> append without writing Spark code."""
+    p = argparse.ArgumentParser(prog="wrds-spark-index")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    bb = sub.add_parser("build-band", help="hash a corpus into an on-disk LSH band index")
+    bb.add_argument("docs_path", help="parquet with (doc_id, text)")
+    bb.add_argument("index_path")
+    bb.add_argument("--n-shards", type=int, default=64)
+    bb.add_argument("--k-shingle", type=int, default=3)
+    bb.add_argument("--n-hashes", type=int, default=12)
+    bb.add_argument("--bands", type=int, default=4)
+
+    ab = sub.add_parser("append-band", help="add an increment's bands (scheme from the index meta)")
+    ab.add_argument("docs_path")
+    ab.add_argument("index_path")
+
+    pb = sub.add_parser("probe-band", help="candidate pairs of an increment vs the stored corpus")
+    pb.add_argument("docs_path")
+    pb.add_argument("index_path")
+    pb.add_argument("out_dir", help="candidate (id_a, id_b) parquet")
+    pb.add_argument("--no-prune", action="store_true",
+                    help="skip shard pruning (benchmark the full scan)")
+
+    bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
+    bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
+    bv.add_argument("index_path")
+    bv.add_argument("--n-cells", type=int, default=None,
+                    help="default: auto-sized from the corpus")
+    bv.add_argument("--pq-m", type=int, default=None,
+                    help="enable PQ with this many subspaces")
+    bv.add_argument("--pq-k", type=int, default=16)
+
+    av = sub.add_parser("append-vector", help="assign+append new vectors with the stored quantizer")
+    av.add_argument("emb_path")
+    av.add_argument("index_path")
+
+    qv = sub.add_parser("query-vector", help="top-k per query vector through the index")
+    qv.add_argument("index_path")
+    qv.add_argument("queries_path", help="parquet with (query_id, query_vec); "
+                    "small by contract — each query is one pruned probe job")
+    qv.add_argument("out_dir")
+    qv.add_argument("--k", type=int, default=10)
+    qv.add_argument("--n-probe", type=int, default=4)
+    qv.add_argument("--exact", action="store_true",
+                    help="exact cosine within probed cells even when the index has PQ codes")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name="wrds-spark-index")
+
+    if args.cmd in ("build-band", "append-band", "probe-band"):
+        from wrds_data_pipeline_spark.operators.dedup import (
+            append_band_index,
+            build_band_index,
+            probe_band_index,
+        )
+
+        docs = spark.read.parquet(args.docs_path)
+        if args.cmd == "build-band":
+            build_band_index(
+                docs, args.index_path, n_shards=args.n_shards,
+                k_shingle=args.k_shingle, n_hashes=args.n_hashes,
+                bands=args.bands,
+            )
+            print(f"band index -> {args.index_path}")
+        elif args.cmd == "append-band":
+            append_band_index(docs, args.index_path)
+            print(f"appended {args.docs_path} -> {args.index_path}")
+        else:
+            cand = probe_band_index(
+                docs, args.index_path, prune_shards=not args.no_prune
+            )
+            cand.write.mode("overwrite").parquet(args.out_dir)
+            n = spark.read.parquet(args.out_dir).count()
+            print(f"{n} candidate pairs -> {args.out_dir}")
+        return 0
+
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        append_vector_index,
+        build_vector_index,
+        load_vector_index,
+        vector_index_topk,
+    )
+
+    if args.cmd == "build-vector":
+        idx = build_vector_index(
+            spark.read.parquet(args.emb_path), args.index_path,
+            n_cells=args.n_cells, pq_m=args.pq_m, pq_k=args.pq_k,
+        )
+        print(
+            f"vector index: {len(idx.centroids)} cells"
+            + (f", pq m={idx.codebooks.m} k={idx.codebooks.k}" if idx.codebooks else "")
+            + f" -> {args.index_path}"
+        )
+    elif args.cmd == "append-vector":
+        append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
+        print(f"appended {args.emb_path} -> {args.index_path}")
+    else:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        idx = load_vector_index(spark, args.index_path)
+        queries = spark.read.parquet(args.queries_path).collect()
+        parts = [
+            vector_index_topk(
+                idx, [float(x) for x in q["query_vec"]], k=args.k,
+                n_probe=args.n_probe,
+                use_pq=False if args.exact else None,
+            ).withColumn("query_id", F.lit(q["query_id"]))
+            for q in queries
+        ]
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        out.write.mode("overwrite").parquet(args.out_dir)
+        print(f"{len(queries)} queries x top-{args.k} -> {args.out_dir}")
+    return 0
+
+
 if __name__ == "__main__":  # python -m wrds_data_pipeline_spark.cli <cmd> ...
     cmds = {"universe": universe_main, "panels": panels_main,
-            "corr": corr_main, "corpus": corpus_main}
+            "corr": corr_main, "corpus": corpus_main, "index": index_main}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         raise SystemExit(f"usage: cli.py {{{'|'.join(cmds)}}} ...")
     raise SystemExit(cmds[sys.argv[1]](sys.argv[2:]))
