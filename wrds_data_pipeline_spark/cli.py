@@ -393,6 +393,8 @@ def index_main(argv: list[str] | None = None) -> int:
 
         idx = load_vector_index(spark, args.index_path)
         queries = spark.read.parquet(args.queries_path).collect()
+        if not queries:
+            raise SystemExit(f"no query rows in {args.queries_path}")
         parts = [
             vector_index_topk(
                 idx, [float(x) for x in q["query_vec"]], k=args.k,
