@@ -222,3 +222,22 @@ def test_adc_batch_zero_query_is_null_scored(spark, clustered, codebooks):
     got = pq_adc_topk_batch(queries, coded, codebooks, k=5).toPandas()
     assert got[got["query_id"] == 0]["adc_sim"].isna().all()
     assert got[got["query_id"] == 1]["adc_sim"].notna().all()
+
+
+def test_encode_plan_folds_norm_once(clustered, codebooks):
+    """Regression tripwire for the CollapseProject/HOF re-evaluation
+    trap: the optimized encode plan must contain exactly TWO aggregate
+    nodes — the outer sum-of-squares fold and the per-codeword sub-dot
+    (printed once inside its lambda).  A third appearing means the
+    norm fold was inlined into the codeword lambda and re-runs per
+    codeword (the 25×-slowdown class documented in SCALE.md)."""
+    from wrds_data_pipeline_spark.operators.pq import pq_encode
+
+    df, _ = clustered
+    plan = (
+        pq_encode(df, codebooks)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(") == 2, plan
