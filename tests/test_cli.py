@@ -234,3 +234,27 @@ def test_index_cli_vector_lifecycle(spark, sf_dir, tmp_path):
     exact = spark.read.parquet(out2).toPandas().sort_values("rank")
     want = brute_force_topk(emb, [float(x) for x in qrow["embedding"]], 5).toPandas()
     assert exact["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_corpus_cli_paragraph_dedup_stage(spark, tmp_path):
+    """--paragraph-dedup collapses repeated paragraphs before curation:
+    the shared block survives in exactly one shard document."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    shared = "this exact same disclaimer paragraph appears everywhere " * 3
+    rows = [
+        (i, f"unique body of document number {i} with several words\n\n{shared}")
+        for i in range(8)
+    ]
+    docs_path = os.path.join(str(tmp_path), "pdocs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    out = os.path.join(str(tmp_path), "pcorpus_out")
+    rc = corpus_main([
+        docs_path, out, "--min-quality", "0.0", "--paragraph-dedup",
+    ])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    assert shards["text"].str.count(shared.strip()).sum() == 1
+    assert len(shards) == 8  # no document dropped, only trimmed

@@ -219,6 +219,9 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    help="resolve near-dup pairs into components")
     p.add_argument("--boilerplate-min-docs", type=int, default=0,
                    help="strip lines occurring in >= N docs (0 = off)")
+    p.add_argument("--paragraph-dedup", action="store_true",
+                   help="keep only the first corpus-wide occurrence of "
+                   "every paragraph before curation")
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -241,6 +244,12 @@ def corpus_main(argv: list[str] | None = None) -> int:
         docs = remove_boilerplate(
             docs, min_docs=args.boilerplate_min_docs
         ).select("doc_id", "text")
+    if args.paragraph_dedup:
+        from wrds_data_pipeline_spark.operators.boilerplate import (
+            paragraph_dedup,
+        )
+
+        docs = paragraph_dedup(docs).select("doc_id", "text")
     kept, audit = curate(
         docs,
         allowed_langs=tuple(args.langs.split(",")),
