@@ -1,0 +1,162 @@
+"""Duplicated-span removal (operators/spans) vs a direct python
+replay of the declared semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from wrds_data_pipeline_spark.operators.spans import (
+    duplicated_spans,
+    span_dedup,
+    span_windows,
+)
+
+
+def _replay(rows, k):
+    """Python oracle: same semantics as the module docstring."""
+    toks = {
+        d: (t.strip().split() if t and t.strip() else [])
+        for d, t in rows
+    }
+    occ = {}
+    for d in sorted(toks):
+        tk = [w.lower() for w in toks[d]]
+        for i in range(len(tk) - k + 1):
+            occ.setdefault(" ".join(tk[i : i + k]), []).append((d, i))
+    covered = {d: set() for d in toks}
+    for inst in occ.values():
+        for d, i in inst[1:]:
+            covered[d].update(range(i, i + k))
+    out = {}
+    for d, t in rows:
+        if not covered[d]:
+            out[d] = (t, len(toks[d]), 0)
+        else:
+            kept = [w for p, w in enumerate(toks[d]) if p not in covered[d]]
+            out[d] = (" ".join(kept), len(toks[d]), len(covered[d]))
+    return out
+
+
+def _run(spark, rows, k):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tok_in"], r["n_tok_removed"])
+        for r in span_dedup(df, k=k).collect()
+    }
+    assert got == _replay(rows, k)
+    return got
+
+
+def test_cross_doc_span_removed_first_kept(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"totally different prefix {shared} and a different suffix"),
+    ]
+    got = _run(spark, rows, k=4)
+    assert shared in got[1][0]
+    assert shared not in got[2][0]
+    assert got[1][2] == 0
+    # doc 2 loses exactly the shared window positions (9 tokens)
+    assert got[2][2] == 9
+
+
+def test_within_doc_repeat_removed(spark):
+    rows = [(7, "one two three four five one two three four five")]
+    got = _run(spark, rows, k=5)
+    assert got[7][0] == "one two three four five"
+    assert got[7][2] == 5
+
+
+def test_overlapping_windows_merge(spark):
+    # a long shared passage: every window inside it is duplicated;
+    # coverage is the union, not k * n_windows
+    passage = " ".join(f"w{i}" for i in range(20))
+    rows = [(1, passage), (2, f"intro {passage} outro")]
+    got = _run(spark, rows, k=6)
+    assert got[2][0] == "intro outro"
+    assert got[2][2] == 20
+
+
+def test_casing_and_whitespace_match_original_survives(spark):
+    rows = [
+        (1, "Shared Span Of Text Here plus more"),
+        (2, "prefix   shared span OF text HERE suffix"),
+    ]
+    got = _run(spark, rows, k=5)
+    # doc 1 keeps original casing verbatim (untouched doc)
+    assert got[1][0] == rows[0][1]
+    assert got[2][0] == "prefix suffix"
+
+
+def test_short_null_empty_pass_through_verbatim(spark):
+    rows = [
+        (1, "only three tokens"),
+        (2, "  weird   spacing    kept  "),
+        (3, None),
+        (4, ""),
+        (5, "only three tokens"),  # dup but below k: untouched
+    ]
+    got = _run(spark, rows, k=4)
+    for d, t in rows:
+        assert got[d][0] == t
+        assert got[d][2] == 0
+
+
+def test_unaffected_doc_text_verbatim(spark):
+    rows = [
+        (1, "a  doc   with\tirregular\n whitespace and unique words"),
+        (2, "completely disjoint vocabulary in this one right here"),
+    ]
+    got = _run(spark, rows, k=3)
+    assert got[1][0] == rows[0][1]
+
+
+def test_first_occurrence_order_is_doc_then_pos(spark):
+    shared = "x y z w v"
+    rows = [
+        (10, f"late doc {shared}"),
+        (2, f"{shared} early doc"),
+    ]
+    got = _run(spark, rows, k=5)
+    assert shared in got[2][0]
+    assert shared not in got[10][0]
+
+
+def test_randomized_replay_parity(spark):
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 25)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    for k in (2, 3, 5):
+        _run(spark, rows, k)
+
+
+def test_duplicated_spans_relation(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "z z a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = {(r["_id"], r["i"]) for r in duplicated_spans(df, k=3).collect()}
+    # doc2 repeats every doc1 window; doc3 repeats "a b c" at start 2
+    assert dups == {(2, 0), (2, 1), (2, 2), (3, 2)}
+    n_windows = span_windows(df, k=3).count()
+    assert n_windows == 3 + 3 + 3
+
+
+def test_k_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        span_dedup(df, k=0)
+
+
+def test_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body text here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    plan = span_dedup(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,180 @@
+"""Exact duplicated-span removal (token-level dedup, the ExactSubstr
+rung): cut every RE-occurrence of any k-token window that appears
+more than once corpus-wide, keeping the first occurrence.
+
+This is the finest rung of the dedup ladder — below document-level
+(``dedup.exact_duplicates`` / MinHash) and paragraph-level
+(``boilerplate.paragraph_dedup``): it reaches duplicated passages that
+are embedded mid-paragraph with different surroundings, the case
+"Deduplicating Training Data Makes Language Models Better"
+(Lee et al., 2022) shows matters for memorization.  The reference
+pipeline has no corpus layer (this is the beyond-reference
+training-data surface, like dedup.py/similarity.py).
+
+Semantics (deterministic, replayable):
+- tokens = ``\\s+`` split of the trimmed text; k-grams are matched on
+  the LOWERCASED token window (the repo's normalize casing), hashed
+  with the 60-bit exact-membership hash.
+- a k-gram instance (doc, start) is *duplicated* iff another instance
+  of the same gram precedes it in (doc_id, start) order — within-doc
+  repeats count.
+- removed positions = union of all duplicated instances' windows;
+  overlapping windows merge naturally.  The first instance's tokens
+  are never covered by its own gram, but MAY be cut by a different
+  gram's duplicate window overlapping them (span cuts are positional,
+  exactly as in the suffix-array formulation) — so "some copy
+  survives" holds for passages, not for every individual k-gram.
+- documents with no duplicated instance (including docs shorter than
+  k tokens and null/empty text) return their text VERBATIM; affected
+  documents are rebuilt from the surviving tokens joined by single
+  spaces.
+
+Scale design (100 TB):
+- The gram relation is one doc-local pass (token array bound once —
+  ``functions.text._bound``; an inlined re-tokenize per window is the
+  O(n²) CollapseProject/HOF trap, see SCALE.md).  Keep-first is a
+  window MIN of (doc, start) partitioned by the gram hash — ONE
+  shuffle of corpus token mass, the same mass every MinHash pass
+  already moves; no self-join, no corpus broadcast.
+- Duplicate instances explode to covered positions (×k, duplicated
+  mass only) and collapse to one sorted cut-array per AFFECTED doc —
+  the join back to documents carries only affected docs (AQE
+  broadcasts it when duplication is sparse).
+- Reassembly is row-local and O(n): the cut array's complement is
+  materialized as gap intervals (zip_with over the sorted cuts) and
+  the survivors are bulk ``slice`` copies per gap — never a per-token
+  membership probe against the cut list (that shape is
+  O(n_tok × n_cuts)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wrds_data_pipeline_spark.functions.text import _bound
+from wrds_data_pipeline_spark.operators.dedup import shingle_hash_wide
+
+
+def _raw_tokens(text_col) -> F.Column:
+    """Whitespace tokens of the ORIGINAL (un-lowered) text — what
+    reassembly re-joins.  Null/blank text → empty array.  Matching
+    lowers per window; boundaries are identical either way."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        c.isNotNull() & (F.trim(c) != ""), F.split(F.trim(c), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_hashes(toks: F.Column, k: int) -> F.Column:
+    """array<bigint>: hash of the lowercased k-token window at each
+    start 0..n-k (empty when n < k).  ``toks`` is bound once."""
+    return _bound(
+        toks,
+        F.array().cast("array<bigint>"),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: shingle_hash_wide(
+                    F.lower(F.concat_ws(" ", F.slice(t, i + 1, k)))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+
+
+def span_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(_id, i, h): every k-token window instance in the corpus —
+    0-based start ``i`` and the 60-bit hash of its lowercased form."""
+    if k < 1:
+        raise ValueError(f"span window k must be >= 1, got {k}")
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _gram_hashes(_raw_tokens(text_col), k).alias("_g"),
+        )
+        .select("_id", F.posexplode("_g").alias("i", "h"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(_id, i): every NON-FIRST instance of a repeated k-gram.  First
+    = min (doc, start) struct over the gram-hash partition."""
+    g = span_windows(docs, id_col, text_col, k)
+    first = F.min(F.struct(F.col("_id"), F.col("i"))).over(
+        Window.partitionBy("h")
+    )
+    return (
+        g.withColumn("_first", first)
+        .filter(
+            (F.col("_first._id") != F.col("_id"))
+            | (F.col("_first.i") != F.col("i"))
+        )
+        .select("_id", "i")
+    )
+
+
+def _kept_text(toks, n, cut) -> F.Column:
+    """Rebuild the survivor text from the sorted cut-position array:
+    complement gaps via zip_with over (-1) ++ cut ++ (n), then bulk
+    slice per gap — O(n) row-local, no per-token membership test."""
+    cut2 = F.concat(F.array(F.lit(-1)), cut, F.array(n))
+    gaps = F.filter(
+        F.zip_with(
+            F.slice(cut2, 1, F.size(cut2) - 1),
+            F.slice(cut2, 2, F.size(cut2) - 1),
+            lambda a, b: F.struct((a + 1).alias("lo"), b.alias("hi")),
+        ),
+        lambda g: g["hi"] > g["lo"],
+    )
+    return F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                gaps, lambda g: F.slice(toks, g["lo"] + 1, g["hi"] - g["lo"])
+            )
+        ),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal: (id, text, n_tok_in,
+    n_tok_removed).  See module docstring for exact semantics."""
+    if k < 1:
+        raise ValueError(f"span window k must be >= 1, got {k}")
+    cuts = (
+        duplicated_spans(docs, id_col, text_col, k)
+        .select("_id", F.explode(F.sequence("i", F.col("i") + (k - 1))).alias("p"))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("_cut"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        _raw_tokens(text_col).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    return base.join(cuts, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_cut").isNull(), F.col("_text"))
+        .otherwise(_kept_text(F.col("_toks"), F.col("_n"), F.col("_cut")))
+        .alias(text_col),
+        F.col("_n").alias("n_tok_in"),
+        F.coalesce(F.size("_cut"), F.lit(0)).alias("n_tok_removed"),
+    )
