@@ -258,3 +258,27 @@ def test_corpus_cli_paragraph_dedup_stage(spark, tmp_path):
     shards = pd.read_parquet(os.path.join(out, "shards"))
     assert shards["text"].str.count(shared.strip()).sum() == 1
     assert len(shards) == 8  # no document dropped, only trimmed
+
+
+def test_corpus_cli_span_dedup_stage(spark, tmp_path):
+    """--span-dedup-k cuts a repeated mid-paragraph passage: the
+    shared span survives in exactly one shard document."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    shared = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (i, f"unique lead {i} alpha beta {shared} unique tail {i} gamma")
+        for i in range(8)
+    ]
+    docs_path = os.path.join(str(tmp_path), "sdocs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    out = os.path.join(str(tmp_path), "scorpus_out")
+    rc = corpus_main([
+        docs_path, out, "--min-quality", "0.0", "--span-dedup-k", "6",
+    ])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    assert shards["text"].str.count(shared).sum() == 1
+    assert len(shards) == 8

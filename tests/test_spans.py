@@ -160,3 +160,48 @@ def test_plan_no_cartesian(spark):
     plan = span_dedup(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_span_dedup(spark, tmp_path):
+    """Streaming twin: union of per-batch outputs (doc_id-ordered
+    arrival) == batch span_dedup over the accumulated corpus; docs
+    below k tokens still emit verbatim."""
+    import os
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_span_dedup,
+    )
+
+    shared = "a long shared passage of many repeated tokens here"
+    batches = [
+        [(1, f"first doc {shared} unique tail one"), (2, "tiny doc")],
+        [(3, f"other intro {shared} other tail"), (4, "tiny doc")],
+        [(5, f"{shared} {shared}")],
+    ]
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "span_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx = os.path.join(str(tmp_path), "span_index")
+    got = streaming_span_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        k=5, max_files_per_trigger=1,
+    )
+    all_rows = [r for b in batches for r in b]
+    want = span_dedup(
+        spark.createDataFrame(all_rows, schema), k=5
+    ).toPandas()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert g[["doc_id", "text", "n_tok_in", "n_tok_removed"]].equals(
+        w[["doc_id", "text", "n_tok_in", "n_tok_removed"]]
+    )
+    # the shared passage survives exactly once, in the first arrival
+    texts = dict(zip(g["doc_id"], g["text"]))
+    assert shared in texts[1]
+    assert shared not in texts[3] and shared not in texts[5]
+    # sub-k docs pass through verbatim even though they repeat
+    assert texts[2] == "tiny doc" and texts[4] == "tiny doc"

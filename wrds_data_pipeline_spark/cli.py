@@ -222,6 +222,9 @@ def corpus_main(argv: list[str] | None = None) -> int:
     p.add_argument("--paragraph-dedup", action="store_true",
                    help="keep only the first corpus-wide occurrence of "
                    "every paragraph before curation")
+    p.add_argument("--span-dedup-k", type=int, default=0,
+                   help="cut re-occurrences of any K-token span that "
+                   "repeats corpus-wide (0 = off)")
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -250,6 +253,12 @@ def corpus_main(argv: list[str] | None = None) -> int:
         )
 
         docs = paragraph_dedup(docs).select("doc_id", "text")
+    if args.span_dedup_k > 0:
+        from wrds_data_pipeline_spark.operators.spans import span_dedup
+
+        docs = span_dedup(docs, k=args.span_dedup_k).select(
+            "doc_id", "text"
+        )
     kept, audit = curate(
         docs,
         allowed_langs=tuple(args.langs.split(",")),

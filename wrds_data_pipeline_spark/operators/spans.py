@@ -104,26 +104,30 @@ def span_windows(
     )
 
 
-def duplicated_spans(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-) -> DataFrame:
-    """(_id, i): every NON-FIRST instance of a repeated k-gram.  First
-    = min (doc, start) struct over the gram-hash partition."""
-    g = span_windows(docs, id_col, text_col, k)
+def non_first_windows(windows: DataFrame) -> DataFrame:
+    """(_id, i): the NON-FIRST rows of a (_id, i, h) window relation.
+    First = min (doc, start) struct over the gram-hash partition."""
     first = F.min(F.struct(F.col("_id"), F.col("i"))).over(
         Window.partitionBy("h")
     )
     return (
-        g.withColumn("_first", first)
+        windows.withColumn("_first", first)
         .filter(
             (F.col("_first._id") != F.col("_id"))
             | (F.col("_first.i") != F.col("i"))
         )
         .select("_id", "i")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(_id, i): every NON-FIRST instance of a repeated k-gram."""
+    return non_first_windows(span_windows(docs, id_col, text_col, k))
 
 
 def _kept_text(toks, n, cut) -> F.Column:
@@ -149,22 +153,26 @@ def _kept_text(toks, n, cut) -> F.Column:
     )
 
 
-def span_dedup(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-) -> DataFrame:
-    """Corpus-wide duplicated-span removal: (id, text, n_tok_in,
-    n_tok_removed).  See module docstring for exact semantics."""
-    if k < 1:
-        raise ValueError(f"span window k must be >= 1, got {k}")
-    cuts = (
-        duplicated_spans(docs, id_col, text_col, k)
-        .select("_id", F.explode(F.sequence("i", F.col("i") + (k - 1))).alias("p"))
+def span_cuts(dups: DataFrame, k: int) -> DataFrame:
+    """(_id, _cut): one sorted array of covered token positions per
+    affected doc, from a (_id, i) duplicate-instance relation."""
+    return (
+        dups.select(
+            "_id", F.explode(F.sequence("i", F.col("i") + (k - 1))).alias("p")
+        )
         .groupBy("_id")
         .agg(F.sort_array(F.collect_set("p")).alias("_cut"))
     )
+
+
+def apply_span_cuts(
+    docs: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Left-join the cut arrays onto the documents and rebuild:
+    (id, text, n_tok_in, n_tok_removed); unmatched docs verbatim."""
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
@@ -178,3 +186,17 @@ def span_dedup(
         F.col("_n").alias("n_tok_in"),
         F.coalesce(F.size("_cut"), F.lit(0)).alias("n_tok_removed"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal: (id, text, n_tok_in,
+    n_tok_removed).  See module docstring for exact semantics."""
+    if k < 1:
+        raise ValueError(f"span window k must be >= 1, got {k}")
+    cuts = span_cuts(duplicated_spans(docs, id_col, text_col, k), k)
+    return apply_span_cuts(docs, cuts, id_col, text_col)

@@ -123,12 +123,14 @@ def _run_indexed_stream(
     through the stored parquet unchanged.
 
     Returns the concatenated pandas of all emitted pairs."""
+    import inspect
     import os
 
     import pandas as pd
 
     os.makedirs(index_dir, exist_ok=True)
     out: list = []
+    _pairs_takes_batch = len(inspect.signature(pairs).parameters) >= 3
 
     def _sink(bdf: DataFrame, _epoch: int) -> None:
         if bdf.isEmpty():
@@ -152,7 +154,14 @@ def _run_indexed_stream(
             if has_index
             else bdf.sparkSession.createDataFrame([], row_schema)
         )
-        p = pairs(rows, stored).toPandas()
+        # twins whose emitted rows need the raw batch (span dedup:
+        # docs below the window width have no index rows but must
+        # still be emitted) declare a 3-arg pairs(rows, stored, bdf)
+        p = (
+            pairs(rows, stored, bdf)
+            if _pairs_takes_batch
+            else pairs(rows, stored)
+        ).toPandas()
         if len(p):
             out.append(p)
         to_index.write.mode("append").parquet(index_dir)
@@ -406,6 +415,72 @@ def streaming_paragraph_dedup(
         index_select=lambda rows: rows.filter(~F.col("_bypass"))
         .select(F.col("_h").alias("h"))
         .distinct(),
+    )
+
+
+def streaming_span_dedup(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming duplicated-span removal: each micro-batch's k-token
+    windows probe the persisted seen-gram-hash index; an instance is
+    cut when its gram hash was seen in an earlier batch (every
+    in-batch instance then cuts) or when it is a non-first in-batch
+    occurrence of a new gram.  The batch's distinct gram hashes are
+    appended afterwards — the streaming form of
+    ``operators/spans.span_dedup``.
+
+    Invariant (the parity test's contract): when increments arrive in
+    (doc_id) order, the union of per-batch outputs equals the batch
+    operator over the accumulated corpus — first-over-corpus is
+    either an earlier arrival (hash stored) or the in-batch minimum.
+    Docs below k tokens carry no window rows, so emission is driven
+    from the raw batch (the 3-arg ``pairs`` form); they pass through
+    verbatim like the batch operator.
+
+    The stored index holds distinct int64 gram hashes per batch —
+    corpus token mass, the same order as the batch operator's shuffle;
+    re-seen hashes append again (membership unaffected).
+    Durability/filesystem caveats: see ``_run_indexed_stream``.
+
+    Returns the concatenated pandas of all emitted
+    (id, text, n_tok_in, n_tok_removed) rows.
+    """
+    from wrds_data_pipeline_spark.operators.spans import (
+        apply_span_cuts,
+        non_first_windows,
+        span_cuts,
+        span_windows,
+    )
+
+    def index_rows(bdf: DataFrame) -> DataFrame:
+        return span_windows(bdf, id_col, text_col, k)
+
+    def dedup_batch(
+        rows: DataFrame, stored: DataFrame, bdf: DataFrame
+    ) -> DataFrame:
+        seen = stored.select("h").distinct()
+        dup_seen = rows.join(seen, "h", "left_semi").select("_id", "i")
+        dup_new = non_first_windows(rows.join(seen, "h", "left_anti"))
+        cuts = span_cuts(dup_seen.unionByName(dup_new), k)
+        return apply_span_cuts(bdf, cuts, id_col, text_col)
+
+    return _run_indexed_stream(
+        spark,
+        path,
+        schema,
+        index_dir,
+        index_rows=index_rows,
+        pairs=dedup_batch,
+        empty_cols=[id_col, text_col, "n_tok_in", "n_tok_removed"],
+        max_files_per_trigger=max_files_per_trigger,
+        index_select=lambda rows: rows.select("h").distinct(),
     )
 
 
