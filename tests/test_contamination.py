@@ -107,3 +107,33 @@ def test_contamination_duckdb_twin(spark):
     assert list(got.doc_id) == list(want.doc_id)
     assert list(got.n_ngrams) == list(want.n_ngrams)
     assert list(got.n_contaminated) == list(want.n_contaminated)
+
+
+def test_shuffle_strategy_same_results_no_broadcast_hint(spark):
+    """strategy='shuffle' (oversized reference sets) matches the
+    broadcast path row-for-row and leaves no broadcast hint in the
+    pre-AQE plan; unknown strategies fail fast."""
+    import pytest
+
+    docs, bench = _docs(spark), _bench(spark)
+    a = (
+        contamination_scores(docs, bench, n=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        contamination_scores(docs, bench, n=8, strategy="shuffle")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(docs, bench, n=8, strategy="shuffle").collect()
+    )
+    assert kept == [1, 3, 4]
+    plan = (
+        contamination_scores(docs, bench, n=8, strategy="shuffle")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
+    with pytest.raises(ValueError):
+        contamination_scores(docs, bench, n=8, strategy="bogus")

@@ -54,6 +54,7 @@ def contamination_scores(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 8,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Per-document contamination against ``benchmark``:
     (id, n_ngrams, n_contaminated, contamination_ratio).
@@ -61,8 +62,21 @@ def contamination_scores(
     Documents shorter than ``n`` words contribute their whole text as
     one shingle (word_shingles' short-doc rule), so every doc gets a
     row — n_ngrams >= 1.
+
+    ``strategy``: "broadcast" (default) pins the benchmark n-gram set
+    to a broadcast join — the corpus side is never shuffled; right for
+    eval suites (thousands of items).  "shuffle" drops the hint for
+    reference sets too large for executor memory (decontaminating one
+    corpus against ANOTHER corpus): the (doc, hash) relation then
+    shuffles on the hash — two corpus-mass exchanges instead of zero,
+    the honest price of an oversized right side.  AQE still downgrades
+    to broadcast at runtime if the set turns out small.
     """
-    bench = F.broadcast(benchmark_ngram_set(benchmark, bench_text_col, n))
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    bench = benchmark_ngram_set(benchmark, bench_text_col, n)
+    if strategy == "broadcast":
+        bench = F.broadcast(bench)
     doc_grams = _shingled(docs, id_col, text_col, n, hash_fn=shingle_hash_wide)
     flagged = doc_grams.join(
         bench.withColumn("_hit", F.lit(1)), "h", "left"
@@ -92,12 +106,14 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 8,
     max_ratio: float = 0.0,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Drop documents whose contamination_ratio exceeds ``max_ratio``
     (default: any benchmark n-gram hit drops the doc).  Returns the
-    surviving rows of ``docs`` unchanged."""
+    surviving rows of ``docs`` unchanged.  ``strategy`` as in
+    ``contamination_scores``."""
     scores = contamination_scores(
-        docs, benchmark, id_col, text_col, bench_text_col, n
+        docs, benchmark, id_col, text_col, bench_text_col, n, strategy
     )
     # filter on the UNROUNDED ratio: the display column rounds to 6dp,
     # so a multi-million-gram doc with one genuine hit would round to
