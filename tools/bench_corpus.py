@@ -22,8 +22,10 @@ def stages(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from wrds_data_pipeline_spark.operators.boilerplate import (
+        paragraph_dedup,
         remove_boilerplate,
     )
+    from wrds_data_pipeline_spark.operators.spans import span_dedup
     from wrds_data_pipeline_spark.operators.keywords import (
         build_vocab,
         doc_cross_entropy,
@@ -74,6 +76,10 @@ def stages(spark, sf_dir):
             docs, build_vocab(docs, size=30_000)
         ).count(),
         "chunking": lambda: chunk_documents(docs, max_tokens=256).count(),
+        "span_dedup": lambda: span_dedup(docs, k=8)
+        .agg(F.sum("n_tok_removed"))
+        .collect(),
+        "paragraph_dedup": lambda: paragraph_dedup(docs).count(),
     }
 
 
