@@ -14,12 +14,21 @@ from wrds_data_pipeline_spark.operators.spans import (
 )
 
 
+_WS = "[ \t\n\r\f\x0b]+"  # ASCII \s, the class Java's \s+ split uses
+
+
+def _toks(t):
+    import re
+
+    if t is None:
+        return []
+    t = re.sub(f"^{_WS}|{_WS}$", "", t)
+    return re.split(_WS, t) if t else []
+
+
 def _replay(rows, k):
     """Python oracle: same semantics as the module docstring."""
-    toks = {
-        d: (t.strip().split() if t and t.strip() else [])
-        for d, t in rows
-    }
+    toks = {d: _toks(t) for d, t in rows}
     occ = {}
     for d in sorted(toks):
         tk = [w.lower() for w in toks[d]]
@@ -205,3 +214,18 @@ def test_streaming_span_dedup(spark, tmp_path):
     assert shared not in texts[3] and shared not in texts[5]
     # sub-k docs pass through verbatim even though they repeat
     assert texts[2] == "tiny doc" and texts[4] == "tiny doc"
+
+
+def test_leading_nonspace_whitespace_no_phantom_token(spark):
+    """A doc leading with tab/newline must not grow an empty first
+    token (F.trim strips spaces only): window positions would shift
+    and dedup would silently miss real duplicate spans."""
+    shared = "p q r s t u"
+    rows = [
+        (1, f"\n\t{shared} one tail"),
+        (2, f"other start {shared} other end"),
+    ]
+    got = _run(spark, rows, k=6)
+    assert shared in got[1][0]
+    assert shared not in got[2][0]
+    assert got[1][1] == 8  # no phantom token in the count

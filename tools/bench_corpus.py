@@ -76,8 +76,10 @@ def stages(spark, sf_dir):
             docs, build_vocab(docs, size=30_000)
         ).count(),
         "chunking": lambda: chunk_documents(docs, max_tokens=256).count(),
+        # sum over length(text) too: with text unread Catalyst would
+        # prune the whole rebuild expression out of the timed plan
         "span_dedup": lambda: span_dedup(docs, k=8)
-        .agg(F.sum("n_tok_removed"))
+        .agg(F.sum("n_tok_removed"), F.sum(F.length("text")))
         .collect(),
         "paragraph_dedup": lambda: paragraph_dedup(docs).count(),
     }

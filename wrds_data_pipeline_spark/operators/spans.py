@@ -60,10 +60,16 @@ from wrds_data_pipeline_spark.operators.dedup import shingle_hash_wide
 def _raw_tokens(text_col) -> F.Column:
     """Whitespace tokens of the ORIGINAL (un-lowered) text — what
     reassembly re-joins.  Null/blank text → empty array.  Matching
-    lowers per window; boundaries are identical either way."""
+    lowers per window; boundaries are identical either way.
+
+    Trim must strip the SAME class the split uses (ASCII ``\\s``):
+    ``F.trim`` removes spaces only, so a doc leading with a tab or
+    newline would grow a spurious empty first token and shift every
+    window position."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(
-        c.isNotNull() & (F.trim(c) != ""), F.split(F.trim(c), r"\s+")
+        c.isNotNull() & (t != ""), F.split(t, r"\s+")
     ).otherwise(F.array().cast("array<string>"))
 
 
