@@ -229,3 +229,35 @@ def test_leading_nonspace_whitespace_no_phantom_token(spark):
     assert shared in got[1][0]
     assert shared not in got[2][0]
     assert got[1][1] == 8  # no phantom token in the count
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_default_scope_leaves_no_cache(spark):
+    """Default-path span_dedup persists the window relation internally
+    and frees it before returning; the only pinned storage it may add
+    is the localCheckpoint of the (duplicated-mass-sized) cut arrays,
+    freed by the ContextCleaner with the DataFrame (the
+    test_caching convention)."""
+    before = _persistent_ids(spark)
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup(df, k=3)
+    assert len(_persistent_ids(spark) - before) <= 1
+    assert out.count() == 2  # still collectable after release
+
+
+def test_caller_scope_stays_lazy_and_releases(spark):
+    from wrds_data_pipeline_spark.caching import PersistScope
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with PersistScope() as scope:
+        out = span_dedup(df, k=3, scope=scope)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got[1] == "a b c d e f" and got[2] == ""
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base

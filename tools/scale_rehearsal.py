@@ -70,9 +70,82 @@ def _generate(n: int) -> str:
     return path
 
 
+def _generate_docs(n: int, doc_len: int = 200) -> str:
+    """Synthetic text fixture: ``n`` docs of ~``doc_len`` tokens; 20%
+    carry one of 32 canonical 30-token passages mid-document (the
+    planted duplicated spans), so removed mass is known to be
+    passage-sized × (carriers − 32 firsts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(STAGE, f"docs_{n}_l{doc_len}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(STAGE, exist_ok=True)
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(50_000)])
+    passages = [
+        " ".join(vocab[rng.integers(0, len(vocab), 30)]) for _ in range(32)
+    ]
+    texts = []
+    for d in range(n):
+        body = vocab[rng.integers(0, len(vocab), doc_len)].tolist()
+        if d % 5 == 0:  # 20% carriers
+            body.insert(doc_len // 2, passages[d % 32])
+        texts.append(" ".join(body))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, path)
+    return path
+
+
+def spans_rung(spark, sizes: list[int]) -> None:
+    """Span-dedup scaling: wall should grow ~linearly in corpus token
+    mass (one gram-hash shuffle + duplicated-mass tail), and removed
+    mass should track the planted passages exactly."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.spans import span_dedup
+
+    for n in sizes:
+        # repartition: the single-file fixture would otherwise run the
+        # doc-local gram pass on ONE split — production input arrives
+        # in thousands of splits, that's the regime being rehearsed
+        docs = spark.read.parquet(_generate_docs(n)).repartition(32)
+
+        def run():
+            return span_dedup(docs, k=8).agg(
+                F.sum("n_tok_removed").alias("cut"),
+                F.sum(F.length("text")).alias("bytes"),  # forces rebuild
+            ).first()
+
+        run()  # warm: codegen + shuffle-machinery JIT
+        t0 = time.time()
+        out = run()
+        w = time.time() - t0
+        # every carrier past the 32 firsts loses the 30-token passage
+        # plus the k-1 window bleed on each side (up to 2*(k-1)=14)
+        carriers = (n + 4) // 5
+        floor = max(0, carriers - 32) * 30
+        print(
+            f"n={n}: span_dedup wall={w:.1f}s removed={out['cut']} "
+            f"(planted floor {floor})"
+        )
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2000, 8000, 32000]
     exact_all = "--exact-all" in sys.argv
+    if "--spans" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        spans_rung(get_spark(app_name="scale_rehearsal"), sizes)
+        return
 
     from pyspark.sql import functions as F
 

@@ -14,7 +14,7 @@ training-data surface, like dedup.py/similarity.py).
 Semantics (deterministic, replayable):
 - tokens = ``\\s+`` split of the trimmed text; k-grams are matched on
   the LOWERCASED token window (the repo's normalize casing), hashed
-  with the 60-bit exact-membership hash.
+  with xxhash64 over the token slice (see ``_gram_hashes``).
 - a k-gram instance (doc, start) is *duplicated* iff another instance
   of the same gram precedes it in (doc_id, start) order — within-doc
   repeats count.
@@ -32,10 +32,14 @@ Semantics (deterministic, replayable):
 Scale design (100 TB):
 - The gram relation is one doc-local pass (token array bound once —
   ``functions.text._bound``; an inlined re-tokenize per window is the
-  O(n²) CollapseProject/HOF trap, see SCALE.md).  Keep-first is a
-  window MIN of (doc, start) partitioned by the gram hash — ONE
-  shuffle of corpus token mass, the same mass every MinHash pass
-  already moves; no self-join, no corpus broadcast.
+  O(n²) CollapseProject/HOF trap, see SCALE.md).  Keep-first is an
+  aggregate of per-gram firsts (map-side-combined min+count, filtered
+  to repeated grams) equi-joined back onto the window relation —
+  corpus-token-mass exchanges, the same mass every MinHash pass
+  already moves, and skew-safe: hot k-grams (ubiquitous boilerplate
+  sentences, 10⁸⁺ occurrences) combine map-side in the aggregate and
+  are AQE-skew-split in the join, where a ``partitionBy(h)`` window
+  would pin the whole key to one task.
 - Duplicate instances explode to covered positions (×k, duplicated
   mass only) and collapse to one sorted cut-array per AFFECTED doc —
   the join back to documents carries only affected docs (AQE
@@ -51,10 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from wrds_data_pipeline_spark.functions.text import _bound
-from wrds_data_pipeline_spark.operators.dedup import shingle_hash_wide
 
 
 def _raw_tokens(text_col) -> F.Column:
@@ -75,17 +76,27 @@ def _raw_tokens(text_col) -> F.Column:
 
 def _gram_hashes(toks: F.Column, k: int) -> F.Column:
     """array<bigint>: hash of the lowercased k-token window at each
-    start 0..n-k (empty when n < k).  ``toks`` is bound once."""
+    start 0..n-k (empty when n < k).
+
+    The hash is ``xxhash64`` of the SLICED lowered-token array —
+    array equality ⟺ joined-string equality here (tokens cannot
+    contain whitespace), and hashing the slice directly skips the
+    per-window concat_ws + md5 + hex-conv of ``shingle_hash_wide``
+    (~3× the whole gram pass; spans have no DuckDB twin to keep
+    md5-compatible, the oracle is a python replay).  64-bit exact
+    membership: at 10^13 corpus grams expect ~10^6 colliding pairs
+    (birthday m²/2N), each wrongly cutting k tokens — the same
+    accepted-rarity class as the 60-bit band/boilerplate hashes.
+    The lowered array is bound once; tokens lower once each, not
+    once per covering window."""
     return _bound(
-        toks,
+        F.transform(toks, F.lower),
         F.array().cast("array<bigint>"),
-        lambda t: F.when(
-            F.size(t) >= k,
+        lambda lt: F.when(
+            F.size(lt) >= k,
             F.transform(
-                F.sequence(F.lit(0), F.size(t) - k),
-                lambda i: shingle_hash_wide(
-                    F.lower(F.concat_ws(" ", F.slice(t, i + 1, k)))
-                ),
+                F.sequence(F.lit(0), F.size(lt) - k),
+                lambda i: F.xxhash64(F.slice(lt, i + 1, k)),
             ),
         ).otherwise(F.array().cast("array<bigint>")),
     )
@@ -98,7 +109,7 @@ def span_windows(
     k: int = 8,
 ) -> DataFrame:
     """(_id, i, h): every k-token window instance in the corpus —
-    0-based start ``i`` and the 60-bit hash of its lowercased form."""
+    0-based start ``i`` and the xxhash64 of its lowercased form."""
     if k < 1:
         raise ValueError(f"span window k must be >= 1, got {k}")
     return (
@@ -112,12 +123,29 @@ def span_windows(
 
 def non_first_windows(windows: DataFrame) -> DataFrame:
     """(_id, i): the NON-FIRST rows of a (_id, i, h) window relation.
-    First = min (doc, start) struct over the gram-hash partition."""
-    first = F.min(F.struct(F.col("_id"), F.col("i"))).over(
-        Window.partitionBy("h")
+    First = min (doc, start) struct per gram hash.
+
+    Shape: aggregate the firsts (map-side-combined min + count,
+    filtered to count>1 — singleton grams, the vast majority, never
+    leave the aggregate) and equi-join back, NOT a window over
+    ``partitionBy(h)``.  A window puts every instance of one gram in
+    a single task, and hot k-grams are GUARANTEED at corpus scale —
+    ubiquitous boilerplate sentences reach 10⁸⁺ occurrences, which is
+    one task holding the whole key.  The aggregate is skew-immune
+    (partial min/count combine map-side) and the join's hot keys are
+    exactly what AQE skew-join splitting handles; a window gets no
+    such mitigation."""
+    firsts = (
+        windows.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col("_id"), F.col("i"))).alias("_first"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("h", "_first")
     )
     return (
-        windows.withColumn("_first", first)
+        windows.join(firsts, "h")
         .filter(
             (F.col("_first._id") != F.col("_id"))
             | (F.col("_first.i") != F.col("i"))
@@ -131,9 +159,19 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    scope: "PersistScope | None" = None,
 ) -> DataFrame:
-    """(_id, i): every NON-FIRST instance of a repeated k-gram."""
-    return non_first_windows(span_windows(docs, id_col, text_col, k))
+    """(_id, i): every NON-FIRST instance of a repeated k-gram.
+
+    The window relation is read twice (firsts aggregate + join back),
+    so it is persisted under ``scope`` — pass a caller-owned
+    ``caching.PersistScope`` to control the cache lifetime (the
+    jaccard_pairs convention); without one the cache is left to the
+    composing operator / session."""
+    windows = span_windows(docs, id_col, text_col, k)
+    if scope is not None:
+        windows = scope.persist(windows)
+    return non_first_windows(windows)
 
 
 def _kept_text(toks, n, cut) -> F.Column:
@@ -199,10 +237,27 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    scope: "PersistScope | None" = None,
 ) -> DataFrame:
     """Corpus-wide duplicated-span removal: (id, text, n_tok_in,
-    n_tok_removed).  See module docstring for exact semantics."""
+    n_tok_removed).  See module docstring for exact semantics.
+
+    ``scope``: caller-owned cache lifecycle for the twice-read window
+    relation; without one only the (duplicated-mass-sized) CUT arrays
+    are materialized eagerly and the window cache is freed before
+    returning — the corpus-sized result itself stays lazy either way
+    (contrast near_dup_pairs, whose default path can afford to
+    checkpoint its pairs-sized output)."""
+    from wrds_data_pipeline_spark.caching import (
+        PersistScope,
+        materialize_release,
+    )
+
     if k < 1:
         raise ValueError(f"span window k must be >= 1, got {k}")
-    cuts = span_cuts(duplicated_spans(docs, id_col, text_col, k), k)
+    own = scope is None
+    scope = scope or PersistScope()
+    cuts = span_cuts(duplicated_spans(docs, id_col, text_col, k, scope), k)
+    if own:
+        cuts = materialize_release(cuts, scope)
     return apply_span_cuts(docs, cuts, id_col, text_col)
