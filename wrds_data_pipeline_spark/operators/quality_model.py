@@ -1,0 +1,285 @@
+"""Model-based quality filtering: a hashed-n-gram linear classifier
+(the fastText-style filter of the DCLM / phi / Llama data reports —
+all public) scored entirely JVM-side.
+
+Heuristic quality signals (``functions/text.quality_score``,
+``gopher_keep``) rank documents by fixed rules; the modern curation
+stack adds a LEARNED filter: train a linear model over hashed bag-of-
+n-gram features on a small labeled seed (high-quality reference
+corpus vs random web), then score the full corpus and keep the top
+fraction.  fastText's classifier is exactly this shape (Joulin et
+al., "Bag of Tricks for Efficient Text Classification", 2016 —
+hashed uni+bigram features, linear layer, softmax/sigmoid).
+
+Scale design (100 TB):
+- Scoring is the hot path: tokens → uni+bigram terms → xxhash64
+  bucket → broadcast-join the (bucket, weight) table → one per-doc
+  hash-agg.  The corpus is never shuffled except the per-doc agg
+  (contamination_scores' class); the weight table is bounded by
+  ``n_buckets`` (2^18 default ⇒ ≤ a few MB) and explicitly
+  broadcast.  No Python in the plan.
+- The token array is bound ONCE per row (``_bound``) before the
+  uni+bigram fan-out — the per-element re-evaluation trap
+  (SCALE.md) would otherwise re-tokenize per term.
+- Training is driver-side numpy on a deterministic hash-sample
+  (``pq_train`` precedent: TakeOrderedAndProject, never a full
+  collect).  A linear model on 10k docs is sub-second; the expensive
+  part — featurizing the sample — runs in Spark with the SAME
+  expression the scorer uses, so train/score skew is impossible.
+- The persisted artifact (weights parquet + one-row meta) follows
+  the band-index/vector-index convention: hashing scheme pinned in
+  meta, mismatched scoring impossible rather than documented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.functions.text import _bound, tokens
+
+#: feature-hash seed column position: xxhash64(seed_lit, term)
+_EMPTY_STR_ARR = "array<string>"
+
+
+def _term_array(text_col, ngram_max: int) -> F.Column:
+    """array<string>: non-empty unigrams + space-joined bigrams of the
+    normalized tokens.  The token array is a bound lambda variable, so
+    tokenization runs once per row regardless of fan-out."""
+
+    def body(t: F.Column) -> F.Column:
+        uni = F.filter(t, lambda x: x != "")
+        if ngram_max < 2:
+            return uni
+        big = F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast(_EMPTY_STR_ARR))
+        return F.concat(uni, F.filter(big, lambda x: x != " "))
+
+    return _bound(
+        tokens(text_col), F.array().cast(_EMPTY_STR_ARR), body
+    )
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    ngram_max: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """(_id, bucket, cnt): sparse hashed bag-of-n-grams per document,
+    ``bucket = pmod(xxhash64(seed, term), n_buckets)``.  The doc's L1
+    mass is ``sum(cnt)`` — the scorer folds it into its per-doc agg
+    rather than materializing a second corpus pass here.  Docs with
+    no terms emit no rows."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    terms = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_term_array(text_col, ngram_max)).alias("term"),
+    )
+    bucketed = terms.select(
+        "_id",
+        F.pmod(
+            F.xxhash64(F.lit(seed).cast("long"), F.col("term")),
+            F.lit(n_buckets).cast("long"),
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """A trained hashed-n-gram linear classifier.
+
+    ``weights`` is sparse: buckets never seen in training score 0.
+    ``prob = sigmoid(bias + sum_b weights[b] * cnt_b / n_terms)``.
+    """
+
+    n_buckets: int
+    ngram_max: int
+    seed: int
+    bias: float
+    weights: dict[int, float]
+
+    def weights_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(int(b), float(w)) for b, w in sorted(self.weights.items())]
+        return spark.createDataFrame(rows, "bucket long, weight double")
+
+
+def train_quality_model(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    ngram_max: int = 2,
+    seed: int = 0,
+    sample: int = 10_000,
+    iters: int = 500,
+    lr: float = 5.0,
+    l2: float = 1e-6,
+) -> QualityModel:
+    """Fit the classifier on a deterministic hash-sample of ``docs``
+    (``label_col``: 1 = high quality, 0 = low).  Full-batch gradient
+    descent from a zero init — no RNG anywhere, so the same corpus +
+    seed always yields the same model.  The sample is drawn by
+    ``ORDER BY xxhash64(id) LIMIT sample`` (TakeOrderedAndProject —
+    bounded driver memory, never a full collect)."""
+    import numpy as np
+
+    picked = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .orderBy(F.xxhash64(F.lit(seed).cast("long"), F.col("_id")), "_id")
+        .limit(sample)
+    )
+    feats = hashed_features(
+        picked, "_id", "_text", n_buckets, ngram_max, seed
+    )
+    rows = (
+        feats.groupBy("_id")
+        .agg(
+            F.collect_list(F.struct("bucket", "cnt")).alias("_f"),
+            F.sum("cnt").alias("_n"),
+        )
+        .join(picked.select("_id", "_y"), "_id")
+        .select("_f", "_n", "_y")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_quality_model: no non-empty documents")
+    # sparse design matrix (L1-normalized counts), dense only over the
+    # buckets that actually occur in the sample
+    buckets = sorted(
+        {int(f["bucket"]) for r in rows for f in r["_f"]}
+    )
+    col_of = {b: j for j, b in enumerate(buckets)}
+    n, d = len(rows), len(buckets)
+    X = np.zeros((n, d))
+    y = np.empty(n)
+    for i, r in enumerate(rows):
+        y[i] = r["_y"]
+        inv = 1.0 / float(r["_n"])
+        for f in r["_f"]:
+            X[i, col_of[int(f["bucket"])]] = f["cnt"] * inv
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((X.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return QualityModel(
+        n_buckets=n_buckets,
+        ngram_max=ngram_max,
+        seed=seed,
+        bias=float(b),
+        weights={buckets[j]: float(w[j]) for j in range(d) if w[j] != 0.0},
+    )
+
+
+def score_quality(
+    docs: DataFrame,
+    model: QualityModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_terms, logit, prob) for every row of ``docs`` — docs
+    with no terms (null/empty text) score ``sigmoid(bias)``.
+
+    Plan: explode → bucket → broadcast-join weights → per-doc agg.
+    The weight table is broadcast explicitly; the corpus side's only
+    exchange is the per-doc aggregate."""
+    spark = docs.sparkSession
+    feats = hashed_features(
+        docs, id_col, text_col, model.n_buckets, model.ngram_max, model.seed
+    )
+    joined = feats.join(F.broadcast(model.weights_df(spark)), "bucket", "left")
+    per_doc = joined.groupBy("_id").agg(
+        F.sum("cnt").alias("n_terms"),
+        F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0))).alias(
+            "_wsum"
+        ),
+    )
+    logit = F.lit(model.bias) + F.coalesce(
+        F.col("_wsum") / F.col("n_terms"), F.lit(0.0)
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_terms"), F.lit(0)).alias("n_terms"),
+            logit.alias("logit"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+        )
+    )
+
+
+def filter_by_quality_model(
+    docs: DataFrame,
+    model: QualityModel,
+    min_prob: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``docs`` whose model probability is >= ``min_prob``."""
+    keep = (
+        score_quality(docs, model, id_col, text_col)
+        .filter(F.col("prob") >= F.lit(min_prob))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def save_quality_model(model: QualityModel, path: str) -> None:
+    """Persist as weights parquet + one-row meta (the band-index
+    convention: the hashing scheme travels with the artifact)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("save_quality_model needs an active session")
+    model.weights_df(spark).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/weights"
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(model.n_buckets),
+                int(model.ngram_max),
+                int(model.seed),
+                float(model.bias),
+            )
+        ],
+        "n_buckets long, ngram_max int, seed long, bias double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
+    [meta] = spark.read.parquet(f"{path}/meta").collect()
+    weights = {
+        int(r["bucket"]): float(r["weight"])
+        for r in spark.read.parquet(f"{path}/weights").collect()
+    }
+    return QualityModel(
+        n_buckets=int(meta["n_buckets"]),
+        ngram_max=int(meta["ngram_max"]),
+        seed=int(meta["seed"]),
+        bias=float(meta["bias"]),
+        weights=weights,
+    )
