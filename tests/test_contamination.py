@@ -137,3 +137,85 @@ def test_shuffle_strategy_same_results_no_broadcast_hint(spark):
     assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
     with pytest.raises(ValueError):
         contamination_scores(docs, bench, n=8, strategy="bogus")
+
+
+def test_bloom_strategy_no_false_negatives_and_exact_here(spark):
+    """strategy='bloom' never under-counts (every exact hit is a
+    bloom hit); at default sizing on this tiny fixture there are no
+    false positives either, so the relations match exactly."""
+    docs, bench = _docs(spark), _bench(spark)
+    exact = (
+        contamination_scores(docs, bench, n=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bloom = (
+        contamination_scores(docs, bench, n=8, strategy="bloom")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (bloom["n_contaminated"] >= exact["n_contaminated"]).all()
+    assert bloom.equals(exact)
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(docs, bench, n=8, strategy="bloom").collect()
+    )
+    assert kept == [1, 3, 4]
+
+
+def test_bloom_fpp_bounded_on_disjoint_reference(spark):
+    """A reference disjoint from the corpus: bloom hits are pure
+    false positives — measure the rate well under 2% at the default
+    12 bits/key (deterministic: fixed seeds, fixed data)."""
+    import pyspark.sql.functions as F
+
+    corpus = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"c{w}x"), F.col("id")) for w in range(12)],
+        ).alias("text"),
+    )
+    ref = spark.range(500).select(
+        F.col("id").alias("qid"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"r{w}y"), F.col("id")) for w in range(12)],
+        ).alias("text"),
+    )
+    out = contamination_scores(corpus, ref, n=8, strategy="bloom").agg(
+        F.sum("n_contaminated").alias("hits"),
+        F.sum("n_ngrams").alias("grams"),
+    ).collect()[0]
+    assert out["hits"] / out["grams"] < 0.02
+
+
+def test_bloom_plan_has_no_corpus_side_shuffle_join(spark):
+    """The bloom probe is a pure expression: no SortMergeJoin /
+    ShuffledHashJoin anywhere, and the only join is the 1-row
+    broadcast cross join carrying the bitset."""
+    docs, bench = _docs(spark), _bench(spark)
+    plan = (
+        contamination_scores(docs, bench, n=8, strategy="bloom")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitset carrier
+    assert "BatchEvalPython" not in plan
+
+
+def test_auto_bloom_params_and_oversize_guard(spark):
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.contamination import (
+        auto_bloom_params,
+    )
+
+    m, k = auto_bloom_params(1000, bits_per_key=12)
+    assert m >= 12_000 and (m & (m - 1)) == 0
+    assert 1 <= k <= 8
+    with pytest.raises(ValueError, match="shuffle"):
+        auto_bloom_params(1 << 30)
+    # empty benchmark: bloom strategy scores everything clean
+    docs = _docs(spark)
+    empty = spark.createDataFrame([], "qid long, text string")
+    out = contamination_scores(docs, empty, n=8, strategy="bloom").toPandas()
+    assert (out["n_contaminated"] == 0).all()

@@ -47,6 +47,138 @@ def benchmark_ngram_set(
     )
 
 
+def auto_bloom_params(
+    n_ref: int, bits_per_key: int = 12, max_bits: int = 1 << 26
+) -> tuple[int, int]:
+    """(m_bits, n_hashes) for a reference set of ``n_ref`` keys.
+
+    ``m`` is the next power of two ≥ n_ref × bits_per_key (power of
+    two ⇒ the mod is a bitmask and double hashing with an odd step
+    has full period); ``n_hashes`` is the fpp-optimal ln2·m/n,
+    clamped to [1, 8].  12 bits/key ⇒ ~0.3% fpp at the optimum.
+    Beyond ``max_bits`` (default 2^26 = 8 MB of bitset) the honest
+    answer is ``strategy='shuffle'`` — fail loudly rather than build
+    a bloom whose fpp silently degrades."""
+    if n_ref < 1:
+        raise ValueError("auto_bloom_params needs n_ref >= 1")
+    m = 64
+    while m < n_ref * bits_per_key:
+        m <<= 1
+    if m > max_bits:
+        raise ValueError(
+            f"bloom bitset would need {m} bits for {n_ref} reference "
+            f"n-grams (> max_bits={max_bits}); use strategy='shuffle' "
+            "for reference sets this large"
+        )
+    k = max(1, min(8, round(0.6931 * m / n_ref)))
+    return m, k
+
+
+# fixed, arbitrary seeds for the two independent bloom probe hashes
+_BLOOM_SEED1 = -6_700_417
+_BLOOM_SEED2 = 9_176_271
+
+
+def _bloom_positions(h: F.Column, m_bits: int, n_hashes: int) -> F.Column:
+    """array<bigint> of the k probe bit-positions of ``h``:
+    Kirsch-Mitzenmacher double hashing, position_j = h1 + j·h2 (mod
+    m).  h2 is forced odd so the walk has full period over the
+    power-of-two bitset.  The two xxhash64 evaluations are bound ONCE
+    via the aggregate-finish shape — referenced from inside the
+    per-j lambda they would re-evaluate per probe (SCALE.md's
+    CollapseProject/HOF trap; 2 hashes per gram, not 2k)."""
+    mask = F.lit(m_bits - 1).cast("long")
+    # reduce mod m BEFORE combining: (h1 + j·h2) mod m is identical
+    # computed from the masked halves (m is a power of two), and the
+    # masked arithmetic fits in 31 bits — no wrap, so the expression
+    # is ANSI-safe without try_add's null-on-overflow semantics
+    h1 = F.xxhash64(F.lit(_BLOOM_SEED1).cast("long"), h).bitwiseAND(mask)
+    h2 = (
+        F.xxhash64(F.lit(_BLOOM_SEED2).cast("long"), h)
+        .bitwiseOR(F.lit(1).cast("long"))
+        .bitwiseAND(mask)
+    )
+    return F.aggregate(
+        F.array(F.struct(h1.alias("a"), h2.alias("b"))),
+        F.array().cast("array<bigint>"),
+        lambda _, s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda j: (s["a"] + j.cast("long") * s["b"]).bitwiseAND(mask),
+        ),
+    )
+
+
+def bloom_reference_bits(
+    reference_hashes: DataFrame, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """ONE row holding the dense bloom bitset (``_bits``:
+    array<bigint>, length m_bits/64) for the ``h`` column of
+    ``reference_hashes``.
+
+    Built without any driver round-trip: explode the k probe
+    positions, bit_or per 64-bit word (map-side combined), then one
+    1-row aggregate assembles the dense array (missing words → 0) via
+    a map lookup inside a sequence transform — the map attribute
+    crosses the aggregate barrier, so it binds once per row, not per
+    element."""
+    if m_bits % 64 != 0 or m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
+    if not (1 <= n_hashes <= 16):
+        raise ValueError(f"n_hashes must be in [1, 16]: {n_hashes}")
+    pos = reference_hashes.select(
+        F.explode(
+            _bloom_positions(F.col("h"), m_bits, n_hashes)
+        ).alias("_pos")
+    )
+    words = pos.select(
+        F.shiftrightunsigned(F.col("_pos"), 6).alias("_w"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.col("_pos").bitwiseAND(F.lit(63).cast("long")).cast("int"),
+        ).alias("_b"),
+    ).groupBy("_w").agg(F.bit_or("_b").alias("_bits"))
+    return words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_w", "_bits")))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_bits // 64 - 1)),
+            # try_element_at: a map miss (word with no set bits) is
+            # the normal case, and plain element_at throws under ANSI
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_m"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("_bits")
+    )
+
+
+def _bloom_might_contain(
+    h: F.Column, bits: F.Column, m_bits: int, n_hashes: int
+) -> F.Column:
+    """True iff all k probe bits of ``h`` are set in ``bits`` (the
+    dense array<bigint> bitset).  May be true for absent keys (the
+    bloom fpp); never false for present ones.  ``bits`` must be an
+    ATTRIBUTE (the broadcast bloom row's column), which binds by
+    reference inside the lambda — only the per-probe element_at +
+    mask runs per position."""
+    return F.forall(
+        _bloom_positions(h, m_bits, n_hashes),
+        lambda pos: F.element_at(
+            bits, (F.shiftrightunsigned(pos, 6) + 1).cast("int")
+        ).bitwiseAND(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                pos.bitwiseAND(F.lit(63).cast("long")).cast("int"),
+            )
+        )
+        != 0,
+    )
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -55,6 +187,7 @@ def contamination_scores(
     bench_text_col: str = "text",
     n: int = 8,
     strategy: str = "broadcast",
+    bloom_bits_per_key: int = 12,
 ) -> DataFrame:
     """Per-document contamination against ``benchmark``:
     (id, n_ngrams, n_contaminated, contamination_ratio).
@@ -70,17 +203,49 @@ def contamination_scores(
     corpus against ANOTHER corpus): the (doc, hash) relation then
     shuffles on the hash — two corpus-mass exchanges instead of zero,
     the honest price of an oversized right side.  AQE still downgrades
-    to broadcast at runtime if the set turns out small.
+    to broadcast at runtime if the set turns out small.  "bloom" is
+    the middle rung: the reference collapses to a compact bloom
+    bitset (``bloom_bits_per_key`` bits per distinct n-gram, ~0.3%
+    fpp at the default 12) broadcast as ONE array row, and membership
+    is a pure JVM bit-probe expression — no join at all on the corpus
+    side, for reference sets whose exact hash relation is too big to
+    broadcast but whose bitset still fits (the GPT-3-report regime:
+    ~10^7 reference n-grams ⇒ ~16 MB exact vs ~2 MB bloom).  Bloom
+    counts OVER-approximate: a false positive inflates
+    ``n_contaminated`` (never deflates) — acceptable for hygiene
+    filters that drop on any hit, wrong for exact audits.  Sizing the
+    bitset needs the reference's distinct-gram count, so this
+    strategy runs one small plan-build job over the reference (the
+    pinned-centroid precedent).
     """
-    if strategy not in ("broadcast", "shuffle"):
+    if strategy not in ("broadcast", "shuffle", "bloom"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     bench = benchmark_ngram_set(benchmark, bench_text_col, n)
-    if strategy == "broadcast":
-        bench = F.broadcast(bench)
     doc_grams = _shingled(docs, id_col, text_col, n, hash_fn=shingle_hash_wide)
-    flagged = doc_grams.join(
-        bench.withColumn("_hit", F.lit(1)), "h", "left"
-    )
+    if strategy == "bloom":
+        n_ref = bench.count()
+        if n_ref == 0:
+            flagged = doc_grams.withColumn(
+                "_hit", F.lit(None).cast("int")
+            )
+        else:
+            m_bits, n_hashes = auto_bloom_params(n_ref, bloom_bits_per_key)
+            bloom = bloom_reference_bits(bench, m_bits, n_hashes)
+            flagged = doc_grams.crossJoin(F.broadcast(bloom)).withColumn(
+                "_hit",
+                F.when(
+                    _bloom_might_contain(
+                        F.col("h"), F.col("_bits"), m_bits, n_hashes
+                    ),
+                    F.lit(1),
+                ),
+            )
+    else:
+        if strategy == "broadcast":
+            bench = F.broadcast(bench)
+        flagged = doc_grams.join(
+            bench.withColumn("_hit", F.lit(1)), "h", "left"
+        )
     return (
         flagged.groupBy("_id")
         .agg(
@@ -107,13 +272,23 @@ def decontaminate(
     n: int = 8,
     max_ratio: float = 0.0,
     strategy: str = "broadcast",
+    bloom_bits_per_key: int = 12,
 ) -> DataFrame:
     """Drop documents whose contamination_ratio exceeds ``max_ratio``
     (default: any benchmark n-gram hit drops the doc).  Returns the
     surviving rows of ``docs`` unchanged.  ``strategy`` as in
-    ``contamination_scores``."""
+    ``contamination_scores`` — with "bloom", false positives may
+    additionally drop ~fpp of clean documents (never keep a dirty
+    one)."""
     scores = contamination_scores(
-        docs, benchmark, id_col, text_col, bench_text_col, n, strategy
+        docs,
+        benchmark,
+        id_col,
+        text_col,
+        bench_text_col,
+        n,
+        strategy,
+        bloom_bits_per_key,
     )
     # filter on the UNROUNDED ratio: the display column rounds to 6dp,
     # so a multi-million-gram doc with one genuine hit would round to
