@@ -525,3 +525,49 @@ def test_band_index_append_and_meta_enforcement(spark, driver_tables, tmp_path):
         ).collect()
     }
     assert want != default_want
+
+
+def test_winnowing_duckdb_twin(spark, sf_dir):
+    """The rotated q41 oracle, kept as a pytest twin: winnowing
+    fingerprints on the sf0.001 documents table match the DuckDB
+    replay row-for-row (same md5-prefix hash space)."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    got = (
+        winnowing_fingerprints(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            k_shingle=3,
+            window=4,
+        )
+        .toPandas()
+        .sort_values(["_id", "fp"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        posed AS (
+          SELECT doc_id, i AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+                   % 1000000007 AS h
+          FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        )
+        SELECT DISTINCT doc_id AS _id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM posed
+        """
+    ).df().sort_values(["_id", "fp"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["_id"].values == want["_id"].values).all()
+    assert (got["fp"].values == want["fp"].values).all()
