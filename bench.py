@@ -54,6 +54,10 @@ HEADLINE = [
     # — auto-scaled LSH near-dup pairs and the IVF probe top-k.
     "q36_embedding_dups",
     "q44_ann_ivf_topk",
+    # round 6 (late): token-level duplicated-span removal — the
+    # heaviest dedup rung (corpus-token-mass keep-first aggregate),
+    # registered as q61 this round.
+    "q61_span_dedup",
 ]
 
 
