@@ -180,3 +180,105 @@ def test_doc_cross_entropy_oov_scores_worse(spark):
     assert out[11].n_oov == 5 and out[10].n_oov == 0
     assert out[11].cross_entropy > out[10].cross_entropy
     assert out[11].perplexity > out[10].perplexity
+
+
+def _bigram_replay(rows, vocab_rows, bigram_rows, alpha=0.5, lam=0.7):
+    """Python oracle for doc_cross_entropy_bigram."""
+    uni = {t: c for t, c in vocab_rows}
+    big = {(a, b): c for a, b, c in bigram_rows}
+    ctx = {}
+    for (a, _), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+    n_tok = sum(uni.values())
+    v1 = len(uni) + 1
+    out = {}
+    for i, text in rows:
+        toks = text.lower().split()
+        if len(toks) < 2:
+            continue
+        pairs = list(zip(toks, toks[1:]))
+        ln = 0.0
+        oov = 0
+        for a, b in pairs:
+            p_bi = (big.get((a, b), 0) + alpha) / (
+                ctx.get(a, 0) + alpha * v1
+            )
+            if b in uni:
+                p_uni = (uni[b] + alpha) / (n_tok + alpha * v1)
+            else:
+                p_uni = alpha / (n_tok + alpha * v1)
+                oov += 1
+            ln += math.log(lam * p_bi + (1 - lam) * p_uni)
+        mean = ln / len(pairs)
+        out[i] = (
+            len(pairs),
+            oov,
+            round(-mean / math.log(2.0), 6),
+            round(math.exp(-mean), 6),
+        )
+    return out
+
+
+def test_bigram_cross_entropy_matches_python_replay(spark):
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_bigram_vocab,
+        build_vocab,
+        doc_cross_entropy_bigram,
+    )
+
+    ref_rows = [
+        (0, "the cat sat on the mat and the cat slept"),
+        (1, "the dog sat on the rug and the dog barked"),
+        (2, "a cat and a dog met on the mat"),
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    vocab = build_vocab(ref, size=1000)
+    bigrams = build_bigram_vocab(ref, size=1000)
+    test_rows = [
+        (10, "the cat sat on the mat"),       # all-seen bigrams
+        (11, "mat the on sat cat the"),       # same tokens, unseen order
+        (12, "quantum flux capacitor zap"),   # OOV everywhere
+        (13, "single"),                        # < 2 tokens: no row
+        (14, ""),                              # empty: no row
+    ]
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_pairs"],
+            r["n_oov_pairs"],
+            r["cross_entropy"],
+            r["perplexity"],
+        )
+        for r in doc_cross_entropy_bigram(test, vocab, bigrams).collect()
+    }
+    vocab_rows = [(r["term"], r["count"]) for r in vocab.collect()]
+    bigram_rows = [
+        (r["w1"], r["w2"], r["count"]) for r in bigrams.collect()
+    ]
+    want = _bigram_replay(test_rows, vocab_rows, bigram_rows)
+    assert set(got) == set(want) == {10, 11, 12}
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert abs(got[k][2] - want[k][2]) < 1e-6
+        assert abs(got[k][3] - want[k][3]) < 1e-5
+    # fluent word order scores lower cross-entropy than shuffled,
+    # which scores lower than pure OOV
+    assert got[10][2] < got[11][2] < got[12][2]
+
+
+def test_bigram_lm_plan_is_broadcast_only(spark):
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_bigram_vocab,
+        build_vocab,
+        doc_cross_entropy_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    out = doc_cross_entropy_bigram(
+        docs, build_vocab(docs), build_bigram_vocab(docs)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan

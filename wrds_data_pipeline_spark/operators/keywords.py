@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from wrds_data_pipeline_spark.functions.text import tokens
+from wrds_data_pipeline_spark.functions.text import _bound, tokens
 
 
 def tfidf_top_terms(
@@ -171,6 +171,137 @@ def doc_cross_entropy(
         F.col("_id").alias(id_col),
         "n_tokens",
         "n_oov",
+        F.round(-mean_ln / math.log(2.0), 6).alias("cross_entropy"),
+        F.round(F.exp(-mean_ln), 6).alias("perplexity"),
+    )
+
+
+def _token_pairs(
+    docs: DataFrame, id_col: str | None, text_col: str
+) -> DataFrame:
+    """(_id, w1, w2) — or (w1, w2) when ``id_col`` is None — adjacent
+    token pairs per document.  The token array binds once
+    (aggregate-finish shape) before the pair zip — referencing
+    ``tokens(text)`` from inside the zip lambda would re-tokenize per
+    pair (the SCALE.md HOF trap)."""
+    pairs = _bound(
+        tokens(text_col),
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+        lambda t: F.when(
+            F.size(F.filter(t, lambda x: x != "")) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    if id_col is None:
+        return docs.select(F.explode(pairs).alias("_p")).select(
+            F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+        )
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def build_bigram_vocab(
+    docs: DataFrame,
+    size: int = 100_000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(w1, w2, count): the ``size`` most frequent adjacent token
+    pairs — the bigram analogue of ``build_vocab``, same plan shape
+    (one pair explode + hash-agg, TakeOrderedAndProject top-``size``,
+    ties break on the pair text)."""
+    counts = (
+        _token_pairs(docs, None, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    return counts.orderBy(
+        F.desc("count"), F.asc("w1"), F.asc("w2")
+    ).limit(size)
+
+
+def doc_cross_entropy_bigram(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_pairs, n_oov_pairs, cross_entropy, perplexity) per
+    document under an INTERPOLATED bigram LM (the CCNet-style
+    perplexity filter, one order up from ``doc_cross_entropy``):
+
+        P(w2 | w1) = λ·P_bi(w2|w1) + (1−λ)·P_uni(w2)
+        P_bi(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α(V+1))
+        P_uni(w2)   = (c(w2) + α) / (N + α(V+1))
+
+    ``vocab`` is a (term, count) relation (``build_vocab``);
+    ``bigrams`` a (w1, w2, count) relation (``build_bigram_vocab``).
+    c(w1,·) is the context total within ``bigrams``; unseen contexts
+    and pairs fall through the same add-α formula (c = 0), so every
+    transition has a well-defined probability — no special backoff
+    branch.  Only the n−1 transitions are scored; documents with
+    fewer than 2 tokens produce no row.  ``cross_entropy`` is
+    bits/transition; ``perplexity`` = 2^H.
+
+    Scale: all three model relations (unigram probabilities, bigram
+    counts, context totals) are bounded by vocab size and broadcast;
+    the corpus side is one pair explode → three broadcast joins →
+    one per-doc hash-agg — the q58 shape with two more broadcast
+    probes, still zero corpus shuffles beyond the aggregate."""
+    totals = vocab.agg(
+        F.sum("count").cast("double").alias("_n_tok"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    uni_p = vocab.crossJoin(F.broadcast(totals)).select(
+        F.col("term").alias("w2"),
+        (
+            (F.col("count") + alpha)
+            / (F.col("_n_tok") + alpha * (F.col("_v") + 1))
+        ).alias("_p_uni"),
+    )
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("count").cast("double").alias("_c_ctx")
+    )
+    big = bigrams.select(
+        "w1", "w2", F.col("count").cast("double").alias("_c_pair")
+    )
+    pairs = _token_pairs(docs, id_col, text_col)
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(uni_p), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    v1 = F.col("_v") + 1
+    p_bi = (F.coalesce(F.col("_c_pair"), F.lit(0.0)) + alpha) / (
+        F.coalesce(F.col("_c_ctx"), F.lit(0.0)) + alpha * v1
+    )
+    p_uni = F.coalesce(
+        F.col("_p_uni"), alpha / (F.col("_n_tok") + alpha * v1)
+    )
+    p = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        # decimal sum: order-independent within the engine (the q58
+        # determinism rule)
+        F.sum(F.log(p).cast("decimal(38,18)")).cast("double").alias("_ln"),
+        F.sum(F.col("_p_uni").isNull().cast("long")).alias("n_oov_pairs"),
+    )
+    mean_ln = F.col("_ln") / F.col("n_pairs")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_pairs",
+        "n_oov_pairs",
         F.round(-mean_ln / math.log(2.0), 6).alias("cross_entropy"),
         F.round(F.exp(-mean_ln), 6).alias("perplexity"),
     )
