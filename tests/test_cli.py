@@ -282,3 +282,48 @@ def test_corpus_cli_span_dedup_stage(spark, tmp_path):
     shards = pd.read_parquet(os.path.join(out, "shards"))
     assert shards["text"].str.count(shared).sum() == 1
     assert len(shards) == 8
+
+
+def test_quality_cli_train_score_filter(spark, tmp_path):
+    """wrds-spark-quality lifecycle: train on a labeled seed, score,
+    filter; then the corpus pipeline consumes the persisted model via
+    --quality-model and keeps only the docs the model likes."""
+    from wrds_data_pipeline_spark.cli import corpus_main, quality_main
+
+    good = "the careful analysis of the estimator shows stable results"
+    bad = "click here buy now free free prize winner casino jackpot"
+    labeled = os.path.join(str(tmp_path), "labeled")
+    spark.createDataFrame(
+        [(i, f"{good} v{i}", 1) for i in range(12)]
+        + [(100 + i, f"{bad} v{i}", 0) for i in range(12)],
+        ["doc_id", "text", "label"],
+    ).write.parquet(labeled)
+    model_dir = os.path.join(str(tmp_path), "qmodel")
+    rc = quality_main(["train", labeled, model_dir, "--n-buckets", "4096"])
+    assert rc == 0
+
+    scores_dir = os.path.join(str(tmp_path), "scores")
+    rc = quality_main(["score", labeled, model_dir, scores_dir])
+    assert rc == 0
+    scores = pd.read_parquet(scores_dir)
+    assert {"doc_id", "n_terms", "logit", "prob"} <= set(scores.columns)
+    assert len(scores) == 24
+
+    kept_dir = os.path.join(str(tmp_path), "kept")
+    rc = quality_main(["filter", labeled, model_dir, kept_dir])
+    assert rc == 0
+    kept = pd.read_parquet(kept_dir)
+    assert set(kept["doc_id"]) == set(range(12))
+
+    # corpus pipeline with the learned stage: the spam docs vanish
+    # from the shards even though they pass the heuristic filters
+    out = os.path.join(str(tmp_path), "corpus_out")
+    rc = corpus_main([
+        labeled, out,
+        "--min-quality", "0.0",
+        "--quality-model", model_dir,
+    ])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    assert set(shards["doc_id"]) <= set(range(12))
+    assert len(set(shards["doc_id"])) > 0

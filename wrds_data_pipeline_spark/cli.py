@@ -225,6 +225,11 @@ def corpus_main(argv: list[str] | None = None) -> int:
     p.add_argument("--span-dedup-k", type=int, default=0,
                    help="cut re-occurrences of any K-token span that "
                    "repeats corpus-wide (0 = off)")
+    p.add_argument("--quality-model",
+                   help="directory of a trained quality model "
+                   "(wrds-spark-quality train); docs below "
+                   "--model-min-prob are dropped after curation")
+    p.add_argument("--model-min-prob", type=float, default=0.5)
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -271,6 +276,17 @@ def corpus_main(argv: list[str] | None = None) -> int:
         )
 
         kept = decontaminate(kept, spark.read.parquet(args.bench), n=8)
+    if args.quality_model:
+        from wrds_data_pipeline_spark.operators.quality_model import (
+            filter_by_quality_model,
+            load_quality_model,
+        )
+
+        kept = filter_by_quality_model(
+            kept,
+            load_quality_model(spark, args.quality_model),
+            min_prob=args.model_min_prob,
+        )
     if args.keep_frac:
         kept = quality_quantile_filter(kept, keep_frac=args.keep_frac).drop(
             "_q_cut"  # internal cutoff must not leak into the shards
@@ -427,9 +443,80 @@ def index_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def quality_main(argv: list[str] | None = None) -> int:
+    """Model-based quality filter lifecycle (beyond the reference
+    surface): train a hashed-n-gram linear classifier on a labeled
+    seed, then score or filter a corpus with the persisted model —
+    the learned stage of the curation stack as shell commands."""
+    p = argparse.ArgumentParser(prog="wrds-spark-quality")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train", help="fit on labeled (doc_id, text, label) parquet")
+    tr.add_argument("docs_path")
+    tr.add_argument("model_path")
+    tr.add_argument("--label-col", default="label")
+    tr.add_argument("--n-buckets", type=int, default=1 << 18)
+    tr.add_argument("--ngram-max", type=int, default=2)
+    tr.add_argument("--sample", type=int, default=10_000)
+    tr.add_argument("--seed", type=int, default=0)
+
+    sc = sub.add_parser("score", help="write (doc_id, n_terms, logit, prob)")
+    sc.add_argument("docs_path")
+    sc.add_argument("model_path")
+    sc.add_argument("out_dir")
+
+    fl = sub.add_parser("filter", help="write the surviving docs rows")
+    fl.add_argument("docs_path")
+    fl.add_argument("model_path")
+    fl.add_argument("out_dir")
+    fl.add_argument("--min-prob", type=float, default=0.5)
+
+    args = p.parse_args(argv)
+
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        filter_by_quality_model,
+        load_quality_model,
+        save_quality_model,
+        score_quality,
+        train_quality_model,
+    )
+
+    spark = get_spark(app_name="wrds-spark-quality")
+    docs = spark.read.parquet(args.docs_path)
+    if args.cmd == "train":
+        model = train_quality_model(
+            docs,
+            args.label_col,
+            n_buckets=args.n_buckets,
+            ngram_max=args.ngram_max,
+            seed=args.seed,
+            sample=args.sample,
+        )
+        save_quality_model(model, args.model_path)
+        print(
+            f"model: {len(model.weights)} non-zero buckets "
+            f"(of {model.n_buckets}) -> {args.model_path}"
+        )
+    elif args.cmd == "score":
+        model = load_quality_model(spark, args.model_path)
+        score_quality(docs, model).write.mode("overwrite").parquet(
+            args.out_dir
+        )
+        print(f"scores -> {args.out_dir}")
+    else:
+        model = load_quality_model(spark, args.model_path)
+        kept = filter_by_quality_model(docs, model, min_prob=args.min_prob)
+        kept.write.mode("overwrite").parquet(args.out_dir)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.out_dir).count()
+        print(f"kept {n_out}/{n_in} docs -> {args.out_dir}")
+    return 0
+
+
 if __name__ == "__main__":  # python -m wrds_data_pipeline_spark.cli <cmd> ...
     cmds = {"universe": universe_main, "panels": panels_main,
-            "corr": corr_main, "corpus": corpus_main, "index": index_main}
+            "corr": corr_main, "corpus": corpus_main, "index": index_main,
+            "quality": quality_main}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         raise SystemExit(f"usage: cli.py {{{'|'.join(cmds)}}} ...")
     raise SystemExit(cmds[sys.argv[1]](sys.argv[2:]))
