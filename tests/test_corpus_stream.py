@@ -428,3 +428,50 @@ def test_streaming_paragraph_dedup(spark, tmp_path):
     assert merged[["doc_id", "text", "n_paragraphs", "n_dropped"]].equals(
         wantd[["doc_id", "text", "n_paragraphs", "n_dropped"]]
     )
+
+
+def test_streaming_quality_model_filter_parity(spark, tmp_path):
+    """The learned quality filter is per-doc-independent, so it
+    streams via foreachBatch with exact batch parity: union of
+    per-batch survivors == batch filter over everything."""
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        filter_by_quality_model,
+        train_quality_model,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        run_stream_foreach_batch,
+    )
+
+    good = "a careful analysis of the estimator gives stable results"
+    bad = "click here buy now free free prize winner casino jackpot"
+    labeled = spark.createDataFrame(
+        [(i, f"{good} v{i}", 1) for i in range(8)]
+        + [(50 + i, f"{bad} v{i}", 0) for i in range(8)],
+        ["doc_id", "text", "label"],
+    )
+    model = train_quality_model(labeled, "label", n_buckets=1 << 12)
+
+    schema = "doc_id int, text string"
+    batches = [
+        [(100, good + " again"), (101, bad + " again")],
+        [(102, bad + " once more")],
+        [(103, good + " reprised"), (104, good + " indeed")],
+    ]
+    stage = os.path.join(str(tmp_path), "quality_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    got = run_stream_foreach_batch(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        lambda b: filter_by_quality_model(b, model, min_prob=0.5),
+        max_files_per_trigger=1,
+    )
+    want = (
+        filter_by_quality_model(
+            spark.read.parquet(stage), model, min_prob=0.5
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"]) == [100, 103, 104]

@@ -257,7 +257,11 @@ def doc_cross_entropy_bigram(
     counts, context totals) are bounded by vocab size and broadcast;
     the corpus side is one pair explode → three broadcast joins →
     one per-doc hash-agg — the q58 shape with two more broadcast
-    probes, still zero corpus shuffles beyond the aggregate."""
+    probes, still zero corpus shuffles beyond the aggregate.  Unlike
+    q58 the totals constants DO ride the exploded stream (a 1-row
+    broadcast BNLJ, O(1)/row — the q57 crossJoin precedent): the
+    interpolation is nonlinear in them, so they cannot move past the
+    aggregate the way q58's OOV mass does."""
     totals = vocab.agg(
         F.sum("count").cast("double").alias("_n_tok"),
         F.count(F.lit(1)).cast("double").alias("_v"),

@@ -203,19 +203,31 @@ def score_quality(
     """(id, n_terms, logit, prob) for every row of ``docs`` — docs
     with no terms (null/empty text) score ``sigmoid(bias)``.
 
-    Plan: explode → bucket → broadcast-join weights → per-doc agg.
-    The weight table is broadcast explicitly; the corpus side's only
-    exchange is the per-doc aggregate."""
+    Plan: explode → bucket → broadcast-join weights PER OCCURRENCE →
+    one per-doc agg.  Deliberately NOT the (doc, bucket, cnt) relation
+    ``hashed_features`` builds for training: pre-grouping on (doc,
+    bucket) would add a second corpus exchange just to multiply the
+    weight by cnt, while the per-occurrence join costs nothing extra
+    (broadcast probe per row) and sums to the identical dot product —
+    so the corpus side's only exchange is the per-doc aggregate, plus
+    the id-join that restores termless docs."""
     spark = docs.sparkSession
-    feats = hashed_features(
-        docs, id_col, text_col, model.n_buckets, model.ngram_max, model.seed
+    if model.n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {model.n_buckets}")
+    occ = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_term_array(text_col, model.ngram_max)).alias("term"),
+    ).select(
+        "_id",
+        F.pmod(
+            F.xxhash64(F.lit(model.seed).cast("long"), F.col("term")),
+            F.lit(model.n_buckets).cast("long"),
+        ).alias("bucket"),
     )
-    joined = feats.join(F.broadcast(model.weights_df(spark)), "bucket", "left")
+    joined = occ.join(F.broadcast(model.weights_df(spark)), "bucket", "left")
     per_doc = joined.groupBy("_id").agg(
-        F.sum("cnt").alias("n_terms"),
-        F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0))).alias(
-            "_wsum"
-        ),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_wsum"),
     )
     logit = F.lit(model.bias) + F.coalesce(
         F.col("_wsum") / F.col("n_terms"), F.lit(0.0)
