@@ -27,8 +27,14 @@ def stages(spark, sf_dir):
     )
     from wrds_data_pipeline_spark.operators.spans import span_dedup
     from wrds_data_pipeline_spark.operators.keywords import (
+        build_bigram_vocab,
         build_vocab,
         doc_cross_entropy,
+        doc_cross_entropy_bigram,
+    )
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
     )
     from wrds_data_pipeline_spark.operators.components import (
         dedup_keep_canonical,
@@ -56,6 +62,13 @@ def stages(spark, sf_dir):
     # so timing must cover only the increment + probe
     band_table = minhash_band_table(old).persist()
     band_table.count()
+    # pseudo-labels are fine for a throughput bench: the scoring cost
+    # is independent of what the weights are
+    qmodel = train_quality_model(
+        docs.withColumn("label", (F.col("doc_id") % 2).cast("int")),
+        "label",
+        sample=2000,
+    )
 
     return {
         "dup_groups_resolve": lambda: dedup_keep_canonical(
@@ -82,6 +95,14 @@ def stages(spark, sf_dir):
         .agg(F.sum("n_tok_removed"), F.sum(F.length("text")))
         .collect(),
         "paragraph_dedup": lambda: paragraph_dedup(docs).count(),
+        # scoring is the 100 TB path; training (driver-side, sample-
+        # bounded) stays OUTSIDE the timed region like the band table
+        "quality_score": lambda: score_quality(docs, qmodel)
+        .agg(F.sum("prob"))
+        .collect(),
+        "bigram_cross_entropy": lambda: doc_cross_entropy_bigram(
+            docs, build_vocab(docs, size=30_000), build_bigram_vocab(docs)
+        ).count(),
     }
 
 
