@@ -179,3 +179,43 @@ def test_cc_group_sizes_on_driver_documents(spark, driver_tables):
         F.col("lo") != F.col("group_id")
     )
     assert bad.count() == 0
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    """Quality-aware canonical selection: the best-scoring member of
+    each dup group survives; ties and null scores fall back to min
+    id; with a constant score the result equals keep_canonical."""
+    from wrds_data_pipeline_spark.operators.components import (
+        dedup_keep_best,
+        dedup_keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 0.2),
+            (2, "a copy", 0.9),   # best of group {1,2,3}
+            (3, "a copy2", 0.9),  # tie -> loses to 2 (min id)
+            (4, "b", None),       # null score, sole pair partner of 5
+            (5, "b copy", 0.1),   # wins group {4,5}
+            (6, "unique", 0.0),   # no pair: always kept
+        ],
+        ["doc_id", "text", "score"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, "score").collect()
+    )
+    assert kept == [2, 5, 6]
+    # constant score degenerates to keep_canonical (min id per group)
+    const = docs.withColumn("score", F.lit(1.0))
+    a = sorted(
+        r["doc_id"] for r in dedup_keep_best(const, pairs, "score").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert a == b == [1, 4, 6]

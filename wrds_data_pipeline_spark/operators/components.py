@@ -204,3 +204,50 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus keeping the BEST-``score_col`` member of
+    each duplicate group (ties and null scores break to the minimum
+    id) — the production variant of ``dedup_keep_canonical``: when a
+    quality signal exists (heuristic score, model probability), the
+    canonical copy should be the best one, not the lowest-numbered.
+
+    Shape: the component relation is duplicate-sized, not corpus-
+    sized; fetching its members' scores is one inner join the AQE
+    broadcast path handles, the per-group argmax is a min-struct
+    aggregate (skew-safe: partial combine map-side), and the corpus
+    is touched only by the final anti-join — the keep-canonical
+    plan plus one duplicate-mass join."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    members = cc.join(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("_s"),
+        ),
+        "id",
+    )
+    winners = (
+        members.groupBy("group_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("_s")).alias("a"), F.col("id").alias("b"))
+            ).alias("_w")
+        )
+        .select("group_id", F.col("_w.b").alias("_keep"))
+    )
+    losers = (
+        members.join(winners, "group_id")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
