@@ -49,6 +49,12 @@ def _term_array(text_col, ngram_max: int) -> F.Column:
     normalized tokens.  The token array is a bound lambda variable, so
     tokenization runs once per row regardless of fan-out."""
 
+    if ngram_max not in (1, 2):
+        raise ValueError(
+            f"ngram_max must be 1 or 2, got {ngram_max} — higher orders "
+            "blow up the feature space without helping a linear filter"
+        )
+
     def body(t: F.Column) -> F.Column:
         uni = F.filter(t, lambda x: x != "")
         if ngram_max < 2:
