@@ -467,3 +467,87 @@ def test_arrow_assigner_matches_exact(spark):
             .select("id_a", "id_b").collect())
     )
     assert p_exact == p_arrow == [(0, 1), (3, 4)]
+
+
+def test_cluster_prune_quota_and_direction(spark):
+    """Prototype pruning: per-cell quota is ceil(frac * |cell|);
+    keep='far' retains the least-prototypical members, keep='near'
+    the most; invalid args fail fast."""
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.similarity import cluster_prune
+
+    # two orthogonal prototypes; members at graded angles from their
+    # prototype (mix in the other axis): larger mix = farther
+    def member(axis, mix, other):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[other] = mix
+        n = (1 + mix * mix) ** 0.5
+        return [x / n for x in v]
+
+    rows = []
+    # cell 0: ids 0..4 with increasing distance from prototype e0
+    for i, mix in enumerate([0.0, 0.1, 0.2, 0.3, 0.4]):
+        rows.append((i, member(0, mix, 1)))
+    # cell 7: ids 10..12, increasing distance from prototype e2
+    for i, mix in enumerate([0.0, 0.2, 0.4]):
+        rows.append((10 + i, member(2, mix, 3)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (7, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    far = cluster_prune(emb, cents, keep_frac=0.5, keep="far")
+    got = {r["vec_id"]: r["cell"] for r in far.collect()}
+    # cell 0: ceil(0.5*5)=3 farthest = ids 4,3,2; cell 7: ceil(0.5*3)=2
+    # farthest = ids 12,11
+    assert got == {4: 0, 3: 0, 2: 0, 12: 7, 11: 7}
+    near = cluster_prune(emb, cents, keep_frac=0.5, keep="near")
+    assert {r["vec_id"] for r in near.collect()} == {0, 1, 2, 10, 11}
+    # keep_frac=1.0 keeps everything
+    assert cluster_prune(emb, cents, keep_frac=1.0).count() == 8
+    with pytest.raises(ValueError):
+        cluster_prune(emb, cents, keep_frac=0.0)
+    with pytest.raises(ValueError):
+        cluster_prune(emb, cents, keep="middle")
+    # the ranking window is partitioned (never a global window)
+    plan = far._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_with_sim_assigner_matches_cosine(spark, driver_tables):
+    """exact_assigner(with_sim=True): proto_sim equals the cosine to
+    the assigned centroid, and cell matches the plain assigner."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        cosine,
+        exact_assigner,
+        ivf_assign,
+    )
+
+    emb = driver_tables["embeddings"].limit(50)
+    cents = [
+        (int(r["vec_id"]) % 100, [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    with_sim = exact_assigner(cents, with_sim=True)(emb)
+    plain = ivf_assign(emb, cents)
+    a = {r["vec_id"]: r["cell"] for r in with_sim.collect()}
+    b = {r["vec_id"]: r["cell"] for r in plain.collect()}
+    assert a == b
+    # replay proto_sim via the cosine expression against the literal
+    cent_of = dict(cents)
+    rows = with_sim.collect()
+    import math
+
+    def cos(u, v):
+        du = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return du / (nu * nv)
+
+    for r in rows:
+        want = cos([float(x) for x in r["embedding"]], cent_of[r["cell"]])
+        assert abs(r["proto_sim"] - want) < 1e-9

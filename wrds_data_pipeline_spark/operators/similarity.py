@@ -593,12 +593,17 @@ def ivf_assign(
 def exact_assigner(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    with_sim: bool = False,
 ):
     """Factory form of ``ivf_assign``: builds the centroid literals
     and the assignment expression ONCE and returns a ``df -> df``
     closure.  For repeated application — a streaming sink assigning
     every micro-batch against pinned centroids — this avoids
-    re-serializing and re-analyzing the c×dim literal per batch."""
+    re-serializing and re-analyzing the c×dim literal per batch.
+
+    ``with_sim=True`` additionally emits ``proto_sim``, the cosine to
+    the assigned centroid — already computed inside the argmax struct,
+    so exposing it is free (``cluster_prune`` consumes it)."""
     import math
 
     v = F.col(vec_col).cast("array<double>")
@@ -623,7 +628,21 @@ def exact_assigner(
             ),
         ),
     )
-    cell = (-F.array_max(scored)["neg_cell"]).cast("int")
+    best = F.array_max(scored)
+    cell = (-best["neg_cell"]).cast("int")
+
+    if with_sim:
+        # one best-struct column, fields projected from it — NOT two
+        # independent array_max copies of the scored expression
+        def apply(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("_best", best)
+                .withColumn("cell", (-F.col("_best.neg_cell")).cast("int"))
+                .withColumn("proto_sim", F.col("_best.sim"))
+                .drop("_best")
+            )
+
+        return apply
 
     def apply(df: DataFrame) -> DataFrame:
         return df.withColumn("cell", cell)
@@ -1109,3 +1128,48 @@ def mean_pool_embeddings(
             .drop("_pool_n")
         )
     return pooled
+
+
+def cluster_prune(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_frac: float = 0.5,
+    keep: str = "far",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototype-based diversity pruning (the D4 / SSL-prototypes
+    recipe, both public: rank each cluster's members by cosine to
+    their prototype and drop the redundant end): keep ``ceil(
+    keep_frac * |cell|)`` members per IVF cell.
+
+    ``keep="far"`` keeps the members FARTHEST from the prototype —
+    prototypical near-center points are semantic redundancy once
+    SemDeDup has removed true near-dups; ``keep="near"`` keeps the
+    closest — outlier pruning for noisy corpora.  Ties and exact
+    duplicates break on id, so the result is deterministic.
+
+    Scale: assignment is the ``exact_assigner`` expression (swap in
+    ``hierarchical_assigner`` upstream for >128 cells); the ranking
+    window partitions by ``cell``, whose population ``auto_n_cells``
+    keeps bounded (~64), and the per-cell quota comes from a count
+    over the SAME partition — one corpus shuffle total, no second
+    aggregate-join round trip."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near': {keep!r}")
+    scored = exact_assigner(centroids, vec_col, with_sim=True)(embeddings)
+    order = (
+        [F.asc("proto_sim"), F.asc(id_col)]
+        if keep == "far"
+        else [F.desc("proto_sim"), F.asc(id_col)]
+    )
+    w = W.partitionBy("cell").orderBy(*order)
+    wc = W.partitionBy("cell")
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
+        .drop("_rank", "_n")
+    )
