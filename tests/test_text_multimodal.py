@@ -328,3 +328,32 @@ def test_json_props_extraction_matches_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert got == exp and got
+
+
+def test_normalize_unicode_forms_and_passthrough(spark):
+    """NFKC folds compatibility forms (ligatures, fullwidth); NFC
+    composes combining sequences; nulls and schema pass through."""
+    import pytest
+
+    from wrds_data_pipeline_spark.functions.text import normalize_unicode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "étude"),          # e + combining acute
+            (2, "Ｈｅllo ﬁn"),  # fullwidth H/e + fi ligature
+            (3, None),
+            (4, "plain ascii"),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["text"] for r in normalize_unicode(docs, "NFC").collect()}
+    assert nfc[1] == "étude"
+    assert nfc[2] == "Ｈｅllo ﬁn"  # NFC keeps compatibility chars
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_unicode(docs).collect()}
+    assert nfkc[1] == "étude"
+    assert nfkc[2] == "Hello fin"
+    assert nfkc[3] is None and nfkc[4] == "plain ascii"
+    out = normalize_unicode(docs)
+    assert out.schema == docs.schema
+    with pytest.raises(ValueError):
+        normalize_unicode(docs, "NFX")

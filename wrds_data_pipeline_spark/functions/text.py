@@ -420,3 +420,38 @@ def fix_mojibake(text: Column | str) -> Column:
     for bad, good in MOJIBAKE_MAP:
         c = F.replace(c, F.lit(bad), F.lit(good))
     return c
+
+
+def normalize_unicode(
+    docs,
+    form: str = "NFKC",
+    text_col: str = "text",
+):
+    """Unicode-normalize the text column (NFC/NFKC/NFD/NFKD) via
+    Arrow-batched ``mapInPandas`` — Spark SQL has no normalizer
+    builtin, and the canonical-equivalence tables are exactly what
+    ``unicodedata`` (public stdlib) implements.
+
+    Same Python-surface policy as the multimodal decode and
+    ``arrow_assigner``: strictly OPT-IN, never inside a registered
+    plan, so the §2.9 zero-Python hot-path audit is unaffected.  For
+    the common mojibake-class fixes that ARE expressible JVM-side,
+    see ``fix_mojibake`` (literal replaces) — this is the full-table
+    fallback.  Schema and column order pass through unchanged; null
+    text stays null."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    schema = docs.schema
+
+    def op(batches):
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: unicodedata.normalize(form, s)
+                if s is not None
+                else None
+            )
+            yield pdf
+
+    return docs.mapInPandas(op, schema)
