@@ -138,6 +138,59 @@ def spans_rung(spark, sizes: list[int]) -> None:
         )
 
 
+def text_rung(spark, sizes: list[int]) -> None:
+    """Learned-filter + LM scaling: both paths are one explode →
+    broadcast join(s) → per-doc agg, so wall should grow ~linearly in
+    corpus token mass with a flat broadcast-build floor (weights /
+    vocab tables are size-capped, independent of n)."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_bigram_vocab,
+        build_vocab,
+        doc_cross_entropy_bigram,
+    )
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+
+    model = None
+    for n in sizes:
+        docs = spark.read.parquet(_generate_docs(n)).repartition(32)
+        if model is None:  # one model scores every size: the 100 TB shape
+            model = train_quality_model(
+                docs.withColumn("label", (F.col("doc_id") % 2).cast("int")),
+                "label",
+                sample=2000,
+            )
+
+        def run_score():
+            return score_quality(docs, model).agg(F.sum("prob")).first()
+
+        def run_lm():
+            vocab = build_vocab(docs, size=30_000)
+            bigrams = build_bigram_vocab(docs, size=100_000)
+            return (
+                doc_cross_entropy_bigram(docs, vocab, bigrams)
+                .agg(F.sum("cross_entropy"))
+                .first()
+            )
+
+        run_score()
+        t0 = time.time()
+        run_score()
+        w_score = time.time() - t0
+        run_lm()
+        t0 = time.time()
+        run_lm()
+        w_lm = time.time() - t0
+        print(
+            f"n={n}: quality_score wall={w_score:.1f}s "
+            f"bigram_ce wall={w_lm:.1f}s (model+vocab rebuilt in-plan)"
+        )
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2000, 8000, 32000]
     exact_all = "--exact-all" in sys.argv
@@ -145,6 +198,11 @@ def main() -> None:
         from wrds_data_pipeline_spark.session import get_spark
 
         spans_rung(get_spark(app_name="scale_rehearsal"), sizes)
+        return
+    if "--text" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        text_rung(get_spark(app_name="scale_rehearsal"), sizes)
         return
 
     from pyspark.sql import functions as F
