@@ -571,3 +571,70 @@ def test_winnowing_duckdb_twin(spark, sf_dir):
     assert len(got) == len(want)
     assert (got["_id"].values == want["_id"].values).all()
     assert (got["fp"].values == want["fp"].values).all()
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment 1.0,
+    jaccard far below any useful threshold — and the DuckDB replay of
+    the containment formula agrees exactly."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("filler", "pad")),
+            (3, "completely different text about spark catalyst plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert all(3 not in p for p in cont)
+    jac = jaccard_pairs(docs, threshold=0.3).collect()
+    assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
+    # candidate-driven path agrees with the inverted-index path
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    via_cand = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, threshold=0.9, candidates=cand
+        ).collect()
+    }
+    assert via_cand == {(1, 2): 1.0}
+    # DuckDB replay of |A∩B| / min(|A|,|B|) over distinct 3-gram sets
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*) / least(sa.n, sb.n), 6) AS containment
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY 1, 2, sa.n, sb.n
+        HAVING count(*) / least(sa.n, sb.n) >= 0.9
+        """
+    ).fetchall()
+    assert {(r[0], r[1]): r[2] for r in want} == cont

@@ -633,3 +633,85 @@ def probe_band_index(
         index = index.filter(F.col("shard").isin(shards))
     out = lsh_probe_bands(new_banded, index.drop("shard"))
     return materialize_release(out, scope) if own else out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+    scope: PersistScope | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
+    the subset/quote detector (Broder's containment, public).  A short
+    document fully embedded in a long one scores 1.0 here but near 0
+    on Jaccard, which is exactly the near-dup case symmetric measures
+    miss (syndicated articles inside aggregator pages, quoted posts).
+
+    Deliberately has NO size-ratio prune: ``jaccard_pairs`` drops
+    pairs with |A|/|B| < threshold because their Jaccard is bounded by
+    the ratio — for containment that bound does not exist (the prune
+    would drop precisely the contained-subset pairs this operator
+    exists to find).  The honest scale path is therefore
+    ``candidates`` from LSH: the inverted-index fallback fans out on
+    every shared shingle between size-mismatched docs.
+
+    Returns (id_a, id_b, containment).  Plan shape mirrors
+    ``jaccard_pairs``'s candidate-driven branch: candidate-pair
+    relation × per-doc shingle joins, one aggregate."""
+    from pyspark.sql.window import Window as W
+
+    own = scope is None
+    scope = scope or PersistScope()
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingled(docs, id_col, text_col, k_shingle)
+    )
+    if candidates is not None:
+        if shingles is None:
+            sh = scope.persist(sh)  # sizes + both join sides
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        c = (
+            candidates.select("id_a", "id_b").distinct()
+            .join(
+                sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
+                "id_b",
+            )
+        )
+        a = sh.select(F.col("_id").alias("id_a"), "h")
+        b = sh.select(F.col("_id").alias("id_b"), "h")
+        inter = (
+            c.join(a, "id_a")
+            .join(b, ["id_b", "h"])
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        shn = scope.persist(
+            sh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("_id")))
+        )
+        a = shn.select(F.col("_id").alias("id_a"), "h", F.col("n").alias("n_a"))
+        b = shn.select(F.col("_id").alias("id_b"), "h", F.col("n").alias("n_b"))
+        inter = (
+            a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    out = (
+        inter.withColumn(
+            "containment",
+            F.col("n_inter") / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+    return materialize_release(out, scope) if own else out
