@@ -327,3 +327,45 @@ def test_quality_cli_train_score_filter(spark, tmp_path):
     shards = pd.read_parquet(os.path.join(out, "shards"))
     assert set(shards["doc_id"]) <= set(range(12))
     assert len(set(shards["doc_id"])) > 0
+
+
+def test_corpus_cli_bench_scrub_mode(spark, tmp_path):
+    """--bench-scrub cuts the leaked passage but KEEPS the carrier
+    document in the shards (drop mode loses it entirely)."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    leak = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the middle ages"
+    )
+    carrier_body = " ".join(f"useful{i} training{i} content{i}" for i in range(30))
+    docs_path = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(
+        [
+            (1, carrier_body + " " + leak),
+            (2, "a clean document with enough words to survive basic "
+                "quality screens and packing stages intact"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "bench")
+    spark.createDataFrame([(0, leak)], ["qid", "text"]).write.parquet(bench)
+
+    out_drop = os.path.join(str(tmp_path), "out_drop")
+    rc = corpus_main([docs_path, out_drop, "--bench", bench,
+                      "--min-quality", "0.0"])
+    assert rc == 0
+    drop_ids = set(
+        pd.read_parquet(os.path.join(out_drop, "shards"))["doc_id"]
+    )
+    assert drop_ids == {2}
+
+    out_scrub = os.path.join(str(tmp_path), "out_scrub")
+    rc = corpus_main([docs_path, out_scrub, "--bench", bench,
+                      "--bench-scrub", "--min-quality", "0.0"])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out_scrub, "shards"))
+    assert set(shards["doc_id"]) == {1, 2}
+    t1 = shards[shards.doc_id == 1]["text"].iloc[0]
+    assert "capital of france" not in t1
+    assert "useful0" in t1

@@ -219,3 +219,33 @@ def test_auto_bloom_params_and_oversize_guard(spark):
     empty = spark.createDataFrame([], "qid long, text string")
     out = contamination_scores(docs, empty, n=8, strategy="bloom").toPandas()
     assert (out["n_contaminated"] == 0).all()
+
+
+def test_scrub_contaminated_spans_surgical(spark):
+    """Span-level decontamination: the leaked benchmark passage is cut
+    from the carrier document (every other token kept, single-space
+    rebuild), clean docs pass through verbatim, and a doc that IS the
+    passage is emptied rather than dropped."""
+    from wrds_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+    )
+
+    lead = "completely original opening words about distributed systems"
+    tail = "followed by equally original closing commentary here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{lead} {BENCH_ITEM} {tail}"),
+            (2, CLEAN),
+            (3, BENCH_ITEM),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(0, BENCH_ITEM)], ["qid", "text"])
+    out = {r["doc_id"]: r for r in scrub_contaminated_spans(docs, bench, n=8).collect()}
+    n_bench = len(BENCH_ITEM.split())
+    assert out[1]["text"] == f"{lead} {tail}"
+    assert out[1]["n_tok_removed"] == n_bench
+    assert out[2]["text"] == CLEAN and out[2]["n_tok_removed"] == 0
+    assert out[3]["text"] == "" and out[3]["n_tok_removed"] == n_bench
+    # clean doc is byte-identical (verbatim pass-through, not rebuilt)
+    assert out[2]["n_tok_in"] == len(CLEAN.split())

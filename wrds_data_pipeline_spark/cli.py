@@ -210,6 +210,9 @@ def corpus_main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--bench", help="parquet with a text column to "
                    "decontaminate against (8-gram overlap)")
+    p.add_argument("--bench-scrub", action="store_true",
+                   help="surgical mode: cut only the overlapping "
+                   "spans instead of dropping whole documents")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--keep-frac", type=float, default=None,
                    help="keep top fraction by quality after filters")
@@ -273,9 +276,21 @@ def corpus_main(argv: list[str] | None = None) -> int:
     if args.bench:
         from wrds_data_pipeline_spark.operators.contamination import (
             decontaminate,
+            scrub_contaminated_spans,
         )
 
-        kept = decontaminate(kept, spark.read.parquet(args.bench), n=8)
+        bench_df = spark.read.parquet(args.bench)
+        if args.bench_scrub:
+            cols = [c for c in kept.columns if c not in ("text",)]
+            scrubbed = scrub_contaminated_spans(kept, bench_df, n=8)
+            # re-attach the curation columns the scrub output drops
+            kept = (
+                kept.drop("text")
+                .join(scrubbed.select("doc_id", "text"), "doc_id")
+                .select(*cols, "text")
+            )
+        else:
+            kept = decontaminate(kept, bench_df, n=8)
     if args.quality_model:
         from wrds_data_pipeline_spark.operators.quality_model import (
             filter_by_quality_model,

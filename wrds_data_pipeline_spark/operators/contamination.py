@@ -297,3 +297,51 @@ def decontaminate(
         F.col("n_contaminated") / F.col("n_ngrams") > F.lit(max_ratio)
     ).select(id_col)
     return docs.join(dirty, id_col, "left_anti")
+
+
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """SURGICAL decontamination: cut every n-token window that appears
+    in the benchmark, keep the rest of the document — the span-level
+    alternative to ``decontaminate``'s drop-the-doc policy (the Llama
+    / FLAN-style reports describe both; dropping whole documents
+    forfeits all their clean tokens when one sentence leaked).
+
+    Returns (id, text, n_tok_in, n_tok_removed): affected documents
+    are rebuilt from surviving tokens (single-space joined, the
+    span_dedup contract), untouched documents pass through VERBATIM.
+
+    Shape: the spans-module window relation (token array bound once)
+    left-semi-joined against the BROADCAST benchmark gram-hash set —
+    the corpus is never shuffled to find the hits; only hit windows
+    (benchmark-overlap-sized) explode to covered positions and
+    collapse to per-doc cut arrays, and the rebuild is the row-local
+    gap-complement slice.  Matching is on the lowercased-window
+    xxhash64, consistent on both sides."""
+    from wrds_data_pipeline_spark.operators.spans import (
+        _gram_hashes,
+        _raw_tokens,
+        apply_span_cuts,
+        span_cuts,
+        span_windows,
+    )
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                _gram_hashes(_raw_tokens(bench_text_col), n)
+            ).alias("h")
+        )
+        .distinct()
+    )
+    hits = span_windows(docs, id_col, text_col, n).join(
+        F.broadcast(bench_grams), "h", "left_semi"
+    ).select("_id", "i")
+    cuts = span_cuts(hits, n)
+    return apply_span_cuts(docs, cuts, id_col, text_col)
