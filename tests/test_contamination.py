@@ -188,17 +188,18 @@ def test_bloom_fpp_bounded_on_disjoint_reference(spark):
     assert out["hits"] / out["grams"] < 0.02
 
 
-def test_bloom_plan_has_no_corpus_side_shuffle_join(spark):
-    """The bloom probe is a pure expression: no SortMergeJoin /
-    ShuffledHashJoin anywhere, and the only join is the 1-row
-    broadcast cross join carrying the bitset."""
+def test_bloom_plan_has_no_corpus_side_join(spark):
+    """The bloom probe is a pure expression against a literal bitset:
+    the corpus plan has NO join of any kind (the bitset is collected
+    at plan build — carrying it as a broadcast-joined column instead
+    re-materializes it per gram inside the probe HOF, measured ~50×
+    the whole probe)."""
     docs, bench = _docs(spark), _bench(spark)
     plan = (
         contamination_scores(docs, bench, n=8, strategy="bloom")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitset carrier
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
 
 

@@ -191,6 +191,54 @@ def text_rung(spark, sizes: list[int]) -> None:
         )
 
 
+def bloom_rung(spark, sizes: list[int]) -> None:
+    """Decontamination-rung crossover: exact-broadcast vs bloom probe
+    wall and broadcast payload as the REFERENCE set grows (sizes are
+    reference doc counts; corpus fixed at 8000 docs).  The claim made
+    falsifiable: corpus-side wall should be ~flat for both (one scan
+    + per-doc agg), with bloom's payload bits-per-key vs the exact
+    relation's 8+ bytes/gram — the win is broadcast mass, visible in
+    build wall and executor memory, not probe CPU."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.contamination import (
+        auto_bloom_params,
+        benchmark_ngram_set,
+        contamination_scores,
+    )
+
+    corpus = spark.read.parquet(_generate_docs(8000)).repartition(32)
+    for n in sizes:
+        ref = spark.read.parquet(_generate_docs(n)).select(
+            F.col("doc_id").alias("qid"), "text"
+        )
+        n_grams = benchmark_ngram_set(ref).count()
+        m_bits, nk = auto_bloom_params(n_grams)
+
+        def run(strategy):
+            return (
+                contamination_scores(corpus, ref, strategy=strategy)
+                .agg(F.sum("n_contaminated"))
+                .first()[0]
+            )
+
+        run("broadcast")
+        t0 = time.time()
+        hits_exact = run("broadcast")
+        w_exact = time.time() - t0
+        run("bloom")
+        t0 = time.time()
+        hits_bloom = run("bloom")
+        w_bloom = time.time() - t0
+        print(
+            f"n_ref_docs={n}: grams={n_grams} exact wall={w_exact:.1f}s "
+            f"(~{n_grams * 8 // 1024}KB set) bloom wall={w_bloom:.1f}s "
+            f"({m_bits // 8 // 1024}KB bits, k={nk}) "
+            f"hits exact={hits_exact} bloom={hits_bloom} "
+            f"(bloom ≥ exact, gap = fp)"
+        )
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2000, 8000, 32000]
     exact_all = "--exact-all" in sys.argv
@@ -203,6 +251,11 @@ def main() -> None:
         from wrds_data_pipeline_spark.session import get_spark
 
         text_rung(get_spark(app_name="scale_rehearsal"), sizes)
+        return
+    if "--bloom" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        bloom_rung(get_spark(app_name="scale_rehearsal"), sizes)
         return
 
     from pyspark.sql import functions as F

@@ -116,11 +116,13 @@ def bloom_reference_bits(
     ``reference_hashes``.
 
     Built without any driver round-trip: explode the k probe
-    positions, bit_or per 64-bit word (map-side combined), then one
-    1-row aggregate assembles the dense array (missing words → 0) via
-    a map lookup inside a sequence transform — the map attribute
-    crosses the aggregate barrier, so it binds once per row, not per
-    element."""
+    positions, bit_or per 64-bit word (map-side combined), then
+    assemble the dense array by LEFT-JOINING a ``range(m/64)`` word
+    spine (missing words → 0) and collecting the sorted (word, bits)
+    structs in one final aggregate.  NOT a map lookup per element:
+    Spark's MapData has no hash index — ``element_at(map, k)`` is a
+    linear scan, so a map-based gap-fill is O((m/64)²) and measured
+    to hang outright at 2^23 bits."""
     if m_bits % 64 != 0 or m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
         raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
     if not (1 <= n_hashes <= 16):
@@ -138,21 +140,34 @@ def bloom_reference_bits(
             F.col("_pos").bitwiseAND(F.lit(63).cast("long")).cast("int"),
         ).alias("_b"),
     ).groupBy("_w").agg(F.bit_or("_b").alias("_bits"))
-    return words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("_w", "_bits")))
-        ).alias("_m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m_bits // 64 - 1)),
-            # try_element_at: a map miss (word with no set bits) is
-            # the normal case, and plain element_at throws under ANSI
-            lambda i: F.coalesce(
-                F.try_element_at(F.col("_m"), i.cast("long")),
-                F.lit(0).cast("long"),
-            ),
-        ).alias("_bits")
+    spine = reference_hashes.sparkSession.range(m_bits // 64).select(
+        F.col("id").alias("_w")
     )
+    # broadcast the sparse side: both relations are bitset-sized
+    # (≤ m/64 rows ⇒ ≤ 16 MB at the 2^26-bit cap), and the hint keeps
+    # even the BUILD plan free of shuffle joins
+    return (
+        spine.join(F.broadcast(words), "_w", "left")
+        .select(
+            "_w",
+            F.coalesce(F.col("_bits"), F.lit(0).cast("long")).alias("_bits"),
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_w", "_bits"))),
+                lambda s: s["_bits"],
+            ).alias("_bits")
+        )
+    )
+
+
+def _lit_longs(vals: list[int]) -> F.Column:
+    """array<bigint> literal in ONE py4j round-trip (the
+    similarity._lit_doubles pattern: F.lit(list) round-trips the
+    gateway per element)."""
+    if not vals:
+        raise ValueError("_lit_longs needs a non-empty list")
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
 def _bloom_might_contain(
@@ -160,10 +175,16 @@ def _bloom_might_contain(
 ) -> F.Column:
     """True iff all k probe bits of ``h`` are set in ``bits`` (the
     dense array<bigint> bitset).  May be true for absent keys (the
-    bloom fpp); never false for present ones.  ``bits`` must be an
-    ATTRIBUTE (the broadcast bloom row's column), which binds by
-    reference inside the lambda — only the per-probe element_at +
-    mask runs per position."""
+    bloom fpp); never false for present ones.
+
+    ``bits`` must be a LITERAL array, not a joined/broadcast column:
+    higher-order functions are codegen-fallback, and an array
+    ATTRIBUTE referenced from inside the probe lambda re-materializes
+    per row — measured ~100µs/row at a 1 MB bitset (~50× the whole
+    probe) against ~2µs/row with the literal, which binds once in
+    the expression tree (tools/scale_rehearsal.py --bloom exposed
+    this; the same class as SCALE.md's CollapseProject/HOF trap but
+    for join-produced attributes)."""
     return F.forall(
         _bloom_positions(h, m_bits, n_hashes),
         lambda pos: F.element_at(
@@ -230,15 +251,24 @@ def contamination_scores(
             )
         else:
             m_bits, n_hashes = auto_bloom_params(n_ref, bloom_bits_per_key)
-            bloom = bloom_reference_bits(bench, m_bits, n_hashes)
-            flagged = doc_grams.crossJoin(F.broadcast(bloom)).withColumn(
-                "_hit",
+            # the bitset is collected ONCE driver-side (≤ 8 MB at the
+            # size cap; same plan-build-job class as the n_ref count
+            # above) and shipped as a one-parse literal — NOT carried
+            # as a broadcast-joined column, which the probe HOF
+            # re-materializes per corpus gram (see _bloom_might_contain)
+            bits = list(
+                bloom_reference_bits(bench, m_bits, n_hashes).first()[
+                    "_bits"
+                ]
+            )
+            flagged = doc_grams.select(
+                "_id",
                 F.when(
                     _bloom_might_contain(
-                        F.col("h"), F.col("_bits"), m_bits, n_hashes
+                        F.col("h"), _lit_longs(bits), m_bits, n_hashes
                     ),
                     F.lit(1),
-                ),
+                ).alias("_hit"),
             )
     else:
         if strategy == "broadcast":
