@@ -475,3 +475,45 @@ def test_streaming_quality_model_filter_parity(spark, tmp_path):
     )
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == list(want["doc_id"]) == [100, 103, 104]
+
+
+def test_streaming_scrub_spans_parity(spark, tmp_path):
+    """Span-level scrubbing vs a STATIC benchmark is per-doc-
+    independent, so foreachBatch gives exact batch parity — the
+    surgical twin of the streaming decontamination test."""
+    from wrds_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        run_stream_foreach_batch,
+    )
+
+    leak = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the middle ages"
+    )
+    bench = spark.createDataFrame([(0, leak)], ["qid", "text"])
+    schema = "doc_id int, text string"
+    batches = [
+        [(1, "clean opening words then " + leak + " and a tail here")],
+        [(2, "nothing leaked in this one at all just filler words"),
+         (3, leak)],
+    ]
+    stage = os.path.join(str(tmp_path), "scrub_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    got = run_stream_foreach_batch(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        lambda b: scrub_contaminated_spans(b, bench, n=8),
+        max_files_per_trigger=1,
+    ).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        scrub_contaminated_spans(spark.read.parquet(stage), bench, n=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert "capital of france" not in got[got.doc_id == 1]["text"].iloc[0]
+    assert got[got.doc_id == 3]["text"].iloc[0] == ""

@@ -177,3 +177,36 @@ def test_read_jdbc_live_roundtrip(spark, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 4
     assert sorted(r["PERMNO"] for r in part.collect()) == list(range(10000, 10100))
+
+
+def test_write_jsonl_shards_round_trip(spark, tmp_path):
+    """JSONL sink: readable back as JSONL with identical rows; with
+    order_col each part file covers a dense doc_id interval."""
+    import glob
+    import gzip
+    import json as jsonlib
+
+    from wrds_data_pipeline_spark.sinks import write_jsonl_shards
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, n_shards=4, order_col="doc_id")
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
+    # each gz part is valid JSONL and covers a dense doc_id interval
+    parts = sorted(glob.glob(f"{out}/part-*.json.gz"))
+    assert 1 <= len(parts) <= 4
+    seen_ranges = []
+    for p in parts:
+        with gzip.open(p, "rt") as f:
+            ids = [jsonlib.loads(line)["doc_id"] for line in f]
+        assert ids == sorted(ids)
+        if ids:
+            seen_ranges.append((ids[0], ids[-1]))
+    seen_ranges.sort()
+    for (a0, a1), (b0, b1) in zip(seen_ranges, seen_ranges[1:]):
+        assert a1 < b0  # disjoint dense ranges
