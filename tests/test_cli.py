@@ -369,3 +369,23 @@ def test_corpus_cli_bench_scrub_mode(spark, tmp_path):
     t1 = shards[shards.doc_id == 1]["text"].iloc[0]
     assert "capital of france" not in t1
     assert "useful0" in t1
+
+
+def test_corpus_cli_jsonl_shards(spark, tmp_path):
+    """--shard-format jsonl writes gzip JSON-lines shards holding the
+    same document set the parquet layout would."""
+    docs_path = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with several plain words attached "
+             f"for padding and token mass {i}") for i in range(40)],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    out = os.path.join(str(tmp_path), "out")
+    rc = corpus_main([docs_path, out, "--min-quality", "0.0",
+                      "--shard-format", "jsonl"])
+    assert rc == 0
+    back = spark.read.json(os.path.join(out, "shards"))
+    assert {"doc_id", "text", "seq_id", "seq_pos"} <= set(back.columns)
+    assert back.count() == 40

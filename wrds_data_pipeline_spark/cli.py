@@ -233,6 +233,11 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "(wrds-spark-quality train); docs below "
                    "--model-min-prob are dropped after curation")
     p.add_argument("--model-min-prob", type=float, default=0.5)
+    p.add_argument("--shard-format", choices=("parquet", "jsonl"),
+                   default="parquet",
+                   help="jsonl writes gzip JSON-lines shards (the "
+                   "training-loader interchange format), same dense "
+                   "seq_id range layout")
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -311,7 +316,16 @@ def corpus_main(argv: list[str] | None = None) -> int:
     # curate->decontaminate->quantile chain re-executes per action
     kept = kept.persist()
     packed = pack_sequences(kept, args.max_tokens).persist()
-    write_packed_shards(kept, packed, f"{args.out_dir}/shards")
+    if args.shard_format == "jsonl":
+        from wrds_data_pipeline_spark.sinks import write_jsonl_shards
+
+        write_jsonl_shards(
+            kept.join(packed.filter(F.col("seq_id").isNotNull()), "doc_id"),
+            f"{args.out_dir}/shards",
+            order_col=["seq_id", "seq_pos"],
+        )
+    else:
+        write_packed_shards(kept, packed, f"{args.out_dir}/shards")
     # curation-stage audit (fates up to the near-dup/quality filters)
     curation_report(audit).write.mode("overwrite").parquet(
         f"{args.out_dir}/report"

@@ -93,7 +93,7 @@ def write_jsonl_shards(
     df: DataFrame,
     path: str,
     n_shards: int = 32,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
     compression: str | None = "gzip",
 ) -> None:
     """JSONL corpus sink: one ``.json(.gz)`` file per shard — the
@@ -105,8 +105,9 @@ def write_jsonl_shards(
     default: corpus text compresses ~3-5× and every downstream loader
     streams gzip natively."""
     if order_col is not None:
-        df = df.repartitionByRange(n_shards, order_col).sortWithinPartitions(
-            order_col
+        cols = [order_col] if isinstance(order_col, str) else list(order_col)
+        df = df.repartitionByRange(n_shards, *cols).sortWithinPartitions(
+            *cols
         )
     w = df.write.mode("overwrite")
     if compression:
