@@ -347,6 +347,12 @@ def scrub_contaminated_spans(
     are rebuilt from surviving tokens (single-space joined, the
     span_dedup contract), untouched documents pass through VERBATIM.
 
+    Matching is WINDOW-exact at width ``n``: benchmark items shorter
+    than ``n`` tokens produce no grams and therefore scrub nothing
+    (``decontaminate``'s whole-text short-item rule has no span
+    analogue — a sub-``n`` leak has no well-defined span to cut);
+    lower ``n`` if short eval items matter.
+
     Shape: the spans-module window relation (token array bound once)
     left-semi-joined against the BROADCAST benchmark gram-hash set —
     the corpus is never shuffled to find the hits; only hit windows
