@@ -213,7 +213,13 @@ def bloom_rung(spark, sizes: list[int]) -> None:
             F.col("doc_id").alias("qid"), "text"
         )
         n_grams = benchmark_ngram_set(ref).count()
-        m_bits, nk = auto_bloom_params(n_grams)
+        try:
+            m_bits, nk = auto_bloom_params(n_grams)
+        except ValueError as e:
+            # the documented cap: past 2^26 bits the honest rung is
+            # strategy='shuffle' — the guard firing IS the result
+            print(f"n_ref_docs={n}: grams={n_grams} bloom guard: {e}")
+            continue
 
         def run(strategy):
             return (
