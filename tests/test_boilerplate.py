@@ -253,3 +253,24 @@ def test_paragraph_dedup_properties(spark):
         assert (again["n_dropped"] == 0).all()
 
     check()
+
+
+def test_quantile_filter_keep_low_for_loss_signals(spark):
+    """keep_low=True keeps the BOTTOM fraction — the perplexity
+    direction (CCNet keeps the least-surprising docs); top and bottom
+    halves partition the corpus on a distinct-valued signal."""
+    docs = spark.createDataFrame(
+        [(i, "txt", float(i)) for i in range(100)],
+        ["doc_id", "text", "ce"],
+    )
+    low = quality_quantile_filter(
+        docs, keep_frac=0.5, quality_col="ce", keep_low=True
+    )
+    high = quality_quantile_filter(docs, keep_frac=0.5, quality_col="ce")
+    low_ids = {r["doc_id"] for r in low.collect()}
+    high_ids = {r["doc_id"] for r in high.collect()}
+    assert max(low_ids) < min(high_ids) or (
+        low_ids | high_ids == set(range(100))
+    )
+    assert all(i < 55 for i in low_ids) and all(i > 45 for i in high_ids)
+    assert len(low_ids) >= 45 and len(high_ids) >= 45

@@ -148,3 +148,54 @@ def test_bigram_features_differ_from_unigram(spark):
     assert uni.agg(F.sum("cnt")).collect()[0][0] == 3
     # 3 unigrams + 2 bigrams
     assert both.agg(F.sum("cnt")).collect()[0][0] == 5
+
+
+def test_evaluate_quality_model(spark, model):
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        evaluate_quality_model,
+    )
+
+    held = _labeled(spark)  # same planted distribution
+    out = evaluate_quality_model(held, "label", model)
+    assert out["n"] == held.count()
+    assert out["n_pos"] == held.filter("label = 1").count()
+    assert out["accuracy"] >= 0.95
+    assert out["auc"] >= 0.95
+    assert out["auc_tie_mass"] <= 0.05
+    # binned AUC matches a python replay on the collected probs
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        score_quality,
+    )
+
+    rows = (
+        score_quality(held, model)
+        .join(held.select("doc_id", "label"), "doc_id")
+        .collect()
+    )
+    n_bins = 1000
+    import collections
+
+    hist = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = min(n_bins - 1, int(r["prob"] * n_bins))
+        hist[b][0 if r["label"] == 1 else 1] += 1
+    num, below = 0.0, 0
+    npos = sum(v[0] for v in hist.values())
+    nneg = sum(v[1] for v in hist.values())
+    for b in sorted(hist):
+        p, g = hist[b]
+        num += p * below + 0.5 * p * g
+        below += g
+    assert abs(out["auc"] - num / (npos * nneg)) < 1e-12
+
+
+def test_evaluate_requires_both_classes(spark, model):
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        evaluate_quality_model,
+    )
+
+    one_class = _labeled(spark).filter("label = 1")
+    with pytest.raises(ValueError, match="both classes"):
+        evaluate_quality_model(one_class, "label", model)

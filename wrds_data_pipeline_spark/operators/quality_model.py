@@ -301,3 +301,79 @@ def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
         bias=float(meta["bias"]),
         weights=weights,
     )
+
+
+def evaluate_quality_model(
+    docs: DataFrame,
+    label_col: str,
+    model: QualityModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_bins: int = 1000,
+) -> dict:
+    """Held-out evaluation of a quality model, scale-safely:
+    ``{"n", "n_pos", "accuracy", "auc"}``.
+
+    Accuracy is one aggregate.  AUC deliberately avoids the exact
+    rank-sum formulation — a global rank is a total order (one
+    unpartitioned sort/window, the forbidden shape) — and instead
+    bins probabilities into ``n_bins`` equal-width buckets per class
+    (one hash-agg; ≤ n_bins rows collected) and computes the
+    Mann-Whitney statistic from the two histograms with the standard
+    half-credit tie treatment for same-bin pairs.  Exact to bin
+    resolution: the error is bounded by the mass of cross-class pairs
+    landing in the same bin (≤ 1/n_bins of probability space), which
+    is also exactly the reported ``auc_tie_mass``."""
+    scores = score_quality(docs, model, id_col, text_col).join(
+        docs.select(
+            F.col(id_col), F.col(label_col).cast("int").alias("_y")
+        ),
+        id_col,
+    )
+    binned = (
+        scores.select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(F.col("prob") * n_bins).cast("int"),
+            ).alias("_b"),
+            "_y",
+            (
+                (F.col("prob") >= threshold).cast("int") == F.col("_y")
+            ).cast("long").alias("_ok"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_y").alias("pos"),
+            F.sum(1 - F.col("_y")).alias("neg"),
+            F.sum("_ok").alias("ok"),
+        )
+        .collect()
+    )
+    if not binned:
+        raise ValueError("evaluate_quality_model: empty input")
+    hist = sorted((r["_b"], r["pos"], r["neg"], r["ok"]) for r in binned)
+    n_pos = sum(p for _, p, _, _ in hist)
+    n_neg = sum(g for _, _, g, _ in hist)
+    n = n_pos + n_neg
+    ok = sum(o for _, _, _, o in hist)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "evaluate_quality_model needs both classes present"
+        )
+    # Mann-Whitney from histograms: positives in bin b beat all
+    # negatives in lower bins, half-credit against negatives in b
+    auc_num = 0.0
+    tie_pairs = 0.0
+    neg_below = 0
+    for _, p, g, _ in hist:
+        auc_num += p * neg_below + 0.5 * p * g
+        tie_pairs += p * g
+        neg_below += g
+    return {
+        "n": n,
+        "n_pos": n_pos,
+        "accuracy": ok / n,
+        "auc": auc_num / (n_pos * n_neg),
+        "auc_tie_mass": tie_pairs / (n_pos * n_neg),
+    }

@@ -239,11 +239,16 @@ def quality_quantile_filter(
     quality_col: str | None = None,
     text_col: str = "text",
     accuracy: int = 10_000,
+    keep_low: bool = False,
 ) -> DataFrame:
     """Keep (approximately) the top ``keep_frac`` of documents by
     quality — per stratum when ``stratum_col`` is given, else
     corpus-wide.  "Top 30% of each domain" beats a fixed threshold
     when quality distributions differ by source.
+
+    ``keep_low=True`` keeps the BOTTOM fraction instead — the right
+    direction for loss-like signals (cross_entropy / perplexity from
+    ``doc_cross_entropy``: CCNet keeps the LEAST surprising docs).
 
     The cutoff is ``percentile_approx`` (Greenwald-Khanna sketch:
     single aggregation, bounded memory, mergeable across partitions —
@@ -256,13 +261,19 @@ def quality_quantile_filter(
         raise ValueError("keep_frac must be in (0, 1]")
     q = F.col(quality_col) if quality_col else X.quality_score(text_col)
     scored = docs.withColumn("_q", F.round(q, 6))
-    pct = F.percentile_approx("_q", F.lit(1.0 - keep_frac), F.lit(accuracy))
+    cut_q = keep_frac if keep_low else 1.0 - keep_frac
+    pct = F.percentile_approx("_q", F.lit(cut_q), F.lit(accuracy))
     if stratum_col:
         cuts = scored.groupBy(stratum_col).agg(pct.alias("_q_cut"))
         out = scored.join(F.broadcast(cuts), stratum_col)
     else:
         out = scored.crossJoin(F.broadcast(scored.agg(pct.alias("_q_cut"))))
-    return out.filter(F.col("_q") >= F.col("_q_cut")).drop("_q")
+    keep = (
+        F.col("_q") <= F.col("_q_cut")
+        if keep_low
+        else F.col("_q") >= F.col("_q_cut")
+    )
+    return out.filter(keep).drop("_q")
 
 
 def hash_split(
