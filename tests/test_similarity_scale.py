@@ -551,3 +551,30 @@ def test_with_sim_assigner_matches_cosine(spark, driver_tables):
     for r in rows:
         want = cos([float(x) for x in r["embedding"]], cent_of[r["cell"]])
         assert abs(r["proto_sim"] - want) < 1e-9
+
+
+def test_cluster_prune_hierarchical_agrees_with_exact(spark):
+    """assign='hierarchical' picks the same survivors as exact on
+    well-separated planted clusters, and its proto_sim matches the
+    exact cosine to the chosen centroid."""
+    import numpy as np
+
+    from wrds_data_pipeline_spark.operators.similarity import cluster_prune
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((6, 16)) * 10.0
+    rows = []
+    for i in range(120):
+        v = base[i % 6] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(j, [float(x) for x in base[j]]) for j in range(6)]
+    a = cluster_prune(emb, cents, keep_frac=0.3, assign="exact")
+    b = cluster_prune(emb, cents, keep_frac=0.3, assign="hierarchical")
+    sa = {(r["vec_id"], r["cell"]) for r in a.collect()}
+    sb = {(r["vec_id"], r["cell"]) for r in b.collect()}
+    assert sa == sb
+    pa = {r["vec_id"]: r["proto_sim"] for r in a.collect()}
+    pb = {r["vec_id"]: r["proto_sim"] for r in b.collect()}
+    for k in pa:
+        assert abs(pa[k] - pb[k]) < 1e-9

@@ -709,6 +709,7 @@ def hierarchical_assigner(
     vec_col: str = "embedding",
     n_super: int | None = None,
     n_probe_super: int = 2,
+    with_sim: bool = False,
 ):
     """Factory form of ``ivf_assign_hierarchical``: runs the
     driver-side super-cell k-means and builds the two-level expression
@@ -811,7 +812,32 @@ def hierarchical_assigner(
             (-m["cid"]).alias("neg_cell"),
         ),
     )
-    cell = (-F.array_max(lvl2)["neg_cell"]).cast("int")
+    best = F.array_max(lvl2)
+    cell = (-best["neg_cell"]).cast("int")
+
+    if with_sim:
+        # lvl2 sims are dots against UNIT centroids, so the cosine to
+        # the chosen cell is best.sim / ||v|| — row norm folded once
+        # (aggregate-finish); _best is referenced twice, so
+        # CollapseProject keeps it (the exact_assigner shape)
+        def apply(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("_l1", lvl1)
+                .withColumn("_best", best)
+                .withColumn("cell", (-F.col("_best.neg_cell")).cast("int"))
+                .withColumn(
+                    "proto_sim",
+                    F.aggregate(
+                        F.transform(v, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                        lambda ss: F.col("_best.sim") / F.sqrt(ss),
+                    ),
+                )
+                .drop("_l1", "_best")
+            )
+
+        return apply
 
     def apply(df: DataFrame) -> DataFrame:
         return (
@@ -1137,6 +1163,7 @@ def cluster_prune(
     keep: str = "far",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Prototype-based diversity pruning (the D4 / SSL-prototypes
     recipe, both public: rank each cluster's members by cosine to
@@ -1149,17 +1176,30 @@ def cluster_prune(
     closest — outlier pruning for noisy corpora.  Ties and exact
     duplicates break on id, so the result is deterministic.
 
-    Scale: assignment is the ``exact_assigner`` expression (swap in
-    ``hierarchical_assigner`` upstream for >128 cells); the ranking
-    window partitions by ``cell``, whose population ``auto_n_cells``
-    keeps bounded (~64), and the per-cell quota comes from a count
-    over the SAME partition — one corpus shuffle total, no second
-    aggregate-join round trip."""
+    Scale: assignment follows ``ivf_build``'s routing rule —
+    ``assign="auto"`` uses the exact expression up to 128 cells and
+    the two-level hierarchical expression beyond (``auto_n_cells``
+    grows the cell count with the corpus, so a pinned exact assigner
+    would reintroduce the n·c quadratic this family already killed
+    twice); the ranking window partitions by ``cell``, whose
+    population ``auto_n_cells`` keeps bounded (~64), and the per-cell
+    quota comes from a count over the SAME partition — one corpus
+    shuffle total, no second aggregate-join round trip."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near': {keep!r}")
-    scored = exact_assigner(centroids, vec_col, with_sim=True)(embeddings)
+    if assign not in ("auto", "exact", "hierarchical"):
+        raise ValueError(f"unknown assign: {assign!r}")
+    use_hier = assign == "hierarchical" or (
+        assign == "auto" and len(centroids) > 128
+    )
+    assigner = (
+        hierarchical_assigner(centroids, vec_col, with_sim=True)
+        if use_hier
+        else exact_assigner(centroids, vec_col, with_sim=True)
+    )
+    scored = assigner(embeddings)
     order = (
         [F.asc("proto_sim"), F.asc(id_col)]
         if keep == "far"
