@@ -389,3 +389,27 @@ def test_corpus_cli_jsonl_shards(spark, tmp_path):
     back = spark.read.json(os.path.join(out, "shards"))
     assert {"doc_id", "text", "seq_id", "seq_pos"} <= set(back.columns)
     assert back.count() == 40
+
+
+def test_index_cli_prune_vector(spark, tmp_path):
+    from wrds_data_pipeline_spark.cli import index_main
+
+    emb_path = os.path.join(str(tmp_path), "emb")
+    spark.range(48).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 7), j -> cos(id * (j+1) * 0.37) + id % 2) as embedding",
+    ).write.parquet(emb_path)
+    idx_path = os.path.join(str(tmp_path), "vidx")
+    assert index_main(["build-vector", emb_path, idx_path, "--n-cells", "4"]) == 0
+    out = os.path.join(str(tmp_path), "pruned")
+    assert index_main(["prune-vector", idx_path, out, "--keep-frac", "0.5"]) == 0
+    kept = pd.read_parquet(out)
+    assert {"id", "cell", "proto_sim"} <= set(kept.columns)
+    assert 0 < len(kept) <= 48
+    # per-cell quota: ceil(0.5 * |cell|)
+    full = pd.read_parquet(os.path.join(idx_path, "vectors"))
+    sizes = full.groupby("cell").size() if "cell" in full.columns else None
+    got_sizes = kept.groupby("cell").size()
+    if sizes is not None:
+        for c, n in got_sizes.items():
+            assert n == -(-sizes[c] // 2)

@@ -132,3 +132,36 @@ def test_append_assigns_with_stored_quantizer(spark, driver_tables, tmp_path):
     q = _query(emb, vid=0)
     top = vector_index_topk(opened, q, k=3, n_probe=len(opened.centroids)).toPandas()
     assert int(top.iloc[0]["vec_id"]) == 0
+
+
+def test_prune_vector_index_matches_cluster_prune(spark, tmp_path):
+    """Index-side pruning (stored cells + centroid join) keeps the
+    same ids as cluster_prune re-assigning from scratch with the same
+    quantizer."""
+    from wrds_data_pipeline_spark.operators.similarity import cluster_prune
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        build_vector_index,
+        load_vector_index,
+        prune_vector_index,
+    )
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.cos(F.col("id") * (j + 1) * 0.37) + (F.col("id") % 3),
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "vidx")
+    build_vector_index(emb, path, n_cells=4)
+    idx = load_vector_index(spark, path)
+    got = {
+        r["id"] for r in prune_vector_index(spark, path, 0.5, "far").collect()
+    }
+    want = {
+        r["vec_id"]
+        for r in cluster_prune(
+            emb, idx.centroid_list(), 0.5, "far", assign="exact"
+        ).collect()
+    }
+    assert got == want and got

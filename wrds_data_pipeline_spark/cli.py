@@ -389,6 +389,13 @@ def index_main(argv: list[str] | None = None) -> int:
     av.add_argument("emb_path")
     av.add_argument("index_path")
 
+    pv = sub.add_parser("prune-vector", help="prototype-pruned survivor ids "
+                        "(D4-style: keep far/near members per cell)")
+    pv.add_argument("index_path")
+    pv.add_argument("out_dir")
+    pv.add_argument("--keep-frac", type=float, default=0.5)
+    pv.add_argument("--keep", choices=("far", "near"), default="far")
+
     qv = sub.add_parser("query-vector", help="top-k per query vector through the index")
     qv.add_argument("index_path")
     qv.add_argument("queries_path", help="parquet with (query_id, query_vec); "
@@ -449,6 +456,17 @@ def index_main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append-vector":
         append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
         print(f"appended {args.emb_path} -> {args.index_path}")
+    elif args.cmd == "prune-vector":
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            prune_vector_index,
+        )
+
+        kept = prune_vector_index(
+            spark, args.index_path, args.keep_frac, args.keep
+        )
+        kept.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"{n} survivors ({args.keep}, {args.keep_frac}) -> {args.out_dir}")
     else:
         from functools import reduce
 

@@ -225,3 +225,55 @@ def vector_index_topk(
     ).select(index.id_col)
     survivors = probed.join(F.broadcast(cand), index.id_col)
     return brute_force_topk(survivors, query_vec, k, index.id_col, index.vec_col)
+
+
+def prune_vector_index(
+    spark: SparkSession,
+    path: str,
+    keep_frac: float = 0.5,
+    keep: str = "far",
+) -> DataFrame:
+    """Prototype-based pruning over a STORED index (the D4 /
+    SSL-prototypes step as an index operation): rank each cell's
+    members by cosine to their centroid and keep ``ceil(keep_frac ×
+    |cell|)`` — ``keep="far"`` drops semantic redundancy, ``"near"``
+    drops outliers.  Returns (id, cell, proto_sim) of the survivors.
+
+    No reassignment: the stored ``cell`` column IS the assignment, so
+    the centroid arrives by broadcast join on cell (dim-sized arrays
+    in expressions are safe — SCALE.md's measured HOF-attribute
+    threshold) and the only corpus-mass work is the per-cell ranking
+    window ``cluster_prune`` already uses."""
+    from pyspark.sql.window import Window as W
+
+    from .similarity import cosine
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near': {keep!r}")
+    idx = load_vector_index(spark, path)
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in idx.centroids],
+        "cell int, _cent array<double>",
+    )
+    scored = idx.df.join(F.broadcast(cent), "cell").select(
+        F.col(idx.id_col).alias("id"),
+        "cell",
+        cosine(
+            F.col(idx.vec_col).cast("array<double>"), F.col("_cent")
+        ).alias("proto_sim"),
+    )
+    order = (
+        [F.asc("proto_sim"), F.asc("id")]
+        if keep == "far"
+        else [F.desc("proto_sim"), F.asc("id")]
+    )
+    w = W.partitionBy("cell").orderBy(*order)
+    wc = W.partitionBy("cell")
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
+        .drop("_rank", "_n")
+    )
