@@ -315,6 +315,9 @@ def test_quality_cli_train_score_filter(spark, tmp_path):
     kept = pd.read_parquet(kept_dir)
     assert set(kept["doc_id"]) == set(range(12))
 
+    rc = quality_main(["eval", labeled, model_dir])
+    assert rc == 0
+
     # corpus pipeline with the learned stage: the spam docs vanish
     # from the shards even though they pass the heuristic filters
     out = os.path.join(str(tmp_path), "corpus_out")

@@ -518,9 +518,16 @@ def quality_main(argv: list[str] | None = None) -> int:
     fl.add_argument("out_dir")
     fl.add_argument("--min-prob", type=float, default=0.5)
 
+    ev = sub.add_parser("eval", help="accuracy + binned AUC on labeled docs")
+    ev.add_argument("docs_path")
+    ev.add_argument("model_path")
+    ev.add_argument("--label-col", default="label")
+    ev.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.quality_model import (
+        evaluate_quality_model,
         filter_by_quality_model,
         load_quality_model,
         save_quality_model,
@@ -550,6 +557,16 @@ def quality_main(argv: list[str] | None = None) -> int:
             args.out_dir
         )
         print(f"scores -> {args.out_dir}")
+    elif args.cmd == "eval":
+        model = load_quality_model(spark, args.model_path)
+        out = evaluate_quality_model(
+            docs, args.label_col, model, threshold=args.threshold
+        )
+        print(
+            f"n={out['n']} pos={out['n_pos']} "
+            f"accuracy={out['accuracy']:.4f} auc={out['auc']:.4f} "
+            f"(tie_mass={out['auc_tie_mass']:.4f})"
+        )
     else:
         model = load_quality_model(spark, args.model_path)
         kept = filter_by_quality_model(docs, model, min_prob=args.min_prob)
