@@ -416,3 +416,40 @@ def test_index_cli_prune_vector(spark, tmp_path):
     if sizes is not None:
         for c, n in got_sizes.items():
             assert n == -(-sizes[c] // 2)
+
+
+def test_corpus_cli_perplexity_stage(spark, tmp_path):
+    """--lm-ref keeps the docs a reference bigram LM finds least
+    surprising: all-OOV gibberish drops, reference-style prose stays
+    (vocabulary big enough that unseen-context add-alpha mass 1/(V+1)
+    is small — the realistic regime)."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    words = [f"word{i}" for i in range(300)]
+    ref_sents = [
+        " ".join(words[(7 * i + j) % 300] for j in range(12))
+        for i in range(60)
+    ]
+    ref_path = os.path.join(str(tmp_path), "ref")
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ref_sents)], ["rid", "text"]
+    ).write.parquet(ref_path)
+
+    docs_path = os.path.join(str(tmp_path), "docs")
+    fluent = [(i, ref_sents[i] + " " + ref_sents[i + 20]) for i in range(8)]
+    gibberish = [
+        (100 + i,
+         " ".join(f"novel{i}tok{j}" for j in range(24)))
+        for i in range(8)
+    ]
+    spark.createDataFrame(fluent + gibberish, ["doc_id", "text"]).write.parquet(
+        docs_path
+    )
+    out = os.path.join(str(tmp_path), "out")
+    rc = corpus_main([docs_path, out, "--min-quality", "0.0",
+                      "--lm-ref", ref_path,
+                      "--perplexity-keep-frac", "0.5"])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    kept_ids = set(shards["doc_id"])
+    assert kept_ids and kept_ids <= {i for i, _ in fluent}

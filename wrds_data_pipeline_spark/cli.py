@@ -238,6 +238,12 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    help="jsonl writes gzip JSON-lines shards (the "
                    "training-loader interchange format), same dense "
                    "seq_id range layout")
+    p.add_argument("--lm-ref",
+                   help="parquet with a text column: train an "
+                   "interpolated bigram LM on it and keep the "
+                   "--perplexity-keep-frac LEAST surprising docs "
+                   "(the CCNet recipe)")
+    p.add_argument("--perplexity-keep-frac", type=float, default=0.7)
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -307,6 +313,26 @@ def corpus_main(argv: list[str] | None = None) -> int:
             load_quality_model(spark, args.quality_model),
             min_prob=args.model_min_prob,
         )
+    if args.lm_ref:
+        from wrds_data_pipeline_spark.operators.keywords import (
+            build_bigram_vocab,
+            build_vocab,
+            doc_cross_entropy_bigram,
+        )
+
+        ref = spark.read.parquet(args.lm_ref)
+        ce = doc_cross_entropy_bigram(
+            kept, build_vocab(ref), build_bigram_vocab(ref)
+        ).select("doc_id", "cross_entropy")
+        # inner join: docs with < 2 tokens have no perplexity and are
+        # dropped — anything that short failed the length screens
+        # upstream anyway
+        kept = quality_quantile_filter(
+            kept.join(ce, "doc_id"),
+            keep_frac=args.perplexity_keep_frac,
+            quality_col="cross_entropy",
+            keep_low=True,
+        ).drop("_q_cut", "cross_entropy")
     if args.keep_frac:
         kept = quality_quantile_filter(kept, keep_frac=args.keep_frac).drop(
             "_q_cut"  # internal cutoff must not leak into the shards

@@ -249,7 +249,11 @@ def doc_cross_entropy_bigram(
     c(w1,·) is the context total within ``bigrams``; unseen contexts
     and pairs fall through the same add-α formula (c = 0), so every
     transition has a well-defined probability — no special backoff
-    branch.  Only the n−1 transitions are scored; documents with
+    branch.  Caveat for tiny reference corpora: an unseen context
+    yields P_bi = 1/(V+1), which is LARGE when the reference
+    vocabulary is small (V < ~100) and compresses the fluent-vs-OOV
+    perplexity gap — score against a reference big enough that
+    1/(V+1) is far below typical seen-transition probabilities.  Only the n−1 transitions are scored; documents with
     fewer than 2 tokens produce no row.  ``cross_entropy`` is
     bits/transition; ``perplexity`` = 2^H.
 
