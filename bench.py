@@ -56,8 +56,11 @@ HEADLINE = [
     "q44_ann_ivf_topk",
     # round 6 (late): token-level duplicated-span removal — the
     # heaviest dedup rung (corpus-token-mass keep-first aggregate),
-    # registered as q61 this round.
+    # registered as q61 this round — and the continuous-ingest probe
+    # (increment vs stored band table), the production path whose
+    # regression matters most for streaming deployments.
     "q61_span_dedup",
+    "q60_incremental_lsh",
 ]
 
 

@@ -638,3 +638,60 @@ def test_containment_catches_subset_jaccard_misses(spark):
         """
     ).fetchall()
     assert {(r[0], r[1]): r[2] for r in want} == cont
+
+
+def test_containment_property_vs_python(spark):
+    """Hypothesis: containment_pairs matches a brute-force python
+    computation of |A∩B|/min(|A|,|B|) over distinct shingle sets for
+    randomized corpora (including whitespace-messy and repeated-token
+    texts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wrds_data_pipeline_spark.operators.dedup import containment_pairs
+
+    word = st.sampled_from([f"w{i}" for i in range(12)])
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(text, min_size=2, max_size=5))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                docs, k_shingle=2, threshold=0.0
+            ).collect()
+        }
+
+        def shingles(t):
+            # word_shingles' short-doc rule: docs shorter than k
+            # contribute their whole (normalized) text as ONE shingle
+            # — including the empty string, so two empty docs are
+            # containment-1.0 exact duplicates, same as jaccard
+            toks = t.lower().split()
+            if len(toks) < 2:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            }
+
+        want = {}
+        for i, a in rows:
+            for j, b in rows:
+                if i >= j:
+                    continue
+                sa, sb = shingles(a), shingles(b)
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter:
+                    want[(i, j)] = round(inter / min(len(sa), len(sb)), 6)
+        assert got == want
+
+    run()

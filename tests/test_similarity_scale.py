@@ -578,3 +578,38 @@ def test_cluster_prune_hierarchical_agrees_with_exact(spark):
     pb = {r["vec_id"]: r["proto_sim"] for r in b.collect()}
     for k in pa:
         assert abs(pa[k] - pb[k]) < 1e-9
+
+
+def test_semantic_dedup_keep_best_composition(spark):
+    """semantic_dup_pairs composes with dedup_keep_best: the
+    highest-quality member of each embedding-dup group survives
+    instead of the min id."""
+    import numpy as np
+
+    from wrds_data_pipeline_spark.operators.components import dedup_keep_best
+    from wrds_data_pipeline_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((3, 12)) * 8.0
+    rows = []
+    for i in range(12):
+        v = base[i % 3] + 0.01 * rng.standard_normal(12)
+        # quality increases with id, so the LAST member of each
+        # cluster should win under keep_best
+        rows.append((i, [float(x) for x in v], float(i)))
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, score double"
+    )
+    cents = [(j, [float(x) for x in base[j]]) for j in range(3)]
+    pairs = semantic_dup_pairs(
+        docs.select("vec_id", "embedding"),
+        centroids=cents,
+        threshold=0.95,
+    ).selectExpr("id_a", "id_b")
+    kept = dedup_keep_best(
+        docs, pairs, "score", id_col="vec_id"
+    )
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert ids == [9, 10, 11]  # best (= highest id) per cluster
