@@ -255,9 +255,13 @@ def test_caller_scope_stays_lazy_and_releases(spark):
 
     rows = [(1, "a b c d e f"), (2, "a b c d e f")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # compare ID SETS, not counts: an earlier test's async
+    # unpersist(blocking=False) (connected_components' per-round
+    # snapshots) may retire ITS RDDs between our two reads, which a
+    # count-equality assert misreads as this scope leaking
+    base = _persistent_ids(spark)
     with PersistScope() as scope:
         out = span_dedup(df, k=3, scope=scope)
         got = {r["doc_id"]: r["text"] for r in out.collect()}
         assert got[1] == "a b c d e f" and got[2] == ""
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
+    assert _persistent_ids(spark) - base == set()
