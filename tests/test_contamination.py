@@ -250,3 +250,26 @@ def test_scrub_contaminated_spans_surgical(spark):
     assert out[3]["text"] == "" and out[3]["n_tok_removed"] == n_bench
     # clean doc is byte-identical (verbatim pass-through, not rebuilt)
     assert out[2]["n_tok_in"] == len(CLEAN.split())
+
+
+def test_benchmark_leak_report(spark):
+    """Per-item view: the leaked item reports its hit breadth, the
+    clean item reports zero, and gram totals match the item's own
+    shingle count."""
+    from wrds_data_pipeline_spark.operators.contamination import (
+        benchmark_leak_report,
+    )
+
+    docs = _docs(spark)  # doc 2 carries BENCH_ITEM
+    extra = spark.createDataFrame(
+        [(9, "prefix " + BENCH_ITEM + " suffix")], ["doc_id", "text"]
+    )
+    both = docs.union(extra)
+    bench = _bench(spark)
+    out = {r["qid"]: r for r in benchmark_leak_report(both, bench, n=8).collect()}
+    assert set(out) == {100, 101}
+    n_tokens = len(BENCH_ITEM.split())
+    assert out[100]["n_grams"] == n_tokens - 8 + 1
+    assert out[100]["n_docs_hit"] == 2          # docs 2 and 9
+    assert out[100]["n_leaked_grams"] == out[100]["n_grams"]
+    assert out[101]["n_leaked_grams"] == 0 and out[101]["n_docs_hit"] == 0

@@ -381,3 +381,56 @@ def scrub_contaminated_spans(
     ).select("_id", "i")
     cuts = span_cuts(hits, n)
     return apply_span_cuts(docs, cuts, id_col, text_col)
+
+
+def benchmark_leak_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "qid",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The reverse view of ``contamination_scores``: per BENCHMARK
+    item, how widely it leaked — (bench_id, n_grams, n_leaked_grams,
+    n_docs_hit).  This is what an eval-integrity review reads ("which
+    test items are compromised, and are they compromised everywhere
+    or in one mirror?"); the per-document view says what to drop,
+    this says which eval numbers to distrust.
+
+    Shape: the benchmark side keeps its item ids (NOT the distinct
+    gram set) and is still broadcast — the corpus side explodes once
+    and inner-joins the broadcast (hash → qid) relation, so a gram
+    shared by many items fans out only by the benchmark's own
+    multiplicity.  One corpus scan, aggregates keyed by the (small)
+    benchmark: the group-by state is benchmark-sized, never
+    corpus-sized."""
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("_qid"),
+            F.explode(word_shingles(bench_text_col, n)).alias("shingle"),
+        )
+        .select("_qid", shingle_hash_wide(F.col("shingle")).alias("h"))
+        .distinct()  # per-item distinct grams; items stay separate
+    )
+    doc_grams = _shingled(docs, id_col, text_col, n, hash_fn=shingle_hash_wide)
+    hits = doc_grams.join(F.broadcast(bench_grams), "h").select(
+        "_qid", "h", "_id"
+    )
+    per_item_hits = hits.groupBy("_qid").agg(
+        F.count_distinct("h").alias("n_leaked_grams"),
+        F.count_distinct("_id").alias("n_docs_hit"),
+    )
+    totals = bench_grams.groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(per_item_hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias(bench_id_col),
+            "n_grams",
+            F.coalesce("n_leaked_grams", F.lit(0)).alias("n_leaked_grams"),
+            F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
+        )
+    )
