@@ -362,6 +362,11 @@ def test_corpus_cli_bench_scrub_mode(spark, tmp_path):
         pd.read_parquet(os.path.join(out_drop, "shards"))["doc_id"]
     )
     assert drop_ids == {2}
+    # leak report artifact: the one benchmark item reports its hits
+    leak_rep = pd.read_parquet(os.path.join(out_drop, "leak_report"))
+    assert set(leak_rep["qid"]) == {0}
+    assert int(leak_rep["n_docs_hit"].iloc[0]) == 1
+    assert int(leak_rep["n_leaked_grams"].iloc[0]) > 0
 
     out_scrub = os.path.join(str(tmp_path), "out_scrub")
     rc = corpus_main([docs_path, out_scrub, "--bench", bench,

@@ -286,11 +286,19 @@ def corpus_main(argv: list[str] | None = None) -> int:
     )
     if args.bench:
         from wrds_data_pipeline_spark.operators.contamination import (
+            benchmark_leak_report,
             decontaminate,
             scrub_contaminated_spans,
         )
 
         bench_df = spark.read.parquet(args.bench)
+        # eval-integrity artifact: which benchmark items leaked, and
+        # how widely — written BEFORE the drop/scrub so it reflects
+        # the corpus the filter actually saw
+        if "qid" in bench_df.columns:
+            benchmark_leak_report(kept, bench_df).write.mode(
+                "overwrite"
+            ).parquet(f"{args.out_dir}/leak_report")
         if args.bench_scrub:
             cols = [c for c in kept.columns if c not in ("text",)]
             scrubbed = scrub_contaminated_spans(kept, bench_df, n=8)
