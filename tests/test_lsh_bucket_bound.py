@@ -1,0 +1,233 @@
+"""Band-bucket population bound (operators/dedup.DEFAULT_MAX_BUCKET):
+the document-side analogue of the embedding side's auto_n_planes /
+auto_n_cells closure.  A bucket holding m near-identical docs must
+contribute O(m) star edges, never m²/2 clique pairs — with group
+membership (connected components) preserved exactly across the batch,
+incremental, and streaming paths.
+
+Fixture: a planted hot cluster — ``M`` docs sharing a long template
+with only the final token varying, so nearly every member collides on
+at least one full MinHash band (deterministic given the fixed md5
+constants) — plus a handful of unrelated docs that must stay in their
+own singleton groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.dedup import (
+    minhash_band_table,
+    minhash_lsh_candidates,
+    near_dup_pairs,
+)
+
+M = 60  # planted cluster size
+B = 8   # test-scale bucket bound (production default is 256)
+
+TEMPLATE = (
+    "breaking news this viral boilerplate page is syndicated verbatim "
+    "across thousands of mirror sites with exactly one varying token "
+    "at the very end of the body which is the token "
+)
+
+DISTINCT = [
+    "completely different content about spark query engines at scale",
+    "another unrelated document about columnar shuffle exchanges",
+    "a third singleton text on watermarks and stateful streaming",
+    "gardening tips for growing tomatoes in cold northern climates",
+]
+
+
+def _hot_rows():
+    rows = [(i, TEMPLATE + f"variant{i}") for i in range(M)]
+    rows += [(1000 + j, t) for j, t in enumerate(DISTINCT)]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    return spark.createDataFrame(_hot_rows(), ["doc_id", "text"]).persist()
+
+
+def _groups(pairs, all_ids):
+    """Union-find over (id_a, id_b) tuples → frozenset of frozensets,
+    singletons included (the group-membership comparison the bound's
+    contract is stated in)."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for i in all_ids:
+        comps.setdefault(find(i), set()).add(i)
+    return frozenset(frozenset(v) for v in comps.values())
+
+
+def _ids(docs):
+    return [r.doc_id for r in docs.select("doc_id").collect()]
+
+
+def test_fixture_actually_has_a_hot_bucket(spark, hot_docs):
+    """Guard the premise: without a band bucket over B the remaining
+    tests would vacuously pass."""
+    top = (
+        minhash_band_table(hot_docs)
+        .groupBy("band", "band_hash")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert top > B, f"max bucket {top} ≤ {B}: fixture lost its hot cluster"
+
+
+def test_hot_bucket_pair_mass_linear_groups_exact(spark, hot_docs):
+    ids = _ids(hot_docs)
+    guarded = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(hot_docs, max_bucket=B).collect()
+    ]
+    unguarded = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(hot_docs, max_bucket=None).collect()
+    ]
+    # the clique: nearly every pair of the planted cluster is a
+    # genuine collision, so the unbounded path carries ~M²/2 pairs
+    # (a few members miss every band; 1764/1770 measured)
+    assert len(unguarded) >= int(0.9 * M * (M - 1) / 2)
+    # the bound: star edges per hot bucket + small-bucket residue —
+    # linear in M (4 bands × (M-1) worst case, far under the clique)
+    assert len(guarded) <= 4 * M
+    # group membership identical: star edges and cliques have the
+    # same connected components
+    assert _groups(guarded, ids) == _groups(unguarded, ids)
+
+
+def test_incremental_group_parity_and_no_old_old_pairs(spark, hot_docs):
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    ids = _ids(hot_docs)
+    old = hot_docs.filter(F.col("doc_id") % 3 != 0)
+    new = hot_docs.filter(F.col("doc_id") % 3 == 0)
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+
+    band_table = minhash_band_table(old)
+    inc = [
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_candidates(
+            new, band_table, max_bucket=B
+        ).collect()
+    ]
+    # contract: never an old-vs-old edge
+    assert not any(a in old_ids and b in old_ids for a, b in inc)
+    # pair mass stays linear on the hot cluster's new side
+    assert len(inc) <= 4 * M
+    # groups from (prior runs' old-side resolution) ∪ (this increment)
+    # == groups of the full guarded batch == groups of the full
+    # unbounded batch
+    old_pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(old, max_bucket=B).collect()
+    ]
+    want = _groups(
+        [
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(hot_docs, max_bucket=None).collect()
+        ],
+        ids,
+    )
+    assert _groups(old_pairs + inc, ids) == want
+
+
+def test_near_dup_pairs_resolves_hot_cluster(spark, hot_docs):
+    """The verified composition: hot-bucket star edges bypass the
+    jaccard threshold (they are resolved by collision density) but
+    carry their true measured jaccard; group membership equals the
+    unbounded composition's."""
+    ids = _ids(hot_docs)
+    guarded = near_dup_pairs(hot_docs, threshold=0.5, max_bucket=B).collect()
+    unguarded = near_dup_pairs(
+        hot_docs, threshold=0.5, max_bucket=None
+    ).collect()
+    assert {c for c in near_dup_pairs(hot_docs, max_bucket=B).columns} == {
+        "id_a", "id_b", "jaccard"
+    }
+    assert all(0.0 <= r.jaccard <= 1.0 for r in guarded)
+    assert len(guarded) < len(unguarded)  # the point of the bound
+    g = _groups([(r.id_a, r.id_b) for r in guarded], ids)
+    u = _groups([(r.id_a, r.id_b) for r in unguarded], ids)
+    assert g == u
+    # unrelated docs stay singletons
+    for grp in g:
+        if len(grp) > 1:
+            assert grp == frozenset(range(M))
+
+
+def test_streaming_group_parity_with_hot_cluster(spark, tmp_path):
+    """Across micro-batches, hot buckets emit per-batch star edges
+    (new members ↔ batch hub, batch hub ↔ stored hub): the union's
+    connected components equal the batch operator's, at linear pair
+    mass."""
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup,
+    )
+
+    rows = _hot_rows()
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "hot_stream")
+    # three arrival batches, cluster members interleaved
+    for k in range(3):
+        batch = [r for i, r in enumerate(rows) if i % 3 == k]
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx = os.path.join(str(tmp_path), "hot_band_index")
+    got = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, max_bucket=B,
+    )
+    pairs = list(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert len(pairs) <= 3 * 4 * M  # linear per batch, never the clique
+    all_docs = spark.createDataFrame(rows, schema)
+    ids = [r[0] for r in rows]
+    want = _groups(
+        [
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(all_docs, max_bucket=None).collect()
+        ],
+        ids,
+    )
+    assert _groups(pairs, ids) == want
+
+
+def test_default_bound_is_inert_below_population(spark):
+    """At sub-bound bucket populations the guard changes nothing:
+    default-bound output == unbounded output pair-for-pair (the
+    registered oracle rows rely on this — sf-scale buckets max out at
+    16 members, 16× under DEFAULT_MAX_BUCKET)."""
+    rows = [(i, TEMPLATE + f"variant{i}") for i in range(5)] + [
+        (100 + j, t) for j, t in enumerate(DISTINCT)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    default = sorted(
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()
+    )
+    unbounded = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=None).collect()
+    )
+    assert default == unbounded

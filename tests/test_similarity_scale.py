@@ -200,14 +200,31 @@ def test_band_table_bucketed_probe_avoids_stored_side_shuffle(
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # The stored side enters lsh_probe_bands EXCLUSIVELY through
+        # the left-semi restriction on the increment's (band,
+        # band_hash) keys (operators/dedup.lsh_probe_bands) — every
+        # later read (bucket census, pair join, star join) is of the
+        # persisted restriction result, which is collision-sized, not
+        # corpus-sized.  So the bucket-alignment property lives here:
+        # the bucketed layout's semi-join must not re-shuffle the
+        # stored side.  (The full operator's plan hides this subtree
+        # behind the persisted-cache boundary, so the assertion
+        # targets the restriction shape directly.)
+        keys = new_banded.select("band", "band_hash")
+        n_ex = {}
+        for name, bt in (
+            ("bucketed", spark.table("band_idx_bucketed")),
+            ("plain", spark.read.parquet(plain_loc)),
+        ):
+            restricted = bt.select("_id", "band", "band_hash").join(
+                keys, ["band", "band_hash"], "left_semi"
+            )
+            plan = restricted._jdf.queryExecution().executedPlan().toString()
+            n_ex[name] = plan.count("Exchange hashpartitioning")
+        assert n_ex["bucketed"] < n_ex["plain"], n_ex
+        # same answer either way through the full operator
         bucketed = lsh_probe_bands(new_banded, spark.table("band_idx_bucketed"))
         plain = lsh_probe_bands(new_banded, spark.read.parquet(plain_loc))
-        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
-        plan_p = plain._jdf.queryExecution().executedPlan().toString()
-        n_ex_b = plan_b.count("Exchange hashpartitioning")
-        n_ex_p = plan_p.count("Exchange hashpartitioning")
-        assert n_ex_b < n_ex_p
-        # same answer either way
         got_b = sorted((r.id_a, r.id_b) for r in bucketed.collect())
         got_p = sorted((r.id_a, r.id_b) for r in plain.collect())
         assert got_b == got_p

@@ -167,6 +167,70 @@ def minhash_band_table(
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
 
 
+# Band-bucket population bound: a bucket holding m members emits
+# m(m-1)/2 candidate pairs, and when the members are TRUE
+# near-duplicates (the "viral boilerplate page with one varying token"
+# regime — a constant feature of web corpora at 100 TB) those pairs
+# all survive `distinct`, Jaccard verification, and the components
+# edge list — AQE skew-split only balances the shuffle, it cannot
+# reduce the pair mass.  Buckets over this population therefore
+# short-circuit to a single duplicate group: colliding on a full band
+# (3+ identical MinHash rows) at that density makes members
+# near-certain duplicates, so the bucket contributes STAR edges
+# (hub = min id ↔ each member, O(m)) whose connected components equal
+# the clique's.  The bound is per-bucket — independent of corpus size
+# — so a fixed constant is principled: worst-case pair mass per bucket
+# is B²/2 ≈ 32k at the default.  sf-scale fixtures max out at 16
+# members/bucket (measured), 16× under the default, so every
+# registered oracle row is value-identical with the guard on.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _lsh_candidate_split(
+    banded: DataFrame, scope: PersistScope, max_bucket: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split candidate generation over a (persisted) band relation into
+    ``(small_pairs, star_edges)``: buckets with population ≤
+    ``max_bucket`` emit their full in-bucket pair set via the bucket
+    self-join; buckets over it resolve directly to a duplicate group
+    via star edges (see DEFAULT_MAX_BUCKET).  ``star_edges`` is None
+    when ``max_bucket`` is None (unbounded legacy behavior)."""
+    src = banded
+    star = None
+    if max_bucket is not None:
+        # map-side-combined census — never a partitionBy(bucket)
+        # window, which would put a hot bucket's rows in one task
+        counts = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_hub")
+        )
+        # persisted: read by both the anti-join and the star join;
+        # ≤ |docs|·bands / max_bucket rows — tiny, AQE broadcasts it
+        hot = scope.persist(
+            counts.filter(F.col("_n") > max_bucket).select(
+                "band", "band_hash", "_hub"
+            )
+        )
+        src = banded.join(
+            hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
+        )
+        star = (
+            banded.join(hot, ["band", "band_hash"])
+            .filter(F.col("_id") != F.col("_hub"))
+            .select(
+                F.least("_hub", "_id").alias("id_a"),
+                F.greatest("_hub", "_id").alias("id_b"),
+            )
+        )
+    a = src.select(F.col("_id").alias("id_a"), "band", "band_hash")
+    b = src.select(F.col("_id").alias("id_b"), "band", "band_hash")
+    small = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return small, star
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -176,12 +240,20 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingles: DataFrame | None = None,
     scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding on any band's hash are
     candidates.  The self-join is on (band, band_hash) — i.e. only
-    within buckets, never all-pairs.
+    within buckets, never all-pairs — and bucket populations over
+    ``max_bucket`` contribute O(m) star edges instead of m²/2 clique
+    pairs (see DEFAULT_MAX_BUCKET), so per-bucket pair mass is bounded
+    regardless of how pathological the duplicate distribution is.
 
-    Returns (id_a, id_b) with id_a < id_b, distinct.
+    Returns (id_a, id_b) with id_a < id_b, distinct.  Star edges from
+    over-bound buckets preserve connected components exactly (a star
+    and a clique on the same members have the same components), so
+    group-level dedup downstream is unchanged; only the enumeration of
+    every intra-cluster pair is elided.
 
     ``scope``: caller-owned cache lifecycle (see caching.PersistScope)
     — result stays lazy, caller releases.  Without it the candidate
@@ -193,18 +265,14 @@ def minhash_lsh_candidates(
     banded = minhash_band_table(
         docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=shingles
     )
-    # persist: the bucket self-join reads `banded` twice, and each
-    # un-persisted read replays the full shingle+signature pipeline
-    # (the expensive part).  One row per (doc, band) — tiny.
+    # persist: the bucket self-join reads `banded` twice (plus the
+    # census), and each un-persisted read replays the full
+    # shingle+signature pipeline (the expensive part).  One row per
+    # (doc, band) — tiny.
     banded = scope.persist(banded)
-    a = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
-    out = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    small, star = _lsh_candidate_split(banded, scope, max_bucket)
+    out = small if star is None else small.unionByName(star)
+    out = out.distinct()
     return materialize_release(out, scope) if own else out
 
 
@@ -217,6 +285,7 @@ def incremental_lsh_candidates(
     n_hashes: int = 12,
     bands: int = 4,
     scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs for a NEW ingest increment against an existing
     corpus, without touching the existing corpus's text: signatures
@@ -241,12 +310,15 @@ def incremental_lsh_candidates(
     new_banded = scope.persist(
         minhash_band_table(new_docs, id_col, text_col, k_shingle, n_hashes, bands)
     )
-    out = lsh_probe_bands(new_banded, band_table)
+    out = lsh_probe_bands(new_banded, band_table, max_bucket=max_bucket, scope=scope)
     return materialize_release(out, scope) if own else out
 
 
 def lsh_probe_bands(
-    new_banded: DataFrame, band_table: DataFrame
+    new_banded: DataFrame,
+    band_table: DataFrame,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    scope: PersistScope | None = None,
 ) -> DataFrame:
     """The band-level half of ``incremental_lsh_candidates``: candidate
     pairs of a precomputed increment band relation (minhash_band_table
@@ -254,27 +326,92 @@ def lsh_probe_bands(
     new-vs-new self-join.  Split out so a caller that also needs to
     *store* the increment's bands (the streaming ingest path,
     streaming/corpus_stream.streaming_near_dedup) computes the
-    signature pipeline exactly once per document."""
-    old = band_table.select(
-        F.col("_id").alias("id_old"), "band", "band_hash"
+    signature pipeline exactly once per document.
+
+    The bucket-population bound applies to the COMBINED (stored ∪
+    increment) population of each probed bucket: over ``max_bucket``,
+    the bucket contributes star edges — each new member to the
+    increment's hub (min new id), plus one bridge edge hub_new ↔
+    hub_old connecting the increment to the group the stored members
+    already belong to (they were interconnected when THEY were the
+    increment) — never old-vs-old edges, and never m²/2 pairs.  Group
+    membership across increments is preserved exactly; see
+    DEFAULT_MAX_BUCKET.
+
+    The stored side is first restricted (left-semi) to the increment's
+    bucket keys, so the bucket census only ever scans what the probe
+    join would read anyway — stored buckets the increment doesn't
+    touch are never counted.
+    """
+    own = scope is None
+    scope = scope or PersistScope()
+    # no .distinct() on the key side: left-semi semantics don't need
+    # it, and a distinct's aggregate would pre-partition the keys at
+    # spark.sql.shuffle.partitions — making EnsureRequirements
+    # re-shuffle the STORED side of the semi-join instead of reusing a
+    # bucketed index's layout (measured: 3 exchanges vs 2, with the
+    # extra one on the 100 TB side)
+    keys = new_banded.select("band", "band_hash")
+    old_hit = (
+        band_table.select("_id", "band", "band_hash")
+        .join(keys, ["band", "band_hash"], "left_semi")
     )
-    new_a = new_banded.select(F.col("_id").alias("id_new"), "band", "band_hash")
-    cross = (
-        new_a.join(old, ["band", "band_hash"])
-        .select(
-            F.least("id_new", "id_old").alias("id_a"),
-            F.greatest("id_new", "id_old").alias("id_b"),
+    # one tagged relation feeds census, pair self-join and star join —
+    # persisted so the stored-side probe scan happens once
+    comb = scope.persist(
+        new_banded.select("_id", "band", "band_hash")
+        .withColumn("_new", F.lit(True))
+        .unionByName(old_hit.withColumn("_new", F.lit(False)))
+    )
+    star = None
+    src = comb
+    if max_bucket is not None:
+        counts = comb.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.when(F.col("_new"), F.col("_id"))).alias("_hub_new"),
+            F.min(F.when(~F.col("_new"), F.col("_id"))).alias("_hub_old"),
         )
-        .filter(F.col("id_a") != F.col("id_b"))
+        # every comb bucket has ≥1 new member (old side is semi-joined
+        # on the increment's keys), so _hub_new is never null
+        hot = scope.persist(
+            counts.filter(F.col("_n") > max_bucket).select(
+                "band", "band_hash", "_hub_new", "_hub_old"
+            )
+        )
+        src = comb.join(
+            hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
+        )
+        star_new = (
+            comb.join(hot, ["band", "band_hash"])
+            .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
+            .select(
+                F.least("_hub_new", "_id").alias("id_a"),
+                F.greatest("_hub_new", "_id").alias("id_b"),
+            )
+        )
+        star_bridge = (
+            hot.filter(F.col("_hub_old").isNotNull())
+            .select(
+                F.least("_hub_old", "_hub_new").alias("id_a"),
+                F.greatest("_hub_old", "_hub_new").alias("id_b"),
+            )
+        )
+        star = star_new.unionByName(star_bridge)
+    a = src.select(
+        F.col("_id").alias("id_a"), F.col("_new").alias("_new_a"), "band", "band_hash"
     )
-    a = new_banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
-    b = new_banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
-    within = (
+    b = src.select(
+        F.col("_id").alias("id_b"), F.col("_new").alias("_new_b"), "band", "band_hash"
+    )
+    pairs = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("_new_a") | F.col("_new_b"))
         .select("id_a", "id_b")
     )
-    return cross.unionByName(within).distinct()
+    out = pairs if star is None else pairs.unionByName(star)
+    out = out.distinct()
+    return materialize_release(out, scope) if own else out
 
 
 def jaccard_pairs(
@@ -393,6 +530,7 @@ def near_dup_pairs(
     n_hashes: int = 12,
     bands: int = 4,
     scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The near-dedup composition: MinHash-LSH candidate generation +
     exact Jaccard verification, with the shingle relation computed
@@ -403,6 +541,16 @@ def near_dup_pairs(
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold among LSH
     candidates.
 
+    Buckets over ``max_bucket`` resolve to a duplicate group directly
+    (see DEFAULT_MAX_BUCKET): their O(m) star edges are emitted with
+    their TRUE measured jaccard but WITHOUT the threshold filter —
+    collision density at that population is the acceptance evidence,
+    and filtering a star edge would silently disconnect a member from
+    a group the full clique would have kept connected.  Group-level
+    dedup downstream (connected components) is therefore identical to
+    the unbounded composition whenever cluster members genuinely pass
+    the threshold — at m²/2-fold less pair mass.
+
     ``scope``: caller-owned cache lifecycle — result stays lazy and
     the caller releases the shingle/band caches.  Without it the
     (pairs-sized) result is materialized eagerly and every
@@ -410,14 +558,26 @@ def near_dup_pairs(
     own = scope is None
     scope = scope or PersistScope()
     sh = scope.persist(_shingled(docs, id_col, text_col, k_shingle))
-    cand = minhash_lsh_candidates(
-        docs, id_col, text_col, k_shingle, n_hashes, bands,
-        shingles=sh, scope=scope,
+    banded = scope.persist(
+        minhash_band_table(
+            docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=sh
+        )
     )
+    small, star = _lsh_candidate_split(banded, scope, max_bucket)
     out = jaccard_pairs(
         docs, id_col, text_col, k_shingle, threshold,
-        candidates=cand, shingles=sh, scope=scope,
+        candidates=small, shingles=sh, scope=scope,
     )
+    if star is not None:
+        # threshold=0.0: no size-ratio prune, no jaccard filter — the
+        # star edges are already resolved; jaccard rides along for
+        # auditability.  Overlap with the verified side (a pair can sit
+        # in both a small and a hot bucket) collapses in the distinct.
+        resolved = jaccard_pairs(
+            docs, id_col, text_col, k_shingle, 0.0,
+            candidates=star, shingles=sh, scope=scope,
+        )
+        out = out.unionByName(resolved).distinct()
     return materialize_release(out, scope) if own else out
 
 
@@ -593,6 +753,7 @@ def probe_band_index(
     text_col: str = "text",
     prune_shards: bool = True,
     scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """``incremental_lsh_candidates`` against the ON-DISK index:
     candidate pairs (id_a, id_b) of the increment vs the accumulated
@@ -631,7 +792,9 @@ def probe_band_index(
             .collect()
         ]
         index = index.filter(F.col("shard").isin(shards))
-    out = lsh_probe_bands(new_banded, index.drop("shard"))
+    out = lsh_probe_bands(
+        new_banded, index.drop("shard"), max_bucket=max_bucket, scope=scope
+    )
     return materialize_release(out, scope) if own else out
 
 

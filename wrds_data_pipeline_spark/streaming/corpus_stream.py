@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions.text import fingerprint
+from wrds_data_pipeline_spark.operators.dedup import DEFAULT_MAX_BUCKET
 
 
 def streaming_exact_dedup(
@@ -191,6 +192,7 @@ def streaming_near_dedup(
     n_hashes: int = 12,
     bands: int = 4,
     max_files_per_trigger: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ):
     """Streaming MinHash-LSH near-dedup: each micro-batch's documents
     are signature-banded ONCE, probed against the persisted corpus
@@ -203,7 +205,12 @@ def streaming_near_dedup(
     the union of per-batch candidate pairs over any arrival order
     equals ``minhash_lsh_candidates`` over the accumulated corpus —
     every pair is emitted exactly once, by whichever batch completes
-    it.
+    it.  When a bucket's accumulated population crosses ``max_bucket``
+    the contract weakens (by design) from pair-level to GROUP-level:
+    hot buckets contribute star edges per batch (new members ↔ batch
+    hub, batch hub ↔ stored hub), so connected components over the
+    union equal the batch operator's components while per-bucket pair
+    mass stays O(m) — see operators/dedup.DEFAULT_MAX_BUCKET.
 
     Scale: per-batch cost is O(|batch|) signature work + a probe join
     sized by band-bucket collisions; the accumulated corpus is never
@@ -225,7 +232,7 @@ def streaming_near_dedup(
         index_rows=lambda bdf: minhash_band_table(
             bdf, id_col, text_col, k_shingle, n_hashes, bands
         ),
-        pairs=lsh_probe_bands,
+        pairs=lambda nb, bt: lsh_probe_bands(nb, bt, max_bucket=max_bucket),
         empty_cols=["id_a", "id_b"],
         max_files_per_trigger=max_files_per_trigger,
     )
