@@ -458,3 +458,147 @@ def test_corpus_cli_perplexity_stage(spark, tmp_path):
     shards = pd.read_parquet(os.path.join(out, "shards"))
     kept_ids = set(shards["doc_id"])
     assert kept_ids and kept_ids <= {i for i, _ in fluent}
+
+
+def test_corpus_cli_fused_gates_parity_with_stock_operators(spark, tmp_path):
+    """Round-7 stage fusion: --quality-model + --lm-ref + --keep-frac
+    are applied as one persisted scored relation with driver-side
+    scalar cutoffs (one corpus materialization) — the kept set must
+    equal the sequential stock-operator chain (filter_by_quality_model
+    → inner-join cross-entropy → quantile(keep_low) → quantile),
+    whose crossJoin plans replayed the upstream chain per gate."""
+    from wrds_data_pipeline_spark.cli import corpus_main, quality_main
+    from wrds_data_pipeline_spark.operators.keywords import (
+        build_bigram_vocab,
+        build_vocab,
+        doc_cross_entropy_bigram,
+    )
+    from wrds_data_pipeline_spark.operators.quality_model import (
+        filter_by_quality_model,
+        load_quality_model,
+    )
+    from wrds_data_pipeline_spark.plans.corpus import (
+        curate,
+        quality_quantile_filter,
+    )
+
+    good = "the committee reviewed the quarterly findings in detail"
+    bad = "win cash now lucky prize casino bonus click subscribe"
+    rows = [
+        (i, f"{good} section {i} with extra discussion of item {i}")
+        for i in range(16)
+    ] + [(100 + i, f"{bad} spin {i} offer {i}") for i in range(8)]
+    docs_path = os.path.join(str(tmp_path), "fdocs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(docs_path)
+
+    labeled = os.path.join(str(tmp_path), "flabeled")
+    spark.createDataFrame(
+        [(i, f"{good} v{i}", 1) for i in range(12)]
+        + [(50 + i, f"{bad} v{i}", 0) for i in range(12)],
+        ["doc_id", "text", "label"],
+    ).write.parquet(labeled)
+    model_dir = os.path.join(str(tmp_path), "fmodel")
+    assert quality_main(["train", labeled, model_dir,
+                         "--n-buckets", "4096"]) == 0
+
+    ref_path = os.path.join(str(tmp_path), "fref")
+    spark.createDataFrame(
+        [(i, f"{good} reference passage number {i}") for i in range(20)],
+        ["doc_id", "text"],
+    ).write.parquet(ref_path)
+
+    out = os.path.join(str(tmp_path), "fout")
+    rc = corpus_main([
+        docs_path, out, "--min-quality", "0.0",
+        "--quality-model", model_dir, "--model-min-prob", "0.4",
+        "--lm-ref", ref_path, "--perplexity-keep-frac", "0.6",
+        "--keep-frac", "0.8",
+    ])
+    assert rc == 0
+    got = set(pd.read_parquet(os.path.join(out, "shards"))["doc_id"])
+
+    # stock chain
+    docs = spark.read.parquet(docs_path)
+    kept, _ = curate(docs, min_quality=0.0)
+    kept = filter_by_quality_model(
+        kept, load_quality_model(spark, model_dir), min_prob=0.4
+    )
+    ref = spark.read.parquet(ref_path)
+    ce = doc_cross_entropy_bigram(
+        kept, build_vocab(ref), build_bigram_vocab(ref)
+    ).select("doc_id", "cross_entropy")
+    kept = quality_quantile_filter(
+        kept.join(ce, "doc_id"), keep_frac=0.6,
+        quality_col="cross_entropy", keep_low=True,
+    ).drop("_q_cut", "cross_entropy")
+    kept = quality_quantile_filter(kept, keep_frac=0.8).drop("_q_cut")
+    want = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want and got
+
+
+def test_corpus_cli_scrub_recomputes_text_derived_columns(spark, tmp_path):
+    """After --bench-scrub the known text-derived metadata columns are
+    recomputed from the SCRUBBED text (ADVICE r6: n_chars etc. rode
+    stale from the pre-scrub text into the shards)."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    leak = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been there since the early middle ages period"
+    )
+    body = " ".join(f"carrier{i} words{i} here{i}" for i in range(30))
+    rows = [
+        (1, body + " " + leak),
+        (2, "a clean document with enough plain words to survive the "
+            "quality screens and the packing stage easily"),
+    ]
+    from pyspark.sql import functions as F
+
+    docs_path = os.path.join(str(tmp_path), "cdocs")
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "cbench")
+    spark.createDataFrame([(0, leak)], ["qid", "text"]).write.parquet(bench)
+
+    out = os.path.join(str(tmp_path), "cout")
+    rc = corpus_main([docs_path, out, "--bench", bench, "--bench-scrub",
+                      "--min-quality", "0.0"])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out, "shards"))
+    assert set(shards["doc_id"]) == {1, 2}
+    for _, r in shards.iterrows():
+        assert r["n_chars"] == len(r["text"])
+    # the carrier actually shrank, so the recompute is observable
+    t1 = shards[shards.doc_id == 1].iloc[0]
+    assert t1["n_chars"] < len(rows[0][1])
+
+
+def test_corpus_cli_scrub_warns_on_sub_window_bench_items(
+    spark, tmp_path, capsys
+):
+    """Benchmark items under the 8-token scrub window are reported:
+    they have no scrub windows, so scrub mode cannot excise their
+    leaks (ADVICE r6)."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    docs_path = os.path.join(str(tmp_path), "wdocs")
+    spark.createDataFrame(
+        [(1, "a clean document with plenty of ordinary words to keep "
+             "the quality screens happy through packing")],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "wbench")
+    spark.createDataFrame(
+        [(0, "tiny item"), (1, "a benchmark passage long enough to "
+                               "carry full eight token windows fine")],
+        ["qid", "text"],
+    ).write.parquet(bench)
+
+    out = os.path.join(str(tmp_path), "wout")
+    rc = corpus_main([docs_path, out, "--bench", bench, "--bench-scrub",
+                      "--min-quality", "0.0"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "warning: 1 benchmark item(s) shorter than 8 tokens" in stdout

@@ -570,6 +570,49 @@ def test_with_sim_assigner_matches_cosine(spark, driver_tables):
         assert abs(r["proto_sim"] - want) < 1e-9
 
 
+def test_zero_norm_vectors_score_zero_and_are_prunable(spark):
+    """Zero-norm embeddings (ADVICE r6): cosine is 0/0 — ungarded,
+    proto_sim came out NULL, which sorts FIRST in cluster_prune's
+    ascending keep='far' ranking, so zero vectors were retained
+    regardless of keep_frac.  Guarded: proto_sim = 0.0 (deterministic
+    cell, honest no-similarity score) on BOTH the exact and the
+    hierarchical assigner, and cluster_prune treats zero vectors like
+    any minimal-similarity member instead of unconditionally keeping
+    them."""
+    from wrds_data_pipeline_spark.operators.similarity import (
+        cluster_prune,
+        exact_assigner,
+        hierarchical_assigner,
+    )
+
+    dim = 8
+    cents = [
+        (0, [1.0] + [0.0] * (dim - 1)),
+        (1, [0.0, 1.0] + [0.0] * (dim - 2)),
+    ]
+    rows = [(0, [0.0] * dim)] + [
+        (i, [1.0 + 0.01 * i] + [0.0] * (dim - 1)) for i in range(1, 9)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for factory in (
+        exact_assigner(cents, with_sim=True),
+        hierarchical_assigner(cents, with_sim=True),
+    ):
+        out = {r["vec_id"]: r["proto_sim"] for r in factory(emb).collect()}
+        assert out[0] == 0.0  # not None
+        assert all(v is not None for v in out.values())
+
+    # keep='far' ascending: the zero vector has the LOWEST proto_sim,
+    # so at keep_frac small it is kept by rank like any far member —
+    # but a NULL would have been kept in EVERY cell configuration;
+    # verify it is dropped when its cell's quota fills with members
+    # and keep='near' is used (nearest kept, zero vector farthest)
+    near = cluster_prune(emb, cents, keep_frac=0.5, keep="near")
+    kept = {r["vec_id"] for r in near.collect()}
+    assert 0 not in kept
+
+
 def test_cluster_prune_hierarchical_agrees_with_exact(spark):
     """assign='hierarchical' picks the same survivors as exact on
     well-separated planted clusters, and its proto_sim matches the

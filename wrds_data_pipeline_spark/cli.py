@@ -212,7 +212,11 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "decontaminate against (8-gram overlap)")
     p.add_argument("--bench-scrub", action="store_true",
                    help="surgical mode: cut only the overlapping "
-                   "spans instead of dropping whole documents")
+                   "spans instead of dropping whole documents. "
+                   "Caveat: benchmark items shorter than the 8-token "
+                   "window have no scrub windows, so their leaks pass "
+                   "through (drop mode catches them via the whole-text "
+                   "short-item rule); a warning reports their count")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--keep-frac", type=float, default=None,
                    help="keep top fraction by quality after filters")
@@ -253,7 +257,6 @@ def corpus_main(argv: list[str] | None = None) -> int:
     from wrds_data_pipeline_spark.plans.corpus import (
         curate,
         curation_report,
-        quality_quantile_filter,
     )
 
     spark = get_spark(app_name="wrds-spark-corpus")
@@ -300,6 +303,22 @@ def corpus_main(argv: list[str] | None = None) -> int:
                 "overwrite"
             ).parquet(f"{args.out_dir}/leak_report")
         if args.bench_scrub:
+            from wrds_data_pipeline_spark.functions import text as X
+
+            # sub-n gap (ADVICE r6): benchmark items shorter than the
+            # 8-token window produce NO scrub windows (the scrubber's
+            # window-exact rule), so their leaks pass through in scrub
+            # mode — drop mode catches them via the whole-text
+            # short-item shingle rule.  Surface the count so the
+            # operator can decide to re-run without --bench-scrub.
+            n_short = bench_df.filter(X.token_count("text") < 8).count()
+            if n_short:
+                print(
+                    f"warning: {n_short} benchmark item(s) shorter than "
+                    "8 tokens have no scrub windows; any leaks of those "
+                    "items pass through untouched (drop mode — omit "
+                    "--bench-scrub — catches them)"
+                )
             cols = [c for c in kept.columns if c not in ("text",)]
             scrubbed = scrub_contaminated_spans(kept, bench_df, n=8)
             # re-attach the curation columns the scrub output drops
@@ -308,43 +327,92 @@ def corpus_main(argv: list[str] | None = None) -> int:
                 .join(scrubbed.select("doc_id", "text"), "doc_id")
                 .select(*cols, "text")
             )
+            # text-derived metadata computed PRE-scrub must not ride
+            # stale into the shards (ADVICE r6: e.g. n_chars longer
+            # than the written text) — recompute every known
+            # text-derived column from the scrubbed text.  Unknown
+            # input metadata rides as-is (provenance is the caller's).
+            stale = {
+                "n_chars": F.length("text"),
+                "quality": F.round(X.quality_score("text"), 6),
+                "ws_tokens": X.token_count("text"),
+                "bpe_tokens": X.bpe_ish_token_count("text"),
+                "fingerprint": X.fingerprint("text"),
+            }
+            for c, expr in stale.items():
+                if c in cols:
+                    kept = kept.withColumn(c, expr)
         else:
             kept = decontaminate(kept, bench_df, n=8)
-    if args.quality_model:
-        from wrds_data_pipeline_spark.operators.quality_model import (
-            filter_by_quality_model,
-            load_quality_model,
-        )
+    # --- fused per-doc gate stage (round 7, VERDICT r6 next #3): the
+    # three post-curation gates (model probability, reference
+    # perplexity, quality quantile) are per-doc scores + scalar
+    # cutoffs.  Chained through the stock operators, each
+    # quantile's percentile_approx crossJoin references the scored
+    # relation TWICE, so the whole upstream curate/scrub chain
+    # replayed once per gate (~4 corpus passes at full option load).
+    # Fused: score columns joined onto ONE persisted relation, the
+    # cutoffs computed as driver-side scalars from the cache (the
+    # scored relation materializes exactly once), one final filter.
+    # Per-gate semantics are bit-identical to the stock operators:
+    # same round(…, 6), same percentile_approx accuracy, and each
+    # cutoff is computed over the population surviving the PREVIOUS
+    # gates, exactly as the sequential chain did (parity-tested in
+    # tests/test_cli.py).
+    scored = None
+    if args.quality_model or args.lm_ref or args.keep_frac:
+        from wrds_data_pipeline_spark.functions import text as X
 
-        kept = filter_by_quality_model(
-            kept,
-            load_quality_model(spark, args.quality_model),
-            min_prob=args.model_min_prob,
-        )
-    if args.lm_ref:
-        from wrds_data_pipeline_spark.operators.keywords import (
-            build_bigram_vocab,
-            build_vocab,
-            doc_cross_entropy_bigram,
-        )
+        scored = kept
+        if args.quality_model:
+            from wrds_data_pipeline_spark.operators.quality_model import (
+                load_quality_model,
+                score_quality,
+            )
 
-        ref = spark.read.parquet(args.lm_ref)
-        ce = doc_cross_entropy_bigram(
-            kept, build_vocab(ref), build_bigram_vocab(ref)
-        ).select("doc_id", "cross_entropy")
-        # inner join: docs with < 2 tokens have no perplexity and are
-        # dropped — anything that short failed the length screens
-        # upstream anyway
-        kept = quality_quantile_filter(
-            kept.join(ce, "doc_id"),
-            keep_frac=args.perplexity_keep_frac,
-            quality_col="cross_entropy",
-            keep_low=True,
-        ).drop("_q_cut", "cross_entropy")
-    if args.keep_frac:
-        kept = quality_quantile_filter(kept, keep_frac=args.keep_frac).drop(
-            "_q_cut"  # internal cutoff must not leak into the shards
-        )
+            model = load_quality_model(spark, args.quality_model)
+            probs = score_quality(scored, model).select(
+                "doc_id", F.col("prob").alias("_prob")
+            )
+            scored = scored.join(probs, "doc_id")
+        if args.lm_ref:
+            from wrds_data_pipeline_spark.operators.keywords import (
+                build_bigram_vocab,
+                build_vocab,
+                doc_cross_entropy_bigram,
+            )
+
+            ref = spark.read.parquet(args.lm_ref)
+            ce = doc_cross_entropy_bigram(
+                scored, build_vocab(ref), build_bigram_vocab(ref)
+            ).select("doc_id", F.round("cross_entropy", 6).alias("_ce"))
+            # left join + null filter below ≡ the old inner join:
+            # docs with < 2 tokens have no perplexity and are dropped
+            scored = scored.join(ce, "doc_id", "left")
+        if args.keep_frac:
+            scored = scored.withColumn(
+                "_q", F.round(X.quality_score("text"), 6)
+            )
+        scored = scored.persist()
+        sel = scored
+        if args.quality_model:
+            sel = sel.filter(F.col("_prob") >= F.lit(args.model_min_prob))
+        if args.lm_ref:
+            sel = sel.filter(F.col("_ce").isNotNull())
+            ce_cut = sel.agg(
+                F.percentile_approx(
+                    "_ce", F.lit(args.perplexity_keep_frac), F.lit(10_000)
+                )
+            ).first()[0]
+            sel = sel.filter(F.col("_ce") <= F.lit(ce_cut))
+        if args.keep_frac:
+            q_cut = sel.agg(
+                F.percentile_approx(
+                    "_q", F.lit(1.0 - args.keep_frac), F.lit(10_000)
+                )
+            ).first()[0]
+            sel = sel.filter(F.col("_q") >= F.lit(q_cut))
+        kept = sel.drop("_prob", "_ce", "_q")
     # persist: kept feeds the packing plan AND the shard join; packed
     # feeds the write AND the summary — without these the whole
     # curate->decontaminate->quantile chain re-executes per action
@@ -376,6 +444,8 @@ def corpus_main(argv: list[str] | None = None) -> int:
     row = spark.read.parquet(f"{args.out_dir}/shards_summary").first()
     kept.unpersist()
     packed.unpersist()
+    if scored is not None:
+        scored.unpersist()
     print(
         f"{row['n_docs']} docs in {row['n_seqs']} sequences "
         f"({row['n_tokens']} tokens) -> {args.out_dir}"

@@ -23,7 +23,10 @@ Scale design (100 TB):
   (SCALE.md) would otherwise re-tokenize per term.
 - Training is driver-side numpy on a deterministic hash-sample
   (``pq_train`` precedent: TakeOrderedAndProject, never a full
-  collect).  A linear model on 10k docs is sub-second; the expensive
+  collect), with the design matrix kept SPARSE (COO triplets +
+  bincount segment sums — driver memory is nnz×24 bytes ≈ tens of
+  MB at sample=10k, never the n×occupied-buckets dense matrix,
+  which realistic web text would push to ~20 GB).  The expensive
   part — featurizing the sample — runs in Spark with the SAME
   expression the scorer uses, so train/score skew is impossible.
 - The persisted artifact (weights parquet + one-row meta) follows
@@ -169,27 +172,42 @@ def train_quality_model(
     )
     if not rows:
         raise ValueError("train_quality_model: no non-empty documents")
-    # sparse design matrix (L1-normalized counts), dense only over the
-    # buckets that actually occur in the sample
+    # SPARSE design matrix (L1-normalized counts) in COO triplets over
+    # the buckets that actually occur in the sample.  Never densified:
+    # realistic web text at sample=10k saturates O(10^5) buckets, and
+    # a dense n×d float64 matrix would be ~20 GB on the driver
+    # (ADVICE r6).  Memory bound here is nnz×24 bytes — nnz = total
+    # DISTINCT (doc, bucket) pairs, ~10^6 at defaults ⇒ tens of MB.
     buckets = sorted(
         {int(f["bucket"]) for r in rows for f in r["_f"]}
     )
     col_of = {b: j for j, b in enumerate(buckets)}
     n, d = len(rows), len(buckets)
-    X = np.zeros((n, d))
+    nnz = sum(len(r["_f"]) for r in rows)
+    row_ix = np.empty(nnz, dtype=np.int64)
+    col_ix = np.empty(nnz, dtype=np.int64)
+    data = np.empty(nnz, dtype=np.float64)
     y = np.empty(n)
+    k = 0
     for i, r in enumerate(rows):
         y[i] = r["_y"]
         inv = 1.0 / float(r["_n"])
         for f in r["_f"]:
-            X[i, col_of[int(f["bucket"])]] = f["cnt"] * inv
+            row_ix[k] = i
+            col_ix[k] = col_of[int(f["bucket"])]
+            data[k] = f["cnt"] * inv
+            k += 1
     w = np.zeros(d)
     b = 0.0
     for _ in range(iters):
-        z = X @ w + b
+        # X @ w and X.T @ g as segment sums over the triplets
+        # (np.bincount = one pass over nnz) — identical arithmetic to
+        # the dense products, no scipy dependency
+        z = np.bincount(row_ix, weights=data * w[col_ix], minlength=n) + b
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y
-        w -= lr * ((X.T @ g) / n + l2 * w)
+        xtg = np.bincount(col_ix, weights=data * g[row_ix], minlength=d)
+        w -= lr * (xtg / n + l2 * w)
         b -= lr * float(g.mean())
     return QualityModel(
         n_buckets=n_buckets,

@@ -618,12 +618,21 @@ def exact_assigner(
         F.transform(v, lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
+        # zero-norm guard (ADVICE r6): a zero vector (or zero
+        # centroid) would make every sim 0/0 = NULL — argmax order
+        # undefined, and in cluster_prune's ascending keep='far'
+        # ranking nulls sort FIRST, retaining zero vectors regardless
+        # of keep_frac.  sim=0.0 instead: deterministic assignment
+        # (ties → earliest cell), honest "no similarity" score.
         lambda ss: F.transform(
             mat,
             lambda c, j: F.struct(
-                (
-                    dot(v, c) / (F.sqrt(ss) * F.element_at(norms, j + 1))
-                ).alias("sim"),
+                F.when(
+                    (ss > F.lit(0.0)) & (F.element_at(norms, j + 1) > F.lit(0.0)),
+                    dot(v, c) / (F.sqrt(ss) * F.element_at(norms, j + 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("sim"),
                 (-F.element_at(cell_ids, j + 1)).alias("neg_cell"),
             ),
         ),
@@ -831,7 +840,13 @@ def hierarchical_assigner(
                         F.transform(v, lambda x: x * x),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
-                        lambda ss: F.col("_best.sim") / F.sqrt(ss),
+                        # zero-norm guard (ADVICE r6): 0/0 → NULL
+                        # would sort FIRST in cluster_prune's
+                        # ascending keep='far' ranking; 0.0 is the
+                        # honest no-similarity score
+                        lambda ss: F.when(
+                            ss > F.lit(0.0), F.col("_best.sim") / F.sqrt(ss)
+                        ).otherwise(F.lit(0.0)),
                     ),
                 )
                 .drop("_l1", "_best")
