@@ -190,6 +190,144 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
         )
 
 
+def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
+    """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
+    ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
+    docs (VERDICT r6 next #2's regime), the rest of each ~100-token
+    doc random.  With k=8 the sentence contributes 5 identical gram
+    hashes with 0.3·n instances EACH — the hot-key shape that a
+    ``partitionBy(h)`` window would pin to one task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a DIRECTORY of 16 files, not one: a single parquet file under
+    # maxPartitionBytes is ONE scan split, so the whole corpus scan +
+    # repartition map side runs in one task — a fixture artifact that
+    # measured as a phantom 500× "skew" before any gram work started
+    # (production input arrives in thousands of splits)
+    path = os.path.join(STAGE, f"skewdocs_{n}_h{hot_frac}_multifile")
+    if os.path.exists(path):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(20000)]
+    hot = " ".join(f"hot{j}" for j in range(12))
+    texts = []
+    for i in range(n):
+        toks = [vocab[t] for t in rng.integers(0, 20000, 100)]
+        if i % 10 < int(hot_frac * 10):
+            toks[40:40] = hot.split()
+        texts.append(" ".join(toks))
+    n_files = 16
+    per = (n + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(lo, hi), pa.int64()),
+                    "text": pa.array(texts[lo:hi], pa.string()),
+                }
+            ),
+            os.path.join(path, f"part-{f:02d}.parquet"),
+        )
+    return path
+
+
+def _task_skew(spark, stages_before: set[tuple[int, int]]):
+    """(worst_ratio, rows): per new completed stage with ≥8 tasks and
+    a ≥200ms max task, the max/median task duration from the UI REST
+    API (quantiles 0/0.5/1).  Needs spark.ui.enabled=true."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        )
+    )
+    rows = []
+    for s in stages:
+        key = (s["stageId"], s["attemptId"])
+        if key in stages_before or s["numTasks"] < 8:
+            continue
+        ts = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+            )
+        )
+        lo, med, hi = ts["duration"]
+        if hi < 200:  # ms — sub-noise stages prove nothing
+            continue
+        rows.append((s["stageId"], s["numTasks"], med, hi, hi / max(med, 1.0)))
+    # the skew verdict considers stages whose MEDIAN task does real
+    # work (≥100ms): a genuine hot-key strand shows up as a
+    # multi-second max there; a 200ms max over a 30ms median is
+    # scheduler noise, not a stranded key
+    worst = max((r[-1] for r in rows if r[2] >= 100), default=0.0)
+    return worst, rows
+
+
+def _completed_stage_keys(spark) -> set[tuple[int, int]]:
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    return {
+        (s["stageId"], s["attemptId"])
+        for s in json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+    }
+
+
+def spans_skew_rung(spark, sizes: list[int]) -> None:
+    """Span-dedup HOT-GRAM skew, measured not asserted (VERDICT r6
+    next #2): the keep-first aggregate must combine the hot gram
+    map-side and the instance join must AQE-split it, so no task
+    strands on the boilerplate key.  Pass = max-task/median-task
+    under ~3× on the heavy stages at every size.  Requires the rung's
+    own session with the UI on (`main` arranges this)."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.spans import span_dedup
+
+    for n in sizes:
+        docs = spark.read.parquet(_generate_skew_docs(n)).repartition(32)
+
+        def run():
+            return span_dedup(docs, k=8).agg(
+                F.sum("n_tok_removed").alias("cut"),
+                F.sum(F.length("text")).alias("bytes"),
+            ).first()
+
+        run()  # warm: codegen + shuffle machinery
+        before = _completed_stage_keys(spark)
+        t0 = time.time()
+        out = run()
+        w = time.time() - t0
+        worst, rows = _task_skew(spark, before)
+        detail = "; ".join(
+            f"stage{sid}({nt}t med={med:.0f}ms max={hi:.0f}ms r={r:.2f})"
+            for sid, nt, med, hi, r in sorted(rows, key=lambda x: -x[-1])[:4]
+        )
+        hot_carriers = sum(1 for i in range(n) if i % 10 < 3)
+        print(
+            f"n={n}: span_dedup wall={w:.1f}s removed={out['cut']} "
+            f"(hot carriers {hot_carriers}, floor {(hot_carriers - 1) * 12}) "
+            f"worst max/med={worst:.2f} [{detail}]"
+        )
+
+
 def spans_rung(spark, sizes: list[int]) -> None:
     """Span-dedup scaling: wall should grow ~linearly in corpus token
     mass (one gram-hash shuffle + duplicated-mass tail), and removed
@@ -341,6 +479,17 @@ def main() -> None:
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [2500, 5000, 10000],
             unguarded_all="--unguarded-all" in sys.argv,
+        )
+        return
+    if "--spans-skew" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        spans_skew_rung(
+            get_spark(
+                app_name="scale_rehearsal_skew",
+                extra_conf={"spark.ui.enabled": "true"},
+            ),
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [4000, 32000, 128000],
         )
         return
     if "--spans" in sys.argv:

@@ -144,8 +144,19 @@ def non_first_windows(windows: DataFrame) -> DataFrame:
         .filter(F.col("_c") > 1)
         .select("h", "_first")
     )
+    # shuffle_hash hint, REQUIRED for scale: Catalyst's size estimate
+    # for Generate (the window posexplode) is its child's, ~1/100 of
+    # the true window mass, so the planner "broadcasts" the CORPUS
+    # side of this join (measured: 1 GiB broadcast of 12M window rows
+    # at a 128k-doc rehearsal — an executor OOM at any real scale).
+    # The hint pins a shuffled hash join on h: build side is `firsts`
+    # (one row per repeated gram — h is unique there, so no build-side
+    # hot key), the corpus-sized window stream needs no sort, and a
+    # hot gram's stream partition is exactly what AQE skew-join
+    # splitting redistributes (rehearsed: tools/scale_rehearsal.py
+    # --spans-skew).
     return (
-        windows.join(firsts, "h")
+        windows.join(firsts.hint("shuffle_hash"), "h")
         .filter(
             (F.col("_first._id") != F.col("_id"))
             | (F.col("_first.i") != F.col("i"))
