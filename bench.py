@@ -61,6 +61,9 @@ HEADLINE = [
     # regression matters most for streaming deployments.
     "q61_span_dedup",
     "q60_incremental_lsh",
+    # round 7: shingle containment (the subset/quote detector),
+    # registered as q62 by rotating q11.
+    "q62_containment_pairs",
 ]
 
 
@@ -81,19 +84,32 @@ def main() -> None:
     for name in HEADLINE:
         driver_queries.QUERIES[name](spark, sf_dir).count()
 
+    # Noise protocol (round 7, VERDICT r6 next #8): the shared box's
+    # ambient load inflated late-session readings ~40% in r6, making
+    # round-over-round deltas ambiguous.  Three timed repeats per
+    # query, report the MEDIAN (best-of hides sustained contention;
+    # the median is robust to one descheduled run either way), and
+    # stamp the 1-minute load average before/after so BENCH_rNN
+    # records the conditions it ran under.
+    load_start = os.getloadavg()[0]
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = driver_queries.QUERIES[name]
-        best, n = None, 0
-        for _ in range(2):  # report the best of 2 warm runs
+        samples, n = [], 0
+        for _ in range(repeats):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
         total += times[name]
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]}s median of {samples} ({n} rows)",
+            file=sys.stderr,
+        )
+    load_end = os.getloadavg()[0]
 
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
@@ -101,6 +117,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": {
+            "repeats": repeats,
+            "stat": "median",
+            "load_avg_1m_start": round(load_start, 2),
+            "load_avg_1m_end": round(load_end, 2),
+        },
     }))
 
 

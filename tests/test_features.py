@@ -191,3 +191,54 @@ def test_save_graphs_pt_requires_torch_or_roundtrips(spark, wrds, tmp_path):
         assert data.edge_index.shape == g["edge_index"].shape
         assert float(data.edge_attr.sum()) > 0
         assert data.id == g["date"].isoformat()
+
+
+def test_lag_label_duckdb_twin(spark):
+    """q11's oracle, preserved verbatim after its round-7 rotation out
+    of the registry (slot now checks containment, q62): the W7 lag +
+    F14 direction label against DuckDB on the driver events table."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.driver_queries import _events
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("value").over(w)
+    got = (
+        e.select(
+            "user_id", "ts_us", "event_id", "value",
+            prev.alias("prev_value"),
+            (F.col("value") > prev).cast("int").alias("up_label"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               CAST(value > lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS up_label
+        FROM events
+        ORDER BY user_id, ts_us, event_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_series_equal(
+        got["prev_value"].astype("float64"),
+        want["prev_value"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["up_label"].astype("float64"),
+        want["up_label"].astype("float64"),
+        check_names=False,
+    )
