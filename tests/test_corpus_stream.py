@@ -517,3 +517,117 @@ def test_streaming_scrub_spans_parity(spark, tmp_path):
     assert got.equals(want)
     assert "capital of france" not in got[got.doc_id == 1]["text"].iloc[0]
     assert got[got.doc_id == 3]["text"].iloc[0] == ""
+
+
+def test_streaming_near_dedup_restart_from_checkpoint(spark, tmp_path):
+    """Restart recovery (VERDICT r6 next #4): a stream stopped after
+    its first batches and RESTARTED from the same checkpointLocation
+    resumes after the last committed batch — already-processed files
+    are never re-read, so no pair is emitted twice and no index rows
+    are re-appended.  Union across the restart equals the batch
+    operator over the accumulated corpus; an idle restart emits
+    nothing."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    early = [
+        [(1, base + "version one"), (2, "completely unrelated text about spark plans")],
+        [(3, base + "version one"), (4, base + "version two slightly changed")],
+    ]
+    late = [[(5, "completely unrelated text about spark plans"),
+             (6, base + "version one")]]
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "rst_stream")
+    ckpt = os.path.join(str(tmp_path), "rst_ckpt")
+    idx = os.path.join(str(tmp_path), "rst_index")
+    for rows in early:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    run1 = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    p1 = set(map(tuple, run1[["id_a", "id_b"]].values.tolist()))
+    assert p1  # versions one collide within the early batches
+
+    # stop happened above (the run returned); late data arrives, the
+    # query restarts from the SAME checkpoint + index
+    for rows in late:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    run2 = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    p2 = set(map(tuple, run2[["id_a", "id_b"]].values.tolist()))
+
+    # exactly-once across the restart: disjoint, union == batch
+    assert not (p1 & p2)
+    all_docs = spark.createDataFrame(
+        [r for b in early + late for r in b], schema
+    )
+    want = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(all_docs).collect()
+    }
+    assert (p1 | p2) == want
+    # the index holds each doc's bands exactly once (no re-appends)
+    stored = spark.read.parquet(idx)
+    assert stored.count() == stored.distinct().count() == 6 * 4
+
+    # idle restart: nothing new, nothing emitted
+    run3 = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert len(run3) == 0
+
+
+def test_streaming_paragraph_dedup_restart_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the richer harness variant (index_select:
+    paragraphs probed, distinct hashes stored): each document is
+    emitted by exactly one run, each repeated paragraph survives
+    exactly once ACROSS the restart, and the stored hash index gains
+    no duplicates."""
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_paragraph_dedup,
+    )
+
+    quote = "shared quotation that repeats in many documents"
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "prst_stream")
+    ckpt = os.path.join(str(tmp_path), "prst_ckpt")
+    idx = os.path.join(str(tmp_path), "prst_index")
+    spark.createDataFrame(
+        [(1, f"alpha body\n\n{quote}"), (2, "beta body only")], schema
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    run1 = streaming_paragraph_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert sorted(run1["doc_id"]) == [1, 2]
+
+    spark.createDataFrame(
+        [(3, f"{quote}\n\ngamma body")], schema
+    ).coalesce(1).write.mode("append").parquet(stage)
+    run2 = streaming_paragraph_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema, idx,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    # only the NEW doc is emitted, with the quote already deduped
+    assert sorted(run2["doc_id"]) == [3]
+    assert quote not in run2["text"].iloc[0]
+    assert "gamma body" in run2["text"].iloc[0]
+    # quote survives exactly once across the restart boundary
+    all_text = "\n\n".join(list(run1["text"]) + list(run2["text"]))
+    assert all_text.count(quote) == 1
+    stored = spark.read.parquet(idx)
+    assert stored.count() == stored.distinct().count()

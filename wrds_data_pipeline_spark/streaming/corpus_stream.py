@@ -102,6 +102,8 @@ def _run_indexed_stream(
     empty_cols: list[str],
     max_files_per_trigger: int | None = None,
     index_select=None,
+    checkpoint_dir: str | None = None,
+    dedup_index: bool = False,
 ):
     """Shared persisted-index micro-batch harness for the incremental
     dedup twins: per batch, ``index_rows(bdf)`` derives the rows to
@@ -165,13 +167,35 @@ def _run_indexed_stream(
         ).toPandas()
         if len(p):
             out.append(p)
+        if dedup_index:
+            # membership indexes (paragraph/span hash sets): append
+            # only hashes the store does not already hold — without
+            # this a ubiquitous paragraph/gram re-appends once per
+            # batch forever (the anti-join reads the same stored
+            # relation the probe just scanned; at production scale
+            # this is the transactional table's MERGE)
+            to_index = to_index.join(
+                stored.select(*to_index.columns).distinct(),
+                on=list(to_index.columns),
+                how="left_anti",
+            )
         to_index.write.mode("append").parquet(index_dir)
         rows.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = reader.parquet(path).writeStream.foreachBatch(_sink).start()
+    writer = reader.parquet(path).writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        # durable offset/seen-files log: a stopped run restarted with
+        # the SAME checkpoint_dir resumes after the last committed
+        # batch — already-processed input files are never re-read, so
+        # their pairs are never re-emitted and their index rows never
+        # re-appended (the restart-recovery contract,
+        # tests/test_corpus_stream restart tests).  Without it each
+        # call starts from scratch (the single-shot tests' mode).
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.processAllAvailable()
     q.stop()
     return (
@@ -193,6 +217,7 @@ def streaming_near_dedup(
     bands: int = 4,
     max_files_per_trigger: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming MinHash-LSH near-dedup: each micro-batch's documents
     are signature-banded ONCE, probed against the persisted corpus
@@ -235,6 +260,7 @@ def streaming_near_dedup(
         pairs=lambda nb, bt: lsh_probe_bands(nb, bt, max_bucket=max_bucket),
         empty_cols=["id_a", "id_b"],
         max_files_per_trigger=max_files_per_trigger,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -249,6 +275,7 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     hierarchical_assign: bool = False,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming SemDeDup: each micro-batch's embeddings are
     IVF-assigned ONCE against the pinned coarse quantizer
@@ -355,6 +382,7 @@ def streaming_semantic_dedup(
         pairs=pairs,
         empty_cols=["id_a", "id_b", "cell", "cos_sim"],
         max_files_per_trigger=max_files_per_trigger,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -367,6 +395,7 @@ def streaming_paragraph_dedup(
     text_col: str = "text",
     min_chars: int = 1,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming keep-first paragraph dedup: each micro-batch's
     documents are exploded into paragraphs ONCE, paragraphs whose
@@ -383,10 +412,11 @@ def streaming_paragraph_dedup(
     (streaming has no other choice); the set of surviving paragraph
     hashes is arrival-order invariant.
 
-    The stored index holds only distinct int64 hashes per batch (not
+    The stored index holds only distinct int64 hashes (not
     paragraphs), so it is a fraction of corpus size; a hash re-seen
-    in a later batch is appended again — membership semantics are
-    unaffected, growth is bounded by batches × distinct-per-batch.
+    in a later batch is anti-joined away before the append
+    (``dedup_index``), so the index holds each hash exactly once no
+    matter how many batches carry it.
     Durability/filesystem caveats: see ``_run_indexed_stream``.
 
     Returns the concatenated pandas of all emitted
@@ -422,6 +452,8 @@ def streaming_paragraph_dedup(
         index_select=lambda rows: rows.filter(~F.col("_bypass"))
         .select(F.col("_h").alias("h"))
         .distinct(),
+        checkpoint_dir=checkpoint_dir,
+        dedup_index=True,
     )
 
 
@@ -434,6 +466,7 @@ def streaming_span_dedup(
     text_col: str = "text",
     k: int = 8,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming duplicated-span removal: each micro-batch's k-token
     windows probe the persisted seen-gram-hash index; an instance is
@@ -488,6 +521,8 @@ def streaming_span_dedup(
         empty_cols=[id_col, text_col, "n_tok_in", "n_tok_removed"],
         max_files_per_trigger=max_files_per_trigger,
         index_select=lambda rows: rows.select("h").distinct(),
+        checkpoint_dir=checkpoint_dir,
+        dedup_index=True,
     )
 
 
