@@ -484,9 +484,10 @@ def streaming_span_dedup(
     from the raw batch (the 3-arg ``pairs`` form); they pass through
     verbatim like the batch operator.
 
-    The stored index holds distinct int64 gram hashes per batch —
-    corpus token mass, the same order as the batch operator's shuffle;
-    re-seen hashes append again (membership unaffected).
+    The stored index holds distinct int64 gram hashes — corpus token
+    mass, the same order as the batch operator's shuffle; re-seen
+    hashes are anti-joined away before the append (``dedup_index``),
+    so each gram hash is stored exactly once across all batches.
     Durability/filesystem caveats: see ``_run_indexed_stream``.
 
     Returns the concatenated pandas of all emitted
