@@ -241,3 +241,74 @@ def test_encode_plan_folds_norm_once(clustered, codebooks):
         .toString()
     )
     assert plan.count("aggregate(") == 2, plan
+
+
+def test_sigma_calibration_and_error_bound(clustered, codebooks):
+    """pq_train measures per-subspace RMS residuals; adc_error_bound
+    combines them query-wise into a positive, finite band that really
+    does bound the typical |ADC - cosine| gap on the fixture."""
+    from wrds_data_pipeline_spark.operators.pq import adc_error_bound
+
+    df, vecs = clustered
+    assert codebooks.sigma is not None and len(codebooks.sigma) == codebooks.m
+    assert all(s > 0 for s in codebooks.sigma)
+    qv = [float(x) for x in vecs[3]]
+    eps = adc_error_bound(codebooks, qv)
+    assert 0 < eps < 1.0
+    # the bound scales with z and is norm-invariant in the query
+    assert adc_error_bound(codebooks, qv, z=2.0) == pytest.approx(2 * eps)
+    assert adc_error_bound(
+        codebooks, [2 * x for x in qv]
+    ) == pytest.approx(eps)
+
+
+def test_auto_rerank_beats_fixed_factor_on_tied_cluster(spark):
+    """The r6 0.30-recall regime in miniature: one dense near-tied
+    cluster much larger than k·factor.  The fixed factor-2 pool
+    misses most of the true top-k; the error-band pool (rerank_factor
+    =None) sizes itself to the tied set and recovers recall ≥ 0.8
+    with no hand tuning (VERDICT r6 next #7's done-condition)."""
+    rng = np.random.default_rng(7)
+    hub = rng.standard_normal(DIM)
+    hub /= np.linalg.norm(hub)
+    # 120 near-identical members + 80 scattered
+    vecs = np.vstack(
+        [
+            hub + 0.02 * rng.standard_normal((120, DIM)),
+            rng.standard_normal((80, DIM)),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=8, k=16)
+    coded = pq_encode(df, cb)
+    qv = [float(x) for x in hub]
+    exact = {r["vec_id"] for r in brute_force_topk(df, qv, 10).collect()}
+
+    fixed = {
+        r["vec_id"]
+        for r in pq_topk(coded, cb, qv, 10, rerank_factor=2).collect()
+    }
+    auto = {
+        r["vec_id"]
+        for r in pq_topk(coded, cb, qv, 10, rerank_factor=None).collect()
+    }
+    assert len(auto & exact) / 10 >= 0.8
+    assert len(auto & exact) >= len(fixed & exact)
+
+
+def test_auto_rerank_refuses_uncalibrated_codebooks(spark, clustered, codebooks):
+    """A pre-round-7 artifact (no sigma) cannot silently guess a pool
+    size: auto mode raises with the retrain message; an explicit
+    factor still works."""
+    from wrds_data_pipeline_spark.operators.pq import PQCodebooks
+
+    df, vecs = clustered
+    old = PQCodebooks(
+        dim=codebooks.dim, m=codebooks.m, k=codebooks.k, books=codebooks.books
+    )
+    coded = pq_encode(df, old)
+    qv = [float(x) for x in vecs[0]]
+    with pytest.raises(ValueError, match="sigma calibration"):
+        pq_topk(coded, old, qv, 5, rerank_factor=None).collect()
+    assert pq_topk(coded, old, qv, 5, rerank_factor=4).count() == 5

@@ -49,8 +49,11 @@ def test_pq_index_roundtrip_and_probe(spark, driver_tables, tmp_path):
     path = str(tmp_path / "vidx_pq")
     built = build_vector_index(emb, path, n_cells=8, pq_m=8, pq_k=16)
     opened = load_vector_index(spark, path)
-    # codebooks round-trip bit-exactly (frozen dataclass equality)
+    # codebooks round-trip bit-exactly (frozen dataclass equality,
+    # INCLUDING the round-7 sigma calibration that sizes auto-rerank)
     assert opened.codebooks == built.codebooks
+    assert opened.codebooks.sigma is not None
+    assert all(s > 0 for s in opened.codebooks.sigma)
     assert "pq_code" in opened.df.columns
 
     q = _query(emb, vid=11)

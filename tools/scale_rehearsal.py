@@ -584,7 +584,15 @@ def main() -> None:
             r["vec_id"]
             for r in pq_topk(coded, cb, qv, 10, rerank_factor=8).collect()
         ]
-        recall = len(set(exact_ids) & set(rr_ids)) / 10
+        recall8 = len(set(exact_ids) & set(rr_ids)) / 10
+        # auto (error-band) pool: sized by the sigma calibration, no
+        # hand tuning — the r6 0.30-recall regime is exactly what this
+        # must fix (VERDICT r6 next #7)
+        auto_ids = [
+            r["vec_id"]
+            for r in pq_topk(coded, cb, qv, 10, rerank_factor=None).collect()
+        ]
+        recall_auto = len(set(exact_ids) & set(auto_ids)) / 10
         coded.unpersist()
 
         print(
@@ -593,7 +601,7 @@ def main() -> None:
             f"arrow_assign={w_arrow:.1f}s exact_assign={w_exact} | "
             f"semdedup pairs={sem} wall={w_sem:.1f}s | "
             f"pq adc_scan={w_adc:.1f}s exact_scan={w_bf:.1f}s "
-            f"rerank_recall@10={recall:.2f}"
+            f"rerank_recall@10: factor8={recall8:.2f} auto={recall_auto:.2f}"
         )
 
 

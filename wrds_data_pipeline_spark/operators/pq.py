@@ -68,12 +68,20 @@ def _lit_double_cube(cube: list[list[list[float]]]) -> Column:
 class PQCodebooks:
     """Trained product-quantizer: ``books[j]`` is the k×dsub codebook
     for subspace j (unit-vector space — train and encode normalize
-    rows first, so ADC sums approximate cosine directly)."""
+    rows first, so ADC sums approximate cosine directly).
+
+    ``sigma[j]`` is the per-subspace RMS quantization residual
+    measured on the training sample — the calibration that lets the
+    search path size its rerank pool from the data instead of a
+    hand-tuned factor (``adc_error_bound``).  None on artifacts
+    trained before round 7 (auto-rerank then refuses rather than
+    guessing)."""
 
     dim: int
     m: int
     k: int
     books: tuple  # m × k × dsub, tuples for hashability
+    sigma: tuple | None = None  # m per-subspace RMS residuals
 
     @property
     def dsub(self) -> int:
@@ -129,6 +137,7 @@ def pq_train(
         raise ValueError(f"pq_train: only {n} non-zero sample rows for k={k} codes")
     dsub = dim // m
     books = []
+    sigmas = []
     seed_idx = [(t * n) // k for t in range(k)]
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
@@ -141,8 +150,50 @@ def pq_train(
                 members = S[assign == c]
                 if len(members):
                     C[c] = members.mean(axis=0)
+        # calibration: RMS residual of the FINAL assignment — what an
+        # ADC score can be off by, per subspace (adc_error_bound)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+        assign = d2.argmin(axis=1)
+        resid = S - C[assign]
+        sigmas.append(float(np.sqrt((resid * resid).sum(axis=1).mean())))
         books.append(tuple(tuple(float(x) for x in c) for c in C))
-    return PQCodebooks(dim=dim, m=m, k=k, books=tuple(books))
+    return PQCodebooks(
+        dim=dim, m=m, k=k, books=tuple(books), sigma=tuple(sigmas)
+    )
+
+
+def adc_error_bound(
+    cb: PQCodebooks, query_vec: list[float], z: float = 1.0
+) -> float:
+    """How far an ADC score can plausibly sit from the true cosine
+    for THIS query: ε = z · sqrt(Σ_j ‖q̂_j‖² σ_j²).
+
+    ADC(q, x) = Σ_j q̂_j·c_j(x) = cos(q, x) − Σ_j q̂_j·r_j where r_j
+    is x's subspace quantization residual; each term is bounded by
+    ‖q̂_j‖‖r_j‖ and the σ_j are the measured RMS residuals, so the
+    RSS of the per-subspace bounds is the natural error scale
+    (residual directions are independent across subspaces).  z=1 —
+    no hand-tuned slack: the bound is already conservative (it
+    assumes every residual aligns with its query subvector)."""
+    import math as _math
+
+    if cb.sigma is None:
+        raise ValueError(
+            "codebooks carry no sigma calibration (artifact predates "
+            "auto-rerank); retrain with pq_train or pass an explicit "
+            "rerank_factor"
+        )
+    q = [float(x) for x in query_vec]
+    nq = _math.sqrt(sum(x * x for x in q))
+    if nq == 0:
+        raise ValueError("zero query vector")
+    q = [x / nq for x in q]
+    dsub = cb.dsub
+    acc = 0.0
+    for j in range(cb.m):
+        qj2 = sum(x * x for x in q[j * dsub : (j + 1) * dsub])
+        acc += qj2 * cb.sigma[j] ** 2
+    return z * _math.sqrt(acc)
 
 
 def pq_encode_col(cb: PQCodebooks, vec: Column) -> Column:
@@ -287,7 +338,7 @@ def pq_topk(
     cb: PQCodebooks,
     query_vec: list[float],
     k: int = 10,
-    rerank_factor: int = 4,
+    rerank_factor: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -300,12 +351,27 @@ def pq_topk(
        the query — uses a precomputed ``cell`` column when present
        (the stored-index layout; partition pruning at 100 TB),
        otherwise assigns on the fly via ``exact_assigner``.
-    2. ADC scan: top ``k·rerank_factor`` candidates by ADC score —
-       reuses a precomputed ``code_col`` when present (the stored PQ
-       table), otherwise encodes inline.
-    3. exact re-rank: the ≤ k·rerank_factor candidate ids broadcast
-       back against the raw vectors (the big side never shuffles) and
-       the final top-k is exact cosine among them.
+    2. ADC scan for the rerank pool — reuses a precomputed
+       ``code_col`` when present (the stored PQ table), otherwise
+       encodes inline.
+    3. exact re-rank: the candidate ids broadcast back against the
+       raw vectors (the big side never shuffles) and the final top-k
+       is exact cosine among them.
+
+    Pool sizing (``rerank_factor``):
+    - None (default, round 7 — VERDICT r6 next #7): the ERROR-BAND
+      rule — every row whose ADC score is within ``adc_error_bound``
+      of the k-th best ADC score joins the pool.  The pool therefore
+      auto-scales with the number of ADC-indistinguishable
+      candidates (≈ the query's tied cluster size), which is exactly
+      the regime where a fixed factor collapsed (r6 rehearsal: 0.30
+      recall@10 on a 32k clustered fixture at factor 8; the band
+      rule needs no per-corpus tuning).  On well-spread corpora the
+      band is thin and the pool stays ~k.  Costs a second pass over
+      the coded relation (k-th score, then band filter) — both
+      code-column-only scans.
+    - an int: the classical fixed pool ``k·rerank_factor`` (one
+      scan; right when the corpus is known well-spread).
 
     Output schema/determinism matches ``brute_force_topk``
     (id, cos_sim, rank); approximation enters only through which
@@ -341,9 +407,22 @@ def pq_topk(
         if code_col in base.columns
         else pq_encode(base, cb, vec_col, code_col)
     )
-    cand = pq_adc_topk(
-        coded, cb, query_vec, k * rerank_factor, id_col, code_col
-    ).select(id_col)
+    if rerank_factor is not None:
+        cand = pq_adc_topk(
+            coded, cb, query_vec, k * rerank_factor, id_col, code_col
+        ).select(id_col)
+    else:
+        eps = adc_error_bound(cb, query_vec)
+        kth_rows = pq_adc_topk(coded, cb, query_vec, k, id_col, code_col).collect()
+        if not kth_rows:
+            return brute_force_topk(
+                embeddings.limit(0), query_vec, k, id_col, vec_col
+            )
+        kth_score = min(r["adc_sim"] for r in kth_rows)
+        cand = coded.select(
+            F.col(id_col),
+            pq_adc_scores(cb, query_vec, F.col(code_col)).alias("_adc"),
+        ).filter(F.col("_adc") >= F.lit(float(kth_score) - eps)).select(id_col)
     survivors = embeddings.join(F.broadcast(cand), id_col)
     return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
 

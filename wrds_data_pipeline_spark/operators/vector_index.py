@@ -121,10 +121,11 @@ def build_vector_index(
                 cb.dim if cb else None,
                 cb.m if cb else None,
                 cb.k if cb else None,
+                list(cb.sigma) if cb and cb.sigma is not None else None,
             )
         ],
         "id_col string, vec_col string, n_cells int, "
-        "pq_dim int, pq_m int, pq_k int",
+        "pq_dim int, pq_m int, pq_k int, pq_sigma array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return load_vector_index(spark, path)
 
@@ -147,6 +148,14 @@ def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
             books.setdefault(int(r["subspace"]), {})[int(r["code"])] = tuple(
                 float(x) for x in r["vec"]
             )
+        # pq_sigma absent on pre-round-7 indexes: getattr-style probe
+        # so old artifacts still open (auto-rerank then refuses with
+        # its retrain message instead of guessing)
+        sigma = (
+            tuple(float(x) for x in meta["pq_sigma"])
+            if "pq_sigma" in meta.__fields__ and meta["pq_sigma"] is not None
+            else None
+        )
         cb = PQCodebooks(
             dim=int(meta["pq_dim"]),
             m=int(meta["pq_m"]),
@@ -155,6 +164,7 @@ def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
                 tuple(books[j][i] for i in range(int(meta["pq_k"])))
                 for j in range(int(meta["pq_m"]))
             ),
+            sigma=sigma,
         )
     return VectorIndex(
         df=spark.read.parquet(f"{path}/vectors"),
@@ -195,13 +205,17 @@ def vector_index_topk(
     k: int = 10,
     n_probe: int = 4,
     use_pq: bool | None = None,
-    rerank_factor: int = 8,
+    rerank_factor: int | None = None,
 ) -> DataFrame:
     """Top-k through the opened index.  Probes the ``n_probe`` nearest
     cells (partition pruning on the stored layout); within them either
     exact cosine (``use_pq=False``) or the ADC scan + exact rerank
     (``use_pq=True``; default: PQ when the index carries codebooks).
-    Output schema/determinism matches ``brute_force_topk``."""
+    ``rerank_factor=None`` (default) uses the error-band pool rule —
+    every probed row ADC-indistinguishable from the k-th best joins
+    the rerank, sized by the stored sigma calibration (see
+    ``pq.pq_topk``); an int pins the classical fixed ``k·factor``
+    pool.  Output schema/determinism matches ``brute_force_topk``."""
     import math
 
     if use_pq is None:
@@ -220,9 +234,33 @@ def vector_index_topk(
     probed = index.df.filter(F.col("cell").isin(probe))
     if not use_pq:
         return brute_force_topk(probed, query_vec, k, index.id_col, index.vec_col)
-    cand = pq_adc_topk(
-        probed, index.codebooks, query_vec, k * rerank_factor, index.id_col
-    ).select(index.id_col)
+    if rerank_factor is not None:
+        cand = pq_adc_topk(
+            probed, index.codebooks, query_vec, k * rerank_factor, index.id_col
+        ).select(index.id_col)
+    else:
+        from wrds_data_pipeline_spark.operators.pq import (
+            adc_error_bound,
+            pq_adc_scores,
+        )
+
+        eps = adc_error_bound(index.codebooks, query_vec)
+        kth_rows = pq_adc_topk(
+            probed, index.codebooks, query_vec, k, index.id_col
+        ).collect()
+        if not kth_rows:
+            return brute_force_topk(
+                probed.limit(0), query_vec, k, index.id_col, index.vec_col
+            )
+        kth_score = min(r["adc_sim"] for r in kth_rows)
+        cand = probed.select(
+            F.col(index.id_col),
+            pq_adc_scores(
+                index.codebooks, query_vec, F.col("pq_code")
+            ).alias("_adc"),
+        ).filter(F.col("_adc") >= F.lit(float(kth_score) - eps)).select(
+            index.id_col
+        )
     survivors = probed.join(F.broadcast(cand), index.id_col)
     return brute_force_topk(survivors, query_vec, k, index.id_col, index.vec_col)
 
