@@ -293,10 +293,12 @@ def incremental_lsh_candidates(
     corpus's materialized ``band_table`` (minhash_band_table output,
     same k/n/bands), plus the increment's own new-vs-new self-join.
 
-    Returns (id_a, id_b), id_a < id_b, distinct — exactly the pairs
-    `minhash_lsh_candidates(old ∪ new)` would emit minus the old-vs-old
-    pairs (already resolved in previous runs).  Ids must be globally
-    unique across increments (caller's contract).
+    Returns (id_a, id_b), id_a < id_b, distinct — below the bucket
+    bound, exactly the pairs `minhash_lsh_candidates(old ∪ new)` would
+    emit minus the old-vs-old pairs (already resolved in previous
+    runs); buckets over ``max_bucket`` contribute star edges instead
+    (group membership preserved — see ``lsh_probe_bands``).  Ids must
+    be globally unique across increments (caller's contract).
 
     Scale: per-ingest cost is O(|increment|) signature work plus a
     join sized by bucket collisions.  With the band table bucketed by
