@@ -312,3 +312,60 @@ def test_auto_rerank_refuses_uncalibrated_codebooks(spark, clustered, codebooks)
     with pytest.raises(ValueError, match="sigma calibration"):
         pq_topk(coded, old, qv, 5, rerank_factor=None).collect()
     assert pq_topk(coded, old, qv, 5, rerank_factor=4).count() == 5
+
+
+def test_error_bound_col_matches_driver_fn(spark, clustered, codebooks):
+    from wrds_data_pipeline_spark.operators.pq import (
+        adc_error_bound,
+        adc_error_bound_col,
+    )
+
+    df, vecs = clustered
+    q = df.limit(6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        r["query_id"]: r["eps"]
+        for r in q.select(
+            "query_id",
+            adc_error_bound_col(codebooks, F.col("query_vec")).alias("eps"),
+        ).collect()
+    }
+    for qid, eps in got.items():
+        want = adc_error_bound(codebooks, [float(x) for x in vecs[qid]])
+        assert eps == pytest.approx(want, rel=1e-9)
+
+
+def test_pq_topk_batch_matches_per_query(spark, clustered, codebooks):
+    """The batch search (one code-table scan for N queries, calibrated
+    per-query pools) returns the same ids and exact cosines as the
+    per-query pq_topk loop, in both pool modes; zero-norm queries are
+    dropped."""
+    from wrds_data_pipeline_spark.operators.pq import pq_topk_batch
+
+    df, vecs = clustered
+    coded = pq_encode(df, codebooks).persist()
+    coded.count()
+    qids = [0, 17, 42]
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in qids]
+        + [(999, [0.0] * DIM)],
+        "query_id long, query_vec array<double>",
+    )
+    for factor in (None, 4):
+        batch = pq_topk_batch(
+            q, coded, codebooks, k=5, rerank_factor=factor
+        ).toPandas()
+        assert set(batch["query_id"]) == set(qids)  # zero query dropped
+        for qid in qids:
+            single = pq_topk(
+                coded, codebooks, [float(x) for x in vecs[qid]], 5,
+                rerank_factor=factor,
+            ).toPandas()
+            b = batch[batch.query_id == qid].sort_values("rank")
+            assert b["vec_id"].tolist() == single["vec_id"].tolist()
+            assert b["cos_sim"].tolist() == pytest.approx(
+                single["cos_sim"].tolist(), abs=2e-6
+            )
+    coded.unpersist()

@@ -427,6 +427,67 @@ def pq_topk(
     return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
 
 
+def _batch_adc_scored(
+    queries: DataFrame,
+    coded: DataFrame,
+    cb: PQCodebooks,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(query_id, id, adc_sim) for every (query, corpus-row) pair —
+    the shared scan under ``pq_adc_topk_batch`` (fixed top-k cut) and
+    ``pq_topk_batch`` (calibrated error-band pool).  Per-query m×k
+    LUT built JVM-side on the broadcast query relation; see
+    ``pq_adc_topk_batch`` for the full contract."""
+    dsub = cb.dsub
+    cube = _lit_double_cube([[list(c) for c in book] for book in cb.books])
+    qv = F.col(query_vec_col).cast("array<double>")
+
+    def sub_dot(j: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.slice(qv, j * dsub + 1, dsub), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda ss: F.when(
+            ss > 0,
+            F.transform(
+                cube,
+                lambda book, j: F.transform(
+                    book, lambda c: sub_dot(j, c) / F.sqrt(ss)
+                ),
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), lut.alias("_lut")
+    )
+    return coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col(code_col),
+                    lambda c, j: F.element_at(
+                        F.element_at(F.col("_lut"), j + 1), c.cast("int") + 1
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_sim"),
+    )
+
+
 def pq_adc_topk_batch(
     queries: DataFrame,
     coded: DataFrame,
@@ -459,50 +520,8 @@ def pq_adc_topk_batch(
     6dp rounding used for ranking (the two normalize in a different
     order, so raw doubles may differ in the last ulp).
     """
-    dsub = cb.dsub
-    cube = _lit_double_cube([[list(c) for c in book] for book in cb.books])
-    qv = F.col(query_vec_col).cast("array<double>")
-
-    def sub_dot(j: Column, c: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(F.slice(qv, j * dsub + 1, dsub), c, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    lut = F.aggregate(
-        F.transform(qv, lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-        lambda ss: F.when(
-            ss > 0,
-            F.transform(
-                cube,
-                lambda book, j: F.transform(
-                    book, lambda c: sub_dot(j, c) / F.sqrt(ss)
-                ),
-            ),
-        ),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), lut.alias("_lut")
-    )
-    scored = coded.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.col(code_col),
-                    lambda c, j: F.element_at(
-                        F.element_at(F.col("_lut"), j + 1), c.cast("int") + 1
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("adc_sim"),
+    scored = _batch_adc_scored(
+        queries, coded, cb, query_id_col, query_vec_col, id_col, code_col
     )
     slice_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
     w_partial = W.partitionBy(F.col("query_id"), slice_key).orderBy(
@@ -516,4 +535,150 @@ def pq_adc_topk_batch(
         survivors.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_sim", "rank")
+    )
+
+
+def adc_error_bound_col(cb: PQCodebooks, query_vec: Column, z: float = 1.0) -> Column:
+    """Expression twin of ``adc_error_bound`` — the per-query ADC
+    error band ε = z·sqrt(Σ_j ‖q̂_j‖²σ_j²) as a COLUMN over a query
+    relation, so a batch of queries gets its calibration in the same
+    broadcast pass that builds the LUTs (no driver loop).  Null for
+    zero-norm queries (no direction → no meaningful band)."""
+    import math as _math
+
+    if cb.sigma is None:
+        raise ValueError(
+            "codebooks carry no sigma calibration (artifact predates "
+            "auto-rerank); retrain with pq_train or pass an explicit "
+            "rerank_factor"
+        )
+    dsub = cb.dsub
+    sig2 = F.expr(
+        "array(" + ",".join(f"{(s * s)!r}D" for s in cb.sigma) + ")"
+    )
+    qv = query_vec.cast("array<double>")
+    per_sub = F.transform(
+        F.sequence(F.lit(0), F.lit(cb.m - 1)),
+        lambda j: F.aggregate(
+            F.transform(F.slice(qv, j * dsub + 1, dsub), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.element_at(sig2, j + 1),
+    )
+    # ss folded once; ε = z·sqrt(Σ per_sub / ss)
+    return F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda ss: F.when(
+            ss > 0,
+            F.lit(float(z))
+            * F.sqrt(
+                F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x) / ss
+            ),
+        ),
+    )
+
+
+def pq_topk_batch(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    cb: PQCodebooks,
+    k: int = 10,
+    rerank_factor: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Batch PQ search with exact rerank: the bulk-retrieval shape of
+    ``pq_topk`` — N queries against one stored code table in one scan
+    per stage, never a per-query driver loop.
+
+    1. ADC pool per query: ``rerank_factor=None`` (default) uses the
+       calibrated error-band rule — each query's pool is every row
+       whose ADC score is within ``adc_error_bound_col`` of that
+       query's k-th best ADC score (per-query thresholds computed in
+       one broadcast pass, pools auto-scale to each query's tied
+       set); an int pins the classical fixed ``k·factor`` cut.
+    2. Exact rerank: pooled (query, id) pairs join the raw vectors on
+       id and the broadcast query relation on query_id; final top-k
+       is exact cosine with the ``brute_force_topk_batch`` window
+       discipline (ties by id).
+
+    Returns (query_id, id, cos_sim, rank), rank 1..k per query.
+    Zero-norm queries have no direction and are dropped from the
+    output (their ADC LUT and error band are null)."""
+    from .similarity import l2_norm
+
+    coded = (
+        embeddings
+        if code_col in embeddings.columns
+        else pq_encode(embeddings, cb, vec_col, code_col)
+    )
+    if rerank_factor is not None:
+        pool = pq_adc_topk_batch(
+            queries, coded, cb, k * rerank_factor,
+            query_id_col, query_vec_col, id_col, code_col,
+        ).select("query_id", id_col)
+    else:
+        kth = (
+            pq_adc_topk_batch(
+                queries, coded, cb, k,
+                query_id_col, query_vec_col, id_col, code_col,
+            )
+            .groupBy("query_id")
+            .agg(F.min("adc_sim").alias("_kth"))
+        )
+        eps = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            adc_error_bound_col(cb, F.col(query_vec_col)).alias("_eps"),
+        )
+        th = (
+            kth.join(eps, "query_id")
+            .select("query_id", (F.col("_kth") - F.col("_eps")).alias("_th"))
+        )
+        scored = _batch_adc_scored(
+            queries, coded, cb, query_id_col, query_vec_col, id_col, code_col
+        )
+        pool = (
+            scored.join(F.broadcast(th), "query_id")
+            .filter(F.col("adc_sim") >= F.col("_th"))
+            .select("query_id", id_col)
+        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    v = F.col(vec_col).cast("array<double>")
+    pairs = (
+        pool.join(embeddings.select(F.col(id_col), v.alias("_v")), id_col)
+        .join(F.broadcast(q), "query_id")
+        .withColumn("_cn", l2_norm(F.col("_v")))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                F.when(
+                    (F.col("_qn") > 0) & (F.col("_cn") > 0),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_qv"), F.col("_v"), lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("_qn") * F.col("_cn")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
