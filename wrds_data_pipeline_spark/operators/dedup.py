@@ -425,6 +425,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
     scope: PersistScope | None = None,
+    resolved_col: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -434,6 +435,13 @@ def jaccard_pairs(
     candidate set — the scale path.  ``shingles``: precomputed
     (_id, h) relation (see minhash_signatures) so the LSH→verify
     composition hashes each document once.
+
+    ``resolved_col``: name of a boolean column on ``candidates``
+    marking pairs already RESOLVED as duplicates (hot-bucket star
+    edges, DEFAULT_MAX_BUCKET) — resolved pairs bypass the size-ratio
+    prune and the threshold filter but still get their true measured
+    jaccard, all inside the ONE verification subtree (a separate
+    unverified pass would double the shingle-join plan).
     Returns (id_a, id_b, jaccard).
     """
     from pyspark.sql.window import Window as W
@@ -458,12 +466,24 @@ def jaccard_pairs(
             # read 3× below (sizes, a-side, b-side)
             sh = scope.persist(sh)
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-        # distinct: the old left_semi restriction was idempotent under
-        # duplicate candidate rows; the candidate-driven join is not
-        # (each duplicate would double-count the intersection and
-        # inflate jaccard past 1) — restore that tolerance here
+        # pair-level dedup: the old left_semi restriction was
+        # idempotent under duplicate candidate rows; the
+        # candidate-driven join is not (each duplicate would
+        # double-count the intersection and inflate jaccard past 1).
+        # With a resolved flag the dedup is max-per-pair (a pair both
+        # verified and resolved stays resolved).
+        if resolved_col is not None:
+            cand = (
+                candidates.select("id_a", "id_b", resolved_col)
+                .groupBy("id_a", "id_b")
+                .agg(F.max(resolved_col).alias("_res"))
+            )
+        else:
+            cand = candidates.select("id_a", "id_b").distinct().withColumn(
+                "_res", F.lit(False)
+            )
         c = (
-            candidates.select("id_a", "id_b").distinct()
+            cand
             .join(
                 sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
                 "id_a",
@@ -475,14 +495,18 @@ def jaccard_pairs(
         )
         if threshold > 0:
             c = c.filter(
-                F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+                F.col("_res")
+                | (
+                    F.least("n_a", "n_b")
+                    >= F.greatest("n_a", "n_b") * F.lit(threshold)
+                )
             )
         a = sh.select(F.col("_id").alias("id_a"), "h")
         b = sh.select(F.col("_id").alias("id_b"), "h")
         inter = (
             c.join(a, "id_a")
             .join(b, ["id_b", "h"])
-            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .groupBy("id_a", "id_b", "n_a", "n_b", "_res")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
@@ -512,13 +536,15 @@ def jaccard_pairs(
             F.count(F.lit(1)).alias("n_inter")
         )
 
-    out = (
-        inter.withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    )
+    keep = F.col("jaccard") >= threshold
+    if "_res" in out.columns:
+        keep = keep | F.col("_res")
+    out = out.filter(keep).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
     return materialize_release(out, scope) if own else out
 
@@ -566,20 +592,26 @@ def near_dup_pairs(
         )
     )
     small, star = _lsh_candidate_split(banded, scope, max_bucket)
-    out = jaccard_pairs(
-        docs, id_col, text_col, k_shingle, threshold,
-        candidates=small, shingles=sh, scope=scope,
-    )
-    if star is not None:
-        # threshold=0.0: no size-ratio prune, no jaccard filter — the
-        # star edges are already resolved; jaccard rides along for
-        # auditability.  Overlap with the verified side (a pair can sit
-        # in both a small and a hot bucket) collapses in the distinct.
-        resolved = jaccard_pairs(
-            docs, id_col, text_col, k_shingle, 0.0,
-            candidates=star, shingles=sh, scope=scope,
+    if star is None:
+        out = jaccard_pairs(
+            docs, id_col, text_col, k_shingle, threshold,
+            candidates=small, shingles=sh, scope=scope,
         )
-        out = out.unionByName(resolved).distinct()
+    else:
+        # ONE verification subtree for both kinds of candidate: star
+        # edges ride through with a resolved flag that bypasses the
+        # size-ratio prune and the threshold filter (see
+        # jaccard_pairs' resolved_col) — a separate unverified pass
+        # would double the shingle-join plan for the common case of
+        # zero hot buckets.
+        cand = small.withColumn("_resolved", F.lit(False)).unionByName(
+            star.withColumn("_resolved", F.lit(True))
+        )
+        out = jaccard_pairs(
+            docs, id_col, text_col, k_shingle, threshold,
+            candidates=cand, shingles=sh, scope=scope,
+            resolved_col="_resolved",
+        )
     return materialize_release(out, scope) if own else out
 
 
