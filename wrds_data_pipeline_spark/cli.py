@@ -224,6 +224,11 @@ def corpus_main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", default="en", help="comma-separated")
     p.add_argument("--group-dedup", action="store_true",
                    help="resolve near-dup pairs into components")
+    p.add_argument("--lsh-max-bucket", type=int, default=None,
+                   help="LSH band-bucket population bound (default: "
+                   "the operator's DEFAULT_MAX_BUCKET=256; buckets "
+                   "over it resolve to one duplicate group via star "
+                   "edges instead of m^2/2 pairs; 0 = unbounded)")
     p.add_argument("--boilerplate-min-docs", type=int, default=0,
                    help="strip lines occurring in >= N docs (0 = off)")
     p.add_argument("--paragraph-dedup", action="store_true",
@@ -281,11 +286,17 @@ def corpus_main(argv: list[str] | None = None) -> int:
         docs = span_dedup(docs, k=args.span_dedup_k).select(
             "doc_id", "text"
         )
+    curate_kwargs = {}
+    if args.lsh_max_bucket is not None:
+        curate_kwargs["near_dup_max_bucket"] = (
+            None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
+        )
     kept, audit = curate(
         docs,
         allowed_langs=tuple(args.langs.split(",")),
         min_quality=args.min_quality,
         group_dedup=args.group_dedup,
+        **curate_kwargs,
     )
     if args.bench:
         from wrds_data_pipeline_spark.operators.contamination import (

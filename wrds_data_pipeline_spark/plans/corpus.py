@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions import text as X
+from wrds_data_pipeline_spark.operators.dedup import DEFAULT_MAX_BUCKET
 
 
 def curate(
@@ -39,6 +40,7 @@ def curate(
     min_tokens: int = 5,
     group_dedup: bool = False,
     scope=None,
+    near_dup_max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation flow.  Returns (kept, audit).
 
@@ -112,7 +114,7 @@ def curate(
 
     near = near_dup_pairs(
         survivors, id_col, text_col, threshold=near_dup_threshold,
-        scope=scope,
+        scope=scope, max_bucket=near_dup_max_bucket,
     )
     if group_dedup:
         from wrds_data_pipeline_spark.operators.components import (
