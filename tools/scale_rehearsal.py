@@ -183,10 +183,37 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
         else:
             w_u = f"skipped (clique={clique}; --unguarded-all to force)"
 
+        # incremental path: the last third of the cluster arrives as a
+        # NEW ingest against a stored band index of the first two
+        # thirds — probe pair mass must stay O(|increment|) (star +
+        # bridge edges), never |increment|·|stored| for the hot bucket
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from wrds_data_pipeline_spark.operators.dedup import (
+            build_band_index,
+            probe_band_index,
+        )
+
+        old = docs.filter((F.col("doc_id") >= m) | (F.col("doc_id") % 3 != 0))
+        new = docs.filter((F.col("doc_id") < m) & (F.col("doc_id") % 3 == 0))
+        idx = tempfile.mkdtemp(prefix="lsh_bucket_idx_")
+        try:
+            build_band_index(old, idx)
+            t0 = time.time()
+            n_inc = probe_band_index(new, idx).count()
+            w_inc = time.time() - t0
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
         print(
             f"m={m}: guarded pairs={len(rows)} wall={w_g:.1f}s "
             f"(clique {clique}, ratio {len(rows) / clique:.4f}) "
-            f"cluster_one_group={one_group} | unguarded: {w_u}"
+            f"cluster_one_group={one_group} | "
+            f"incremental probe ({m // 3} new vs {m - m // 3} stored): "
+            f"pairs={n_inc} wall={w_inc:.1f}s | unguarded: {w_u}"
         )
 
 
