@@ -231,3 +231,66 @@ def test_default_bound_is_inert_below_population(spark):
         for r in minhash_lsh_candidates(docs, max_bucket=None).collect()
     )
     assert default == unbounded
+
+
+def test_bucket_bound_group_parity_is_an_invariant(spark):
+    """Hypothesis: for ANY corpus and ANY bound (including an
+    aggressively low B=2 that sends most buckets down the star path),
+    connected components of the guarded candidate graph equal the
+    unbounded clique graph's — star edges preserve per-bucket
+    connectivity exactly, small buckets are untouched.  Also checks
+    the incremental decomposition: guarded old-pairs ∪ guarded probe
+    over any old/new split yields the same groups."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_table,
+    )
+
+    # small vocab + repeated templates → heavy collisions on purpose
+    word = st.sampled_from([f"w{i}" for i in range(6)])
+    text = st.lists(word, min_size=3, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(text, min_size=3, max_size=8), st.sampled_from([2, 3]))
+    def run(texts, bound):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        ids = list(range(len(rows)))
+        unb = _groups(
+            [
+                (r.id_a, r.id_b)
+                for r in minhash_lsh_candidates(docs, max_bucket=None).collect()
+            ],
+            ids,
+        )
+        g = _groups(
+            [
+                (r.id_a, r.id_b)
+                for r in minhash_lsh_candidates(docs, max_bucket=bound).collect()
+            ],
+            ids,
+        )
+        assert g == unb
+        # incremental decomposition at the same bound
+        old = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        old_pairs = [
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(old, max_bucket=bound).collect()
+        ]
+        inc = [
+            (r.id_a, r.id_b)
+            for r in incremental_lsh_candidates(
+                new, minhash_band_table(old), max_bucket=bound
+            ).collect()
+        ]
+        assert _groups(old_pairs + inc, ids) == unb
+
+    run()
