@@ -92,7 +92,7 @@ def main() -> None:
     # stamp the 1-minute load average before/after so BENCH_rNN
     # records the conditions it ran under.
     load_start = os.getloadavg()[0]
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -103,7 +103,15 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
         samples.sort()
-        times[name] = round(samples[len(samples) // 2], 3)
+        # true median (middle-two mean for even repeat counts — the
+        # upper-middle sample would bias the labeled "median" upward)
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        times[name] = round(med, 3)
         total += times[name]
         print(
             f"# {name}: {times[name]}s median of {samples} ({n} rows)",

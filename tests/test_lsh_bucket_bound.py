@@ -294,3 +294,37 @@ def test_bucket_bound_group_parity_is_an_invariant(spark):
         assert _groups(old_pairs + inc, ids) == unb
 
     run()
+
+
+def test_resolved_pair_with_zero_intersection_survives(spark):
+    """Contract: a resolved candidate pair must never be silently
+    dropped — even with ZERO shingle intersection (a band-hash
+    collision without one shared shingle; astronomically rare but the
+    star edge's whole point is unconditional group connectivity).
+    Emitted with its true jaccard 0.0."""
+    from wrds_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2, True)], ["id_a", "id_b", "_resolved"]
+    )
+    out = jaccard_pairs(
+        docs, threshold=0.9, candidates=cand, resolved_col="_resolved"
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 0.0)]
+    # and an UNresolved zero-intersection pair still vanishes
+    cand2 = spark.createDataFrame(
+        [(1, 2, False)], ["id_a", "id_b", "_resolved"]
+    )
+    assert (
+        jaccard_pairs(
+            docs, threshold=0.9, candidates=cand2, resolved_col="_resolved"
+        ).count()
+        == 0
+    )

@@ -173,7 +173,10 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
             ra, rb = find(r.id_a), find(r.id_b)
             if ra != rb:
                 parent[ra] = rb
-        cluster_roots = {find(i) for i in range(m) if i in parent}
+        # absent members are their own singleton roots — filtering
+        # them out would let a star-path regression that drops a
+        # member's edges report a false one_group=True
+        cluster_roots = {find(i) for i in range(m)}
         one_group = len(cluster_roots) == 1
 
         if unguarded_all or m == min(sizes):

@@ -370,6 +370,12 @@ def corpus_main(argv: list[str] | None = None) -> int:
     # cutoff is computed over the population surviving the PREVIOUS
     # gates, exactly as the sequential chain did (parity-tested in
     # tests/test_cli.py).
+    for flag, frac in (
+        ("--keep-frac", args.keep_frac),
+        ("--perplexity-keep-frac", args.perplexity_keep_frac if args.lm_ref else None),
+    ):
+        if frac is not None and not 0 < frac <= 1:
+            raise SystemExit(f"{flag} must be in (0, 1], got {frac}")
     scored = None
     if args.quality_model or args.lm_ref or args.keep_frac:
         from wrds_data_pipeline_spark.functions import text as X
@@ -490,6 +496,11 @@ def index_main(argv: list[str] | None = None) -> int:
     pb.add_argument("out_dir", help="candidate (id_a, id_b) parquet")
     pb.add_argument("--no-prune", action="store_true",
                     help="skip shard pruning (benchmark the full scan)")
+    pb.add_argument("--lsh-max-bucket", type=int, default=None,
+                    help="band-bucket population bound (default: the "
+                    "operator's DEFAULT_MAX_BUCKET=256; buckets over it "
+                    "emit star+bridge edges instead of every pair; "
+                    "0 = unbounded pair-complete output)")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -520,6 +531,11 @@ def index_main(argv: list[str] | None = None) -> int:
     qv.add_argument("--n-probe", type=int, default=4)
     qv.add_argument("--exact", action="store_true",
                     help="exact cosine within probed cells even when the index has PQ codes")
+    qv.add_argument("--rerank-factor", type=int, default=None,
+                    help="fixed k*factor PQ rerank pool; default is the "
+                    "calibrated error-band pool, which REQUIRES the "
+                    "index's sigma calibration — indexes built before "
+                    "the calibration existed must pass this (or --exact)")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-index")
@@ -543,8 +559,14 @@ def index_main(argv: list[str] | None = None) -> int:
             append_band_index(docs, args.index_path)
             print(f"appended {args.docs_path} -> {args.index_path}")
         else:
+            probe_kwargs = {}
+            if args.lsh_max_bucket is not None:
+                probe_kwargs["max_bucket"] = (
+                    None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
+                )
             cand = probe_band_index(
-                docs, args.index_path, prune_shards=not args.no_prune
+                docs, args.index_path, prune_shards=not args.no_prune,
+                **probe_kwargs,
             )
             cand.write.mode("overwrite").parquet(args.out_dir)
             n = spark.read.parquet(args.out_dir).count()
@@ -596,6 +618,7 @@ def index_main(argv: list[str] | None = None) -> int:
                 idx, [float(x) for x in q["query_vec"]], k=args.k,
                 n_probe=args.n_probe,
                 use_pq=False if args.exact else None,
+                rerank_factor=args.rerank_factor,
             ).withColumn("query_id", F.lit(q["query_id"]))
             for q in queries
         ]

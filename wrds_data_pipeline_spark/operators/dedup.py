@@ -509,6 +509,23 @@ def jaccard_pairs(
             .groupBy("id_a", "id_b", "n_a", "n_b", "_res")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+        if resolved_col is not None:
+            # a resolved pair with ZERO shingle intersection (a full
+            # band-hash collision without one shared shingle — minhash
+            # coincidence, astronomically rare but contract-relevant)
+            # would vanish from the inner intersection join and
+            # silently disconnect its member from the duplicate group.
+            # Restore such pairs with n_inter=0 → jaccard 0.0; the
+            # anti-join is over the pairs-sized relation, not corpus.
+            lost = (
+                c.filter(F.col("_res"))
+                .join(inter.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+                .select(
+                    "id_a", "id_b", "n_a", "n_b", "_res",
+                    F.lit(0).alias("n_inter"),
+                )
+            )
+            inter = inter.unionByName(lost)
     else:
         # Exact inverted-index join on the int64 shingle hash (not the
         # string) — ~10× smaller shuffle payload; collisions at 1e-9

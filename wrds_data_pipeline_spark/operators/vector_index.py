@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pq import PQCodebooks, pq_adc_topk, pq_encode, pq_train
+from .pq import PQCodebooks, pq_encode, pq_train
 from .similarity import (
     brute_force_topk,
     exact_assigner,
@@ -234,35 +234,17 @@ def vector_index_topk(
     probed = index.df.filter(F.col("cell").isin(probe))
     if not use_pq:
         return brute_force_topk(probed, query_vec, k, index.id_col, index.vec_col)
-    if rerank_factor is not None:
-        cand = pq_adc_topk(
-            probed, index.codebooks, query_vec, k * rerank_factor, index.id_col
-        ).select(index.id_col)
-    else:
-        from wrds_data_pipeline_spark.operators.pq import (
-            adc_error_bound,
-            pq_adc_scores,
-        )
+    # delegate both pool modes to pq_topk over the PRUNED relation —
+    # it reuses the stored pq_code column, applies the fixed-factor or
+    # calibrated error-band pool, and reranks exact (one copy of the
+    # band-pool algorithm to keep correct, not two)
+    from wrds_data_pipeline_spark.operators.pq import pq_topk
 
-        eps = adc_error_bound(index.codebooks, query_vec)
-        kth_rows = pq_adc_topk(
-            probed, index.codebooks, query_vec, k, index.id_col
-        ).collect()
-        if not kth_rows:
-            return brute_force_topk(
-                probed.limit(0), query_vec, k, index.id_col, index.vec_col
-            )
-        kth_score = min(r["adc_sim"] for r in kth_rows)
-        cand = probed.select(
-            F.col(index.id_col),
-            pq_adc_scores(
-                index.codebooks, query_vec, F.col("pq_code")
-            ).alias("_adc"),
-        ).filter(F.col("_adc") >= F.lit(float(kth_score) - eps)).select(
-            index.id_col
-        )
-    survivors = probed.join(F.broadcast(cand), index.id_col)
-    return brute_force_topk(survivors, query_vec, k, index.id_col, index.vec_col)
+    return pq_topk(
+        probed, index.codebooks, query_vec, k,
+        rerank_factor=rerank_factor,
+        id_col=index.id_col, vec_col=index.vec_col,
+    )
 
 
 def prune_vector_index(
