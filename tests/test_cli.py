@@ -602,3 +602,50 @@ def test_corpus_cli_scrub_warns_on_sub_window_bench_items(
     assert rc == 0
     stdout = capsys.readouterr().out
     assert "warning: 1 benchmark item(s) shorter than 8 tokens" in stdout
+
+
+def test_corpus_cli_scrub_strict_catches_spliced_grams(spark, tmp_path):
+    """--bench-scrub-strict: the rebuild can SPLICE a new benchmark
+    8-gram across a cut boundary (doc = S[0:4] + LEAK + S[4:8] —
+    cutting LEAK joins the halves into S).  Plain scrub mode ships the
+    spliced text; strict mode re-checks and drops the document."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    S = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    leak_words = ("the secret benchmark passage phrase with precisely "
+                  "twelve tokens inside").split()
+    assert len(leak_words) >= 8
+    body = " ".join(f"pad{i}" for i in range(30))
+    doc1 = " ".join([body] + S[:4] + leak_words + S[4:])
+    docs_path = os.path.join(str(tmp_path), "spdocs")
+    spark.createDataFrame(
+        [
+            (1, doc1),
+            (2, "a clean document with enough ordinary words to pass "
+                "the screens and reach the shards easily"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "spbench")
+    spark.createDataFrame(
+        [(0, " ".join(leak_words)), (1, " ".join(S))],
+        ["qid", "text"],
+    ).write.parquet(bench)
+
+    spliced = " ".join(S)
+    out_plain = os.path.join(str(tmp_path), "sp_plain")
+    rc = corpus_main([docs_path, out_plain, "--bench", bench,
+                      "--bench-scrub", "--min-quality", "0.0"])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out_plain, "shards"))
+    t1 = shards[shards.doc_id == 1]["text"].iloc[0]
+    assert "secret benchmark" not in t1          # the leak was cut
+    assert spliced in t1                         # ...but S got spliced in
+
+    out_strict = os.path.join(str(tmp_path), "sp_strict")
+    rc = corpus_main([docs_path, out_strict, "--bench", bench,
+                      "--bench-scrub", "--bench-scrub-strict",
+                      "--min-quality", "0.0"])
+    assert rc == 0
+    strict = pd.read_parquet(os.path.join(out_strict, "shards"))
+    assert set(strict["doc_id"]) == {2}          # residual leak dropped

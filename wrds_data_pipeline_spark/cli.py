@@ -217,6 +217,12 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "window have no scrub windows, so their leaks pass "
                    "through (drop mode catches them via the whole-text "
                    "short-item rule); a warning reports their count")
+    p.add_argument("--bench-scrub-strict", action="store_true",
+                   help="after scrubbing, DROP any document still "
+                   "carrying a benchmark 8-gram: catches grams the "
+                   "rebuild spliced across a cut boundary and leaks "
+                   "of sub-window benchmark items (closes both scrub "
+                   "caveats at the cost of losing those documents)")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--keep-frac", type=float, default=None,
                    help="keep top fraction by quality after filters")
@@ -353,6 +359,14 @@ def corpus_main(argv: list[str] | None = None) -> int:
             for c, expr in stale.items():
                 if c in cols:
                     kept = kept.withColumn(c, expr)
+            if args.bench_scrub_strict:
+                # residual re-check (ADVICE r6): the rebuild can
+                # splice a NEW benchmark 8-gram across a cut boundary
+                # (prefix-of-S + LEAK + suffix-of-S → S), and sub-
+                # window items never had scrub windows — one
+                # decontaminate pass over the scrubbed text drops
+                # whatever still leaks
+                kept = decontaminate(kept, bench_df, n=8)
         else:
             kept = decontaminate(kept, bench_df, n=8)
     # --- fused per-doc gate stage (round 7, VERDICT r6 next #3): the
