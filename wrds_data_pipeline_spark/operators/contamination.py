@@ -351,7 +351,12 @@ def scrub_contaminated_spans(
     than ``n`` tokens produce no grams and therefore scrub nothing
     (``decontaminate``'s whole-text short-item rule has no span
     analogue — a sub-``n`` leak has no well-defined span to cut);
-    lower ``n`` if short eval items matter.
+    lower ``n`` if short eval items matter.  The rebuild can also
+    SPLICE a new benchmark n-gram across a cut boundary (doc =
+    S[:j] + leak + S[j:] — cutting the leak joins the halves into
+    S), so a zero-residual guarantee needs a follow-up
+    ``decontaminate`` over the scrubbed text (the corpus CLI's
+    ``--bench-scrub-strict``).
 
     Shape: the spans-module window relation (token array bound once)
     left-semi-joined against the BROADCAST benchmark gram-hash set —
