@@ -7,6 +7,7 @@ partition directories."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.operators.similarity import (
@@ -168,3 +169,48 @@ def test_prune_vector_index_matches_cluster_prune(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_vector_index_topk_batch_matches_per_query(spark, driver_tables, tmp_path):
+    """Batch search through the stored index: one scan of the union of
+    probed cells serves all queries, with per-query cell restriction
+    via the broadcast probe map — ids and exact cosines equal the
+    per-query vector_index_topk for every query, in the exact path and
+    both PQ pool modes."""
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        vector_index_topk_batch,
+    )
+
+    emb = driver_tables["embeddings"]
+    path = str(tmp_path / "vidx_batch")
+    build_vector_index(emb, path, n_cells=8, pq_m=8, pq_k=16)
+    idx = load_vector_index(spark, path)
+
+    qids = [3, 77, 211]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(i, qvecs[i]) for i in qids], "query_id long, query_vec array<double>"
+    )
+
+    cases = [
+        {"use_pq": False},
+        {"use_pq": True, "rerank_factor": 4},
+        {"use_pq": True, "rerank_factor": None},
+    ]
+    for kw in cases:
+        batch = vector_index_topk_batch(
+            idx, queries, k=5, n_probe=3, **kw
+        ).toPandas()
+        assert set(batch["query_id"]) == set(qids)
+        for qid in qids:
+            single = vector_index_topk(
+                idx, qvecs[qid], k=5, n_probe=3, **kw
+            ).toPandas()
+            b = batch[batch.query_id == qid].sort_values("rank")
+            assert b["vec_id"].tolist() == single["vec_id"].tolist(), kw
+            assert b["cos_sim"].tolist() == pytest.approx(
+                single["cos_sim"].tolist(), abs=2e-6
+            ), kw

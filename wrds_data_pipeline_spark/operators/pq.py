@@ -427,20 +427,16 @@ def pq_topk(
     return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
 
 
-def _batch_adc_scored(
+def _query_luts(
     queries: DataFrame,
-    coded: DataFrame,
     cb: PQCodebooks,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    id_col: str = "vec_id",
-    code_col: str = "pq_code",
 ) -> DataFrame:
-    """(query_id, id, adc_sim) for every (query, corpus-row) pair —
-    the shared scan under ``pq_adc_topk_batch`` (fixed top-k cut) and
-    ``pq_topk_batch`` (calibrated error-band pool).  Per-query m×k
-    LUT built JVM-side on the broadcast query relation; see
-    ``pq_adc_topk_batch`` for the full contract."""
+    """(query_id, _lut): per-query m×k ADC lookup table, built
+    JVM-side — LUT[j][i] = dot(q̂_sub_j, book[j][i]) with the query
+    norm folded once via ``aggregate``'s finish lambda.  Null LUT for
+    zero-norm queries (no direction)."""
     dsub = cb.dsub
     cube = _lit_double_cube([[list(c) for c in book] for book in cb.books])
     qv = F.col(query_vec_col).cast("array<double>")
@@ -466,25 +462,49 @@ def _batch_adc_scored(
             ),
         ),
     )
-    q = queries.select(
+    return queries.select(
         F.col(query_id_col).alias("query_id"), lut.alias("_lut")
     )
+
+
+def _adc_from_lut(code_col: str = "pq_code") -> Column:
+    """ADC score expression over a relation carrying both ``code_col``
+    and a per-row ``_lut`` (from ``_query_luts``): m lookups + m adds,
+    rounded to the ranking precision."""
+    return F.round(
+        F.aggregate(
+            F.transform(
+                F.col(code_col),
+                lambda c, j: F.element_at(
+                    F.element_at(F.col("_lut"), j + 1), c.cast("int") + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _batch_adc_scored(
+    queries: DataFrame,
+    coded: DataFrame,
+    cb: PQCodebooks,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(query_id, id, adc_sim) for every (query, corpus-row) pair —
+    the shared scan under ``pq_adc_topk_batch`` (fixed top-k cut) and
+    ``pq_topk_batch`` (calibrated error-band pool).  Per-query m×k
+    LUT built JVM-side on the broadcast query relation; see
+    ``pq_adc_topk_batch`` for the full contract."""
+    q = _query_luts(queries, cb, query_id_col, query_vec_col)
     return coded.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.col(code_col),
-                    lambda c, j: F.element_at(
-                        F.element_at(F.col("_lut"), j + 1), c.cast("int") + 1
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("adc_sim"),
+        _adc_from_lut(code_col).alias("adc_sim"),
     )
 
 

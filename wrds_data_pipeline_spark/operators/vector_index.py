@@ -297,3 +297,187 @@ def prune_vector_index(
         .filter(F.col("_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
         .drop("_rank", "_n")
     )
+
+
+def vector_index_topk_batch(
+    index: VectorIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    use_pq: bool | None = None,
+    rerank_factor: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    partial_parallelism: int = 32,
+) -> DataFrame:
+    """Batch top-k through the opened index: N queries served by ONE
+    scan of the union of their probed cells, never a per-query driver
+    loop of jobs.
+
+    Per-query probe sets are computed driver-side against the
+    (driver-resident) centroids — the query relation is small by
+    contract, exactly like the single-query path's collect in the CLI
+    — and become a broadcast (query_id, cell) probe map: the stored
+    side is partition-pruned to the UNION of probed cells, and the
+    probe-map join restricts each scored pair to its own query's
+    cells, so semantics match ``vector_index_topk`` per query
+    exactly.  Within the probed rows: exact cosine, or the PQ ADC
+    scan with a fixed ``k·rerank_factor`` pool or (default) the
+    calibrated per-query error-band pool (see ``pq.pq_topk``) and an
+    exact rerank.
+
+    Returns (query_id, id, cos_sim, rank), rank 1..k per query (ties
+    by id).  Zero-norm queries have no direction and are dropped."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from wrds_data_pipeline_spark.operators.pq import (
+        _adc_from_lut,
+        _query_luts,
+        adc_error_bound_col,
+    )
+    from wrds_data_pipeline_spark.operators.similarity import l2_norm
+
+    if use_pq is None:
+        use_pq = index.codebooks is not None
+    if use_pq and index.codebooks is None:
+        raise ValueError("index has no PQ codebooks; rebuild with pq_m set")
+
+    spark = queries.sparkSession
+    cents = index.centroid_list()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("vector_index_topk_batch: empty query relation")
+    probe_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r[query_vec_col]]
+        ranked = sorted(cents, key=lambda c: -cos(c[1], qv))
+        probe_rows += [
+            (r[query_id_col], int(c[0])) for c in ranked[:n_probe]
+        ]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qid_type = queries.schema[query_id_col].dataType
+    pm = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+    union_cells = sorted({c for _, c in probe_rows})
+    probed = index.df.filter(F.col("cell").isin(union_cells))
+    # per-query restriction: fan probed rows out to the queries whose
+    # probe set holds their cell (broadcast probe map — fan-out is
+    # bounded by queries-per-cell, never |queries| × |probed|)
+    expanded = probed.withColumn("cell", F.col("cell").cast("int")).join(
+        F.broadcast(pm), "cell"
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    v = F.col(index.vec_col).cast("array<double>")
+
+    def final_topk(pairs: DataFrame) -> DataFrame:
+        slice_key = F.pmod(
+            F.xxhash64(F.col(index.id_col)), F.lit(partial_parallelism)
+        )
+        w_partial = W.partitionBy("query_id", slice_key).orderBy(
+            F.desc("cos_sim"), F.asc(index.id_col)
+        )
+        survivors = pairs.withColumn(
+            "_pr", F.row_number().over(w_partial)
+        ).filter(F.col("_pr") <= k)
+        w_final = W.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc(index.id_col)
+        )
+        return (
+            survivors.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select("query_id", index.id_col, "cos_sim", "rank")
+        )
+
+    def exact_cos(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(q), "query_id")
+            .withColumn("_cn", l2_norm(v))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    F.when(
+                        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+                        F.aggregate(
+                            F.zip_with(F.col("_qv"), v, lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("_qn") * F.col("_cn")),
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("cos_sim").isNotNull())
+        )
+
+    if not use_pq:
+        return final_topk(exact_cos(expanded))
+
+    ql = _query_luts(queries, index.codebooks, query_id_col, query_vec_col)
+    scored = expanded.join(F.broadcast(ql), "query_id").select(
+        "query_id",
+        F.col(index.id_col),
+        _adc_from_lut("pq_code").alias("adc_sim"),
+    )
+    w_adc_p = W.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(partial_parallelism))
+    ).orderBy(F.desc("adc_sim"), F.asc(index.id_col))
+    w_adc_f = W.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc(index.id_col)
+    )
+
+    def adc_topn(n: int) -> DataFrame:
+        return (
+            scored.withColumn("_pr", F.row_number().over(w_adc_p))
+            .filter(F.col("_pr") <= n)
+            .withColumn("_r", F.row_number().over(w_adc_f))
+            .filter(F.col("_r") <= n)
+        )
+
+    if rerank_factor is not None:
+        pool = adc_topn(k * rerank_factor).select("query_id", index.id_col)
+    else:
+        kth = (
+            adc_topn(k)
+            .groupBy("query_id")
+            .agg(F.min("adc_sim").alias("_kth"))
+        )
+        eps = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            adc_error_bound_col(
+                index.codebooks, F.col(query_vec_col)
+            ).alias("_eps"),
+        )
+        th = kth.join(eps, "query_id").select(
+            "query_id", (F.col("_kth") - F.col("_eps")).alias("_th")
+        )
+        pool = (
+            scored.join(F.broadcast(th), "query_id")
+            .filter(F.col("adc_sim") >= F.col("_th"))
+            .select("query_id", index.id_col)
+        )
+    pairs = pool.join(
+        probed.select(F.col(index.id_col), v.alias("_v")), index.id_col
+    ).withColumnRenamed("_v", index.vec_col)
+    return final_topk(exact_cos(pairs))
