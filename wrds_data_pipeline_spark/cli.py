@@ -591,7 +591,6 @@ def index_main(argv: list[str] | None = None) -> int:
         append_vector_index,
         build_vector_index,
         load_vector_index,
-        vector_index_topk,
     )
 
     if args.cmd == "build-vector":
@@ -619,26 +618,25 @@ def index_main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.out_dir).count()
         print(f"{n} survivors ({args.keep}, {args.keep_frac}) -> {args.out_dir}")
     else:
-        from functools import reduce
-
-        from pyspark.sql import functions as F
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            vector_index_topk_batch,
+        )
 
         idx = load_vector_index(spark, args.index_path)
-        queries = spark.read.parquet(args.queries_path).collect()
-        if not queries:
+        queries = spark.read.parquet(args.queries_path)
+        n_q = queries.count()
+        if not n_q:
             raise SystemExit(f"no query rows in {args.queries_path}")
-        parts = [
-            vector_index_topk(
-                idx, [float(x) for x in q["query_vec"]], k=args.k,
-                n_probe=args.n_probe,
-                use_pq=False if args.exact else None,
-                rerank_factor=args.rerank_factor,
-            ).withColumn("query_id", F.lit(q["query_id"]))
-            for q in queries
-        ]
-        out = reduce(lambda a, b: a.unionByName(b), parts)
+        # one scan of the union of probed cells serves every query
+        # (round 7) — the previous per-query loop ran one pruned
+        # probe JOB per query row
+        out = vector_index_topk_batch(
+            idx, queries, k=args.k, n_probe=args.n_probe,
+            use_pq=False if args.exact else None,
+            rerank_factor=args.rerank_factor,
+        )
         out.write.mode("overwrite").parquet(args.out_dir)
-        print(f"{len(queries)} queries x top-{args.k} -> {args.out_dir}")
+        print(f"{n_q} queries x top-{args.k} -> {args.out_dir}")
     return 0
 
 
