@@ -673,3 +673,46 @@ def test_semantic_dedup_keep_best_composition(spark):
     )
     ids = sorted(r["vec_id"] for r in kept.collect())
     assert ids == [9, 10, 11]  # best (= highest id) per cluster
+
+
+def test_probe_cells_matches_driver_ranking(spark):
+    """The distributed probe-set expression orders cells exactly like
+    the driver-side sorted(cents, key=-cos) loop, including ties
+    (earlier cell) and the zero-vector row (all sims 0 → lowest cell
+    ids)."""
+    import math
+
+    from wrds_data_pipeline_spark.operators.similarity import probe_cells
+
+    dim = 6
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+        (5, [0.7, 0.7, 0.0, 0.0, 0.0, 0.0]),
+        (9, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    ]
+    rows = [
+        (1, [2.0, 0.1, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.1, 3.0, 0.2, 0.0, 0.0, 0.0]),
+        (3, [0.0] * dim),                        # zero vector
+        (4, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]),     # 0-vs-3 tie
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["p"]
+        for r in emb.select(
+            "vec_id", probe_cells(cents, "embedding", 3).alias("p")
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    for vid, vec in rows:
+        want = [
+            c[0] for c in sorted(cents, key=lambda c: -cos(c[1], vec))
+        ][:3]
+        assert got[vid] == want, (vid, got[vid], want)

@@ -1228,3 +1228,55 @@ def cluster_prune(
         .filter(F.col("_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
         .drop("_rank", "_n")
     )
+
+
+def probe_cells(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> Column:
+    """array<int>: the ``n_probe`` cells nearest the row's vector by
+    cosine, best first (ties → earlier cell id) — the PROBE-SET
+    expression, so a batch of queries computes its IVF probe map
+    distributed (explode this) instead of ranking centroids per query
+    in a driver loop.
+
+    Ordering matches the driver-side ``sorted(cents, key=-cos)``
+    convention exactly: dot/‖c‖ is cosine ordering for a fixed row
+    (the row norm is a constant positive factor — skipped), and the
+    (sim, -cell) struct sort prefers the earlier cell on ties,
+    including the all-zero-vector case (every sim 0 → lowest cell
+    ids, same as the driver loop's stable sort)."""
+    import math
+
+    n_probe = min(max(1, n_probe), len(centroids))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    mat = _lit_double_matrix([[float(x) for x in c] for _, c in centroids])
+    cell_ids = F.expr(
+        "array(" + ",".join(str(int(i)) for i, _ in centroids) + ")"
+    )
+    norms = _lit_doubles(
+        [math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in centroids]
+    )
+    ranked = F.array_sort(
+        F.transform(
+            mat,
+            lambda c, j: F.struct(
+                F.when(
+                    F.element_at(norms, j + 1) > 0,
+                    dot(v, c) / F.element_at(norms, j + 1),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("sim"),
+                (-F.element_at(cell_ids, j + 1)).alias("neg_cell"),
+            ),
+        )
+    )
+    # ascending sort ⇒ best sits at the END; equal sims put the larger
+    # neg_cell (smaller cell id) later, so element_at(-k) prefers the
+    # earlier cell on ties — the stable-sort convention
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_probe)),
+        lambda k: (-F.element_at(ranked, -k)["neg_cell"]).cast("int"),
+    )

@@ -314,22 +314,27 @@ def vector_index_topk_batch(
     scan of the union of their probed cells, never a per-query driver
     loop of jobs.
 
-    Per-query probe sets are computed driver-side against the
-    (driver-resident) centroids — the query relation is small by
-    contract, exactly like the single-query path's collect in the CLI
-    — and become a broadcast (query_id, cell) probe map: the stored
-    side is partition-pruned to the UNION of probed cells, and the
-    probe-map join restricts each scored pair to its own query's
-    cells, so semantics match ``vector_index_topk`` per query
-    exactly.  Within the probed rows: exact cosine, or the PQ ADC
-    scan with a fixed ``k·rerank_factor`` pool or (default) the
-    calibrated per-query error-band pool (see ``pq.pq_topk``) and an
-    exact rerank.
+    The per-query probe map is a DISTRIBUTED expression
+    (``similarity.probe_cells``: the n_probe nearest cells per query
+    row, exploded to a (query_id, cell) relation) — no driver loop
+    over query rows, so the query side can itself be large (bulk kNN
+    filtering, batch dedup probes).  The only collect is the DISTINCT
+    probed-cell list (bounded by n_cells, like probe_band_index's
+    shard collect), which partition-prunes the stored side to the
+    UNION of probed cells; the probe-map join then restricts each
+    scored pair to its own query's cells, so semantics match
+    ``vector_index_topk`` per query exactly.  Within the probed rows:
+    exact cosine, or the PQ ADC scan with a fixed ``k·rerank_factor``
+    pool or (default) the calibrated per-query error-band pool (see
+    ``pq.pq_topk``) and an exact rerank.
+
+    The query relation (probe map, vectors, LUTs, thresholds) rides
+    the broadcast side of every join — the batch-family contract
+    (``brute_force_topk_batch``): queries × n_probe must fit a
+    broadcast; beyond that, bucket both sides by cell instead.
 
     Returns (query_id, id, cos_sim, rank), rank 1..k per query (ties
     by id).  Zero-norm queries have no direction and are dropped."""
-    import math
-
     from pyspark.sql.window import Window as W
 
     from wrds_data_pipeline_spark.operators.pq import (
@@ -337,45 +342,26 @@ def vector_index_topk_batch(
         _query_luts,
         adc_error_bound_col,
     )
-    from wrds_data_pipeline_spark.operators.similarity import l2_norm
+    from wrds_data_pipeline_spark.operators.similarity import (
+        l2_norm,
+        probe_cells,
+    )
 
     if use_pq is None:
         use_pq = index.codebooks is not None
     if use_pq and index.codebooks is None:
         raise ValueError("index has no PQ codebooks; rebuild with pq_m set")
 
-    spark = queries.sparkSession
     cents = index.centroid_list()
-
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        raise ValueError("vector_index_topk_batch: empty query relation")
-    probe_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r[query_vec_col]]
-        ranked = sorted(cents, key=lambda c: -cos(c[1], qv))
-        probe_rows += [
-            (r[query_id_col], int(c[0])) for c in ranked[:n_probe]
-        ]
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    qid_type = queries.schema[query_id_col].dataType
-    pm = spark.createDataFrame(
-        probe_rows,
-        StructType(
-            [
-                StructField("query_id", qid_type),
-                StructField("cell", IntegerType()),
-            ]
-        ),
+    pm = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(probe_cells(cents, query_vec_col, n_probe)).alias("cell"),
     )
-    union_cells = sorted({c for _, c in probe_rows})
+    union_cells = sorted(
+        r["cell"] for r in pm.select("cell").distinct().collect()
+    )
+    if not union_cells:
+        raise ValueError("vector_index_topk_batch: empty query relation")
     probed = index.df.filter(F.col("cell").isin(union_cells))
     # per-query restriction: fan probed rows out to the queries whose
     # probe set holds their cell (broadcast probe map — fan-out is
