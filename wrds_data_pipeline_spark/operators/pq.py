@@ -419,9 +419,14 @@ def pq_topk(
                 embeddings.limit(0), query_vec, k, id_col, vec_col
             )
         kth_score = min(r["adc_sim"] for r in kth_rows)
+        # rounded on BOTH sides of the band comparison (the k-th score
+        # comes from the 6dp ranking precision; the batch path does the
+        # same) — the band is ~5 orders above the rounding either way
         cand = coded.select(
             F.col(id_col),
-            pq_adc_scores(cb, query_vec, F.col(code_col)).alias("_adc"),
+            F.round(
+                pq_adc_scores(cb, query_vec, F.col(code_col)), 6
+            ).alias("_adc"),
         ).filter(F.col("_adc") >= F.lit(float(kth_score) - eps)).select(id_col)
     survivors = embeddings.join(F.broadcast(cand), id_col)
     return brute_force_topk(survivors, query_vec, k, id_col, vec_col)
