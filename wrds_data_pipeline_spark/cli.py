@@ -214,15 +214,17 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    help="surgical mode: cut only the overlapping "
                    "spans instead of dropping whole documents. "
                    "Caveat: benchmark items shorter than the 8-token "
-                   "window have no scrub windows, so their leaks pass "
-                   "through (drop mode catches them via the whole-text "
-                   "short-item rule); a warning reports their count")
+                   "window have NO 8-gram signature at all - no mode "
+                   "at n=8 can see them inside longer documents (drop "
+                   "mode catches only a short DOC equal to the item); "
+                   "a warning reports their count - the remedy is a "
+                   "smaller window, not a different mode")
     p.add_argument("--bench-scrub-strict", action="store_true",
                    help="after scrubbing, DROP any document still "
                    "carrying a benchmark 8-gram: catches grams the "
-                   "rebuild spliced across a cut boundary and leaks "
-                   "of sub-window benchmark items (closes both scrub "
-                   "caveats at the cost of losing those documents)")
+                   "rebuild spliced across a cut boundary (sub-window "
+                   "items stay invisible at n=8 in every mode - see "
+                   "--bench-scrub)")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--keep-frac", type=float, default=None,
                    help="keep top fraction by quality after filters")
@@ -332,9 +334,10 @@ def corpus_main(argv: list[str] | None = None) -> int:
             if n_short:
                 print(
                     f"warning: {n_short} benchmark item(s) shorter than "
-                    "8 tokens have no scrub windows; any leaks of those "
-                    "items pass through untouched (drop mode — omit "
-                    "--bench-scrub — catches them)"
+                    "8 tokens have no 8-gram signature; leaks of those "
+                    "items inside longer documents are invisible to "
+                    "every mode at this window — rerun with a smaller "
+                    "n if short eval items matter"
                 )
             cols = [c for c in kept.columns if c not in ("text",)]
             scrubbed = scrub_contaminated_spans(kept, bench_df, n=8)
@@ -362,10 +365,11 @@ def corpus_main(argv: list[str] | None = None) -> int:
             if args.bench_scrub_strict:
                 # residual re-check (ADVICE r6): the rebuild can
                 # splice a NEW benchmark 8-gram across a cut boundary
-                # (prefix-of-S + LEAK + suffix-of-S → S), and sub-
-                # window items never had scrub windows — one
+                # (prefix-of-S + LEAK + suffix-of-S → S) — one
                 # decontaminate pass over the scrubbed text drops
-                # whatever still leaks
+                # whatever still carries an 8-gram.  Sub-window items
+                # remain invisible at n=8 in every mode (they have no
+                # 8-gram signature); only a smaller window sees them.
                 kept = decontaminate(kept, bench_df, n=8)
         else:
             kept = decontaminate(kept, bench_df, n=8)
@@ -539,7 +543,8 @@ def index_main(argv: list[str] | None = None) -> int:
     qv = sub.add_parser("query-vector", help="top-k per query vector through the index")
     qv.add_argument("index_path")
     qv.add_argument("queries_path", help="parquet with (query_id, query_vec); "
-                    "small by contract — each query is one pruned probe job")
+                    "all queries are served by ONE scan of the union of "
+                    "their probed cells (vector_index_topk_batch)")
     qv.add_argument("out_dir")
     qv.add_argument("--k", type=int, default=10)
     qv.add_argument("--n-probe", type=int, default=4)

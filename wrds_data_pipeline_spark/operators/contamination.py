@@ -348,10 +348,12 @@ def scrub_contaminated_spans(
     span_dedup contract), untouched documents pass through VERBATIM.
 
     Matching is WINDOW-exact at width ``n``: benchmark items shorter
-    than ``n`` tokens produce no grams and therefore scrub nothing
-    (``decontaminate``'s whole-text short-item rule has no span
-    analogue — a sub-``n`` leak has no well-defined span to cut);
-    lower ``n`` if short eval items matter.  The rebuild can also
+    than ``n`` tokens produce no grams and therefore scrub nothing —
+    and the same is true of DROP mode against longer documents (the
+    short item's whole-text shingle can only match a doc that is
+    itself short); a sub-``n`` leak inside a longer document is
+    invisible at width ``n`` in every mode.  Lower ``n`` if short
+    eval items matter.  The rebuild can also
     SPLICE a new benchmark n-gram across a cut boundary (doc =
     S[:j] + leak + S[j:] — cutting the leak joins the halves into
     S), so a zero-residual guarantee needs a follow-up

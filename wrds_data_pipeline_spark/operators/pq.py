@@ -606,6 +606,123 @@ def adc_error_bound_col(cb: PQCodebooks, query_vec: Column, z: float = 1.0) -> C
     )
 
 
+def _batch_pool(
+    scored: DataFrame,
+    queries: DataFrame,
+    cb: PQCodebooks,
+    k: int,
+    rerank_factor: int | None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    partial_parallelism: int = 32,
+) -> DataFrame:
+    """Per-query ADC rerank pool over a (query_id, id, adc_sim)
+    relation — THE one copy of the pool algorithm for the batch
+    family (``pq_topk_batch`` and ``vector_index_topk_batch``): a
+    fixed ``k·rerank_factor`` cut, or (``rerank_factor=None``) the
+    calibrated error band — every row within ``adc_error_bound_col``
+    of that query's k-th best ADC score, thresholds computed in one
+    broadcast pass.  Returns (query_id, id)."""
+    w_p = W.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
+    ).orderBy(F.desc_nulls_last("adc_sim"), F.asc(id_col))
+    w_f = W.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("adc_sim"), F.asc(id_col)
+    )
+
+    def topn(n: int) -> DataFrame:
+        return (
+            scored.withColumn("_pr", F.row_number().over(w_p))
+            .filter(F.col("_pr") <= n)
+            .withColumn("_r", F.row_number().over(w_f))
+            .filter(F.col("_r") <= n)
+        )
+
+    if rerank_factor is not None:
+        return topn(k * rerank_factor).select("query_id", id_col)
+    kth = topn(k).groupBy("query_id").agg(F.min("adc_sim").alias("_kth"))
+    eps = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        adc_error_bound_col(cb, F.col(query_vec_col)).alias("_eps"),
+    )
+    th = kth.join(eps, "query_id").select(
+        "query_id", (F.col("_kth") - F.col("_eps")).alias("_th")
+    )
+    return (
+        scored.join(F.broadcast(th), "query_id")
+        .filter(F.col("adc_sim") >= F.col("_th"))
+        .select("query_id", id_col)
+    )
+
+
+def _batch_exact_topk(
+    pairs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partial_parallelism: int = 32,
+) -> DataFrame:
+    """Exact-cosine per-query top-k over a PRE-PAIRED (query_id, id,
+    vec) relation — the one copy of the rerank/final stage for the
+    batch family.  The corpus norm is hoisted BEFORE the query join
+    (one dim-element fold per row, not per pair — the
+    ``brute_force_topk_batch`` discipline); zero-norm QUERIES are
+    dropped (no direction), while zero-norm CORPUS vectors keep the
+    per-query paths' semantics — null cos_sim, ranked last
+    (``desc_nulls_last``), exactly like ``brute_force_topk``'s
+    orderBy.  Returns (query_id, id, cos_sim, rank), rank 1..k."""
+    from .similarity import l2_norm
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+        .filter(F.col("_qn") > 0)
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        pairs.withColumn("_cn", l2_norm(v))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                F.when(
+                    F.col("_cn") > 0,
+                    F.aggregate(
+                        F.zip_with(F.col("_qv"), v, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("_qn") * F.col("_cn")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    slice_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_parallelism))
+    w_partial = W.partitionBy("query_id", slice_key).orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc(id_col)
+    )
+    survivors = scored.withColumn(
+        "_pr", F.row_number().over(w_partial)
+    ).filter(F.col("_pr") <= k)
+    w_final = W.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
 def pq_topk_batch(
     queries: DataFrame,
     embeddings: DataFrame,
@@ -635,75 +752,23 @@ def pq_topk_batch(
 
     Returns (query_id, id, cos_sim, rank), rank 1..k per query.
     Zero-norm queries have no direction and are dropped from the
-    output (their ADC LUT and error band are null)."""
-    from .similarity import l2_norm
-
+    output (their ADC LUT and error band are null); zero-norm corpus
+    vectors rank last with null cos_sim (the per-query contract)."""
     coded = (
         embeddings
         if code_col in embeddings.columns
         else pq_encode(embeddings, cb, vec_col, code_col)
     )
-    if rerank_factor is not None:
-        pool = pq_adc_topk_batch(
-            queries, coded, cb, k * rerank_factor,
-            query_id_col, query_vec_col, id_col, code_col,
-        ).select("query_id", id_col)
-    else:
-        kth = (
-            pq_adc_topk_batch(
-                queries, coded, cb, k,
-                query_id_col, query_vec_col, id_col, code_col,
-            )
-            .groupBy("query_id")
-            .agg(F.min("adc_sim").alias("_kth"))
-        )
-        eps = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            adc_error_bound_col(cb, F.col(query_vec_col)).alias("_eps"),
-        )
-        th = (
-            kth.join(eps, "query_id")
-            .select("query_id", (F.col("_kth") - F.col("_eps")).alias("_th"))
-        )
-        scored = _batch_adc_scored(
-            queries, coded, cb, query_id_col, query_vec_col, id_col, code_col
-        )
-        pool = (
-            scored.join(F.broadcast(th), "query_id")
-            .filter(F.col("adc_sim") >= F.col("_th"))
-            .select("query_id", id_col)
-        )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_qn", l2_norm(F.col("_qv")))
-    v = F.col(vec_col).cast("array<double>")
-    pairs = (
-        pool.join(embeddings.select(F.col(id_col), v.alias("_v")), id_col)
-        .join(F.broadcast(q), "query_id")
-        .withColumn("_cn", l2_norm(F.col("_v")))
-        .select(
-            "query_id",
-            F.col(id_col),
-            F.round(
-                F.when(
-                    (F.col("_qn") > 0) & (F.col("_cn") > 0),
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_qv"), F.col("_v"), lambda a, b: a * b
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("_qn") * F.col("_cn")),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim").isNotNull())
+    scored = _batch_adc_scored(
+        queries, coded, cb, query_id_col, query_vec_col, id_col, code_col
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    pool = _batch_pool(
+        scored, queries, cb, k, rerank_factor,
+        query_id_col, query_vec_col, id_col,
+    )
+    pairs = pool.join(
+        embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    return _batch_exact_topk(
+        pairs, queries, k, query_id_col, query_vec_col, id_col, vec_col
     )

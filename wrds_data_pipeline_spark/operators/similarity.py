@@ -713,24 +713,21 @@ def ivf_assign_hierarchical(
     )
 
 
-def hierarchical_assigner(
+def _super_layout(
     centroids: list[tuple[int, list[float]]],
-    vec_col: str = "embedding",
     n_super: int | None = None,
-    n_probe_super: int = 2,
-    with_sim: bool = False,
-):
-    """Factory form of ``ivf_assign_hierarchical``: runs the
-    driver-side super-cell k-means and builds the two-level expression
-    ONCE, returning a ``df -> df`` closure.  A streaming sink applying
-    the same pinned quantizer to every micro-batch must not pay the
-    k-means plus the c×dim literal serialization/analysis per batch."""
+) -> tuple[list[list[float]], list[list[tuple[int, list[float]]]]]:
+    """Driver-side two-level layout shared by ``hierarchical_assigner``
+    and the hierarchical ``probe_cells`` route: spherical-k-means the
+    UNIT centroids into ~sqrt(c) super-cells (deterministic stratified
+    seeds, 4 polish rounds) and return (unit super vectors, member
+    groups of (cell_id, unit_vec)); empty supers drop out."""
     import math
 
     import numpy as np
 
     if not centroids:
-        raise ValueError("ivf_assign_hierarchical needs centroids")
+        raise ValueError("hierarchical layout needs centroids")
     c = len(centroids)
     if n_super is None:
         n_super = max(1, round(math.sqrt(c)))
@@ -753,18 +750,6 @@ def hierarchical_assigner(
     sn[sn == 0] = 1.0
     asg = (cunit @ (smat_np / sn).T).argmax(axis=1)
 
-    # UNIT member/super vectors, zipped with their ids into structs.
-    # Two hard-won expression rules (the naive hoist-into-withColumn
-    # version of this function ran 25× SLOWER than exact assignment):
-    # 1. argmax over cosine == argmax over dot with UNIT vectors — the
-    #    row norm and the centroid norms divide out of the ordering,
-    #    so normalize driver-side and ship NO norm arrays at all;
-    # 2. a hoisted column referenced ONCE is inlined by
-    #    CollapseProject, and if that reference sits inside a HOF
-    #    lambda the inlined expression re-evaluates PER ELEMENT —
-    #    so the member scan must only touch its OWN element (a
-    #    struct carrying {cid, uvec}), never index an outer array
-    #    through a "hoisted" alias.
     members: list[list[tuple[int, list[float]]]] = []
     super_unit: list[list[float]] = []
     for s in range(len(smat_np)):
@@ -777,11 +762,15 @@ def hierarchical_assigner(
             members.append(grp)
             u = smat_np[s] / (np.linalg.norm(smat_np[s]) or 1.0)
             super_unit.append([float(x) for x in u])
+    return super_unit, members
 
-    v = F.col(vec_col).cast("array<double>")
-    smat = _lit_double_matrix(super_unit)
-    # array<array<struct<cid:int, uvec:array<double>>>> in one parse
-    mstructs = F.expr(
+
+def _member_structs_literal(
+    members: list[list[tuple[int, list[float]]]],
+):
+    """array<array<struct<cid:int, uvec:array<double>>>> literal in
+    one parse (see _lit_doubles for why literals, not F.lit)."""
+    return F.expr(
         "array("
         + ",".join(
             "array("
@@ -796,6 +785,40 @@ def hierarchical_assigner(
         )
         + ")"
     )
+
+
+def hierarchical_assigner(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    n_super: int | None = None,
+    n_probe_super: int = 2,
+    with_sim: bool = False,
+):
+    """Factory form of ``ivf_assign_hierarchical``: runs the
+    driver-side super-cell k-means and builds the two-level expression
+    ONCE, returning a ``df -> df`` closure.  A streaming sink applying
+    the same pinned quantizer to every micro-batch must not pay the
+    k-means plus the c×dim literal serialization/analysis per batch."""
+    if not centroids:
+        raise ValueError("ivf_assign_hierarchical needs centroids")
+    super_unit, members = _super_layout(centroids, n_super)
+
+    # UNIT member/super vectors, zipped with their ids into structs.
+    # Two hard-won expression rules (the naive hoist-into-withColumn
+    # version of this function ran 25× SLOWER than exact assignment):
+    # 1. argmax over cosine == argmax over dot with UNIT vectors — the
+    #    row norm and the centroid norms divide out of the ordering,
+    #    so normalize driver-side and ship NO norm arrays at all;
+    # 2. a hoisted column referenced ONCE is inlined by
+    #    CollapseProject, and if that reference sits inside a HOF
+    #    lambda the inlined expression re-evaluates PER ELEMENT —
+    #    so the member scan must only touch its OWN element (a
+    #    struct carrying {cid, uvec}), never index an outer array
+    #    through a "hoisted" alias.
+
+    v = F.col(vec_col).cast("array<double>")
+    smat = _lit_double_matrix(super_unit)
+    mstructs = _member_structs_literal(members)
 
     probe = min(max(1, n_probe_super), len(members))
     # level 1: dot against UNIT supers (cosine argmax ≡ dot argmax) —
@@ -1234,6 +1257,7 @@ def probe_cells(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     n_probe: int = 4,
+    route: str = "auto",
 ) -> Column:
     """array<int>: the ``n_probe`` cells nearest the row's vector by
     cosine, best first (ties → earlier cell id) — the PROBE-SET
@@ -1241,17 +1265,71 @@ def probe_cells(
     distributed (explode this) instead of ranking centroids per query
     in a driver loop.
 
-    Ordering matches the driver-side ``sorted(cents, key=-cos)``
-    convention exactly: dot/‖c‖ is cosine ordering for a fixed row
-    (the row norm is a constant positive factor — skipped), and the
-    (sim, -cell) struct sort prefers the earlier cell on ties,
-    including the all-zero-vector case (every sim 0 → lowest cell
-    ids, same as the driver loop's stable sort)."""
+    ``route``: ``"flat"`` ranks every centroid (exact; ordering
+    matches the driver-side ``sorted(cents, key=-cos)`` convention
+    exactly — dot/‖c‖ is cosine ordering for a fixed row, the
+    (sim, -cell) struct sort prefers the earlier cell on ties, and
+    the all-zero-vector row gets the lowest cell ids like the stable
+    driver sort).  ``"hier"`` routes through ~sqrt(c) super-cells
+    first (the ``hierarchical_assigner`` layout: rank supers, rank
+    only the probed supers' members) — approximate like hierarchical
+    assignment, but ~2·sqrt(c) dots per row instead of c, which is
+    the difference between linear and quadratic total probe work once
+    ``auto_n_cells`` grows the quantizer with the corpus.  ``"auto"``
+    (default) follows the assignment ladder's rule: flat ≤ 128 cells,
+    hierarchical beyond."""
     import math
 
+    if route not in ("auto", "flat", "hier"):
+        raise ValueError(f"probe_cells route must be auto/flat/hier: {route}")
+    if route == "auto":
+        route = "hier" if len(centroids) > 128 else "flat"
     n_probe = min(max(1, n_probe), len(centroids))
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
+
+    if route == "hier":
+        super_unit, members = _super_layout(centroids)
+        smat = _lit_double_matrix(super_unit)
+        mstructs = _member_structs_literal(members)
+        # probe enough supers that the member pool comfortably holds
+        # n_probe cells (supers hold ~sqrt(c) members each)
+        min_members = min(len(g) for g in members)
+        n_super_probe = 2
+        while (
+            n_super_probe < len(members)
+            and n_super_probe * min_members < n_probe
+        ):
+            n_super_probe += 1
+        lvl1 = F.array_sort(
+            F.transform(
+                smat,
+                lambda s, j: F.struct(
+                    dot(v, s).alias("sim"), (-j).alias("neg_s")
+                ),
+            )
+        )
+        picks = [
+            (-F.element_at(lvl1, -k)["neg_s"] + 1)
+            for k in range(1, n_super_probe + 1)
+        ]
+        msub = F.concat(*[F.element_at(mstructs, p) for p in picks])
+        ranked = F.array_sort(
+            F.transform(
+                msub,
+                lambda m: F.struct(
+                    dot(v, m["uvec"]).alias("sim"),
+                    (-m["cid"]).alias("neg_cell"),
+                ),
+            )
+        )
+        # best at the END of the ascending sort; slice past the array
+        # length just returns what exists
+        return F.transform(
+            F.slice(F.reverse(ranked), 1, n_probe),
+            lambda m: (-m["neg_cell"]).cast("int"),
+        )
+
     mat = _lit_double_matrix([[float(x) for x in c] for _, c in centroids])
     cell_ids = F.expr(
         "array(" + ",".join(str(int(i)) for i, _ in centroids) + ")"

@@ -335,17 +335,13 @@ def vector_index_topk_batch(
 
     Returns (query_id, id, cos_sim, rank), rank 1..k per query (ties
     by id).  Zero-norm queries have no direction and are dropped."""
-    from pyspark.sql.window import Window as W
-
     from wrds_data_pipeline_spark.operators.pq import (
         _adc_from_lut,
+        _batch_exact_topk,
+        _batch_pool,
         _query_luts,
-        adc_error_bound_col,
     )
-    from wrds_data_pipeline_spark.operators.similarity import (
-        l2_norm,
-        probe_cells,
-    )
+    from wrds_data_pipeline_spark.operators.similarity import probe_cells
 
     if use_pq is None:
         use_pq = index.codebooks is not None
@@ -370,55 +366,15 @@ def vector_index_topk_batch(
         F.broadcast(pm), "cell"
     )
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_qn", l2_norm(F.col("_qv")))
-    v = F.col(index.vec_col).cast("array<double>")
-
-    def final_topk(pairs: DataFrame) -> DataFrame:
-        slice_key = F.pmod(
-            F.xxhash64(F.col(index.id_col)), F.lit(partial_parallelism)
-        )
-        w_partial = W.partitionBy("query_id", slice_key).orderBy(
-            F.desc("cos_sim"), F.asc(index.id_col)
-        )
-        survivors = pairs.withColumn(
-            "_pr", F.row_number().over(w_partial)
-        ).filter(F.col("_pr") <= k)
-        w_final = W.partitionBy("query_id").orderBy(
-            F.desc("cos_sim"), F.asc(index.id_col)
-        )
-        return (
-            survivors.withColumn("rank", F.row_number().over(w_final))
-            .filter(F.col("rank") <= k)
-            .select("query_id", index.id_col, "cos_sim", "rank")
-        )
-
-    def exact_cos(df: DataFrame) -> DataFrame:
-        return (
-            df.join(F.broadcast(q), "query_id")
-            .withColumn("_cn", l2_norm(v))
-            .withColumn(
-                "cos_sim",
-                F.round(
-                    F.when(
-                        (F.col("_qn") > 0) & (F.col("_cn") > 0),
-                        F.aggregate(
-                            F.zip_with(F.col("_qv"), v, lambda a, b: a * b),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                        / (F.col("_qn") * F.col("_cn")),
-                    ),
-                    6,
-                ),
-            )
-            .filter(F.col("cos_sim").isNotNull())
-        )
-
+    # pool + exact-rerank delegate to the pq batch family's SINGLE
+    # copies of those algorithms (_batch_pool / _batch_exact_topk) —
+    # this path only contributes the probe map and the per-query cell
+    # restriction
     if not use_pq:
-        return final_topk(exact_cos(expanded))
+        return _batch_exact_topk(
+            expanded, queries, k, query_id_col, query_vec_col,
+            index.id_col, index.vec_col, partial_parallelism,
+        )
 
     ql = _query_luts(queries, index.codebooks, query_id_col, query_vec_col)
     scored = expanded.join(F.broadcast(ql), "query_id").select(
@@ -426,44 +382,15 @@ def vector_index_topk_batch(
         F.col(index.id_col),
         _adc_from_lut("pq_code").alias("adc_sim"),
     )
-    w_adc_p = W.partitionBy(
-        "query_id", F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(partial_parallelism))
-    ).orderBy(F.desc("adc_sim"), F.asc(index.id_col))
-    w_adc_f = W.partitionBy("query_id").orderBy(
-        F.desc("adc_sim"), F.asc(index.id_col)
+    pool = _batch_pool(
+        scored, queries, index.codebooks, k, rerank_factor,
+        query_id_col, query_vec_col, index.id_col, partial_parallelism,
     )
-
-    def adc_topn(n: int) -> DataFrame:
-        return (
-            scored.withColumn("_pr", F.row_number().over(w_adc_p))
-            .filter(F.col("_pr") <= n)
-            .withColumn("_r", F.row_number().over(w_adc_f))
-            .filter(F.col("_r") <= n)
-        )
-
-    if rerank_factor is not None:
-        pool = adc_topn(k * rerank_factor).select("query_id", index.id_col)
-    else:
-        kth = (
-            adc_topn(k)
-            .groupBy("query_id")
-            .agg(F.min("adc_sim").alias("_kth"))
-        )
-        eps = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            adc_error_bound_col(
-                index.codebooks, F.col(query_vec_col)
-            ).alias("_eps"),
-        )
-        th = kth.join(eps, "query_id").select(
-            "query_id", (F.col("_kth") - F.col("_eps")).alias("_th")
-        )
-        pool = (
-            scored.join(F.broadcast(th), "query_id")
-            .filter(F.col("adc_sim") >= F.col("_th"))
-            .select("query_id", index.id_col)
-        )
     pairs = pool.join(
-        probed.select(F.col(index.id_col), v.alias("_v")), index.id_col
-    ).withColumnRenamed("_v", index.vec_col)
-    return final_topk(exact_cos(pairs))
+        probed.select(F.col(index.id_col), F.col(index.vec_col)),
+        index.id_col,
+    )
+    return _batch_exact_topk(
+        pairs, queries, k, query_id_col, query_vec_col,
+        index.id_col, index.vec_col, partial_parallelism,
+    )
