@@ -173,10 +173,17 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
             ra, rb = find(r.id_a), find(r.id_b)
             if ra != rb:
                 parent[ra] = rb
-        # absent members are their own singleton roots — filtering
-        # them out would let a star-path regression that drops a
-        # member's edges report a false one_group=True
-        cluster_roots = {find(i) for i in range(m)}
+        # Members with NO edge at all are LSH recall misses (they
+        # collide on no band — the unguarded clique lacks their pairs
+        # too, and the guard cannot create or destroy edge-ownership:
+        # hot-bucket members always get a star edge, small-bucket
+        # members keep their pairs).  So the group check covers the
+        # EDGED members, and the isolated count is printed separately
+        # — a star-path regression that drops members' edges shows up
+        # as an isolated-count spike, not a silent pass.
+        edged = [i for i in range(m) if i in parent]
+        n_isolated = m - len(edged)
+        cluster_roots = {find(i) for i in edged}
         one_group = len(cluster_roots) == 1
 
         if unguarded_all or m == min(sizes):
@@ -214,7 +221,8 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
         print(
             f"m={m}: guarded pairs={len(rows)} wall={w_g:.1f}s "
             f"(clique {clique}, ratio {len(rows) / clique:.4f}) "
-            f"cluster_one_group={one_group} | "
+            f"cluster_one_group={one_group} "
+            f"(isolated LSH-recall misses: {n_isolated}) | "
             f"incremental probe ({m // 3} new vs {m - m // 3} stored): "
             f"pairs={n_inc} wall={w_inc:.1f}s | unguarded: {w_u}"
         )
