@@ -94,6 +94,7 @@ def main() -> None:
     load_start = os.getloadavg()[0]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = driver_queries.QUERIES[name]
@@ -112,6 +113,11 @@ def main() -> None:
             else (samples[mid - 1] + samples[mid]) / 2
         )
         times[name] = round(med, 3)
+        # [min, median] per query (round 8, VERDICT r7 next #8): a
+        # protocol-wide load shift moves the median while the min
+        # stays put; a real plan regression moves BOTH — recorded so
+        # round-over-round deltas attribute themselves
+        spread[name] = [round(samples[0], 3), times[name]]
         total += times[name]
         print(
             f"# {name}: {times[name]}s median of {samples} ({n} rows)",
@@ -124,6 +130,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "query_spread_min_median": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": {
             "repeats": repeats,

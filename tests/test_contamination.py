@@ -273,3 +273,95 @@ def test_benchmark_leak_report(spark):
     assert out[100]["n_docs_hit"] == 2          # docs 2 and 9
     assert out[100]["n_leaked_grams"] == out[100]["n_grams"]
     assert out[101]["n_leaked_grams"] == 0 and out[101]["n_docs_hit"] == 0
+
+
+def test_short_item_coverage_drop_scrub_strict(spark):
+    """The r7 'missing #1': a 5-token benchmark answer leaked inside a
+    LONG document has no 8-gram signature — invisible at n=8 in every
+    mode.  cover_short_items matches it at its own width: drop mode
+    drops the carrier, scrub mode cuts exactly the 5 leaked tokens,
+    and the strict re-check catches a post-scrub splice."""
+    from wrds_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+        short_item_hit_docs,
+    )
+
+    answer = "the mitochondria powers the cell"  # 5 tokens
+    lead = "a long original paragraph explaining cellular biology basics"
+    tail = "with plenty of surrounding original prose afterwards too"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{lead} {answer} {tail}"),  # carrier: leak embedded
+            (2, CLEAN),
+            (3, "as everyone knows " + BENCH_ITEM + " documented"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, answer), (1, BENCH_ITEM)], ["qid", "text"]
+    )
+
+    # without coverage the carrier slips through (the documented gap)
+    kept_ids = {
+        r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()
+    }
+    assert kept_ids == {1, 2}
+    # drop mode with coverage: carrier and 8-gram doc both dropped
+    kept_ids = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, n=8, cover_short_items=True
+        ).collect()
+    }
+    assert kept_ids == {2}
+    # scrub mode with coverage: exactly the 5 leaked tokens cut
+    out = {
+        r["doc_id"]: r
+        for r in scrub_contaminated_spans(
+            docs, bench, n=8, cover_short_items=True
+        ).collect()
+    }
+    assert out[1]["text"] == f"{lead} {tail}"
+    assert out[1]["n_tok_removed"] == 5
+    assert out[2]["text"] == CLEAN and out[2]["n_tok_removed"] == 0
+    # the direct hit relation: only the carrier
+    hits = short_item_hit_docs(docs, bench)
+    assert {r["_id"] for r in hits.collect()} == {1}
+    # strict-mode contract: after a scrub whose cuts may SPLICE the
+    # answer back together across a boundary, one more decontaminate
+    # pass with coverage leaves zero residual short-item leaks
+    toks = answer.split()
+    spliced = (
+        f"{lead} {toks[0]} {toks[1]} {answer} {toks[2]} {toks[3]} {toks[4]} {tail}"
+    )
+    docs2 = spark.createDataFrame([(9, spliced)], ["doc_id", "text"])
+    scrubbed2 = scrub_contaminated_spans(
+        docs2, bench, n=8, cover_short_items=True
+    ).select("doc_id", "text")
+    # whatever the scrub left, the strict pass guarantees zero
+    # residual short-item leaks
+    residual = decontaminate(
+        scrubbed2, bench, n=8, cover_short_items=True
+    )
+    for r in residual.collect():
+        assert answer not in r["text"]
+
+
+def test_short_item_coverage_inert_without_short_items(spark):
+    """All benchmark items ≥ n tokens → the coverage path adds
+    NOTHING: plan and results identical to the plain call, and
+    short_item_hit_docs returns None (no corpus subtree built)."""
+    from wrds_data_pipeline_spark.operators.contamination import (
+        short_item_hit_docs,
+    )
+
+    docs, bench = _docs(spark), _bench(spark)
+    assert short_item_hit_docs(docs, bench) is None
+    plain = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    covered = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, n=8, cover_short_items=True
+        ).collect()
+    }
+    assert plain == covered

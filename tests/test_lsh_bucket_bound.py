@@ -296,6 +296,128 @@ def test_bucket_bound_group_parity_is_an_invariant(spark):
     run()
 
 
+# --- popular-min-shingle precision regime ---------------------------------
+#
+# The classic LSH false-positive regime: one popular shingle (a viral
+# boilerplate phrase) whose hash is minimal under a band's hash
+# functions becomes the band minimum for EVERY short doc containing it
+# — a hot bucket of genuinely dissimilar documents.  The bucket bound
+# must NOT wholesale-merge such a bucket (that would silently delete
+# all but one member at dedup); the evidence gate demotes it because
+# its star edges' measured jaccard fails the threshold.
+#
+# The fixture is built by mirroring the Spark-side hashing in Python
+# (md5 first-15-hex → int % 1e9+7; sig_i = min (A_i·h+B_i) % M) and
+# rejection-sampling docs until the shared phrase is the band-0
+# minimum for every member — deterministic, no Spark needed to build.
+
+_M_MOD = 1_000_000_007
+_A3 = [(2_654_435_761 * (i + 1)) % _M_MOD for i in range(3)]
+_B3 = [(40_503 * (i + 7)) % _M_MOD for i in range(3)]
+
+
+def _py_shingle_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _M_MOD
+
+
+def _band0_rows(h: int) -> list[int]:
+    return [(_A3[i] * h + _B3[i]) % _M_MOD for i in range(3)]
+
+
+def _degenerate_hot_docs(m: int, start_id: int = 0):
+    """m dissimilar 6-token docs all colliding in one band-0 bucket:
+    each shares ONE 3-gram (the popular phrase) and three unique
+    tokens — pairwise jaccard 1/7, far under any sane threshold."""
+    import itertools
+
+    hot = None
+    for t in itertools.count():
+        p = f"hotphrase{t} viral boiler"
+        if all(v < _M_MOD // 20 for v in _band0_rows(_py_shingle_hash(p))):
+            hot = p
+            break
+    rows, seq = [], 0
+    hot_rows = _band0_rows(_py_shingle_hash(hot))
+    while len(rows) < m:
+        u = f"u{seq}a u{seq}b u{seq}c"
+        seq += 1
+        toks = f"{hot} {u}".split()
+        shingles = list(
+            dict.fromkeys(
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            )
+        )
+        hs = [_py_shingle_hash(s) for s in shingles]
+        if all(
+            min((_A3[i] * h + _B3[i]) % _M_MOD for h in hs) == hot_rows[i]
+            for i in range(3)
+        ):
+            rows.append((start_id + len(rows), f"{hot} {u}"))
+    return rows
+
+
+def test_popular_min_shingle_bucket_is_not_falsely_merged(spark):
+    """The r7 `weak`: a hot bucket of DISSIMILAR docs must not be
+    wholesale-resolved into one duplicate group.  With the evidence
+    gate the bounded composition equals the unbounded one (both find
+    nothing); with the legacy unconditional resolution
+    (star_accept_frac=None) the false merge is demonstrable."""
+    rows = _degenerate_hot_docs(40)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # premise guard: the Python hash mirror really produced a band
+    # bucket over the test bound (if the mirror drifts, fail loudly
+    # rather than pass vacuously)
+    top = (
+        minhash_band_table(docs)
+        .groupBy("band", "band_hash")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert top > B, f"max bucket {top} ≤ {B}: degenerate fixture lost its bucket"
+
+    bounded = near_dup_pairs(docs, threshold=0.5, max_bucket=B).collect()
+    unbounded = near_dup_pairs(docs, threshold=0.5, max_bucket=None).collect()
+    assert unbounded == []  # nothing is a real near-dup
+    assert bounded == []  # the gate: no false merges either
+    # and the closed regime really was live: unconditional resolution
+    # would have merged the whole bucket
+    legacy = near_dup_pairs(
+        docs, threshold=0.5, max_bucket=B, star_accept_frac=None
+    ).collect()
+    assert len(legacy) >= len(rows) - 1
+    assert all(r.jaccard < 0.5 for r in legacy)
+
+
+def test_evidence_gate_keeps_true_clusters_and_demotes_degenerate(spark):
+    """Mixed corpus: a genuine near-dup cluster (template with one
+    varying token) AND a degenerate popular-min-shingle bucket.  The
+    gate must resolve the former exactly as the unbounded path does
+    while leaving the latter's members singletons."""
+    rows = _degenerate_hot_docs(20)
+    rows += [(100 + i, TEMPLATE + f"variant{i}") for i in range(20)]
+    rows += [(1000 + j, t) for j, t in enumerate(DISTINCT)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ids = [r[0] for r in rows]
+    bounded = [
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(docs, threshold=0.5, max_bucket=B).collect()
+    ]
+    unbounded = [
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(docs, threshold=0.5, max_bucket=None).collect()
+    ]
+    g, u = _groups(bounded, ids), _groups(unbounded, ids)
+    assert g == u
+    # the template cluster is one group; every degenerate doc solo
+    assert frozenset(range(100, 120)) in g
+    for grp in g:
+        if len(grp) > 1:
+            assert not grp & set(range(20))
+
+
 def test_resolved_pair_with_zero_intersection_survives(spark):
     """Contract: a resolved candidate pair must never be silently
     dropped — even with ZERO shingle intersection (a band-hash

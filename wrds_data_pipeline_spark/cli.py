@@ -212,19 +212,18 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "decontaminate against (8-gram overlap)")
     p.add_argument("--bench-scrub", action="store_true",
                    help="surgical mode: cut only the overlapping "
-                   "spans instead of dropping whole documents. "
-                   "Caveat: benchmark items shorter than the 8-token "
-                   "window have NO 8-gram signature at all - no mode "
-                   "at n=8 can see them inside longer documents (drop "
-                   "mode catches only a short DOC equal to the item); "
-                   "a warning reports their count - the remedy is a "
-                   "smaller window, not a different mode")
+                   "spans instead of dropping whole documents")
     p.add_argument("--bench-scrub-strict", action="store_true",
                    help="after scrubbing, DROP any document still "
                    "carrying a benchmark 8-gram: catches grams the "
-                   "rebuild spliced across a cut boundary (sub-window "
-                   "items stay invisible at n=8 in every mode - see "
-                   "--bench-scrub)")
+                   "rebuild spliced across a cut boundary")
+    p.add_argument("--bench-short-items", choices=("cover", "warn"),
+                   default="cover",
+                   help="benchmark items shorter than the 8-token "
+                   "window have no 8-gram signature; 'cover' "
+                   "(default) matches each one at its OWN width "
+                   "(whole-item window) in every mode, 'warn' only "
+                   "reports their count (the pre-round-8 behavior)")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--keep-frac", type=float, default=None,
                    help="keep top fraction by quality after filters")
@@ -321,26 +320,26 @@ def corpus_main(argv: list[str] | None = None) -> int:
             benchmark_leak_report(kept, bench_df).write.mode(
                 "overwrite"
             ).parquet(f"{args.out_dir}/leak_report")
-        if args.bench_scrub:
+        cover = args.bench_short_items == "cover"
+        if not cover:
             from wrds_data_pipeline_spark.functions import text as X
 
-            # sub-n gap (ADVICE r6): benchmark items shorter than the
-            # 8-token window produce NO scrub windows (the scrubber's
-            # window-exact rule), so their leaks pass through in scrub
-            # mode — drop mode catches them via the whole-text
-            # short-item shingle rule.  Surface the count so the
-            # operator can decide to re-run without --bench-scrub.
+            # legacy 'warn' mode: sub-window items pass through
+            # uncovered; surface the count (the round-8 default is
+            # 'cover' — each short item matched at its own width)
             n_short = bench_df.filter(X.token_count("text") < 8).count()
             if n_short:
                 print(
                     f"warning: {n_short} benchmark item(s) shorter than "
-                    "8 tokens have no 8-gram signature; leaks of those "
-                    "items inside longer documents are invisible to "
-                    "every mode at this window — rerun with a smaller "
-                    "n if short eval items matter"
+                    "8 tokens have no 8-gram signature and "
+                    "--bench-short-items=warn leaves leaks of them "
+                    "inside longer documents uncovered — use 'cover'"
                 )
+        if args.bench_scrub:
             cols = [c for c in kept.columns if c not in ("text",)]
-            scrubbed = scrub_contaminated_spans(kept, bench_df, n=8)
+            scrubbed = scrub_contaminated_spans(
+                kept, bench_df, n=8, cover_short_items=cover
+            )
             # re-attach the curation columns the scrub output drops
             kept = (
                 kept.drop("text")
@@ -364,15 +363,17 @@ def corpus_main(argv: list[str] | None = None) -> int:
                     kept = kept.withColumn(c, expr)
             if args.bench_scrub_strict:
                 # residual re-check (ADVICE r6): the rebuild can
-                # splice a NEW benchmark 8-gram across a cut boundary
-                # (prefix-of-S + LEAK + suffix-of-S → S) — one
-                # decontaminate pass over the scrubbed text drops
-                # whatever still carries an 8-gram.  Sub-window items
-                # remain invisible at n=8 in every mode (they have no
-                # 8-gram signature); only a smaller window sees them.
-                kept = decontaminate(kept, bench_df, n=8)
+                # splice a NEW benchmark 8-gram (or short item) across
+                # a cut boundary (prefix-of-S + LEAK + suffix-of-S →
+                # S) — one decontaminate pass over the scrubbed text
+                # drops whatever still carries a signature.
+                kept = decontaminate(
+                    kept, bench_df, n=8, cover_short_items=cover
+                )
         else:
-            kept = decontaminate(kept, bench_df, n=8)
+            kept = decontaminate(
+                kept, bench_df, n=8, cover_short_items=cover
+            )
     # --- fused per-doc gate stage (round 7, VERDICT r6 next #3): the
     # three post-curation gates (model probability, reference
     # perplexity, quality quantile) are per-doc scores + scalar

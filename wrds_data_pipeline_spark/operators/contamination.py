@@ -200,6 +200,117 @@ def _bloom_might_contain(
     )
 
 
+def short_benchmark_item_hashes(
+    benchmark: DataFrame, bench_text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(t, h): whole-item hashes of benchmark items SHORTER than the
+    ``n``-token window, t = the item's token count — the signature
+    relation for the sub-window coverage pass.
+
+    An item under ``n`` tokens has no ``n``-gram at all, so inside a
+    longer document it is invisible to every mode at width ``n`` (many
+    benchmark answers are 2–5 tokens).  The precise remedy is NOT a
+    globally smaller ``n`` (which would flag every doc sharing a
+    common bigram with any long item): a leak of a short item is the
+    FULL item appearing verbatim, i.e. a width-t window equal to the
+    whole item — so each short item contributes exactly one signature
+    at its own width.  Tiny by construction — broadcast it."""
+    from wrds_data_pipeline_spark.functions.text import normalize
+
+    nt = benchmark.select(normalize(bench_text_col).alias("_nt")).filter(
+        F.col("_nt").isNotNull() & (F.col("_nt") != "")
+    )
+    return (
+        nt.select(
+            F.size(F.split("_nt", " ")).alias("t"),
+            shingle_hash_wide(F.col("_nt")).alias("h"),
+        )
+        .filter(F.col("t") < n)
+        .distinct()
+    )
+
+
+def _doc_windows_at_widths(
+    docs: DataFrame, id_col: str, text_col: str, widths: list[int]
+) -> DataFrame:
+    """(_id, t, h): md5-wide hashes of every t-token window of every
+    doc, for each t in ``widths`` — ONE tokenize pass for all widths
+    (the token array is bound once; an unbound reference inside the
+    per-width lambdas would re-tokenize per width — the
+    CollapseProject/HOF trap)."""
+    from wrds_data_pipeline_spark.functions.text import _bound, tokens
+
+    w_struct = "array<struct<t:int,s:string>>"
+
+    def windows(tk):
+        # width captured via a factory: a two-arg transform lambda
+        # would make PySpark bind the second parameter to the ARRAY
+        # INDEX, silently shadowing the width default
+        def one_width(t):
+            return lambda i: F.struct(
+                F.lit(t).alias("t"),
+                F.concat_ws(" ", F.slice(tk, i, t)).alias("s"),
+            )
+
+        return F.flatten(
+            F.array(
+                *[
+                    F.when(
+                        F.size(tk) >= t,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(tk) - (t - 1)),
+                            one_width(t),
+                        ),
+                    ).otherwise(F.array().cast(w_struct))
+                    for t in widths
+                ]
+            )
+        )
+
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                _bound(tokens(text_col), F.array().cast(w_struct), windows)
+            ).alias("_w"),
+        )
+        .select(
+            "_id",
+            F.col("_w.t").alias("t"),
+            shingle_hash_wide(F.col("_w.s")).alias("h"),
+        )
+    )
+
+
+def short_item_hit_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame | None:
+    """Distinct ids of docs containing ANY whole sub-window benchmark
+    item (see ``short_benchmark_item_hashes``) — the drop-mode side of
+    short-item coverage.  Returns None when the benchmark has no
+    short items (determined by one plan-build job over the tiny
+    benchmark — the pinned-centroid precedent), so the common all-
+    items-long case adds NOTHING to the corpus plan."""
+    short = short_benchmark_item_hashes(benchmark, bench_text_col, n)
+    widths = sorted(r["t"] for r in short.select("t").distinct().collect())
+    if not widths:
+        return None
+    grams = _doc_windows_at_widths(docs, id_col, text_col, widths)
+    return (
+        grams.join(F.broadcast(short), ["t", "h"], "left_semi")
+        .select("_id")
+        .distinct()
+    )
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -303,13 +414,23 @@ def decontaminate(
     max_ratio: float = 0.0,
     strategy: str = "broadcast",
     bloom_bits_per_key: int = 12,
+    cover_short_items: bool = False,
 ) -> DataFrame:
     """Drop documents whose contamination_ratio exceeds ``max_ratio``
     (default: any benchmark n-gram hit drops the doc).  Returns the
     surviving rows of ``docs`` unchanged.  ``strategy`` as in
     ``contamination_scores`` — with "bloom", false positives may
     additionally drop ~fpp of clean documents (never keep a dirty
-    one)."""
+    one).
+
+    ``cover_short_items``: also drop docs containing a WHOLE
+    benchmark item shorter than ``n`` tokens (see
+    ``short_benchmark_item_hashes`` — such items have no n-gram
+    signature and are otherwise invisible inside longer documents).
+    An embedded full item is a total leak of that item, so the drop
+    is on ANY hit regardless of ``max_ratio`` (a ratio over width-t
+    windows would not be commensurable with the n-gram ratio).
+    Free when the benchmark has no short items."""
     scores = contamination_scores(
         docs,
         benchmark,
@@ -326,6 +447,14 @@ def decontaminate(
     dirty = scores.filter(
         F.col("n_contaminated") / F.col("n_ngrams") > F.lit(max_ratio)
     ).select(id_col)
+    if cover_short_items:
+        short_hits = short_item_hit_docs(
+            docs, benchmark, id_col, text_col, bench_text_col, n
+        )
+        if short_hits is not None:
+            dirty = dirty.unionByName(
+                short_hits.select(F.col("_id").alias(id_col))
+            ).distinct()
     return docs.join(dirty, id_col, "left_anti")
 
 
@@ -336,6 +465,7 @@ def scrub_contaminated_spans(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 8,
+    cover_short_items: bool = False,
 ) -> DataFrame:
     """SURGICAL decontamination: cut every n-token window that appears
     in the benchmark, keep the rest of the document — the span-level
@@ -348,12 +478,14 @@ def scrub_contaminated_spans(
     span_dedup contract), untouched documents pass through VERBATIM.
 
     Matching is WINDOW-exact at width ``n``: benchmark items shorter
-    than ``n`` tokens produce no grams and therefore scrub nothing —
-    and the same is true of DROP mode against longer documents (the
-    short item's whole-text shingle can only match a doc that is
-    itself short); a sub-``n`` leak inside a longer document is
-    invisible at width ``n`` in every mode.  Lower ``n`` if short
-    eval items matter.  The rebuild can also
+    than ``n`` tokens produce no grams and therefore scrub nothing at
+    that width.  ``cover_short_items=True`` restores their coverage:
+    each short item contributes its WHOLE token sequence as a
+    signature at its own width t, and the corpus is additionally
+    scanned at each distinct short width (≤ a handful of extra window
+    passes, none when the benchmark has no short items) — hit windows
+    of every width merge into one per-doc cut array.  The rebuild can
+    also
     SPLICE a new benchmark n-gram across a cut boundary (doc =
     S[:j] + leak + S[j:] — cutting the leak joins the halves into
     S), so a zero-residual guarantee needs a follow-up
@@ -386,7 +518,52 @@ def scrub_contaminated_spans(
     hits = span_windows(docs, id_col, text_col, n).join(
         F.broadcast(bench_grams), "h", "left_semi"
     ).select("_id", "i")
-    cuts = span_cuts(hits, n)
+    widths: list[int] = []
+    if cover_short_items:
+        # spans hash on xxhash64 of the lowered token-array slice, so
+        # the short-item signature is the xxhash64 of the item's FULL
+        # lowered token array (width = its own token count)
+        short = (
+            benchmark.select(
+                F.transform(
+                    _raw_tokens(bench_text_col), F.lower
+                ).alias("_lt")
+            )
+            .filter((F.size("_lt") >= 1) & (F.size("_lt") < n))
+            .select(
+                F.size("_lt").alias("t"), F.xxhash64("_lt").alias("h")
+            )
+            .distinct()
+        )
+        widths = sorted(
+            r["t"] for r in short.select("t").distinct().collect()
+        )
+        hits = hits.withColumn("_w", F.lit(n))
+        for t in widths:
+            hits = hits.unionByName(
+                span_windows(docs, id_col, text_col, t)
+                .join(
+                    F.broadcast(short.filter(F.col("t") == t).select("h")),
+                    "h",
+                    "left_semi",
+                )
+                .select("_id", "i")
+                .withColumn("_w", F.lit(t))
+            )
+    if not widths:
+        cuts = span_cuts(hits.select("_id", "i"), n)
+    else:
+        # variable-width span_cuts: each hit covers [i, i+w)
+        cuts = (
+            hits.select(
+                "_id",
+                F.explode(
+                    F.sequence("i", F.col("i") + F.col("_w") - 1)
+                ).alias("p"),
+            )
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_set("p")).alias("_cut"))
+        )
     return apply_span_cuts(docs, cuts, id_col, text_col)
 
 

@@ -174,15 +174,22 @@ def minhash_band_table(
 # all survive `distinct`, Jaccard verification, and the components
 # edge list — AQE skew-split only balances the shuffle, it cannot
 # reduce the pair mass.  Buckets over this population therefore
-# short-circuit to a single duplicate group: colliding on a full band
-# (3+ identical MinHash rows) at that density makes members
-# near-certain duplicates, so the bucket contributes STAR edges
-# (hub = min id ↔ each member, O(m)) whose connected components equal
-# the clique's.  The bound is per-bucket — independent of corpus size
-# — so a fixed constant is principled: worst-case pair mass per bucket
-# is B²/2 ≈ 32k at the default.  sf-scale fixtures max out at 16
-# members/bucket (measured), 16× under the default, so every
-# registered oracle row is value-identical with the guard on.
+# contribute STAR edges (hub = min id ↔ each member, O(m)) whose
+# connected components equal the clique's, never m²/2 pairs.  The
+# bound is per-bucket — independent of corpus size — so a fixed
+# constant is principled: worst-case pair mass per bucket is B²/2 ≈
+# 32k at the default.  sf-scale fixtures max out at 16 members/bucket
+# (measured), 16× under the default, so every registered oracle row
+# is value-identical with the guard on.
+#
+# Whether a hot bucket's members really ARE one duplicate group is a
+# separate question: a full-band collision at high density is strong
+# but not conclusive evidence (the popular-min-shingle regime makes
+# dissimilar short docs collide).  Candidate-level operators
+# therefore only *emit* star edges (optionally flagged via
+# resolved_col); the verified composition (near_dup_pairs)
+# EVIDENCE-GATES each hot bucket on the measured jaccard of its star
+# edges before resolving it — see near_dup_pairs' star_accept_frac.
 DEFAULT_MAX_BUCKET = 256
 
 
@@ -194,33 +201,51 @@ def _lsh_candidate_split(
     ``max_bucket`` emit their full in-bucket pair set via the bucket
     self-join; buckets over it resolve directly to a duplicate group
     via star edges (see DEFAULT_MAX_BUCKET).  ``star_edges`` is None
-    when ``max_bucket`` is None (unbounded legacy behavior)."""
+    when ``max_bucket`` is None (unbounded legacy behavior) OR when
+    the census shows no bucket over the bound — the common case, which
+    short-circuits the whole star subtree (no anti-join, no star join,
+    no extra union) so a well-behaved corpus pays exactly the
+    unbounded plan plus one tiny scalar aggregate over the persisted
+    band relation.  The scalar read is eager (one job at plan-build
+    time) but reads only the already-persisted ``banded`` — the
+    expensive shingle+signature pipeline is computed once either way.
+
+    Star edges carry their bucket key ``(band, band_hash)`` so a
+    verifying caller (near_dup_pairs) can aggregate per-bucket
+    acceptance evidence; pair-only consumers select id_a/id_b."""
     src = banded
     star = None
     if max_bucket is not None:
         # map-side-combined census — never a partitionBy(bucket)
-        # window, which would put a hot bucket's rows in one task
-        counts = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_hub")
+        # window, which would put a hot bucket's rows in one task.
+        # Persisted: read by the scalar max, the anti-join, and the
+        # star join; one row per bucket — tiny, AQE broadcasts it.
+        counts = scope.persist(
+            banded.groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_hub")
+            )
         )
-        # persisted: read by both the anti-join and the star join;
-        # ≤ |docs|·bands / max_bucket rows — tiny, AQE broadcasts it
-        hot = scope.persist(
-            counts.filter(F.col("_n") > max_bucket).select(
+        max_row = counts.agg(F.max("_n").alias("m")).first()
+        max_n = max_row["m"] if max_row is not None else None
+        if max_n is not None and max_n > max_bucket:
+            hot = counts.filter(F.col("_n") > max_bucket).select(
                 "band", "band_hash", "_hub"
             )
-        )
-        src = banded.join(
-            hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
-        )
-        star = (
-            banded.join(hot, ["band", "band_hash"])
-            .filter(F.col("_id") != F.col("_hub"))
-            .select(
-                F.least("_hub", "_id").alias("id_a"),
-                F.greatest("_hub", "_id").alias("id_b"),
+            src = banded.join(
+                hot.select("band", "band_hash"),
+                ["band", "band_hash"],
+                "left_anti",
             )
-        )
+            star = (
+                banded.join(hot, ["band", "band_hash"])
+                .filter(F.col("_id") != F.col("_hub"))
+                .select(
+                    F.least("_hub", "_id").alias("id_a"),
+                    F.greatest("_hub", "_id").alias("id_b"),
+                    "band",
+                    "band_hash",
+                )
+            )
     a = src.select(F.col("_id").alias("id_a"), "band", "band_hash")
     b = src.select(F.col("_id").alias("id_b"), "band", "band_hash")
     small = (
@@ -241,6 +266,7 @@ def minhash_lsh_candidates(
     shingles: DataFrame | None = None,
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    resolved_col: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding on any band's hash are
     candidates.  The self-join is on (band, band_hash) — i.e. only
@@ -254,6 +280,17 @@ def minhash_lsh_candidates(
     and a clique on the same members have the same components), so
     group-level dedup downstream is unchanged; only the enumeration of
     every intra-cluster pair is elided.
+
+    ``resolved_col``: optionally the name of a boolean output column
+    marking hot-bucket star edges (True) vs ordinary bucket-join
+    candidates (False).  Star edges are a GROUP-membership claim, not
+    a verified pair: a downstream Jaccard verifier that
+    threshold-filters them would silently disconnect hot-bucket
+    members (a star member has ONE edge where the clique had m-1), so
+    any consumer that verifies candidates must request this flag and
+    thread it through ``jaccard_pairs(resolved_col=...)`` — exactly
+    what ``near_dup_pairs`` does internally.  Default None keeps the
+    legacy two-column schema.
 
     ``scope``: caller-owned cache lifecycle (see caching.PersistScope)
     — result stays lazy, caller releases.  Without it the candidate
@@ -271,9 +308,28 @@ def minhash_lsh_candidates(
     # (doc, band) — tiny.
     banded = scope.persist(banded)
     small, star = _lsh_candidate_split(banded, scope, max_bucket)
-    out = small if star is None else small.unionByName(star)
-    out = out.distinct()
+    out = _union_candidates(small, star, resolved_col)
     return materialize_release(out, scope) if own else out
+
+
+def _union_candidates(
+    small: DataFrame, star: DataFrame | None, resolved_col: str | None
+) -> DataFrame:
+    """Union bucket-join pairs with (bucket-keyed) star edges into the
+    distinct candidate relation; with ``resolved_col`` the distinct
+    becomes a max-per-pair aggregate so a pair that is BOTH a small
+    candidate and a star edge stays marked resolved."""
+    if star is not None:
+        star = star.select("id_a", "id_b")
+    if resolved_col is None:
+        out = small if star is None else small.unionByName(star)
+        return out.distinct()
+    tagged = small.withColumn(resolved_col, F.lit(False))
+    if star is not None:
+        tagged = tagged.unionByName(star.withColumn(resolved_col, F.lit(True)))
+    return tagged.groupBy("id_a", "id_b").agg(
+        F.max(resolved_col).alias(resolved_col)
+    )
 
 
 def incremental_lsh_candidates(
@@ -286,6 +342,7 @@ def incremental_lsh_candidates(
     bands: int = 4,
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    resolved_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs for a NEW ingest increment against an existing
     corpus, without touching the existing corpus's text: signatures
@@ -312,7 +369,10 @@ def incremental_lsh_candidates(
     new_banded = scope.persist(
         minhash_band_table(new_docs, id_col, text_col, k_shingle, n_hashes, bands)
     )
-    out = lsh_probe_bands(new_banded, band_table, max_bucket=max_bucket, scope=scope)
+    out = lsh_probe_bands(
+        new_banded, band_table, max_bucket=max_bucket, scope=scope,
+        resolved_col=resolved_col,
+    )
     return materialize_release(out, scope) if own else out
 
 
@@ -321,6 +381,7 @@ def lsh_probe_bands(
     band_table: DataFrame,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     scope: PersistScope | None = None,
+    resolved_col: str | None = None,
 ) -> DataFrame:
     """The band-level half of ``incremental_lsh_candidates``: candidate
     pairs of a precomputed increment band relation (minhash_band_table
@@ -343,7 +404,16 @@ def lsh_probe_bands(
     The stored side is first restricted (left-semi) to the increment's
     bucket keys, so the bucket census only ever scans what the probe
     join would read anyway — stored buckets the increment doesn't
-    touch are never counted.
+    touch are never counted.  When the census shows no probed bucket
+    over the bound (the common case), the star subtree short-circuits
+    entirely — the executed plan is the unbounded probe join plus one
+    scalar aggregate over the persisted combined relation.
+
+    ``resolved_col``: optionally mark star edges True in a boolean
+    output column — REQUIRED by any consumer that Jaccard-verifies
+    these candidates (a star member has one edge, not m-1; threshold-
+    filtering unmarked star edges silently disconnects hot-bucket
+    members).  See ``minhash_lsh_candidates``.
     """
     own = scope is None
     scope = scope or PersistScope()
@@ -368,37 +438,45 @@ def lsh_probe_bands(
     star = None
     src = comb
     if max_bucket is not None:
-        counts = comb.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(F.when(F.col("_new"), F.col("_id"))).alias("_hub_new"),
-            F.min(F.when(~F.col("_new"), F.col("_id"))).alias("_hub_old"),
+        # persisted: read by the scalar max and (when hot) by the
+        # anti-join and star join — one row per probed bucket, tiny
+        counts = scope.persist(
+            comb.groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.when(F.col("_new"), F.col("_id"))).alias("_hub_new"),
+                F.min(F.when(~F.col("_new"), F.col("_id"))).alias("_hub_old"),
+            )
         )
-        # every comb bucket has ≥1 new member (old side is semi-joined
-        # on the increment's keys), so _hub_new is never null
-        hot = scope.persist(
-            counts.filter(F.col("_n") > max_bucket).select(
+        max_row = counts.agg(F.max("_n").alias("m")).first()
+        max_n = max_row["m"] if max_row is not None else None
+        if max_n is not None and max_n > max_bucket:
+            # every comb bucket has ≥1 new member (old side is
+            # semi-joined on the increment's keys), so _hub_new is
+            # never null
+            hot = counts.filter(F.col("_n") > max_bucket).select(
                 "band", "band_hash", "_hub_new", "_hub_old"
             )
-        )
-        src = comb.join(
-            hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
-        )
-        star_new = (
-            comb.join(hot, ["band", "band_hash"])
-            .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
-            .select(
-                F.least("_hub_new", "_id").alias("id_a"),
-                F.greatest("_hub_new", "_id").alias("id_b"),
+            src = comb.join(
+                hot.select("band", "band_hash"),
+                ["band", "band_hash"],
+                "left_anti",
             )
-        )
-        star_bridge = (
-            hot.filter(F.col("_hub_old").isNotNull())
-            .select(
-                F.least("_hub_old", "_hub_new").alias("id_a"),
-                F.greatest("_hub_old", "_hub_new").alias("id_b"),
+            star_new = (
+                comb.join(hot, ["band", "band_hash"])
+                .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
+                .select(
+                    F.least("_hub_new", "_id").alias("id_a"),
+                    F.greatest("_hub_new", "_id").alias("id_b"),
+                )
             )
-        )
-        star = star_new.unionByName(star_bridge)
+            star_bridge = (
+                hot.filter(F.col("_hub_old").isNotNull())
+                .select(
+                    F.least("_hub_old", "_hub_new").alias("id_a"),
+                    F.greatest("_hub_old", "_hub_new").alias("id_b"),
+                )
+            )
+            star = star_new.unionByName(star_bridge)
     a = src.select(
         F.col("_id").alias("id_a"), F.col("_new").alias("_new_a"), "band", "band_hash"
     )
@@ -411,8 +489,7 @@ def lsh_probe_bands(
         .filter(F.col("_new_a") | F.col("_new_b"))
         .select("id_a", "id_b")
     )
-    out = pairs if star is None else pairs.unionByName(star)
-    out = out.distinct()
+    out = _union_candidates(pairs, star, resolved_col)
     return materialize_release(out, scope) if own else out
 
 
@@ -426,6 +503,7 @@ def jaccard_pairs(
     shingles: DataFrame | None = None,
     scope: PersistScope | None = None,
     resolved_col: str | None = None,
+    keep_resolved_flag: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -560,9 +638,12 @@ def jaccard_pairs(
     keep = F.col("jaccard") >= threshold
     if "_res" in out.columns:
         keep = keep | F.col("_res")
-    out = out.filter(keep).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    sel = ["id_a", "id_b", F.round("jaccard", 6).alias("jaccard")]
+    if keep_resolved_flag and "_res" in out.columns:
+        # near_dup_pairs' evidence gate needs to know which surviving
+        # pairs are unverified star edges (and their measured jaccard)
+        sel.append(F.col("_res").alias("_resolved"))
+    out = out.filter(keep).select(*sel)
     return materialize_release(out, scope) if own else out
 
 
@@ -576,6 +657,7 @@ def near_dup_pairs(
     bands: int = 4,
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    star_accept_frac: float | None = 0.9,
 ) -> DataFrame:
     """The near-dedup composition: MinHash-LSH candidate generation +
     exact Jaccard verification, with the shingle relation computed
@@ -586,15 +668,30 @@ def near_dup_pairs(
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold among LSH
     candidates.
 
-    Buckets over ``max_bucket`` resolve to a duplicate group directly
-    (see DEFAULT_MAX_BUCKET): their O(m) star edges are emitted with
-    their TRUE measured jaccard but WITHOUT the threshold filter —
-    collision density at that population is the acceptance evidence,
-    and filtering a star edge would silently disconnect a member from
-    a group the full clique would have kept connected.  Group-level
-    dedup downstream (connected components) is therefore identical to
-    the unbounded composition whenever cluster members genuinely pass
-    the threshold — at m²/2-fold less pair mass.
+    Buckets over ``max_bucket`` contribute O(m) star edges instead of
+    m²/2 clique pairs (see DEFAULT_MAX_BUCKET) — but a full-band
+    collision at high population is only *presumptive* duplicate
+    evidence.  The classic LSH failure regime breaks the presumption:
+    a popular shingle (viral boilerplate phrase) whose hash happens to
+    be minimal under one band's hash functions becomes that band's
+    minimum for every short document containing it — a hot bucket of
+    genuinely DISSIMILAR documents.  Wholesale-resolving such a bucket
+    would silently merge (and downstream, delete) unrelated docs.
+
+    So star edges are EVIDENCE-GATED per bucket: they flow through the
+    same verification subtree as ordinary candidates (one shared
+    shingle join) and carry their true measured jaccard; a per-bucket
+    aggregate over the bucket's O(m) star edges computes the fraction
+    meeting the threshold.  Buckets with fraction ≥
+    ``star_accept_frac`` resolve as a duplicate group (every star edge
+    kept — a true near-dup cluster where a sampled spoke can still dip
+    under threshold); buckets below it are demoted to the quarantined
+    "hot-degenerate" fate: only star edges whose own measured jaccard
+    passes the threshold survive (each a genuinely verified pair), the
+    rest connect nothing.  ``star_accept_frac=None`` restores the
+    unconditional legacy resolution.  The gate costs two aggregates
+    over the O(m·hot_buckets) star relation — nothing when the census
+    short-circuit finds no hot bucket.
 
     ``scope``: caller-owned cache lifecycle — result stays lazy and
     the caller releases the shingle/band caches.  Without it the
@@ -619,16 +716,56 @@ def near_dup_pairs(
         # edges ride through with a resolved flag that bypasses the
         # size-ratio prune and the threshold filter (see
         # jaccard_pairs' resolved_col) — a separate unverified pass
-        # would double the shingle-join plan for the common case of
-        # zero hot buckets.
+        # would double the shingle-join plan.
+        star = scope.persist(star)  # cand union + gate joins
         cand = small.withColumn("_resolved", F.lit(False)).unionByName(
-            star.withColumn("_resolved", F.lit(True))
+            star.select("id_a", "id_b").withColumn("_resolved", F.lit(True))
         )
-        out = jaccard_pairs(
+        scored = jaccard_pairs(
             docs, id_col, text_col, k_shingle, threshold,
             candidates=cand, shingles=sh, scope=scope,
-            resolved_col="_resolved",
+            resolved_col="_resolved", keep_resolved_flag=True,
         )
+        if star_accept_frac is None:
+            out = scored.select("id_a", "id_b", "jaccard")
+        else:
+            scored = scope.persist(scored)
+            # each star edge with its measured jaccard, per bucket row
+            # (the inner join is total: resolved pairs always survive
+            # jaccard_pairs, zero-intersection ones restored at 0.0)
+            star_scored = star.join(
+                scored.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"]
+            )
+            accepted_buckets = (
+                star_scored.groupBy("band", "band_hash")
+                .agg(
+                    F.avg(
+                        (F.col("jaccard") >= F.lit(threshold)).cast("double")
+                    ).alias("_frac")
+                )
+                .filter(F.col("_frac") >= F.lit(star_accept_frac))
+                .select("band", "band_hash")
+            )
+            # an edge sitting in ≥1 accepted bucket is kept resolved
+            accepted_edges = (
+                star_scored.join(
+                    accepted_buckets, ["band", "band_hash"], "left_semi"
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            out = (
+                scored.join(
+                    accepted_edges.withColumn("_acc", F.lit(True)),
+                    ["id_a", "id_b"],
+                    "left",
+                )
+                .filter(
+                    (F.col("jaccard") >= F.lit(threshold))
+                    | F.col("_acc").isNotNull()
+                )
+                .select("id_a", "id_b", "jaccard")
+            )
     return materialize_release(out, scope) if own else out
 
 
@@ -805,6 +942,7 @@ def probe_band_index(
     prune_shards: bool = True,
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    resolved_col: str | None = None,
 ) -> DataFrame:
     """``incremental_lsh_candidates`` against the ON-DISK index:
     candidate pairs (id_a, id_b) of the increment vs the accumulated
@@ -844,7 +982,8 @@ def probe_band_index(
         ]
         index = index.filter(F.col("shard").isin(shards))
     out = lsh_probe_bands(
-        new_banded, index.drop("shard"), max_bucket=max_bucket, scope=scope
+        new_banded, index.drop("shard"), max_bucket=max_bucket, scope=scope,
+        resolved_col=resolved_col,
     )
     return materialize_release(out, scope) if own else out
 

@@ -372,7 +372,9 @@ def vector_index_topk_batch(
     # restriction
     if not use_pq:
         return _batch_exact_topk(
-            expanded, queries, k, query_id_col, query_vec_col,
+            expanded.select("query_id", index.id_col),
+            probed.select(F.col(index.id_col), F.col(index.vec_col)),
+            queries, k, query_id_col, query_vec_col,
             index.id_col, index.vec_col, partial_parallelism,
         )
 
@@ -386,11 +388,8 @@ def vector_index_topk_batch(
         scored, queries, index.codebooks, k, rerank_factor,
         query_id_col, query_vec_col, index.id_col, partial_parallelism,
     )
-    pairs = pool.join(
-        probed.select(F.col(index.id_col), F.col(index.vec_col)),
-        index.id_col,
-    )
     return _batch_exact_topk(
-        pairs, queries, k, query_id_col, query_vec_col,
+        pool, probed.select(F.col(index.id_col), F.col(index.vec_col)),
+        queries, k, query_id_col, query_vec_col,
         index.id_col, index.vec_col, partial_parallelism,
     )
