@@ -578,9 +578,10 @@ def test_corpus_cli_scrub_recomputes_text_derived_columns(spark, tmp_path):
 def test_corpus_cli_scrub_warns_on_sub_window_bench_items(
     spark, tmp_path, capsys
 ):
-    """Benchmark items under the 8-token scrub window are reported:
-    they have no scrub windows, so scrub mode cannot excise their
-    leaks (ADVICE r6)."""
+    """--bench-short-items=warn (the legacy mode): items under the
+    8-token window are reported rather than covered (ADVICE r6; the
+    round-8 default is 'cover' — see
+    test_corpus_cli_short_item_covered_by_default)."""
     from wrds_data_pipeline_spark.cli import corpus_main
 
     docs_path = os.path.join(str(tmp_path), "wdocs")
@@ -598,10 +599,49 @@ def test_corpus_cli_scrub_warns_on_sub_window_bench_items(
 
     out = os.path.join(str(tmp_path), "wout")
     rc = corpus_main([docs_path, out, "--bench", bench, "--bench-scrub",
+                      "--bench-short-items", "warn",
                       "--min-quality", "0.0"])
     assert rc == 0
     stdout = capsys.readouterr().out
     assert "warning: 1 benchmark item(s) shorter than 8 tokens" in stdout
+
+
+def test_corpus_cli_short_item_covered_by_default(spark, tmp_path):
+    """Round-8 default (--bench-short-items=cover): a 3-token
+    benchmark answer leaked inside a long document is scrubbed out at
+    its own width in scrub mode and drops the carrier in drop mode —
+    no warning, actual coverage."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    answer = "tiny benchmark answer"
+    carrier = ("a long document with plenty of ordinary words to pass "
+               f"the screens which quotes {answer} in the middle and "
+               "keeps going with more ordinary filler words afterwards")
+    docs_path = os.path.join(str(tmp_path), "cvdocs")
+    spark.createDataFrame(
+        [(1, carrier),
+         (2, "a clean document with enough ordinary words to pass the "
+             "screens and reach the shards easily")],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+    bench = os.path.join(str(tmp_path), "cvbench")
+    spark.createDataFrame([(0, answer)], ["qid", "text"]).write.parquet(bench)
+
+    out_scrub = os.path.join(str(tmp_path), "cv_scrub")
+    rc = corpus_main([docs_path, out_scrub, "--bench", bench,
+                      "--bench-scrub", "--min-quality", "0.0"])
+    assert rc == 0
+    shards = pd.read_parquet(os.path.join(out_scrub, "shards"))
+    t1 = shards[shards.doc_id == 1]["text"].iloc[0]
+    assert answer not in t1
+    assert "keeps going" in t1  # surgical: rest of the doc survives
+
+    out_drop = os.path.join(str(tmp_path), "cv_drop")
+    rc = corpus_main([docs_path, out_drop, "--bench", bench,
+                      "--min-quality", "0.0"])
+    assert rc == 0
+    dropped = pd.read_parquet(os.path.join(out_drop, "shards"))
+    assert set(dropped["doc_id"]) == {2}
 
 
 def test_corpus_cli_scrub_strict_catches_spliced_grams(spark, tmp_path):

@@ -242,3 +242,68 @@ def test_lag_label_duckdb_twin(spark):
         want["up_label"].astype("float64"),
         check_names=False,
     )
+
+
+def test_trailing_range_window_duckdb_twin(spark):
+    """q39's oracle, preserved verbatim after its round-8 rotation out
+    of the registry (slot now checks paragraph dedup, q63): the W7/O3
+    RANGE-frame trailing 1-hour window against DuckDB on the driver
+    events table.  q46/q47 keep the ROWS-frame lag machinery
+    hash-checked in the registry."""
+    import duckdb
+
+    from pyspark.sql.window import Window as W
+
+    from wrds_data_pipeline_spark.driver_queries import _events
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = (
+        e.select(
+            "event_id", "user_id", "ts_us",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT event_id, user_id, ts_us,
+               CAST(n_last_hour AS BIGINT) AS n_last_hour,
+               round(sum_last_hour, 6) AS sum_last_hour
+        FROM (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 count(*) OVER w AS n_last_hour,
+                 sum(value) OVER w AS sum_last_hour
+          FROM events
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+          )
+        )
+        ORDER BY event_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_series_equal(
+        got["n_last_hour"].astype("int64"),
+        want["n_last_hour"].astype("int64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["sum_last_hour"].astype("float64"),
+        want["sum_last_hour"].astype("float64"),
+        check_names=False,
+    )

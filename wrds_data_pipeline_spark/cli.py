@@ -198,6 +198,89 @@ def corr_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def apply_corpus_gates(
+    spark,
+    kept,
+    quality_model: str | None = None,
+    lm_ref: str | None = None,
+    keep_frac: float | None = None,
+    model_min_prob: float = 0.5,
+    perplexity_keep_frac: float = 0.9,
+):
+    """The fused per-doc gate stage (round 7, VERDICT r6 next #3): the
+    three post-curation gates (model probability, reference
+    perplexity, quality quantile) are per-doc scores + scalar
+    cutoffs.  Chained through the stock operators, each quantile's
+    percentile_approx crossJoin references the scored relation TWICE,
+    so the whole upstream curate/scrub chain replayed once per gate
+    (~4 corpus passes at full option load).  Fused: score columns
+    joined onto ONE persisted relation, the cutoffs computed as
+    driver-side scalars from the cache (the scored relation
+    materializes exactly once), one final filter.  Per-gate semantics
+    are bit-identical to the stock operators: same round(…, 6), same
+    percentile_approx accuracy, and each cutoff is computed over the
+    population surviving the PREVIOUS gates, exactly as the
+    sequential chain did (parity-tested in tests/test_cli.py;
+    pass-counted load-independently in
+    tools/scale_rehearsal.py --corpus-gates)."""
+    from pyspark.sql import functions as F
+
+    if not (quality_model or lm_ref or keep_frac):
+        return kept, None
+    from wrds_data_pipeline_spark.functions import text as X
+
+    scored = kept
+    if quality_model:
+        from wrds_data_pipeline_spark.operators.quality_model import (
+            load_quality_model,
+            score_quality,
+        )
+
+        model = load_quality_model(spark, quality_model)
+        probs = score_quality(scored, model).select(
+            "doc_id", F.col("prob").alias("_prob")
+        )
+        scored = scored.join(probs, "doc_id")
+    if lm_ref:
+        from wrds_data_pipeline_spark.operators.keywords import (
+            build_bigram_vocab,
+            build_vocab,
+            doc_cross_entropy_bigram,
+        )
+
+        ref = spark.read.parquet(lm_ref)
+        ce = doc_cross_entropy_bigram(
+            scored, build_vocab(ref), build_bigram_vocab(ref)
+        ).select("doc_id", F.round("cross_entropy", 6).alias("_ce"))
+        # left join + null filter below ≡ the old inner join:
+        # docs with < 2 tokens have no perplexity and are dropped
+        scored = scored.join(ce, "doc_id", "left")
+    if keep_frac:
+        scored = scored.withColumn(
+            "_q", F.round(X.quality_score("text"), 6)
+        )
+    scored = scored.persist()
+    sel = scored
+    if quality_model:
+        sel = sel.filter(F.col("_prob") >= F.lit(model_min_prob))
+    if lm_ref:
+        sel = sel.filter(F.col("_ce").isNotNull())
+        ce_cut = sel.agg(
+            F.percentile_approx(
+                "_ce", F.lit(perplexity_keep_frac), F.lit(10_000)
+            )
+        ).first()[0]
+        sel = sel.filter(F.col("_ce") <= F.lit(ce_cut))
+    if keep_frac:
+        q_cut = sel.agg(
+            F.percentile_approx(
+                "_q", F.lit(1.0 - keep_frac), F.lit(10_000)
+            )
+        ).first()[0]
+        sel = sel.filter(F.col("_q") >= F.lit(q_cut))
+    return sel.drop("_prob", "_ce", "_q"), scored
+
+
 def corpus_main(argv: list[str] | None = None) -> int:
     """Training-corpus pipeline (beyond the reference surface):
     boilerplate removal -> curation -> optional benchmark
@@ -320,10 +403,10 @@ def corpus_main(argv: list[str] | None = None) -> int:
             benchmark_leak_report(kept, bench_df).write.mode(
                 "overwrite"
             ).parquet(f"{args.out_dir}/leak_report")
+        from wrds_data_pipeline_spark.functions import text as X
+
         cover = args.bench_short_items == "cover"
         if not cover:
-            from wrds_data_pipeline_spark.functions import text as X
-
             # legacy 'warn' mode: sub-window items pass through
             # uncovered; surface the count (the round-8 default is
             # 'cover' — each short item matched at its own width)
@@ -374,81 +457,22 @@ def corpus_main(argv: list[str] | None = None) -> int:
             kept = decontaminate(
                 kept, bench_df, n=8, cover_short_items=cover
             )
-    # --- fused per-doc gate stage (round 7, VERDICT r6 next #3): the
-    # three post-curation gates (model probability, reference
-    # perplexity, quality quantile) are per-doc scores + scalar
-    # cutoffs.  Chained through the stock operators, each
-    # quantile's percentile_approx crossJoin references the scored
-    # relation TWICE, so the whole upstream curate/scrub chain
-    # replayed once per gate (~4 corpus passes at full option load).
-    # Fused: score columns joined onto ONE persisted relation, the
-    # cutoffs computed as driver-side scalars from the cache (the
-    # scored relation materializes exactly once), one final filter.
-    # Per-gate semantics are bit-identical to the stock operators:
-    # same round(…, 6), same percentile_approx accuracy, and each
-    # cutoff is computed over the population surviving the PREVIOUS
-    # gates, exactly as the sequential chain did (parity-tested in
-    # tests/test_cli.py).
+    # fused per-doc gate stage — see apply_corpus_gates
     for flag, frac in (
         ("--keep-frac", args.keep_frac),
         ("--perplexity-keep-frac", args.perplexity_keep_frac if args.lm_ref else None),
     ):
         if frac is not None and not 0 < frac <= 1:
             raise SystemExit(f"{flag} must be in (0, 1], got {frac}")
-    scored = None
-    if args.quality_model or args.lm_ref or args.keep_frac:
-        from wrds_data_pipeline_spark.functions import text as X
-
-        scored = kept
-        if args.quality_model:
-            from wrds_data_pipeline_spark.operators.quality_model import (
-                load_quality_model,
-                score_quality,
-            )
-
-            model = load_quality_model(spark, args.quality_model)
-            probs = score_quality(scored, model).select(
-                "doc_id", F.col("prob").alias("_prob")
-            )
-            scored = scored.join(probs, "doc_id")
-        if args.lm_ref:
-            from wrds_data_pipeline_spark.operators.keywords import (
-                build_bigram_vocab,
-                build_vocab,
-                doc_cross_entropy_bigram,
-            )
-
-            ref = spark.read.parquet(args.lm_ref)
-            ce = doc_cross_entropy_bigram(
-                scored, build_vocab(ref), build_bigram_vocab(ref)
-            ).select("doc_id", F.round("cross_entropy", 6).alias("_ce"))
-            # left join + null filter below ≡ the old inner join:
-            # docs with < 2 tokens have no perplexity and are dropped
-            scored = scored.join(ce, "doc_id", "left")
-        if args.keep_frac:
-            scored = scored.withColumn(
-                "_q", F.round(X.quality_score("text"), 6)
-            )
-        scored = scored.persist()
-        sel = scored
-        if args.quality_model:
-            sel = sel.filter(F.col("_prob") >= F.lit(args.model_min_prob))
-        if args.lm_ref:
-            sel = sel.filter(F.col("_ce").isNotNull())
-            ce_cut = sel.agg(
-                F.percentile_approx(
-                    "_ce", F.lit(args.perplexity_keep_frac), F.lit(10_000)
-                )
-            ).first()[0]
-            sel = sel.filter(F.col("_ce") <= F.lit(ce_cut))
-        if args.keep_frac:
-            q_cut = sel.agg(
-                F.percentile_approx(
-                    "_q", F.lit(1.0 - args.keep_frac), F.lit(10_000)
-                )
-            ).first()[0]
-            sel = sel.filter(F.col("_q") >= F.lit(q_cut))
-        kept = sel.drop("_prob", "_ce", "_q")
+    kept, scored = apply_corpus_gates(
+        spark,
+        kept,
+        quality_model=args.quality_model,
+        lm_ref=args.lm_ref,
+        keep_frac=args.keep_frac,
+        model_min_prob=args.model_min_prob,
+        perplexity_keep_frac=args.perplexity_keep_frac,
+    )
     # persist: kept feeds the packing plan AND the shard join; packed
     # feeds the write AND the summary — without these the whole
     # curate->decontaminate->quantile chain re-executes per action
