@@ -450,3 +450,52 @@ def test_resolved_pair_with_zero_intersection_survives(spark):
         ).count()
         == 0
     )
+
+
+def test_resolved_col_flags_star_edges_and_feeds_verification(spark, hot_docs):
+    """ADVICE r7 #1: candidate generators can mark star edges so a
+    downstream Jaccard verifier does not threshold-filter them away
+    (a star member has ONE edge, not m-1).  The flag must mark
+    exactly the over-bound-bucket edges, and feeding the flagged
+    relation through jaccard_pairs(resolved_col=...) must keep every
+    hot-bucket member grouped."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        jaccard_pairs,
+    )
+
+    ids = _ids(hot_docs)
+    flagged = minhash_lsh_candidates(
+        hot_docs, max_bucket=B, resolved_col="resolved"
+    )
+    assert set(flagged.columns) == {"id_a", "id_b", "resolved"}
+    rows = flagged.collect()
+    plain = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(hot_docs, max_bucket=B).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in rows} == plain  # same pair set
+    assert any(r.resolved for r in rows)  # the hot cluster is live
+    # verified composition over the FLAGGED candidates == near_dup_pairs
+    verified = jaccard_pairs(
+        hot_docs, threshold=0.5, candidates=flagged, resolved_col="resolved"
+    )
+    g = _groups([(r.id_a, r.id_b) for r in verified.collect()], ids)
+    u = _groups(
+        [
+            (r.id_a, r.id_b)
+            for r in near_dup_pairs(
+                hot_docs, threshold=0.5, max_bucket=None
+            ).collect()
+        ],
+        ids,
+    )
+    assert g == u
+    # incremental path exposes the same flag
+    old = hot_docs.filter(F.col("doc_id") % 3 != 0)
+    new = hot_docs.filter(F.col("doc_id") % 3 == 0)
+    inc = incremental_lsh_candidates(
+        new, minhash_band_table(old), max_bucket=B, resolved_col="resolved"
+    )
+    assert set(inc.columns) == {"id_a", "id_b", "resolved"}
+    assert any(r.resolved for r in inc.collect())

@@ -544,6 +544,12 @@ def index_main(argv: list[str] | None = None) -> int:
                     "operator's DEFAULT_MAX_BUCKET=256; buckets over it "
                     "emit star+bridge edges instead of every pair; "
                     "0 = unbounded pair-complete output)")
+    pb.add_argument("--mark-resolved", action="store_true",
+                    help="add a boolean 'resolved' column flagging "
+                    "hot-bucket star edges - REQUIRED if you intend to "
+                    "Jaccard-verify these candidates (a star member has "
+                    "one edge, not m-1; threshold-filtering unmarked "
+                    "star edges silently disconnects hot-bucket members)")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -608,6 +614,8 @@ def index_main(argv: list[str] | None = None) -> int:
                 probe_kwargs["max_bucket"] = (
                     None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
                 )
+            if args.mark_resolved:
+                probe_kwargs["resolved_col"] = "resolved"
             cand = probe_band_index(
                 docs, args.index_path, prune_shards=not args.no_prune,
                 **probe_kwargs,
