@@ -194,43 +194,68 @@ DEFAULT_MAX_BUCKET = 256
 
 
 def _lsh_candidate_split(
-    banded: DataFrame, scope: PersistScope, max_bucket: int | None
+    banded: DataFrame,
+    scope: PersistScope,
+    max_bucket: int | None,
+    eager_shortcircuit: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Split candidate generation over a (persisted) band relation into
     ``(small_pairs, star_edges)``: buckets with population ≤
     ``max_bucket`` emit their full in-bucket pair set via the bucket
     self-join; buckets over it resolve directly to a duplicate group
     via star edges (see DEFAULT_MAX_BUCKET).  ``star_edges`` is None
-    when ``max_bucket`` is None (unbounded legacy behavior) OR when
-    the census shows no bucket over the bound — the common case, which
-    short-circuits the whole star subtree (no anti-join, no star join,
-    no extra union) so a well-behaved corpus pays exactly the
-    unbounded plan plus one tiny scalar aggregate over the persisted
-    band relation.  The scalar read is eager (one job at plan-build
-    time) but reads only the already-persisted ``banded`` — the
-    expensive shingle+signature pipeline is computed once either way.
+    when ``max_bucket`` is None (unbounded legacy behavior).
+
+    Two execution shapes, picked by the CALLER's cost structure:
+
+    - ``eager_shortcircuit=False`` (default — candidate-only
+      operators): the split stays fully LAZY — the census, anti-join,
+      and star join are plan nodes that execute inside the caller's
+      single job.  With zero hot buckets the star side is an empty
+      broadcast join — near-free at runtime — and no extra job/driver
+      sync is paid (measured: an eager census costs the candidate-only
+      path ~2× at sf0.1, because materializing the band cache for the
+      scalar un-fuses the whole shingle+signature pipeline from the
+      pair join).
+    - ``eager_shortcircuit=True`` (the verified composition,
+      near_dup_pairs): one scalar aggregate over the persisted band
+      relation decides hotness at plan-build time, and the common
+      no-hot-bucket case drops the ENTIRE star/resolved superstructure
+      from the downstream verification plan (pair-dedup groupBy,
+      resolved threading, lost-pair anti-join, evidence gate) — which
+      is where r7's census overhead actually lived.  The census job
+      double-duties as the band-cache materialization the composition
+      needs anyway, so its marginal cost is one tiny shuffle.
 
     Star edges carry their bucket key ``(band, band_hash)`` so a
-    verifying caller (near_dup_pairs) can aggregate per-bucket
-    acceptance evidence; pair-only consumers select id_a/id_b."""
+    verifying caller can aggregate per-bucket acceptance evidence;
+    pair-only consumers select id_a/id_b."""
     src = banded
     star = None
     if max_bucket is not None:
         # map-side-combined census — never a partitionBy(bucket)
-        # window, which would put a hot bucket's rows in one task.
-        # Persisted: read by the scalar max, the anti-join, and the
-        # star join; one row per bucket — tiny, AQE broadcasts it.
-        counts = scope.persist(
-            banded.groupBy("band", "band_hash").agg(
-                F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_hub")
-            )
+        # window, which would put a hot bucket's rows in one task
+        counts = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_hub")
         )
-        max_row = counts.agg(F.max("_n").alias("m")).first()
-        max_n = max_row["m"] if max_row is not None else None
-        if max_n is not None and max_n > max_bucket:
-            hot = counts.filter(F.col("_n") > max_bucket).select(
-                "band", "band_hash", "_hub"
+        hot = None
+        if eager_shortcircuit:
+            counts = scope.persist(counts)
+            max_row = counts.agg(F.max("_n").alias("m")).first()
+            max_n = max_row["m"] if max_row is not None else None
+            if max_n is not None and max_n > max_bucket:
+                hot = counts.filter(F.col("_n") > max_bucket).select(
+                    "band", "band_hash", "_hub"
+                )
+        else:
+            # persisted: read by both the anti-join and the star join;
+            # ≤ |docs|·bands / max_bucket rows — tiny, AQE broadcasts
+            hot = scope.persist(
+                counts.filter(F.col("_n") > max_bucket).select(
+                    "band", "band_hash", "_hub"
+                )
             )
+        if hot is not None:
             src = banded.join(
                 hot.select("band", "band_hash"),
                 ["band", "band_hash"],
@@ -404,10 +429,11 @@ def lsh_probe_bands(
     The stored side is first restricted (left-semi) to the increment's
     bucket keys, so the bucket census only ever scans what the probe
     join would read anyway — stored buckets the increment doesn't
-    touch are never counted.  When the census shows no probed bucket
-    over the bound (the common case), the star subtree short-circuits
-    entirely — the executed plan is the unbounded probe join plus one
-    scalar aggregate over the persisted combined relation.
+    touch are never counted.  The census stays LAZY on this path (no
+    plan-build scalar): with zero hot buckets its anti-join and star
+    join execute as empty broadcast joins inside the probe's single
+    job — measured cheaper than an eager short-circuit, whose scalar
+    read un-fuses the probe pipeline into two jobs.
 
     ``resolved_col``: optionally mark star edges True in a boolean
     output column — REQUIRED by any consumer that Jaccard-verifies
@@ -438,45 +464,45 @@ def lsh_probe_bands(
     star = None
     src = comb
     if max_bucket is not None:
-        # persisted: read by the scalar max and (when hot) by the
-        # anti-join and star join — one row per probed bucket, tiny
-        counts = scope.persist(
-            comb.groupBy("band", "band_hash").agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.min(F.when(F.col("_new"), F.col("_id"))).alias("_hub_new"),
-                F.min(F.when(~F.col("_new"), F.col("_id"))).alias("_hub_old"),
-            )
+        # LAZY shape (see _lsh_candidate_split): the census, anti-join,
+        # and star join stay plan nodes inside the caller's single job
+        # — with zero hot buckets the star side is an empty broadcast
+        # join, and no extra job/driver sync is paid on the probe path
+        counts = comb.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.when(F.col("_new"), F.col("_id"))).alias("_hub_new"),
+            F.min(F.when(~F.col("_new"), F.col("_id"))).alias("_hub_old"),
         )
-        max_row = counts.agg(F.max("_n").alias("m")).first()
-        max_n = max_row["m"] if max_row is not None else None
-        if max_n is not None and max_n > max_bucket:
-            # every comb bucket has ≥1 new member (old side is
-            # semi-joined on the increment's keys), so _hub_new is
-            # never null
-            hot = counts.filter(F.col("_n") > max_bucket).select(
+        # every comb bucket has ≥1 new member (old side is semi-joined
+        # on the increment's keys), so _hub_new is never null.
+        # persisted: read by the anti-join and the star join — one row
+        # per over-bound probed bucket, tiny, AQE broadcasts it
+        hot = scope.persist(
+            counts.filter(F.col("_n") > max_bucket).select(
                 "band", "band_hash", "_hub_new", "_hub_old"
             )
-            src = comb.join(
-                hot.select("band", "band_hash"),
-                ["band", "band_hash"],
-                "left_anti",
+        )
+        src = comb.join(
+            hot.select("band", "band_hash"),
+            ["band", "band_hash"],
+            "left_anti",
+        )
+        star_new = (
+            comb.join(hot, ["band", "band_hash"])
+            .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
+            .select(
+                F.least("_hub_new", "_id").alias("id_a"),
+                F.greatest("_hub_new", "_id").alias("id_b"),
             )
-            star_new = (
-                comb.join(hot, ["band", "band_hash"])
-                .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
-                .select(
-                    F.least("_hub_new", "_id").alias("id_a"),
-                    F.greatest("_hub_new", "_id").alias("id_b"),
-                )
+        )
+        star_bridge = (
+            hot.filter(F.col("_hub_old").isNotNull())
+            .select(
+                F.least("_hub_old", "_hub_new").alias("id_a"),
+                F.greatest("_hub_old", "_hub_new").alias("id_b"),
             )
-            star_bridge = (
-                hot.filter(F.col("_hub_old").isNotNull())
-                .select(
-                    F.least("_hub_old", "_hub_new").alias("id_a"),
-                    F.greatest("_hub_old", "_hub_new").alias("id_b"),
-                )
-            )
-            star = star_new.unionByName(star_bridge)
+        )
+        star = star_new.unionByName(star_bridge)
     a = src.select(
         F.col("_id").alias("id_a"), F.col("_new").alias("_new_a"), "band", "band_hash"
     )
@@ -705,7 +731,9 @@ def near_dup_pairs(
             docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=sh
         )
     )
-    small, star = _lsh_candidate_split(banded, scope, max_bucket)
+    small, star = _lsh_candidate_split(
+        banded, scope, max_bucket, eager_shortcircuit=True
+    )
     if star is None:
         out = jaccard_pairs(
             docs, id_col, text_col, k_shingle, threshold,
