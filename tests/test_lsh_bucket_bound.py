@@ -499,3 +499,73 @@ def test_resolved_col_flags_star_edges_and_feeds_verification(spark, hot_docs):
     )
     assert set(inc.columns) == {"id_a", "id_b", "resolved"}
     assert any(r.resolved for r in inc.collect())
+
+
+def test_true_pair_inside_demoted_bucket_still_found(spark):
+    """Demotion recall: two genuinely near-duplicate docs that are
+    ALSO members of the degenerate hot bucket must still pair up —
+    their edge arrives through a small bucket in another band (their
+    signatures agree beyond band 0), is verified normally, and
+    survives; the demotion only withholds the UNVERIFIED wholesale
+    merge.  Fixture: two docs identical except the final token,
+    rejection-sampled (same Python hash mirror) until both land in
+    the hot band-0 bucket AND share a band-1..3 hash."""
+    import hashlib
+    import itertools
+
+    _A12 = [(2_654_435_761 * (i + 1)) % _M_MOD for i in range(12)]
+    _B12 = [(40_503 * (i + 7)) % _M_MOD for i in range(12)]
+
+    def h_of(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _M_MOD
+
+    def sig12(shingles):
+        hs = [h_of(s) for s in shingles]
+        return [
+            min((_A12[i] * h + _B12[i]) % _M_MOD for h in hs)
+            for i in range(12)
+        ]
+
+    def shingles_of(text):
+        toks = text.split()
+        return list(
+            dict.fromkeys(
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            )
+        )
+
+    base = _degenerate_hot_docs(20)
+    hot_phrase = " ".join(base[0][1].split()[:3])
+    hot_rows = [
+        (_A12[i] * h_of(hot_phrase) + _B12[i]) % _M_MOD for i in range(3)
+    ]
+
+    def in_hot_bucket(text):
+        hs = [h_of(s) for s in shingles_of(text)]
+        return all(
+            min((_A12[i] * h + _B12[i]) % _M_MOD for h in hs) == hot_rows[i]
+            for i in range(3)
+        )
+
+    pair = None
+    for t in itertools.count():
+        a = f"{hot_phrase} x{t} y{t} z{t} enda{t}"
+        b = f"{hot_phrase} x{t} y{t} z{t} endb{t}"
+        if not (in_hot_bucket(a) and in_hot_bucket(b)):
+            continue
+        sa, sb = sig12(shingles_of(a)), sig12(shingles_of(b))
+        # shared full band beyond band 0 (rows [3,6), [6,9), [9,12))
+        if any(
+            sa[3 * band : 3 * band + 3] == sb[3 * band : 3 * band + 3]
+            for band in (1, 2, 3)
+        ):
+            pair = (a, b)
+            break
+    rows = base + [(500, pair[0]), (501, pair[1])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # premise: the hot bucket is over the bound and includes the pair
+    out = near_dup_pairs(docs, threshold=0.5, max_bucket=B).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (500, 501) in got
+    # and the degenerate members still merged with nothing
+    assert all(a >= 500 and b >= 500 for a, b in got)
