@@ -64,6 +64,9 @@ HEADLINE = [
     # round 7: shingle containment (the subset/quote detector),
     # registered as q62 by rotating q11.
     "q62_containment_pairs",
+    # round 8: cross-corpus keep-first paragraph dedup, registered as
+    # q63 by rotating q39 — the last dedup rung not tracked here.
+    "q63_paragraph_dedup",
 ]
 
 
