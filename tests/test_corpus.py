@@ -191,6 +191,57 @@ def test_hash_split_deterministic_and_proportional(spark):
         hash_split(ids, {"train": 0.8, "val": 0.1})  # doesn't sum to 1
 
 
+def test_hash_split_md5_portable_cross_engine(spark):
+    """method="md5" exists so the split can be recomputed OUTSIDE
+    Spark: DuckDB rebuilds the same draw from md5 hex and must assign
+    every row to the same split (this is q64's oracle contract, pinned
+    here at unit scope with non-default weights and seed)."""
+    import duckdb
+    import pytest
+
+    from wrds_data_pipeline_spark.plans.corpus import hash_split
+
+    ids = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    weights = {"train": 0.7, "val": 0.2, "test": 0.1}
+    out = hash_split(ids, weights, seed=11, method="md5")
+    got = {r.doc_id: r.split for r in out.collect()}
+
+    cut1 = 0.7
+    cut2 = 0.7 + 0.2  # same float accumulation as hash_split
+    want = dict(
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN u < {cut1!r} THEN 'train'
+                        WHEN u < {cut2!r} THEN 'val'
+                        ELSE 'test' END
+            FROM (
+              SELECT doc_id,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8))::BIGINT)::DOUBLE
+                       / 4294967296.0 AS u
+              FROM range(5000) t(doc_id)
+            )
+            """
+        )
+        .fetchall()
+    )
+    assert len(got) == len(want) == 5_000
+    assert got == want
+
+    # repartition-invariant, like the default method
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(
+            ids.repartition(13), weights, seed=11, method="md5"
+        ).collect()
+    }
+    assert got == b
+
+    with pytest.raises(ValueError):
+        hash_split(ids, weights, method="sha1")  # unknown method
+
+
 def test_shuffle_for_training_total_deterministic_order(spark):
     from wrds_data_pipeline_spark.plans.corpus import shuffle_for_training
 

@@ -248,8 +248,9 @@ def test_trailing_range_window_duckdb_twin(spark):
     """q39's oracle, preserved verbatim after its round-8 rotation out
     of the registry (slot now checks paragraph dedup, q63): the W7/O3
     RANGE-frame trailing 1-hour window against DuckDB on the driver
-    events table.  q46/q47 keep the ROWS-frame lag machinery
-    hash-checked in the registry."""
+    events table.  q47 keeps the per-user ordered-window machinery
+    hash-checked in the registry; q46's ROWS-frame oracle lives on as
+    test_rolling_zscore_duckdb_twin below."""
     import duckdb
 
     from pyspark.sql.window import Window as W
@@ -305,5 +306,47 @@ def test_trailing_range_window_duckdb_twin(spark):
     pd.testing.assert_series_equal(
         got["sum_last_hour"].astype("float64"),
         want["sum_last_hour"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_rolling_zscore_duckdb_twin(spark):
+    """q46's oracle, preserved verbatim after its round-8 rotation out
+    of the registry (slot now checks portable hash_split, q64): the
+    trailing 20-event ROWS-frame z-score per user against DuckDB on
+    the driver events table."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.driver_queries import _events
+    from wrds_data_pipeline_spark.operators.windows import rolling_zscore
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = _events(spark, sf_dir)
+    out = rolling_zscore(e, ["user_id"], ["ts_us", "event_id"], "value", n=20)
+    got = (
+        out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT event_id, user_id,
+               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_series_equal(
+        got["zscore"].astype("float64"),
+        want["zscore"].astype("float64"),
         check_names=False,
     )

@@ -2133,25 +2133,52 @@ def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q46_rolling_zscore rotated out in round 8 (registry capped at 50):
+# after q39's rotation the ROWS-frame window machinery was still
+# double-covered by q46/q47, so q46 was the lowest-information slot.
+# Its oracle is preserved verbatim as a DuckDB-twin pytest
+# (tests/test_features.py::test_rolling_zscore_duckdb_twin); q47 keeps
+# the per-user ordered-window family hash-checked in the registry.
+# The slot now hash-checks hash_split (q64), previously pytest-only —
+# the last corpus-split operator without a driver oracle row.
+
+# Cumulative cut values for q64's default weights, accumulated in
+# Python floats exactly as hash_split does — embedded into the oracle
+# at repr precision so both engines compare u against bit-identical
+# boundaries (0.98 + 0.01 != parsed-literal 0.99 in binary).
+_Q64_CUT1 = 0.98
+_Q64_CUT2 = 0.98 + 0.01
+_Q64_SEED = 7
+
+
 @query(
-    "q46_rolling_zscore",
-    """
-    SELECT event_id, user_id,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    "q64_hash_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN u < {_Q64_CUT1!r} THEN 'train'
+                WHEN u < {_Q64_CUT2!r} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q64_SEED}'), 1, 8))::BIGINT)::DOUBLE
+               / 4294967296.0 AS u
+      FROM documents
+    )
     """,
 )
-def q46_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 20-event z-score per user (anomaly feature): pure
-    window expressions, codegen'd, one shuffle on user_id.  NULL for
-    the first row of each user (stddev of one sample)."""
-    from wrds_data_pipeline_spark.operators.windows import rolling_zscore
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) over the
+    documents table via ``hash_split(method="md5")`` — the portable
+    draw (32-bit md5 prefix over 2^32) that any engine can replay, so
+    the oracle recomputes the assignment independently in DuckDB and
+    the hash match proves CROSS-ENGINE split reproducibility, not just
+    internal determinism.  Single narrow projection: no shuffle, no
+    UDF, scales as a map-only pass at any corpus size."""
+    from wrds_data_pipeline_spark.plans.corpus import hash_split
 
-    e = _events(spark, sf_dir)
-    out = rolling_zscore(e, ["user_id"], ["ts_us", "event_id"], "value", n=20)
-    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, id_col="doc_id", seed=_Q64_SEED, method="md5")
+    return out.select("doc_id", "split")
 
 
 @query(

@@ -283,6 +283,7 @@ def hash_split(
     weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     seed: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Adds a ``split`` column assigning each row to one of the named
     splits (default ``{"train": .98, "val": .01, "test": .01}``) by
@@ -296,6 +297,23 @@ def hash_split(
     ``weights`` must sum to 1 (±1e-6).  Iteration order of the dict
     fixes the cut order, so the same dict always yields the same
     assignment.
+
+    ``method`` picks the hash family:
+
+    - ``"xxhash64"`` (default): Spark's native seeded hash — fastest,
+      but the split is reproducible only by engines that implement
+      Spark's xxhash64 variant.
+    - ``"md5"``: the uniform draw is the first 8 hex digits of
+      ``md5(str(id) + ":" + str(seed))`` over 2^32 — every SQL engine
+      and every language has md5, so the SAME rows land in the SAME
+      split when the assignment is recomputed in DuckDB, pandas, or a
+      warehouse (the property teams need when the split must be
+      auditable outside the Spark job).  Cut comparisons use the
+      Python-float cumulative weights verbatim; a replaying engine
+      must use the same accumulated values (repr precision) for
+      bit-identical boundaries.
+
+    Both are single JVM-native expressions — no UDF, no shuffle.
     """
     weights = (
         {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -307,15 +325,31 @@ def hash_split(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if any(w < 0 for w in weights.values()):
         raise ValueError("split weights must be non-negative")
-    # uniform draw in [0, 1): non-negative 20-bit slice of the seeded
-    # 64-bit hash (xxhash64 is signed — mask, don't pmod, so the draw
-    # is exactly uniform over the slice)
-    u = (
-        F.shiftrightunsigned(
-            F.xxhash64(F.col(id_col), F.lit(seed)), 44
-        ).cast("double")
-        / F.lit(float(1 << 20))
-    )
+    if method == "xxhash64":
+        # uniform draw in [0, 1): non-negative 20-bit slice of the
+        # seeded 64-bit hash (xxhash64 is signed — mask, don't pmod,
+        # so the draw is exactly uniform over the slice)
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.col(id_col), F.lit(seed)), 44
+            ).cast("double")
+            / F.lit(float(1 << 20))
+        )
+    elif method == "md5":
+        # portable draw: 32-bit prefix of md5("<id>:<seed>") / 2^32.
+        # The key is the id's STRING form so any engine can rebuild it
+        # without knowing Spark's binary hash encoding.
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.lit(str(int(seed)))
+        )
+        u = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 32))
+        )
+    else:
+        raise ValueError(f"unknown hash_split method: {method!r}")
     expr = None
     acc = 0.0
     names = list(weights)
