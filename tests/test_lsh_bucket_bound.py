@@ -310,52 +310,13 @@ def test_bucket_bound_group_parity_is_an_invariant(spark):
 # (md5 first-15-hex → int % 1e9+7; sig_i = min (A_i·h+B_i) % M) and
 # rejection-sampling docs until the shared phrase is the band-0
 # minimum for every member — deterministic, no Spark needed to build.
+# The mirror itself is SHARED with the scale rehearsal
+# (operators/lsh_fixtures.py — one copy, constants imported from
+# dedup.py); the premise guards below keep it honest against drift.
 
-_M_MOD = 1_000_000_007
-_A3 = [(2_654_435_761 * (i + 1)) % _M_MOD for i in range(3)]
-_B3 = [(40_503 * (i + 7)) % _M_MOD for i in range(3)]
-
-
-def _py_shingle_hash(s: str) -> int:
-    import hashlib
-
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _M_MOD
-
-
-def _band0_rows(h: int) -> list[int]:
-    return [(_A3[i] * h + _B3[i]) % _M_MOD for i in range(3)]
-
-
-def _degenerate_hot_docs(m: int, start_id: int = 0):
-    """m dissimilar 6-token docs all colliding in one band-0 bucket:
-    each shares ONE 3-gram (the popular phrase) and three unique
-    tokens — pairwise jaccard 1/7, far under any sane threshold."""
-    import itertools
-
-    hot = None
-    for t in itertools.count():
-        p = f"hotphrase{t} viral boiler"
-        if all(v < _M_MOD // 20 for v in _band0_rows(_py_shingle_hash(p))):
-            hot = p
-            break
-    rows, seq = [], 0
-    hot_rows = _band0_rows(_py_shingle_hash(hot))
-    while len(rows) < m:
-        u = f"u{seq}a u{seq}b u{seq}c"
-        seq += 1
-        toks = f"{hot} {u}".split()
-        shingles = list(
-            dict.fromkeys(
-                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
-            )
-        )
-        hs = [_py_shingle_hash(s) for s in shingles]
-        if all(
-            min((_A3[i] * h + _B3[i]) % _M_MOD for h in hs) == hot_rows[i]
-            for i in range(3)
-        ):
-            rows.append((start_id + len(rows), f"{hot} {u}"))
-    return rows
+from wrds_data_pipeline_spark.operators.lsh_fixtures import (  # noqa: E402
+    degenerate_hot_docs as _degenerate_hot_docs,
+)
 
 
 def test_popular_min_shingle_bucket_is_not_falsely_merged(spark):
@@ -510,42 +471,20 @@ def test_true_pair_inside_demoted_bucket_still_found(spark):
     merge.  Fixture: two docs identical except the final token,
     rejection-sampled (same Python hash mirror) until both land in
     the hot band-0 bucket AND share a band-1..3 hash."""
-    import hashlib
     import itertools
 
-    _A12 = [(2_654_435_761 * (i + 1)) % _M_MOD for i in range(12)]
-    _B12 = [(40_503 * (i + 7)) % _M_MOD for i in range(12)]
-
-    def h_of(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _M_MOD
-
-    def sig12(shingles):
-        hs = [h_of(s) for s in shingles]
-        return [
-            min((_A12[i] * h + _B12[i]) % _M_MOD for h in hs)
-            for i in range(12)
-        ]
-
-    def shingles_of(text):
-        toks = text.split()
-        return list(
-            dict.fromkeys(
-                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
-            )
-        )
+    from wrds_data_pipeline_spark.operators.lsh_fixtures import (
+        hash_rows,
+        py_shingle_hash,
+        signature,
+    )
 
     base = _degenerate_hot_docs(20)
     hot_phrase = " ".join(base[0][1].split()[:3])
-    hot_rows = [
-        (_A12[i] * h_of(hot_phrase) + _B12[i]) % _M_MOD for i in range(3)
-    ]
+    hot_rows = hash_rows(py_shingle_hash(hot_phrase), 3)
 
     def in_hot_bucket(text):
-        hs = [h_of(s) for s in shingles_of(text)]
-        return all(
-            min((_A12[i] * h + _B12[i]) % _M_MOD for h in hs) == hot_rows[i]
-            for i in range(3)
-        )
+        return signature(text, n_hashes=3) == hot_rows
 
     pair = None
     for t in itertools.count():
@@ -553,7 +492,7 @@ def test_true_pair_inside_demoted_bucket_still_found(spark):
         b = f"{hot_phrase} x{t} y{t} z{t} endb{t}"
         if not (in_hot_bucket(a) and in_hot_bucket(b)):
             continue
-        sa, sb = sig12(shingles_of(a)), sig12(shingles_of(b))
+        sa, sb = signature(a), signature(b)
         # shared full band beyond band 0 (rows [3,6), [6,9), [9,12))
         if any(
             sa[3 * band : 3 * band + 3] == sb[3 * band : 3 * band + 3]

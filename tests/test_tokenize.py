@@ -215,6 +215,31 @@ def test_pure_python_interpreter_locally():
     assert wl.encode("Hello, world!").ids == [1, 3, 11, 4, 12, 2]
 
 
+def test_template_special_positions_follow_the_sequence_item():
+    """Specials are placed by their position relative to $A, not
+    head/tail-by-count: an EOS-only template ($A </s>) must APPEND its
+    single special, and a both-sides template keeps its bracket."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_BPE_FIXTURE) as fh:
+        spec = json.load(fh)
+    seq = next(i for i in spec["post_processor"]["single"] if "Sequence" in i)
+    sep_tok = next(
+        i for i in spec["post_processor"]["single"] if "SpecialToken" in i
+        and i["SpecialToken"]["id"] == "[SEP]"
+    )
+    # EOS-only shape: [$A, [SEP]] — one special, AFTER the sequence
+    spec["post_processor"]["single"] = [seq, sep_tok]
+    tok = PurePythonTokenizer(spec)
+    assert tok.encode("hello world").ids == [15, 19, 2]
+    # BOS-only shape: [[SEP], $A] — one special, BEFORE the sequence
+    spec["post_processor"]["single"] = [sep_tok, seq]
+    tok = PurePythonTokenizer(spec)
+    assert tok.encode("hello world").ids == [2, 15, 19]
+
+
 def test_fixture_is_valid_json_wordlevel():
     """Always-on sanity (no optional dep): the vendored fixture parses
     and has the structure the golden counts were derived from."""

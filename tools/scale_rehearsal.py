@@ -230,56 +230,27 @@ def lsh_bucket_rung(spark, sizes: list[int], unguarded_all: bool = False) -> Non
 
 def _generate_degenerate_hot_docs(m: int, m_true: int = 0) -> str:
     """Popular-min-shingle fixture (VERDICT r7 'What's wrong' #1): ``m``
-    pairwise-DISSIMILAR 6-token docs engineered (by mirroring the
-    Spark-side md5/MinHash arithmetic in Python and rejection-sampling
-    suffixes) so one shared 3-gram is the band-0 minimum for every
+    pairwise-DISSIMILAR 6-token docs engineered (via the SHARED Python
+    mirror of the Spark-side md5/MinHash arithmetic,
+    ``operators/lsh_fixtures.py`` — one copy, also used by the pytest
+    suite) so one shared 3-gram is the band-0 minimum for every
     member — the classic LSH false-positive regime where a hot bucket
     holds unrelated short docs.  Optionally plus ``m_true``
     near-identical template docs (a genuine duplicate cluster) so the
     same run shows the evidence gate keeping true clusters while
     demoting the degenerate bucket."""
-    import hashlib
-    import itertools
-
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from wrds_data_pipeline_spark.operators.lsh_fixtures import (
+        degenerate_hot_docs,
+    )
 
     path = os.path.join(STAGE, f"degendocs_{m}_t{m_true}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(STAGE, exist_ok=True)
-    M_MOD = 1_000_000_007
-    A3 = [(2_654_435_761 * (i + 1)) % M_MOD for i in range(3)]
-    B3 = [(40_503 * (i + 7)) % M_MOD for i in range(3)]
-
-    def h_of(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M_MOD
-
-    def rows3(h):
-        return [(A3[i] * h + B3[i]) % M_MOD for i in range(3)]
-
-    hot = next(
-        p
-        for p in (f"hotphrase{t} viral boiler" for t in itertools.count())
-        if all(v < M_MOD // 20 for v in rows3(h_of(p)))
-    )
-    hot_rows = rows3(h_of(hot))
-    texts, seq = [], 0
-    while len(texts) < m:
-        u = f"u{seq}a u{seq}b u{seq}c"
-        seq += 1
-        toks = f"{hot} {u}".split()
-        shingles = list(
-            dict.fromkeys(
-                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
-            )
-        )
-        hs = [h_of(s) for s in shingles]
-        if all(
-            min((A3[i] * h + B3[i]) % M_MOD for h in hs) == hot_rows[i]
-            for i in range(3)
-        ):
-            texts.append(f"{hot} {u}")
+    texts = [text for _, text in degenerate_hot_docs(m)]
     template = " ".join(f"t{i}" for i in range(60))
     texts += [template + f" variant{i}" for i in range(m_true)]
     t = pa.table(
@@ -389,8 +360,10 @@ def corpus_gates_rung(spark, sizes: list[int]) -> None:
         docs = docs0.mapInPandas(tick, docs0.schema)
         t0 = time.time()
         kept, audit = curate(docs)
-        gated = apply_corpus_gates(spark, kept, keep_frac=0.5)
+        gated, scored = apply_corpus_gates(spark, kept, keep_frac=0.5)
         n_out = gated.count()
+        if scored is not None:
+            scored.unpersist()
         n_audit = audit.groupBy("fate").count().count()
         wall = time.time() - t0
         passes = acc.value / n_docs

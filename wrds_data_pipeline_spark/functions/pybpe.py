@@ -67,17 +67,26 @@ class PurePythonTokenizer:
                 for r, m in enumerate(merges)
             }
         post = spec.get("post_processor") or {}
-        self.special_ids: list[int] = []
+        # specials keep their POSITION relative to the $A sequence item
+        # ([CLS] $A [SEP] -> head=[cls], tail=[sep]; $A </s> ->
+        # head=[], tail=[eos] — an EOS-only template must append, not
+        # prepend)
+        self.head_ids: list[int] = []
+        self.tail_ids: list[int] = []
         if post:
             if post.get("type") != "TemplateProcessing":
                 raise NotImplementedError(
                     f"post_processor {post.get('type')!r}"
                 )
             specials = post.get("special_tokens", {})
+            seen_sequence = False
             for item in post.get("single", []):
-                if "SpecialToken" in item:
+                if "Sequence" in item:
+                    seen_sequence = True
+                elif "SpecialToken" in item:
                     tok = item["SpecialToken"]["id"]
-                    self.special_ids.append(specials[tok]["ids"][0])
+                    sid = specials[tok]["ids"][0]
+                    (self.tail_ids if seen_sequence else self.head_ids).append(sid)
 
     @classmethod
     def from_file(cls, path: str) -> "PurePythonTokenizer":
@@ -135,9 +144,7 @@ class PurePythonTokenizer:
         # short-circuits empty text before reaching the tokenizer, so
         # matching HF exactly here (specials added even when empty)
         # keeps the two backends interchangeable
-        head = self.special_ids[:1]
-        tail = self.special_ids[1:]
-        return _Encoding(head + ids + tail)
+        return _Encoding(self.head_ids + ids + self.tail_ids)
 
     def encode_batch(self, texts: list[str]) -> list[_Encoding]:
         return [self.encode(t) for t in texts]

@@ -481,11 +481,12 @@ def scrub_contaminated_spans(
     than ``n`` tokens produce no grams and therefore scrub nothing at
     that width.  ``cover_short_items=True`` restores their coverage:
     each short item contributes its WHOLE token sequence as a
-    signature at its own width t, and the corpus is additionally
-    scanned at each distinct short width (≤ a handful of extra window
-    passes, none when the benchmark has no short items) — hit windows
-    of every width merge into one per-doc cut array.  The rebuild can
-    also
+    signature at its own width t, and the width-n grams plus every
+    short width are scanned in ONE fused corpus pass
+    (``span_windows_multi`` — the token array is bound once; when the
+    benchmark has no short items the plan is identical to the plain
+    single-width scan) — hit windows of every width merge into one
+    per-doc cut array.  The rebuild can also
     SPLICE a new benchmark n-gram across a cut boundary (doc =
     S[:j] + leak + S[j:] — cutting the leak joins the halves into
     S), so a zero-residual guarantee needs a follow-up
@@ -505,6 +506,7 @@ def scrub_contaminated_spans(
         apply_span_cuts,
         span_cuts,
         span_windows,
+        span_windows_multi,
     )
 
     bench_grams = (
@@ -515,9 +517,6 @@ def scrub_contaminated_spans(
         )
         .distinct()
     )
-    hits = span_windows(docs, id_col, text_col, n).join(
-        F.broadcast(bench_grams), "h", "left_semi"
-    ).select("_id", "i")
     widths: list[int] = []
     if cover_short_items:
         # spans hash on xxhash64 of the lowered token-array slice, so
@@ -538,21 +537,22 @@ def scrub_contaminated_spans(
         widths = sorted(
             r["t"] for r in short.select("t").distinct().collect()
         )
-        hits = hits.withColumn("_w", F.lit(n))
-        for t in widths:
-            hits = hits.unionByName(
-                span_windows(docs, id_col, text_col, t)
-                .join(
-                    F.broadcast(short.filter(F.col("t") == t).select("h")),
-                    "h",
-                    "left_semi",
-                )
-                .select("_id", "i")
-                .withColumn("_w", F.lit(t))
-            )
     if not widths:
-        cuts = span_cuts(hits.select("_id", "i"), n)
+        hits = span_windows(docs, id_col, text_col, n).join(
+            F.broadcast(bench_grams), "h", "left_semi"
+        ).select("_id", "i")
+        cuts = span_cuts(hits, n)
     else:
+        # ONE corpus scan for the width-n grams AND every short width
+        # (span_windows per width would re-tokenize the corpus once per
+        # width): the signature set is keyed (t, h) so a short item
+        # only matches windows of its own width
+        sigs = bench_grams.select(F.lit(n).alias("t"), "h").unionByName(short)
+        hits = (
+            span_windows_multi(docs, id_col, text_col, [n] + widths)
+            .join(F.broadcast(sigs), ["t", "h"], "left_semi")
+            .select("_id", "i", F.col("t").alias("_w"))
+        )
         # variable-width span_cuts: each hit covers [i, i+w)
         cuts = (
             hits.select(

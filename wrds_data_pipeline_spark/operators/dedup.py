@@ -529,7 +529,6 @@ def jaccard_pairs(
     shingles: DataFrame | None = None,
     scope: PersistScope | None = None,
     resolved_col: str | None = None,
-    keep_resolved_flag: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -664,12 +663,9 @@ def jaccard_pairs(
     keep = F.col("jaccard") >= threshold
     if "_res" in out.columns:
         keep = keep | F.col("_res")
-    sel = ["id_a", "id_b", F.round("jaccard", 6).alias("jaccard")]
-    if keep_resolved_flag and "_res" in out.columns:
-        # near_dup_pairs' evidence gate needs to know which surviving
-        # pairs are unverified star edges (and their measured jaccard)
-        sel.append(F.col("_res").alias("_resolved"))
-    out = out.filter(keep).select(*sel)
+    out = out.filter(keep).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
     return materialize_release(out, scope) if own else out
 
 
@@ -752,18 +748,16 @@ def near_dup_pairs(
         scored = jaccard_pairs(
             docs, id_col, text_col, k_shingle, threshold,
             candidates=cand, shingles=sh, scope=scope,
-            resolved_col="_resolved", keep_resolved_flag=True,
+            resolved_col="_resolved",
         )
         if star_accept_frac is None:
-            out = scored.select("id_a", "id_b", "jaccard")
+            out = scored
         else:
             scored = scope.persist(scored)
             # each star edge with its measured jaccard, per bucket row
             # (the inner join is total: resolved pairs always survive
             # jaccard_pairs, zero-intersection ones restored at 0.0)
-            star_scored = star.join(
-                scored.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"]
-            )
+            star_scored = star.join(scored, ["id_a", "id_b"])
             accepted_buckets = (
                 star_scored.groupBy("band", "band_hash")
                 .agg(

@@ -121,6 +121,68 @@ def span_windows(
     )
 
 
+def span_windows_multi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ks: list[int],
+) -> DataFrame:
+    """(_id, i, t, h): every t-token window instance for EACH width t
+    in ``ks`` — one tokenize/lower pass for all widths (the token
+    array is bound once; calling ``span_windows`` per width re-scans
+    and re-tokenizes the corpus once per width).  Same hashing scheme
+    as ``span_windows`` (xxhash64 of the lowered token slice), so the
+    two relations join against the same signature sets."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"span window widths must be >= 1, got {ks}")
+    sch = "array<struct<t:int,i:int,h:bigint>>"
+
+    def multi(lt):
+        # width captured via a factory: a two-arg transform lambda
+        # would make PySpark bind the second parameter to the ARRAY
+        # INDEX, silently shadowing the width (the HOF trap noted in
+        # contamination._doc_windows_at_widths)
+        def one_width(t):
+            return lambda i: F.struct(
+                F.lit(t).alias("t"),
+                i.alias("i"),
+                F.xxhash64(F.slice(lt, i + 1, t)).alias("h"),
+            )
+
+        return F.flatten(
+            F.array(
+                *[
+                    F.when(
+                        F.size(lt) >= t,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(lt) - t),
+                            one_width(t),
+                        ),
+                    ).otherwise(F.array().cast(sch))
+                    for t in sorted(set(ks))
+                ]
+            )
+        )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _bound(
+                F.transform(_raw_tokens(text_col), F.lower),
+                F.array().cast("array<struct<t:int,i:int,h:bigint>>"),
+                multi,
+            ).alias("_w"),
+        )
+        .select("_id", F.explode("_w").alias("_e"))
+        .select(
+            "_id",
+            F.col("_e.i").alias("i"),
+            F.col("_e.t").alias("t"),
+            F.col("_e.h").alias("h"),
+        )
+    )
+
+
 def non_first_windows(windows: DataFrame) -> DataFrame:
     """(_id, i): the NON-FIRST rows of a (_id, i, h) window relation.
     First = min (doc, start) struct per gram hash.
