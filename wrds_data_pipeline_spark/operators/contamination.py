@@ -237,7 +237,15 @@ def _doc_windows_at_widths(
     doc, for each t in ``widths`` — ONE tokenize pass for all widths
     (the token array is bound once; an unbound reference inside the
     per-width lambdas would re-tokenize per width — the
-    CollapseProject/HOF trap)."""
+    CollapseProject/HOF trap).
+
+    Deliberately parallel to ``spans.span_windows_multi`` (the scrub
+    side's fused scan), NOT shared with it: drop mode must hash with
+    ``normalize`` + ``shingle_hash_wide`` (md5) to join the same
+    signature family as ``decontaminate``'s n-gram relation, while the
+    scrub side hashes xxhash64 over raw lowered token slices and needs
+    window POSITIONS for the cut arrays.  Unifying them would force
+    one mode through the other's hash family and break its oracle."""
     from wrds_data_pipeline_spark.functions.text import _bound, tokens
 
     w_struct = "array<struct<t:int,s:string>>"
