@@ -314,3 +314,46 @@ def test_temperature_weights_and_sample(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_temperature_weights_duckdb_twin(spark):
+    """Oracle-grade check for temperature_weights (pytest-only tail —
+    registry capped at 50): DuckDB independently replays the mBERT/
+    XLM-R re-weighting (p = share, q = p^alpha renormalized,
+    upsample = q/p, all rounded 6dp) over the driver documents table
+    and every stratum row must agree."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.plans.corpus import temperature_weights
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.lang: (r.n_docs, r.p, r.q, r.upsample)
+        for r in temperature_weights(d, "lang", alpha=0.3).collect()
+    }
+    want = {
+        lang: (n, p, q, u)
+        for lang, n, p, q, u in duckdb.connect()
+        .execute(
+            f"""
+            WITH c AS (
+              SELECT lang, count(*) AS n_docs
+              FROM read_parquet('{sf_dir}/documents.parquet')
+              GROUP BY lang
+            ), t AS (
+              SELECT lang, n_docs,
+                     n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS p,
+                     pow(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 0.3) AS u
+              FROM c
+            )
+            SELECT lang, n_docs, round(p, 6) AS p,
+                   round(u / sum(u) OVER (), 6) AS q,
+                   round((u / sum(u) OVER ()) / p, 6) AS upsample
+            FROM t
+            """
+        )
+        .fetchall()
+    }
+    assert len(got) == len(want) > 1
+    assert got == want

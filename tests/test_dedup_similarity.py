@@ -378,6 +378,60 @@ def test_int8_quantization_preserves_topk(spark, driver_tables):
     assert len(exact & approx) >= 9
 
 
+def test_int8_quantize_duckdb_twin(spark):
+    """Oracle-grade check for quantize_int8 (pytest-only tail — the
+    registry is capped at 50): DuckDB independently replays the exact
+    arithmetic (am = max|x| in double, scale = float32(am/127),
+    q_i = round_half_away(x/(am/127))) over the driver embeddings and
+    every (vec_id, pos) cell must agree BIT-EXACTLY — quantization is
+    storage, a one-off mismatch corrupts every downstream distance."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.similarity import quantize_int8
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("_qs")
+    ).select(
+        "vec_id",
+        F.col("_qs.scale").alias("scale"),
+        F.posexplode("_qs.q").alias("pos", "qv"),
+    )
+    got = {(r.vec_id, r.pos): (r.scale, r.qv) for r in q.collect()}
+
+    want = {
+        (vid, pos): (scale, qv)
+        for vid, pos, scale, qv in duckdb.connect()
+        .execute(
+            f"""
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       'max') AS am
+              FROM read_parquet('{sf_dir}/embeddings.parquet')
+            ), ex AS (
+              SELECT vec_id, am,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(embedding) AS v
+              FROM base
+            )
+            SELECT vec_id, pos, CAST(am / 127.0 AS FLOAT) AS scale,
+                   CASE WHEN am > 0
+                        THEN CAST(round(CAST(v AS DOUBLE) / (am / 127.0)) AS INTEGER)
+                        ELSE 0 END AS qv
+            FROM ex
+            """
+        )
+        .fetchall()
+    }
+    assert len(got) == len(want) > 0
+    assert all(
+        got[k][1] == want[k][1] and got[k][0] == want[k][0] for k in got
+    )
+
+
 def test_candidate_driven_verification_equals_allpairs_restricted(
     spark, driver_tables
 ):
