@@ -373,6 +373,73 @@ def corpus_gates_rung(spark, sizes: list[int]) -> None:
         )
 
 
+def scrub_short_items_rung(spark, sizes: list[int]) -> None:
+    """Fused multi-width scrub pass counting (round 8 self-review #4):
+    `scrub_contaminated_spans(cover_short_items=True)` used to re-scan
+    and re-tokenize the corpus once per distinct short-item width; the
+    fix scans the width-n grams and every short width in ONE
+    `span_windows_multi` pass.  Same accumulator protocol as
+    `--corpus-gates`: passes = source-row reads / corpus size.
+    Structural expectation: the pass count is FLAT in the number of
+    distinct short widths (scan + rebuild), not widths+2."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+    )
+
+    for n in sizes:
+        docs0 = spark.read.parquet(_generate_docs(n))
+        n_docs = docs0.count()
+        # benchmark items sliced from a real carrier doc so the hit
+        # path is LIVE (a no-hit benchmark would also measure the
+        # AQE empty-relation shortcut, not the production shape): one
+        # 12-token passage slice (the ordinary width-8 gram path) +
+        # short items at 1 / 3 distinct widths
+        toks0 = docs0.filter(F.col("doc_id") == 0).first()["text"].split()
+        long_item = " ".join(toks0[100:112])
+        for label, shorts in (
+            ("1 short width", [" ".join(toks0[60:62])]),
+            (
+                "3 short widths",
+                [toks0[50], " ".join(toks0[60:62]), " ".join(toks0[70:73])],
+            ),
+        ):
+            bench = spark.createDataFrame(
+                [(long_item,)] + [(s,) for s in shorts], ["text"]
+            )
+            acc = spark.sparkContext.accumulator(0)
+
+            def tick(batches, _acc=acc):
+                for pdf in batches:
+                    _acc.add(len(pdf))
+                    yield pdf
+
+            docs = docs0.mapInPandas(tick, docs0.schema)
+            t0 = time.time()
+            out = scrub_contaminated_spans(
+                docs, bench, cover_short_items=True
+            )
+            # force the FULL production computation: a bare count()
+            # lets Catalyst eliminate the rebuild join outright (the
+            # cuts side is an aggregate -> provably unique key, no
+            # columns referenced) and reads 1 pass — an optimizer
+            # artifact, not the scrub.  Aggregating the rebuilt text
+            # and the cut counts keeps both subtrees live, exactly
+            # like writing the scrubbed shard does.
+            row = out.agg(
+                F.sum(F.length("text")).alias("chars"),
+                F.sum("n_tok_removed").alias("removed"),
+            ).first()
+            wall = time.time() - t0
+            passes = acc.value / n_docs
+            print(
+                f"n={n} {label}: source-row reads={acc.value} -> "
+                f"passes={passes:.2f} (chars {row['chars']}, removed "
+                f"{row['removed']}) wall={wall:.1f}s"
+            )
+
+
 def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
     """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
     ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
@@ -678,6 +745,14 @@ def main() -> None:
         corpus_gates_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000, 32000],
+        )
+        return
+    if "--scrub-short-items" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        scrub_short_items_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [32000],
         )
         return
     if "--spans-skew" in sys.argv:
