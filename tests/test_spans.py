@@ -265,3 +265,36 @@ def test_caller_scope_stays_lazy_and_releases(spark):
         got = {r["doc_id"]: r["text"] for r in out.collect()}
         assert got[1] == "a b c d e f" and got[2] == ""
     assert _persistent_ids(spark) - base == set()
+
+
+def test_span_windows_multi_equals_per_width_scans(spark):
+    """The fused multi-width scan (round 8, scrub short-item coverage)
+    must emit EXACTLY the union of per-width span_windows relations,
+    keyed by width — including docs shorter than a width, empty/null
+    text, and width 1."""
+    from wrds_data_pipeline_spark.operators.spans import span_windows_multi
+
+    rows = [
+        (1, "Alpha beta gamma DELTA epsilon"),
+        (2, "one two"),
+        (3, "solo"),
+        (4, ""),
+        (5, None),
+        (6, "  padded\t with   odd\nwhitespace  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    widths = [1, 3, 5]
+    fused = {
+        (r._id, r.t, r.i, r.h)
+        for r in span_windows_multi(df, "doc_id", "text", widths).collect()
+    }
+    want = set()
+    for t in widths:
+        for r in span_windows(df, "doc_id", "text", t).collect():
+            want.add((r._id, t, r.i, r.h))
+    assert fused == want and len(want) > 0
+
+    with pytest.raises(ValueError):
+        span_windows_multi(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        span_windows_multi(df, "doc_id", "text", [0, 3])
