@@ -201,6 +201,17 @@ def test_index_cli_band_lifecycle(spark, sf_dir, tmp_path):
     again = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
     assert want <= again  # old cross pairs still found via the index
 
+    # --mark-resolved plumbs resolved_col through probe_band_index:
+    # the flagged output adds the boolean column, pairs unchanged
+    out2 = os.path.join(str(tmp_path), "cand_flagged")
+    assert index_main(
+        ["probe-band", inc_p, idx, out2, "--mark-resolved"]
+    ) == 0
+    flagged = spark.read.parquet(out2)
+    assert set(flagged.columns) == {"id_a", "id_b", "resolved"}
+    assert {(r.id_a, r.id_b) for r in flagged.collect()} == again
+    assert all(r.resolved is not None for r in flagged.collect())
+
 
 def test_index_cli_vector_lifecycle(spark, sf_dir, tmp_path):
     from wrds_data_pipeline_spark.cli import index_main

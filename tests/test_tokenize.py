@@ -215,6 +215,39 @@ def test_pure_python_interpreter_locally():
     assert wl.encode("Hello, world!").ids == [1, 3, 11, 4, 12, 2]
 
 
+def test_unsupported_spec_features_raise_not_silently_mistokenize():
+    """The interpreter's contract is 'identical counts to the Rust
+    backend or a LOUD NotImplementedError' — specs using features it
+    does not implement (BERT-style subword prefix, CLIP-style
+    end-of-word suffix, dropout, byte fallback, sentencepiece-style
+    absent pre_tokenizer) must refuse to load, never quietly produce
+    different ids."""
+    import json
+
+    import pytest
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_BPE_FIXTURE) as fh:
+        base = json.load(fh)
+    for mutate in (
+        lambda s: s["model"].__setitem__("continuing_subword_prefix", "##"),
+        lambda s: s["model"].__setitem__("end_of_word_suffix", "</w>"),
+        lambda s: s["model"].__setitem__("dropout", 0.1),
+        lambda s: s["model"].__setitem__("byte_fallback", True),
+        lambda s: s.__setitem__("pre_tokenizer", None),
+        lambda s: s.__setitem__("pre_tokenizer", {"type": "Metaspace"}),
+    ):
+        spec = json.loads(json.dumps(base))
+        mutate(spec)
+        with pytest.raises(NotImplementedError):
+            PurePythonTokenizer(spec)
+    # and null-valued options (the serialized default) still load
+    spec = json.loads(json.dumps(base))
+    spec["model"]["continuing_subword_prefix"] = None
+    assert PurePythonTokenizer(spec).encode("hello").ids == [1, 15, 2]
+
+
 def test_template_special_positions_follow_the_sequence_item():
     """Specials are placed by their position relative to $A, not
     head/tail-by-count: an EOS-only template ($A </s>) must APPEND its

@@ -567,11 +567,12 @@ def q10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q11_lag_label rotated out in round 7 (registry capped at 50): W7
-# lag + the F14 direction label stay oracle-covered by q46/q47
-# (lag-based returns; q39 itself rotated out in round 8), and q11's
-# oracle SQL moved verbatim into a DuckDB-twin pytest
-# (tests/test_features.py::test_lag_label_duckdb_twin).  The slot now
+# q11_lag_label rotated out in round 7 (registry capped at 50): the
+# per-user ordered-window machinery stays oracle-covered by q47 (q39
+# and q46 were themselves rotated out in round 8 — all three oracles
+# live on verbatim as DuckDB-twin pytests in tests/test_features.py),
+# and q11's oracle SQL moved verbatim into
+# tests/test_features.py::test_lag_label_duckdb_twin.  The slot now
 # checks shingle CONTAINMENT (q62) — the subset/quote detector whose
 # only prior evidence was pytest (VERDICT r6 'What's missing' #3).
 

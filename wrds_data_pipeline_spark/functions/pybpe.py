@@ -48,8 +48,15 @@ class PurePythonTokenizer:
             raise NotImplementedError(f"normalizer {norm.get('type')!r}")
         self.lowercase = norm.get("type") == "Lowercase"
         pre = spec.get("pre_tokenizer") or {}
-        if pre and pre.get("type") not in ("Whitespace",):
-            raise NotImplementedError(f"pre_tokenizer {pre.get('type')!r}")
+        if pre.get("type") not in ("Whitespace",):
+            # an ABSENT pre_tokenizer is not "default to whitespace":
+            # it means sentencepiece-style whole-text tokenization,
+            # which this interpreter does not implement — silently
+            # whitespace-splitting would produce wrong counts, the
+            # exact failure these guards exist to make loud
+            raise NotImplementedError(
+                f"pre_tokenizer {pre.get('type')!r} (must be Whitespace)"
+            )
         model = spec["model"]
         self.model_type = model["type"]
         if self.model_type not in ("WordLevel", "BPE"):
@@ -57,6 +64,17 @@ class PurePythonTokenizer:
         self.vocab: dict[str, int] = model["vocab"]
         self.unk = model.get("unk_token")
         if self.model_type == "BPE":
+            # BPE options that change the merge/symbol semantics: a
+            # spec that sets any of them would load fine but produce
+            # ids/counts DIFFERENT from the Rust backend — guard loud,
+            # like every other unsupported feature
+            for opt in ("continuing_subword_prefix", "end_of_word_suffix"):
+                if model.get(opt):
+                    raise NotImplementedError(f"BPE {opt} {model[opt]!r}")
+            if model.get("dropout"):
+                raise NotImplementedError("BPE dropout")
+            if model.get("byte_fallback"):
+                raise NotImplementedError("BPE byte_fallback")
             merges = model.get("merges", [])
             # both serializations are public: ["a b", ...] strings or
             # [["a","b"], ...] pairs

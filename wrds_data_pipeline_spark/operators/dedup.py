@@ -715,10 +715,15 @@ def near_dup_pairs(
     over the O(m·hot_buckets) star relation — nothing when the census
     short-circuit finds no hot bucket.
 
-    ``scope``: caller-owned cache lifecycle — result stays lazy and
-    the caller releases the shingle/band caches.  Without it the
+    ``scope``: caller-owned cache lifecycle — the RESULT stays lazy
+    and the caller releases the shingle/band caches.  Without it the
     (pairs-sized) result is materialized eagerly and every
-    intermediate cache is freed before returning."""
+    intermediate cache is freed before returning.  Note that with or
+    without a scope, CALLING this function runs one plan-build job
+    (the census short-circuit: band-table materialization + a scalar
+    max-population aggregate — see _lsh_candidate_split); a purely
+    plan-side composition that must not touch the data should use
+    the candidate-level operators, whose census stays lazy."""
     own = scope is None
     scope = scope or PersistScope()
     sh = scope.persist(_shingled(docs, id_col, text_col, k_shingle))
