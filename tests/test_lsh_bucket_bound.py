@@ -508,3 +508,48 @@ def test_true_pair_inside_demoted_bucket_still_found(spark):
     assert (500, 501) in got
     # and the degenerate members still merged with nothing
     assert all(a >= 500 and b >= 500 for a, b in got)
+
+
+def test_split_eager_and_lazy_shapes_are_identical(spark, hot_docs):
+    """The hybrid census (round 8): `_lsh_candidate_split` has two
+    execution shapes — eager short-circuit (near_dup_pairs) and lazy
+    annotate (candidate-only operators).  They are an OPTIMIZATION
+    split, not a semantic one: on the same band relation, with hot
+    buckets present AND absent, both must return identical small-pair
+    and star-edge relations."""
+    from wrds_data_pipeline_spark.caching import PersistScope
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _lsh_candidate_split,
+    )
+
+    def both(docs, bound):
+        out = {}
+        for eager in (False, True):
+            with PersistScope() as scope:
+                banded = scope.persist(minhash_band_table(docs))
+                small, star = _lsh_candidate_split(
+                    banded, scope, bound, eager_shortcircuit=eager
+                )
+                out[eager] = (
+                    {(r.id_a, r.id_b) for r in small.collect()},
+                    None
+                    if star is None
+                    else {
+                        (r.id_a, r.id_b, r.band, r.band_hash)
+                        for r in star.collect()
+                    },
+                )
+        return out
+
+    # hot bucket present (the 60-member template cluster over B=8)
+    got = both(hot_docs, B)
+    assert got[False] == got[True]
+    small, star = got[True]
+    assert star  # the hot regime really was live
+    # hot bucket absent (bound far above any population): the eager
+    # path must short-circuit to star=None, the lazy path's star
+    # relation must be EMPTY — same candidates either way
+    got_cold = both(hot_docs, 100_000)
+    assert got_cold[True][1] is None
+    assert got_cold[False][1] == set()
+    assert got_cold[False][0] == got_cold[True][0]
