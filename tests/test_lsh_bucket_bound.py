@@ -553,3 +553,41 @@ def test_split_eager_and_lazy_shapes_are_identical(spark, hot_docs):
     assert got_cold[True][1] is None
     assert got_cold[False][1] == set()
     assert got_cold[False][0] == got_cold[True][0]
+
+
+def test_streaming_mark_resolved_flags_star_edges(spark, tmp_path):
+    """ADVICE r7 #1 closed on the LAST candidate path: streaming
+    consumers can request the resolved flag, star edges from hot
+    buckets arrive marked (a downstream Jaccard verifier must not
+    threshold-filter them), and the pair set equals the unflagged
+    stream's."""
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup,
+    )
+
+    rows = _hot_rows()
+    schema = "doc_id long, text string"
+    stage = os.path.join(str(tmp_path), "hot_stream_flagged")
+    for k in range(2):
+        batch = [r for i, r in enumerate(rows) if i % 2 == k]
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    flagged = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        os.path.join(str(tmp_path), "idx_flagged"),
+        max_files_per_trigger=1, max_bucket=B, mark_resolved=True,
+    )
+    assert list(flagged.columns) == ["id_a", "id_b", "resolved"]
+    assert flagged["resolved"].any()  # hot-bucket star edges marked
+    assert not flagged["resolved"].isna().any()
+
+    plain = streaming_near_dedup(
+        spark, stage, spark.createDataFrame([], schema).schema,
+        os.path.join(str(tmp_path), "idx_plain"),
+        max_files_per_trigger=1, max_bucket=B,
+    )
+    assert set(map(tuple, flagged[["id_a", "id_b"]].values.tolist())) == set(
+        map(tuple, plain[["id_a", "id_b"]].values.tolist())
+    )

@@ -218,6 +218,7 @@ def streaming_near_dedup(
     max_files_per_trigger: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     checkpoint_dir: str | None = None,
+    mark_resolved: bool = False,
 ):
     """Streaming MinHash-LSH near-dedup: each micro-batch's documents
     are signature-banded ONCE, probed against the persisted corpus
@@ -236,6 +237,15 @@ def streaming_near_dedup(
     hub, batch hub ↔ stored hub), so connected components over the
     union equal the batch operator's components while per-bucket pair
     mass stays O(m) — see operators/dedup.DEFAULT_MAX_BUCKET.
+
+    ``mark_resolved=True`` adds a boolean ``resolved`` column flagging
+    hot-bucket star edges.  A consumer that Jaccard-verifies the
+    emitted candidates MUST request it and thread it through
+    ``jaccard_pairs(resolved_col=...)``: a star member carries ONE
+    edge where the clique had m-1, so threshold-filtering unmarked
+    star edges silently disconnects hot-bucket members (the same
+    contract as the batch candidate operators and the probe-band
+    CLI's ``--mark-resolved``).
 
     Scale: per-batch cost is O(|batch|) signature work + a probe join
     sized by band-bucket collisions; the accumulated corpus is never
@@ -257,8 +267,15 @@ def streaming_near_dedup(
         index_rows=lambda bdf: minhash_band_table(
             bdf, id_col, text_col, k_shingle, n_hashes, bands
         ),
-        pairs=lambda nb, bt: lsh_probe_bands(nb, bt, max_bucket=max_bucket),
-        empty_cols=["id_a", "id_b"],
+        pairs=lambda nb, bt: lsh_probe_bands(
+            nb, bt, max_bucket=max_bucket,
+            resolved_col="resolved" if mark_resolved else None,
+        ),
+        empty_cols=(
+            ["id_a", "id_b", "resolved"]
+            if mark_resolved
+            else ["id_a", "id_b"]
+        ),
         max_files_per_trigger=max_files_per_trigger,
         checkpoint_dir=checkpoint_dir,
     )
