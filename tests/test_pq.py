@@ -369,3 +369,48 @@ def test_pq_topk_batch_matches_per_query(spark, clustered, codebooks):
                 single["cos_sim"].tolist(), abs=2e-6
             )
     coded.unpersist()
+
+
+def test_adc_scores_match_driver_replay(spark, clustered, codebooks):
+    """Oracle-grade check for the ADC scan (pytest-only tail — the
+    registry is capped at 50): an independent driver-side replay of
+    Σ_j LUT[j][code_j] from the SAME collected codes must equal the
+    Spark scan's score for EVERY row bit-exactly (same normalized
+    query, same left-to-right fold order) — the scan contributes only
+    element_at lookups and adds, and this pins exactly that."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.pq import pq_adc_scores
+
+    df, vecs = clustered
+    coded = pq_encode(df, codebooks)
+    q_raw = [float(x) for x in vecs[42]]
+    got = {
+        r.vec_id: r.s
+        for r in coded.select(
+            "vec_id", pq_adc_scores(codebooks, q_raw, F.col("pq_code")).alias("s")
+        ).collect()
+    }
+
+    qn = math.sqrt(sum(x * x for x in q_raw))
+    q = [x / qn for x in q_raw]
+    dsub = codebooks.dsub
+    lut = [
+        [
+            sum(q[j * dsub + t] * c[t] for t in range(dsub))
+            for c in codebooks.books[j]
+        ]
+        for j in range(codebooks.m)
+    ]
+    codes = {
+        r.vec_id: list(r.pq_code)
+        for r in coded.select("vec_id", "pq_code").collect()
+    }
+    assert len(got) == len(codes) == N
+    for vid, code in codes.items():
+        want = 0.0
+        for j, c in enumerate(code):
+            want += lut[j][int(c)]
+        assert got[vid] == want, (vid, got[vid], want)
