@@ -316,6 +316,60 @@ def test_temperature_weights_and_sample(spark):
     assert a == b
 
 
+def test_stratified_sample_md5_portable_cross_engine(spark):
+    """method="md5" makes the exact-count draw replayable outside
+    Spark: DuckDB re-ranks by the same md5 hex key and must select the
+    SAME ids per stratum (with the hex-then-id tie order)."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.plans.corpus import (
+        stratified_sample_exact,
+        temperature_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        r.doc_id
+        for r in stratified_sample_exact(
+            d, "lang", 7, seed=3, method="md5"
+        ).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id
+                     ) AS rk
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ) WHERE rk <= 7
+            """
+        )
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+    # temperature_sample threads the method through to the ranking
+    ids_a = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            d, 100, "lang", alpha=0.5, seed=3, method="md5"
+        ).collect()
+    )
+    ids_b = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            d, 100, "lang", alpha=0.5, seed=3, method="md5"
+        ).collect()
+    )
+    assert ids_a == ids_b and len(ids_a) > 0
+
+
 def test_temperature_weights_duckdb_twin(spark):
     """Oracle-grade check for temperature_weights (pytest-only tail —
     registry capped at 50): DuckDB independently replays the mBERT/

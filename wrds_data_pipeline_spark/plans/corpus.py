@@ -194,12 +194,30 @@ def select_to_token_budget(
     )
 
 
+def _seeded_rank_key(id_col: str, seed: int, method: str) -> F.Column:
+    """The seeded per-row ranking/draw key shared by the samplers:
+    ``xxhash64`` (Spark-native, fastest) or ``md5`` (portable — any
+    engine can recompute ``md5(str(id) + ":" + str(seed))`` and
+    reproduce the exact ranking, so a sample is auditable outside the
+    Spark job; same scheme as ``hash_split(method="md5")``)."""
+    if method == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if method == "md5":
+        return F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.lit(str(int(seed)))
+            )
+        )
+    raise ValueError(f"unknown sampling hash method: {method!r}")
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str] | str,
     n_per_stratum: int | dict,
     id_col: str = "doc_id",
     seed: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic fixed-size sample per stratum (the domain-mixing
     primitive: "exactly N documents from each source/language").
@@ -211,13 +229,15 @@ def stratified_sample_exact(
     and identical on every run/cluster.  One window over the stratum
     shuffle; per-partition state is one stratum.  ``n_per_stratum``
     may be a dict keyed by stratum value (single strata column) for
-    mixture weights.
+    mixture weights.  ``method="md5"`` ranks by the portable hex
+    draw instead of Spark's xxhash64 (see ``_seeded_rank_key``) —
+    the selected id set is then replayable by any engine.
     """
     from pyspark.sql.window import Window as W
 
     if isinstance(strata_cols, str):
         strata_cols = [strata_cols]
-    order = F.xxhash64(F.col(id_col), F.lit(seed))
+    order = _seeded_rank_key(id_col, seed, method)
     w = W.partitionBy(*strata_cols).orderBy(order, F.col(id_col))
     ranked = df.withColumn("_rk", F.row_number().over(w))
     if isinstance(n_per_stratum, dict):
@@ -426,6 +446,7 @@ def temperature_sample(
     alpha: float = 0.3,
     id_col: str = "doc_id",
     seed: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic sample of ~``n_total`` rows realizing the
     temperature-``alpha`` mix: per-stratum targets = round(q_l ×
@@ -456,5 +477,5 @@ def temperature_sample(
         k: min(int(round(un[k] / z * n_total)), counts[k]) for k in counts
     }
     return stratified_sample_exact(
-        df, stratum_col, targets, id_col=id_col, seed=seed
+        df, stratum_col, targets, id_col=id_col, seed=seed, method=method
     )
