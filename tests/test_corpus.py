@@ -316,7 +316,7 @@ def test_temperature_weights_and_sample(spark):
     assert a == b
 
 
-def test_stratified_sample_md5_portable_cross_engine(spark):
+def test_stratified_sample_md5_portable_cross_engine(spark, sf_dir):
     """method="md5" makes the exact-count draw replayable outside
     Spark: DuckDB re-ranks by the same md5 hex key and must select the
     SAME ids per stratum (with the hex-then-id tie order)."""
@@ -327,7 +327,6 @@ def test_stratified_sample_md5_portable_cross_engine(spark):
         temperature_sample,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = sorted(
         r.doc_id
@@ -354,23 +353,27 @@ def test_stratified_sample_md5_portable_cross_engine(spark):
     )
     assert got == want and len(got) > 0
 
-    # temperature_sample threads the method through to the ranking
-    ids_a = sorted(
+    # temperature_sample really threads the method to the ranking:
+    # the md5 selection must DIFFER from the xxhash64 selection (same
+    # per-stratum targets, different ranking keys) — a self-equality
+    # check would pass even if `method` were silently dropped
+    ids_md5 = sorted(
         r.doc_id
         for r in temperature_sample(
             d, 100, "lang", alpha=0.5, seed=3, method="md5"
         ).collect()
     )
-    ids_b = sorted(
+    ids_xx = sorted(
         r.doc_id
         for r in temperature_sample(
-            d, 100, "lang", alpha=0.5, seed=3, method="md5"
+            d, 100, "lang", alpha=0.5, seed=3, method="xxhash64"
         ).collect()
     )
-    assert ids_a == ids_b and len(ids_a) > 0
+    assert len(ids_md5) == len(ids_xx) > 0  # same targets either way
+    assert ids_md5 != ids_xx  # different ranking family selected
 
 
-def test_temperature_weights_duckdb_twin(spark):
+def test_temperature_weights_duckdb_twin(spark, sf_dir):
     """Oracle-grade check for temperature_weights (pytest-only tail —
     registry capped at 50): DuckDB independently replays the mBERT/
     XLM-R re-weighting (p = share, q = p^alpha renormalized,
@@ -380,7 +383,6 @@ def test_temperature_weights_duckdb_twin(spark):
 
     from wrds_data_pipeline_spark.plans.corpus import temperature_weights
 
-    sf_dir = "/root/testdata/sf0.001"
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = {
         r.lang: (r.n_docs, r.p, r.q, r.upsample)

@@ -378,7 +378,7 @@ def test_int8_quantization_preserves_topk(spark, driver_tables):
     assert len(exact & approx) >= 9
 
 
-def test_int8_quantize_duckdb_twin(spark):
+def test_int8_quantize_duckdb_twin(spark, sf_dir):
     """Oracle-grade check for quantize_int8 (pytest-only tail — the
     registry is capped at 50): DuckDB independently replays the exact
     arithmetic (am = max|x| in double, scale = float32(am/127),
@@ -389,7 +389,6 @@ def test_int8_quantize_duckdb_twin(spark):
 
     from wrds_data_pipeline_spark.operators.similarity import quantize_int8
 
-    sf_dir = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.select(
         "vec_id", quantize_int8(F.col("embedding")).alias("_qs")

@@ -195,11 +195,20 @@ def select_to_token_budget(
 
 
 def _seeded_rank_key(id_col: str, seed: int, method: str) -> F.Column:
-    """The seeded per-row ranking/draw key shared by the samplers:
-    ``xxhash64`` (Spark-native, fastest) or ``md5`` (portable — any
-    engine can recompute ``md5(str(id) + ":" + str(seed))`` and
-    reproduce the exact ranking, so a sample is auditable outside the
-    Spark job; same scheme as ``hash_split(method="md5")``)."""
+    """The seeded per-row ranking/draw key shared by the samplers AND
+    ``hash_split`` (one copy of the portable scheme — both derive
+    their draws from this column): ``xxhash64`` (Spark-native,
+    fastest; a signed int64) or ``md5`` (portable — any engine can
+    recompute ``md5(str(id) + ":" + str(seed))`` and reproduce the
+    exact ranking hex, so a sample/split is auditable outside the
+    Spark job).
+
+    Non-null-id precondition for the REPLAY contract: ``md5(NULL)``
+    is NULL, which Spark's ascending sort places FIRST while DuckDB's
+    ORDER BY places last — rows with a NULL id rank differently
+    across engines (and degenerately under xxhash64, which collapses
+    them all to the seed's hash).  Ensure ids are non-null upstream
+    when the external replay matters."""
     if method == "xxhash64":
         return F.xxhash64(F.col(id_col), F.lit(seed))
     if method == "md5":
@@ -345,31 +354,24 @@ def hash_split(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if any(w < 0 for w in weights.values()):
         raise ValueError("split weights must be non-negative")
+    key = _seeded_rank_key(id_col, seed, method)  # shared scheme
     if method == "xxhash64":
         # uniform draw in [0, 1): non-negative 20-bit slice of the
         # seeded 64-bit hash (xxhash64 is signed — mask, don't pmod,
         # so the draw is exactly uniform over the slice)
-        u = (
-            F.shiftrightunsigned(
-                F.xxhash64(F.col(id_col), F.lit(seed)), 44
-            ).cast("double")
-            / F.lit(float(1 << 20))
+        u = F.shiftrightunsigned(key, 44).cast("double") / F.lit(
+            float(1 << 20)
         )
-    elif method == "md5":
-        # portable draw: 32-bit prefix of md5("<id>:<seed>") / 2^32.
-        # The key is the id's STRING form so any engine can rebuild it
-        # without knowing Spark's binary hash encoding.
-        key = F.concat(
-            F.col(id_col).cast("string"), F.lit(":"), F.lit(str(int(seed)))
-        )
+    else:  # md5 — _seeded_rank_key already validated the method
+        # portable draw: 32-bit prefix of the md5 hex / 2^32 (the key
+        # is the id's STRING form so any engine can rebuild it without
+        # knowing Spark's binary hash encoding)
         u = (
-            F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            F.conv(F.substring(key, 1, 8), 16, 10)
             .cast("long")
             .cast("double")
             / F.lit(float(1 << 32))
         )
-    else:
-        raise ValueError(f"unknown hash_split method: {method!r}")
     expr = None
     acc = 0.0
     names = list(weights)

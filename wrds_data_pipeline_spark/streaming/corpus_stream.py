@@ -252,7 +252,8 @@ def streaming_near_dedup(
     re-hashed.  Index durability/filesystem caveats: see
     ``_run_indexed_stream``.
 
-    Returns the concatenated pandas of all emitted (id_a, id_b).
+    Returns the concatenated pandas of all emitted (id_a, id_b) —
+    plus the boolean ``resolved`` column when ``mark_resolved=True``.
     """
     from wrds_data_pipeline_spark.operators.dedup import (
         lsh_probe_bands,
