@@ -128,19 +128,27 @@ def main() -> None:
         )
     load_end = os.getloadavg()[0]
 
+    # Bulky diagnostics go on their OWN line(s) before the headline: the
+    # driver tail-captures stdout and parses only the final JSON line, so
+    # the headline must stay compact (VERDICT r8 "What's wrong #2" — the
+    # spread inlined into the final line outgrew the tail buffer and the
+    # stored record began mid-line).
     print(json.dumps({
-        "metric": "headline_query_wall_seconds",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": times,
+        "aux": "bench_diagnostics",
         "query_spread_min_median": spread,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": {
             "repeats": repeats,
             "stat": "median",
             "load_avg_1m_start": round(load_start, 2),
             "load_avg_1m_end": round(load_end, 2),
         },
+    }))
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
 
