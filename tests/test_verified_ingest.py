@@ -1,0 +1,326 @@
+"""The round-8 `weak` closed: the LSH evidence gate reachable from
+every candidate-level surface (VERDICT r8 next #1) plus the
+demoted-bucket salvage pass (next #3).
+
+Adversarial rehearsal (both via operators/lsh_fixtures — the Python
+mirror of the production hash arithmetic):
+
+- ``degenerate_hot_docs``: m pairwise-DISSIMILAR docs whose one
+  shared shingle is the band-0 minimum for every member — the
+  popular-min-shingle regime.  The legacy resolved-flag contract
+  wholesale-merges them (m-1 silent false merges); the gated
+  compositions must emit ZERO sub-threshold pairs.
+- ``demoted_cluster_docs``: c pairwise-SIMILAR docs hidden inside
+  that degenerate bucket while sharing NO other band pairwise — the
+  demoted-bucket residual-recall class.  Without salvage the cluster
+  connects to nothing; with it all c·(c-1)/2 pairs are recovered,
+  each individually verified (salvage can add recall, never false
+  merges).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from wrds_data_pipeline_spark.operators import lsh_fixtures as fx
+from wrds_data_pipeline_spark.operators.dedup import (
+    gate_star_edges,
+    incremental_near_dup_pairs,
+    jaccard_pairs,
+    minhash_band_table,
+    minhash_lsh_candidates,
+    near_dup_pairs,
+    probe_band_index_verified,
+)
+
+B = 8  # test-scale bucket bound (production default is 256)
+M = 40  # degenerate bucket population
+C = 5  # hidden similar cluster size
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def degenerate():
+    return fx.degenerate_hot_docs(M, start_id=0)
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    return fx.demoted_cluster_docs(C, start_id=50_000)
+
+
+def _cluster_pairs(rows, cluster_ids):
+    return {
+        (r.id_a, r.id_b)
+        for r in rows
+        if r.id_a in cluster_ids and r.id_b in cluster_ids
+    }
+
+
+def test_cluster_fixture_premises(degenerate, cluster):
+    """Premise guards (mirror-honesty, never-vacuous): the hidden
+    cluster really is (a) in the degenerate band-0 bucket, (b)
+    pairwise ≥ 0.5 jaccard, (c) pairwise band-disjoint outside band
+    0, (d) pairwise sharing ≥1 single minhash row in rows 3..11 (the
+    salvage sub-bucket that recovers it)."""
+    hot = fx.find_hot_phrase()
+    hf = fx.hash_rows(fx.py_shingle_hash(hot), 12)
+    sigs = {i: fx.signature(t) for i, t in cluster}
+    for (ida, ta), (idb, tb) in itertools.combinations(cluster, 2):
+        sa, sb = sigs[ida], sigs[idb]
+        assert sa[:3] == hf[:3] and sb[:3] == hf[:3]
+        for band in (1, 2, 3):
+            assert (
+                sa[band * 3 : band * 3 + 3] != sb[band * 3 : band * 3 + 3]
+            ), "cluster pair collides on another band — fixture drifted"
+        assert any(sa[r] == sb[r] for r in range(3, 12))
+        ga = set(fx.shingles_of(ta))
+        gb = set(fx.shingles_of(tb))
+        assert len(ga & gb) / len(ga | gb) >= 0.5
+    # and the degenerate majority really shares the same bucket
+    dsig = fx.signature(degenerate[0][1])
+    assert dsig[:3] == hf[:3]
+
+
+def test_carry_bucket_schema_and_star_keys(spark, degenerate):
+    """carry_bucket keeps (band, band_hash) on star edges (one row
+    per hot bucket) and NULLs on ordinary candidates; the default
+    schema is unchanged without the flag; the flag requires
+    resolved_col."""
+    docs = spark.createDataFrame(degenerate, DOC_SCHEMA)
+    cand = minhash_lsh_candidates(
+        docs, max_bucket=B, resolved_col="resolved", carry_bucket=True
+    )
+    assert cand.columns == ["id_a", "id_b", "resolved", "band", "band_hash"]
+    rows = cand.collect()
+    star = [r for r in rows if r.resolved]
+    flat = [r for r in rows if not r.resolved]
+    assert star, "degenerate fixture produced no star edges"
+    assert all(r.band is not None and r.band_hash is not None for r in star)
+    assert all(r.band is None and r.band_hash is None for r in flat)
+    # star bucket keys are real buckets of the band table
+    buckets = {
+        (r.band, r.band_hash)
+        for r in minhash_band_table(docs).collect()
+    }
+    assert {(r.band, r.band_hash) for r in star} <= buckets
+    # legacy schema untouched
+    assert minhash_lsh_candidates(docs, max_bucket=B).columns == [
+        "id_a",
+        "id_b",
+    ]
+    with pytest.raises(Exception, match="resolved_col"):
+        minhash_lsh_candidates(docs, max_bucket=B, carry_bucket=True)
+
+
+def test_gate_star_edges_public_composition(spark, degenerate):
+    """The consumer-side recipe the r8 verdict demanded: candidates
+    with carry_bucket → jaccard_pairs(resolved_col=...) →
+    gate_star_edges.  On the degenerate bucket it must emit ZERO
+    pairs, where threading the resolved flag alone (the legacy
+    contract) emits m-1 false merges."""
+    docs = spark.createDataFrame(degenerate, DOC_SCHEMA)
+    cand = minhash_lsh_candidates(
+        docs, max_bucket=B, resolved_col="_resolved", carry_bucket=True
+    ).persist()
+    scored = jaccard_pairs(
+        docs, threshold=0.5, candidates=cand, resolved_col="_resolved"
+    ).persist()
+    star = cand.filter(F.col("_resolved") & F.col("band").isNotNull()).select(
+        "id_a", "id_b", "band", "band_hash"
+    )
+    gated = gate_star_edges(scored, star, threshold=0.5).collect()
+    assert gated == []
+    # the regime was live: without the gate the resolved edges remain
+    legacy = scored.collect()
+    assert len(legacy) >= M - 1
+    assert all(r.jaccard < 0.5 for r in legacy)
+    cand.unpersist()
+    scored.unpersist()
+
+
+def test_incremental_verified_gates_degenerate_bucket(spark, degenerate):
+    """The ingest loop (probe → verify → gate): a degenerate bucket
+    accumulating across increments must NOT merge — and the same call
+    with star_accept_frac=None reproduces the legacy false-merge
+    regime (proving the rehearsal is live on this path)."""
+    dup = [
+        (20_000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    old = spark.createDataFrame(degenerate[: M // 2], DOC_SCHEMA)
+    new = spark.createDataFrame(degenerate[M // 2 :] + dup, DOC_SCHEMA)
+    bt = minhash_band_table(old)
+    gated = incremental_near_dup_pairs(
+        new, bt, old, threshold=0.5, max_bucket=B
+    ).collect()
+    assert all(r.jaccard >= 0.5 for r in gated)
+    assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in gated}
+    assert not any(r.id_a < 20_000 and r.id_b < 20_000 for r in gated)
+    legacy = incremental_near_dup_pairs(
+        new, bt, old, threshold=0.5, max_bucket=B, star_accept_frac=None
+    ).collect()
+    false_merges = [r for r in legacy if r.jaccard < 0.5]
+    assert len(false_merges) >= M // 2 - 1
+
+
+def test_batch_salvage_recovers_hidden_cluster(spark, degenerate, cluster):
+    """VERDICT r8 next #3's rung: near-dup pairs planted inside a
+    degenerate bucket sharing NO other band are recovered WITH the
+    salvage cap and missed WITHOUT — and salvage adds zero
+    sub-threshold pairs."""
+    cluster_ids = {i for i, _ in cluster}
+    docs = spark.createDataFrame(degenerate + cluster, DOC_SCHEMA)
+    with_salvage = near_dup_pairs(docs, threshold=0.5, max_bucket=B).collect()
+    expected = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(cluster_ids), 2)
+    }
+    assert _cluster_pairs(with_salvage, cluster_ids) == expected
+    assert all(r.jaccard >= 0.5 for r in with_salvage)
+    without = near_dup_pairs(
+        docs, threshold=0.5, max_bucket=B, demoted_salvage_cap=None
+    ).collect()
+    assert _cluster_pairs(without, cluster_ids) == set()
+
+
+def test_incremental_salvage_recovers_hidden_cluster(
+    spark, degenerate, cluster
+):
+    """Same rung on the ingest path: the cluster arrives in an
+    increment against a stored degenerate corpus."""
+    cluster_ids = {i for i, _ in cluster}
+    old = spark.createDataFrame(degenerate[: M // 2], DOC_SCHEMA)
+    new = spark.createDataFrame(degenerate[M // 2 :] + cluster, DOC_SCHEMA)
+    bt = minhash_band_table(old)
+    gated = incremental_near_dup_pairs(
+        new, bt, old, threshold=0.5, max_bucket=B
+    ).collect()
+    expected = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(cluster_ids), 2)
+    }
+    assert _cluster_pairs(gated, cluster_ids) == expected
+    assert all(r.jaccard >= 0.5 for r in gated)
+    without = incremental_near_dup_pairs(
+        new, bt, old, threshold=0.5, max_bucket=B, demoted_salvage_cap=None
+    ).collect()
+    assert _cluster_pairs(without, cluster_ids) == set()
+
+
+def test_probe_band_index_verified_on_disk(spark, tmp_path, degenerate):
+    """The on-disk form: signature params come from the index meta
+    (built with non-default k/n/bands to prove the meta drives
+    verification), shard pruning stays on, and the gate holds."""
+    from wrds_data_pipeline_spark.operators.dedup import build_band_index
+
+    # non-default scheme: k=2, 8 hashes, 4 bands of 2.  The degenerate
+    # fixture is engineered for the default scheme, so rebuild the
+    # premise: under k=2 the docs still share the hot phrase's
+    # 2-grams; whether a bucket goes hot is re-checked below and the
+    # test only relies on verified-pair semantics (no sub-threshold
+    # output), which hold with or without a hot bucket.
+    dup = [
+        (20_000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    old = spark.createDataFrame(degenerate[: M // 2], DOC_SCHEMA)
+    new = spark.createDataFrame(degenerate[M // 2 :] + dup, DOC_SCHEMA)
+    idx = str(tmp_path / "band_index")
+    build_band_index(old, idx, k_shingle=2, n_hashes=8, bands=4, n_shards=8)
+    out = probe_band_index_verified(
+        new, idx, old, threshold=0.5, max_bucket=B
+    ).collect()
+    assert all(r.jaccard >= 0.5 for r in out)
+    assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in out}
+    assert not any(r.id_a < 20_000 and r.id_b < 20_000 for r in out)
+
+
+def test_streaming_verified_no_false_merges(
+    spark, tmp_path, degenerate, cluster
+):
+    """streaming_near_dedup_verified: the degenerate bucket
+    accumulates across micro-batches, the hidden cluster arrives in
+    the second batch — zero false merges, full cluster recall, and
+    every emitted pair carries its verified jaccard."""
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup_verified,
+    )
+
+    cluster_ids = {i for i, _ in cluster}
+    stage = str(tmp_path / "stage")
+    for batch in (degenerate[: M // 2], degenerate[M // 2 :] + cluster):
+        spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    res = streaming_near_dedup_verified(
+        spark,
+        stage,
+        DOC_SCHEMA,
+        str(tmp_path / "bands"),
+        str(tmp_path / "docs"),
+        max_files_per_trigger=1,
+        max_bucket=B,
+        threshold=0.5,
+    )
+    assert list(res.columns) == ["id_a", "id_b", "jaccard"]
+    assert (res.jaccard >= 0.5).all()
+    got = {
+        (a, b)
+        for a, b in zip(res.id_a, res.id_b)
+        if a in cluster_ids and b in cluster_ids
+    }
+    expected = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(cluster_ids), 2)
+    }
+    assert got == expected
+    assert len(res) == len(expected)  # nothing else similar exists
+
+
+def test_cli_probe_verify_docs(spark, tmp_path, degenerate):
+    """The shell form of the ingest loop: probe --verify-docs emits
+    verified (id_a, id_b, jaccard) with the gate on by default."""
+    from wrds_data_pipeline_spark.cli import index_main
+
+    dup = [
+        (20_000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(degenerate[: M // 2], DOC_SCHEMA).write.parquet(
+        old_p
+    )
+    spark.createDataFrame(
+        degenerate[M // 2 :] + dup, DOC_SCHEMA
+    ).write.parquet(new_p)
+    assert index_main(["build-band", old_p, idx, "--n-shards", "4"]) == 0
+    assert (
+        index_main(
+            [
+                "probe-band",
+                new_p,
+                idx,
+                out,
+                "--verify-docs",
+                old_p,
+                "--lsh-max-bucket",
+                str(B),
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out).collect()
+    assert all(r.jaccard >= 0.5 for r in rows)
+    assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in rows}
+    assert not any(r.id_a < 20_000 and r.id_b < 20_000 for r in rows)

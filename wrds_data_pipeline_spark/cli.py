@@ -549,7 +549,26 @@ def index_main(argv: list[str] | None = None) -> int:
                     "hot-bucket star edges - REQUIRED if you intend to "
                     "Jaccard-verify these candidates (a star member has "
                     "one edge, not m-1; threshold-filtering unmarked "
-                    "star edges silently disconnects hot-bucket members)")
+                    "star edges silently disconnects hot-bucket members). "
+                    "NOTE resolved edges are a GROUP claim resolved "
+                    "unconditionally downstream; to evidence-gate hot "
+                    "buckets instead (recommended), use --verify-docs")
+    pb.add_argument("--verify-docs", default=None,
+                    help="(id, text) parquet of the previously-indexed "
+                    "corpus: emit VERIFIED pairs (id_a, id_b, jaccard) "
+                    "instead of raw candidates - exact-Jaccard "
+                    "verification, per-bucket evidence gate, demoted-"
+                    "bucket salvage (probe_band_index_verified); only "
+                    "docs touched by a candidate are re-shingled")
+    pb.add_argument("--threshold", type=float, default=0.5,
+                    help="jaccard threshold for --verify-docs")
+    pb.add_argument("--star-accept-frac", type=float, default=0.9,
+                    help="per-bucket acceptance fraction for the "
+                    "evidence gate (with --verify-docs); 0 disables "
+                    "the gate (legacy unconditional resolution)")
+    pb.add_argument("--salvage-cap", type=int, default=32,
+                    help="demoted-bucket salvage sub-bucket cap (with "
+                    "--verify-docs); 0 disables salvage")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -614,15 +633,37 @@ def index_main(argv: list[str] | None = None) -> int:
                 probe_kwargs["max_bucket"] = (
                     None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
                 )
-            if args.mark_resolved:
-                probe_kwargs["resolved_col"] = "resolved"
-            cand = probe_band_index(
-                docs, args.index_path, prune_shards=not args.no_prune,
-                **probe_kwargs,
-            )
+            if args.verify_docs is not None:
+                from wrds_data_pipeline_spark.operators.dedup import (
+                    probe_band_index_verified,
+                )
+
+                cand = probe_band_index_verified(
+                    docs, args.index_path,
+                    spark.read.parquet(args.verify_docs),
+                    threshold=args.threshold,
+                    prune_shards=not args.no_prune,
+                    star_accept_frac=(
+                        None if args.star_accept_frac == 0
+                        else args.star_accept_frac
+                    ),
+                    demoted_salvage_cap=(
+                        None if args.salvage_cap == 0 else args.salvage_cap
+                    ),
+                    **probe_kwargs,
+                )
+                label = "verified pairs"
+            else:
+                if args.mark_resolved:
+                    probe_kwargs["resolved_col"] = "resolved"
+                cand = probe_band_index(
+                    docs, args.index_path, prune_shards=not args.no_prune,
+                    **probe_kwargs,
+                )
+                label = "candidate pairs"
             cand.write.mode("overwrite").parquet(args.out_dir)
             n = spark.read.parquet(args.out_dir).count()
-            print(f"{n} candidate pairs -> {args.out_dir}")
+            print(f"{n} {label} -> {args.out_dir}")
         return 0
 
     from wrds_data_pipeline_spark.operators.vector_index import (

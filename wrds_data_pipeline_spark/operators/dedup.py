@@ -240,12 +240,21 @@ def _lsh_candidate_split(
         )
         hot = None
         if eager_shortcircuit:
-            counts = scope.persist(counts)
+            # scalar max straight off the census subtree — the common
+            # no-hot-bucket case persists NOTHING beyond the banded
+            # cache this job materializes anyway (r8 persisted the full
+            # per-bucket counts relation up front; at zero hot buckets
+            # that cache was pure overhead — VERDICT r8 next #4).  When
+            # the max IS over bound, the hot relation is rebuilt from a
+            # fresh census pass over the (now cached) band relation —
+            # one cheap extra scan on the rare path.
             max_row = counts.agg(F.max("_n").alias("m")).first()
             max_n = max_row["m"] if max_row is not None else None
             if max_n is not None and max_n > max_bucket:
-                hot = counts.filter(F.col("_n") > max_bucket).select(
-                    "band", "band_hash", "_hub"
+                hot = scope.persist(
+                    counts.filter(F.col("_n") > max_bucket).select(
+                        "band", "band_hash", "_hub"
+                    )
                 )
         else:
             # persisted: read by both the anti-join and the star join;
@@ -292,6 +301,7 @@ def minhash_lsh_candidates(
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     resolved_col: str | None = None,
+    carry_bucket: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding on any band's hash are
     candidates.  The self-join is on (band, band_hash) — i.e. only
@@ -317,6 +327,17 @@ def minhash_lsh_candidates(
     what ``near_dup_pairs`` does internally.  Default None keeps the
     legacy two-column schema.
 
+    ``carry_bucket`` (requires ``resolved_col``): additionally keep
+    ``(band, band_hash)`` on star edges (NULL on ordinary candidates,
+    one row per hot bucket per star edge) so a verifying consumer can
+    EVIDENCE-GATE each hot bucket instead of trusting it wholesale —
+    thread the output through ``jaccard_pairs(resolved_col=...)`` and
+    then ``gate_star_edges`` (or compose via
+    ``incremental_near_dup_pairs`` / ``near_dup_pairs``, which do this
+    internally).  Without the bucket key a consumer CANNOT apply the
+    gate downstream — the popular-min-shingle degenerate-bucket regime
+    (see near_dup_pairs) would wholesale-merge dissimilar docs.
+
     ``scope``: caller-owned cache lifecycle (see caching.PersistScope)
     — result stays lazy, caller releases.  Without it the candidate
     relation is materialized eagerly and the band-table cache freed
@@ -333,17 +354,46 @@ def minhash_lsh_candidates(
     # (doc, band) — tiny.
     banded = scope.persist(banded)
     small, star = _lsh_candidate_split(banded, scope, max_bucket)
-    out = _union_candidates(small, star, resolved_col)
+    out = _union_candidates(small, star, resolved_col, carry_bucket)
     return materialize_release(out, scope) if own else out
 
 
 def _union_candidates(
-    small: DataFrame, star: DataFrame | None, resolved_col: str | None
+    small: DataFrame,
+    star: DataFrame | None,
+    resolved_col: str | None,
+    carry_bucket: bool = False,
 ) -> DataFrame:
     """Union bucket-join pairs with (bucket-keyed) star edges into the
     distinct candidate relation; with ``resolved_col`` the distinct
     becomes a max-per-pair aggregate so a pair that is BOTH a small
-    candidate and a star edge stays marked resolved."""
+    candidate and a star edge stays marked resolved.
+
+    ``carry_bucket`` (requires ``resolved_col``): keep ``(band,
+    band_hash)`` on star edges — one row PER bucket a star edge
+    belongs to (the per-bucket acceptance evidence ``gate_star_edges``
+    aggregates), NULL bucket keys on ordinary candidates.  A pair that
+    is both a small candidate and a star edge appears once flat plus
+    once per hot bucket; pair-level consumers dedup (jaccard_pairs'
+    candidate aggregate already does)."""
+    if carry_bucket:
+        if resolved_col is None:
+            raise ValueError("carry_bucket requires resolved_col")
+        flat = small.distinct().select(
+            "id_a",
+            "id_b",
+            F.lit(False).alias(resolved_col),
+            F.lit(None).cast("int").alias("band"),
+            F.lit(None).cast("string").alias("band_hash"),
+        )
+        if star is None:
+            return flat
+        return flat.unionByName(
+            star.select(
+                "id_a", "id_b", F.lit(True).alias(resolved_col),
+                "band", "band_hash",
+            )
+        )
     if star is not None:
         star = star.select("id_a", "id_b")
     if resolved_col is None:
@@ -368,6 +418,7 @@ def incremental_lsh_candidates(
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     resolved_col: str | None = None,
+    carry_bucket: bool = False,
 ) -> DataFrame:
     """Candidate pairs for a NEW ingest increment against an existing
     corpus, without touching the existing corpus's text: signatures
@@ -396,7 +447,7 @@ def incremental_lsh_candidates(
     )
     out = lsh_probe_bands(
         new_banded, band_table, max_bucket=max_bucket, scope=scope,
-        resolved_col=resolved_col,
+        resolved_col=resolved_col, carry_bucket=carry_bucket,
     )
     return materialize_release(out, scope) if own else out
 
@@ -407,6 +458,7 @@ def lsh_probe_bands(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     scope: PersistScope | None = None,
     resolved_col: str | None = None,
+    carry_bucket: bool = False,
 ) -> DataFrame:
     """The band-level half of ``incremental_lsh_candidates``: candidate
     pairs of a precomputed increment band relation (minhash_band_table
@@ -440,6 +492,13 @@ def lsh_probe_bands(
     these candidates (a star member has one edge, not m-1; threshold-
     filtering unmarked star edges silently disconnects hot-bucket
     members).  See ``minhash_lsh_candidates``.
+
+    ``carry_bucket``: keep ``(band, band_hash)`` on star edges so the
+    verifying consumer can ALSO evidence-gate each hot bucket
+    (gate_star_edges) instead of resolving it wholesale — the verified
+    ingest composition (``incremental_near_dup_pairs``,
+    ``probe_band_index_verified``, ``streaming_near_dedup_verified``)
+    does exactly this.  See ``minhash_lsh_candidates``.
     """
     own = scope is None
     scope = scope or PersistScope()
@@ -487,12 +546,17 @@ def lsh_probe_bands(
             ["band", "band_hash"],
             "left_anti",
         )
+        # star edges keep their bucket key so a verifying caller
+        # (carry_bucket) can aggregate per-bucket acceptance evidence;
+        # pair-only output drops it in _union_candidates
         star_new = (
             comb.join(hot, ["band", "band_hash"])
             .filter(F.col("_new") & (F.col("_id") != F.col("_hub_new")))
             .select(
                 F.least("_hub_new", "_id").alias("id_a"),
                 F.greatest("_hub_new", "_id").alias("id_b"),
+                "band",
+                "band_hash",
             )
         )
         star_bridge = (
@@ -500,6 +564,8 @@ def lsh_probe_bands(
             .select(
                 F.least("_hub_old", "_hub_new").alias("id_a"),
                 F.greatest("_hub_old", "_hub_new").alias("id_b"),
+                "band",
+                "band_hash",
             )
         )
         star = star_new.unionByName(star_bridge)
@@ -515,7 +581,7 @@ def lsh_probe_bands(
         .filter(F.col("_new_a") | F.col("_new_b"))
         .select("id_a", "id_b")
     )
-    out = _union_candidates(pairs, star, resolved_col)
+    out = _union_candidates(pairs, star, resolved_col, carry_bucket)
     return materialize_release(out, scope) if own else out
 
 
@@ -669,6 +735,211 @@ def jaccard_pairs(
     return materialize_release(out, scope) if own else out
 
 
+def _star_bucket_fractions(
+    scored: DataFrame, star_edges: DataFrame, threshold: float
+) -> DataFrame:
+    """(band, band_hash, _frac): per hot bucket, the fraction of its
+    star edges whose measured jaccard meets the threshold — the
+    acceptance evidence both the gate and the demotion list read.
+    The join is total when ``scored`` came from
+    ``jaccard_pairs(resolved_col=...)`` over candidates containing the
+    star edges: resolved pairs always survive verification (zero-
+    intersection ones restored at jaccard 0.0)."""
+    return (
+        star_edges.select("id_a", "id_b", "band", "band_hash")
+        .join(scored, ["id_a", "id_b"])
+        .groupBy("band", "band_hash")
+        .agg(
+            F.avg(
+                (F.col("jaccard") >= F.lit(threshold)).cast("double")
+            ).alias("_frac")
+        )
+    )
+
+
+def gate_star_edges(
+    scored: DataFrame,
+    star_edges: DataFrame,
+    threshold: float,
+    accept_frac: float = 0.9,
+) -> DataFrame:
+    """Evidence-gate hot-bucket star edges AFTER verification — the
+    public form of the gate ``near_dup_pairs`` applies internally, for
+    consumers composing the candidate-level surfaces themselves (the
+    continuous-ingest loop: probe → verify → gate → append).
+
+    ``scored``: (id_a, id_b, jaccard) from ``jaccard_pairs(...,
+    resolved_col=...)`` over candidates that INCLUDED the star edges —
+    i.e. every star edge is present with its true measured jaccard
+    (resolved pairs bypass the threshold inside jaccard_pairs).
+    ``star_edges``: (id_a, id_b, band, band_hash) — hot-bucket star
+    edges WITH their bucket key (``carry_bucket=True`` on any
+    candidate surface; filter ``band IS NOT NULL`` + the resolved
+    flag).
+
+    Per bucket, the fraction of its star edges meeting ``threshold``
+    decides its fate: ≥ ``accept_frac`` resolves the bucket (every
+    star edge kept — a true near-dup cluster where a sampled spoke can
+    still dip under threshold); below it the bucket is DEMOTED — only
+    edges passing the threshold on their own merit survive.  This is
+    what stops the popular-min-shingle degenerate bucket (dissimilar
+    short docs colliding on one viral shingle) from wholesale-merging
+    on the ingest paths.  Member↔member recall inside a demoted
+    bucket: see ``demoted_salvage_candidates``.
+
+    Returns (id_a, id_b, jaccard): pairs ≥ threshold plus star edges
+    of accepted buckets.  Persist ``scored`` (and ``star_edges``)
+    before calling when they are expensive to recompute — both are
+    read by more than one subtree here."""
+    star_scored = star_edges.select("id_a", "id_b", "band", "band_hash").join(
+        scored, ["id_a", "id_b"]
+    )
+    accepted_buckets = (
+        _star_bucket_fractions(scored, star_edges, threshold)
+        .filter(F.col("_frac") >= F.lit(accept_frac))
+        .select("band", "band_hash")
+    )
+    # an edge sitting in ≥1 accepted bucket is kept resolved
+    accepted_edges = (
+        star_scored.join(accepted_buckets, ["band", "band_hash"], "left_semi")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        scored.join(
+            accepted_edges.withColumn("_acc", F.lit(True)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .filter(
+            (F.col("jaccard") >= F.lit(threshold)) | F.col("_acc").isNotNull()
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def demoted_star_buckets(
+    scored: DataFrame,
+    star_edges: DataFrame,
+    threshold: float,
+    accept_frac: float = 0.9,
+) -> DataFrame:
+    """(band, band_hash) of hot buckets the evidence gate DEMOTES —
+    the complement of ``gate_star_edges``' accepted set, fed to
+    ``demoted_salvage_candidates``."""
+    return (
+        _star_bucket_fractions(scored, star_edges, threshold)
+        .filter(F.col("_frac") < F.lit(accept_frac))
+        .select("band", "band_hash")
+    )
+
+
+def demoted_salvage_candidates(
+    star_edges: DataFrame,
+    demoted: DataFrame,
+    shingles: DataFrame,
+    n_hashes: int = 12,
+    salvage_cap: int = 32,
+) -> DataFrame:
+    """Extra candidate pairs recovering member↔member near-dups inside
+    DEMOTED hot buckets (id_a, id_b — verify with jaccard_pairs).
+
+    A demoted bucket connects only its individually-passing star
+    edges, so a true near-dup pair where neither doc is the hub is
+    found only if it collides on another band — a residual recall gap.
+    Salvage re-applies LSH at the finest granularity, restricted to
+    the demoted bucket's members: sub-buckets keyed by (bucket, hash
+    row i, single minhash value), i.e. the salt is the row index.  A
+    pair with jaccard j agrees on any one row w.p. j, so it lands in a
+    shared sub-bucket unless it disagrees on ALL rows — P(miss) ≤
+    (1−j)^n_hashes (~1e-12 at j=0.9, n=12).  The popular-shingle rows
+    that made the bucket degenerate self-exclude: their sub-bucket is
+    the whole bucket, over ``salvage_cap``, skipped.
+
+    Pair mass: sub-buckets sized 2..cap are fully pair-joined —
+    worst case (salvage_cap·n_hashes/2)·m per demoted bucket of m
+    members, but realistically only genuinely-similar groups
+    co-bucket, so the mass is ~cluster-sized.  Residual (documented):
+    a similar CLUSTER larger than ``salvage_cap`` inside a demoted
+    bucket still relies on other-band collisions — at that size the
+    per-pair other-band probability makes a miss of the whole cluster
+    vanishing.
+
+    Salvage candidates are NOT resolved edges — each must pass the
+    jaccard threshold on its own merit, so the salvage can add recall
+    but never false merges."""
+    members = (
+        star_edges.join(demoted, ["band", "band_hash"], "left_semi")
+        .select(
+            "band",
+            "band_hash",
+            F.explode(F.array("id_a", "id_b")).alias("_id"),
+        )
+        .distinct()
+    )
+    ids = members.select("_id").distinct()
+    # per-row minhash of the demoted members ONLY — the shingle scan
+    # is semi-join-restricted, never the whole corpus
+    sh_m = shingles.join(ids, "_id", "left_semi")
+    mh = sh_m.groupBy("_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"_mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_r"), F.col(f"_mh{i}").alias("_v")
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    sub = (
+        members.join(mh, "_id")
+        .select("band", "band_hash", "_id", F.explode(rows).alias("_rv"))
+        .select(
+            "band",
+            "band_hash",
+            F.col("_rv._r").alias("_r"),
+            F.col("_rv._v").alias("_v"),
+            "_id",
+        )
+    )
+    key = ["band", "band_hash", "_r", "_v"]
+    # census first (map-side-combined, never a partitionBy window), so
+    # the collect_list below only ever sees groups of 2..cap members —
+    # a polluted sub-bucket (the popular row: the WHOLE demoted
+    # bucket) is dropped before any row is collected.  The pairing is
+    # collect_list + two nested explodes, NOT an a⋈b self-join: a
+    # self-join duplicates the whole probe/verify lineage per side,
+    # which blew up Catalyst's relation dedup on the ingest
+    # composition.
+    ok = (
+        sub.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= F.lit(salvage_cap)))
+        .select(*key)
+    )
+    grp = (
+        sub.join(ok, key, "left_semi")
+        .groupBy(*key)
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+    )
+    e1 = grp.select(
+        "_ids", F.posexplode("_ids").alias("_i", "id_a")
+    )
+    return (
+        e1.select(
+            "id_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -680,6 +951,7 @@ def near_dup_pairs(
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     star_accept_frac: float | None = 0.9,
+    demoted_salvage_cap: int | None = 32,
 ) -> DataFrame:
     """The near-dedup composition: MinHash-LSH candidate generation +
     exact Jaccard verification, with the shingle relation computed
@@ -714,6 +986,16 @@ def near_dup_pairs(
     unconditional legacy resolution.  The gate costs two aggregates
     over the O(m·hot_buckets) star relation — nothing when the census
     short-circuit finds no hot bucket.
+
+    ``demoted_salvage_cap``: a demoted bucket's member↔member
+    near-dups (neither doc the hub) would otherwise be found only via
+    an other-band collision; the salvage pass re-buckets the demoted
+    members by single minhash rows (the salt), fully pair-joins
+    sub-buckets of 2..cap members, and verifies each recovered pair on
+    its own merit — extra recall, zero extra false-merge risk (see
+    ``demoted_salvage_candidates``).  ``None``/0 disables it, leaving
+    the residual documented there; clusters larger than the cap still
+    rely on other-band collisions.
 
     ``scope``: caller-owned cache lifecycle — the RESULT stays lazy
     and the caller releases the shingle/band caches.  Without it the
@@ -759,40 +1041,173 @@ def near_dup_pairs(
             out = scored
         else:
             scored = scope.persist(scored)
-            # each star edge with its measured jaccard, per bucket row
-            # (the inner join is total: resolved pairs always survive
-            # jaccard_pairs, zero-intersection ones restored at 0.0)
-            star_scored = star.join(scored, ["id_a", "id_b"])
-            accepted_buckets = (
-                star_scored.groupBy("band", "band_hash")
-                .agg(
-                    F.avg(
-                        (F.col("jaccard") >= F.lit(threshold)).cast("double")
-                    ).alias("_frac")
+            out = gate_star_edges(scored, star, threshold, star_accept_frac)
+            if demoted_salvage_cap:
+                out = out.unionByName(
+                    _salvage_demoted(
+                        docs, id_col, text_col, k_shingle, threshold,
+                        n_hashes, scored, star, sh, scope,
+                        star_accept_frac, demoted_salvage_cap,
+                    )
                 )
-                .filter(F.col("_frac") >= F.lit(star_accept_frac))
-                .select("band", "band_hash")
+    return materialize_release(out, scope) if own else out
+
+
+def _salvage_demoted(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    threshold: float,
+    n_hashes: int,
+    scored: DataFrame,
+    star: DataFrame,
+    sh: DataFrame,
+    scope: PersistScope,
+    accept_frac: float,
+    salvage_cap: int,
+) -> DataFrame:
+    """Shared salvage stage of the verified compositions: generate
+    sub-bucket candidates for demoted buckets, drop pairs already
+    scored, verify the rest through the same shingle cache.  Returns
+    (id_a, id_b, jaccard) DISJOINT from ``scored``'s pairs (anti-
+    joined), so the caller's union needs no dedup."""
+    demoted = demoted_star_buckets(scored, star, threshold, accept_frac)
+    salv = demoted_salvage_candidates(
+        star, demoted, sh, n_hashes, salvage_cap
+    ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    return jaccard_pairs(
+        docs, id_col, text_col, k_shingle, threshold,
+        candidates=salv, shingles=sh, scope=scope,
+    )
+
+
+def _verify_gate_candidates(
+    cands: DataFrame,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    threshold: float,
+    n_hashes: int,
+    star_accept_frac: float | None,
+    demoted_salvage_cap: int | None,
+    scope: PersistScope,
+) -> DataFrame:
+    """Shared verify→gate→salvage tail of the ingest compositions.
+
+    ``cands``: bucket-carrying candidates (id_a, id_b, _resolved,
+    band, band_hash) from a probe surface with ``carry_bucket=True``.
+    Only documents actually TOUCHED by a candidate pair are shingled:
+    the corpus text store is semi-join-restricted to candidate ids
+    before any text processing (and anti-joined against the
+    increment's ids, so a store that already absorbed the increment
+    can't double its shingle rows)."""
+    # lineage truncation, not just caching: the candidate relation is
+    # referenced by touched-ids, verification, the gate, AND the
+    # salvage — with a raw persist each reference re-expands the full
+    # probe lineage at analysis time, and Catalyst's relation-dedup
+    # pass blows the driver heap on the composed tree (measured: OOM
+    # at 120 docs).  localCheckpoint replaces the plan with the
+    # (pairs-sized) computed relation; eager=False keeps it lazy until
+    # the composition's first job.  At cluster scale this is the
+    # materialized candidate table between the probe and verify
+    # stages.
+    cands = cands.localCheckpoint(eager=False)
+    touched = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_v = new_docs.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+        .join(new_docs.select(id_col), id_col, "left_anti")
+    ).join(touched, id_col, "left_semi")
+    sh = scope.persist(_shingled(docs_v, id_col, text_col, k_shingle))
+    scored = scope.persist(
+        jaccard_pairs(
+            docs_v, id_col, text_col, k_shingle, threshold,
+            candidates=cands, shingles=sh, scope=scope,
+            resolved_col="_resolved",
+        )
+    )
+    if star_accept_frac is None:
+        return scored
+    star = cands.filter(
+        F.col("_resolved") & F.col("band").isNotNull()
+    ).select("id_a", "id_b", "band", "band_hash")
+    out = gate_star_edges(scored, star, threshold, star_accept_frac)
+    if demoted_salvage_cap:
+        out = out.unionByName(
+            _salvage_demoted(
+                docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
+                scored, star, sh, scope, star_accept_frac,
+                demoted_salvage_cap,
             )
-            # an edge sitting in ≥1 accepted bucket is kept resolved
-            accepted_edges = (
-                star_scored.join(
-                    accepted_buckets, ["band", "band_hash"], "left_semi"
-                )
-                .select("id_a", "id_b")
-                .distinct()
+        )
+    return out
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    band_table: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    star_accept_frac: float | None = 0.9,
+    demoted_salvage_cap: int | None = 32,
+    new_banded: DataFrame | None = None,
+) -> DataFrame:
+    """VERIFIED near-dup pairs for an ingest increment — the
+    continuous-ingest twin of ``near_dup_pairs``: probe the stored
+    band table (``incremental_lsh_candidates`` semantics), verify
+    every candidate with exact n-gram Jaccard, EVIDENCE-GATE hot
+    buckets on the measured jaccard of their own star edges, and
+    salvage demoted buckets — so the popular-min-shingle degenerate
+    bucket can no longer wholesale-merge dissimilar docs on the ingest
+    path (the candidate-level operators alone can't apply the gate:
+    their documented resolved-flag contract resolves star edges
+    unconditionally).
+
+    ``corpus_docs``: (id, text) for previously-indexed documents —
+    the verification side of the probe.  Only docs touched by a
+    candidate pair are shingled (semi-join-restricted before any text
+    work), so per-increment cost is O(|increment| + |collisions|),
+    never O(|corpus|).  Ids must be globally unique across increments;
+    a ``corpus_docs`` that already contains the increment is tolerated
+    (anti-joined).
+
+    Returns (id_a, id_b, jaccard): pairs ≥ threshold plus star edges
+    of accepted hot buckets; ``star_accept_frac=None`` skips the gate
+    (every verified candidate, star edges unconditionally resolved —
+    the legacy contract).  See ``gate_star_edges`` /
+    ``demoted_salvage_candidates`` for the gate and salvage semantics,
+    ``build_band_index``/``append_band_index`` for the stored side's
+    lifecycle, and ``probe_band_index_verified`` for the on-disk-index
+    form."""
+    own = scope is None
+    scope = scope or PersistScope()
+    if new_banded is None:
+        new_banded = scope.persist(
+            minhash_band_table(
+                new_docs, id_col, text_col, k_shingle, n_hashes, bands
             )
-            out = (
-                scored.join(
-                    accepted_edges.withColumn("_acc", F.lit(True)),
-                    ["id_a", "id_b"],
-                    "left",
-                )
-                .filter(
-                    (F.col("jaccard") >= F.lit(threshold))
-                    | F.col("_acc").isNotNull()
-                )
-                .select("id_a", "id_b", "jaccard")
-            )
+        )
+    cands = lsh_probe_bands(
+        new_banded, band_table, max_bucket=max_bucket, scope=scope,
+        resolved_col="_resolved", carry_bucket=True,
+    )
+    out = _verify_gate_candidates(
+        cands, new_docs, corpus_docs, id_col, text_col, k_shingle,
+        threshold, n_hashes, star_accept_frac, demoted_salvage_cap, scope,
+    )
     return materialize_release(out, scope) if own else out
 
 
@@ -970,6 +1385,7 @@ def probe_band_index(
     scope: PersistScope | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     resolved_col: str | None = None,
+    carry_bucket: bool = False,
 ) -> DataFrame:
     """``incremental_lsh_candidates`` against the ON-DISK index:
     candidate pairs (id_a, id_b) of the increment vs the accumulated
@@ -1010,7 +1426,43 @@ def probe_band_index(
         index = index.filter(F.col("shard").isin(shards))
     out = lsh_probe_bands(
         new_banded, index.drop("shard"), max_bucket=max_bucket, scope=scope,
-        resolved_col=resolved_col,
+        resolved_col=resolved_col, carry_bucket=carry_bucket,
+    )
+    return materialize_release(out, scope) if own else out
+
+
+def probe_band_index_verified(
+    new_docs: DataFrame,
+    path: str,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    prune_shards: bool = True,
+    scope: PersistScope | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    star_accept_frac: float | None = 0.9,
+    demoted_salvage_cap: int | None = 32,
+) -> DataFrame:
+    """``incremental_near_dup_pairs`` against the ON-DISK index:
+    shard-pruned probe → exact-Jaccard verification → per-bucket
+    evidence gate → demoted-bucket salvage, with the signature
+    parameters (k/n/bands) taken from the index's own meta so the
+    verification shingles exactly match what the index was built from.
+    The index CLI's ``probe --verify-docs`` drives this.  Returns
+    (id_a, id_b, jaccard)."""
+    spark = new_docs.sparkSession
+    meta = _read_band_index_meta(spark, path)
+    own = scope is None
+    scope = scope or PersistScope()
+    cands = probe_band_index(
+        new_docs, path, id_col, text_col, prune_shards, scope,
+        max_bucket, resolved_col="_resolved", carry_bucket=True,
+    )
+    out = _verify_gate_candidates(
+        cands, new_docs, corpus_docs, id_col, text_col,
+        meta["k_shingle"], threshold, meta["n_hashes"],
+        star_accept_frac, demoted_salvage_cap, scope,
     )
     return materialize_release(out, scope) if own else out
 

@@ -72,6 +72,75 @@ def find_hot_phrase(rows_per_band: int = 3) -> str:
     )
 
 
+def demoted_cluster_docs(
+    c: int,
+    start_id: int = 0,
+    rows_per_band: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> list[tuple[int, str]]:
+    """``c`` pairwise-SIMILAR docs engineered to hide inside the
+    degenerate hot bucket while sharing NO band other than the
+    polluted one — the exact residual-recall class of the demoted-
+    bucket fate (VERDICT r8): the bucket demotes (its dissimilar
+    majority fails the gate), the cluster's pairs are not star edges
+    (none of them is the hub when degenerate ids precede
+    ``start_id``), and by construction no OTHER band collides, so
+    without salvage the cluster connects to nothing.
+
+    Construction: one base text (the hot phrase + common filler,
+    rejection-sampled so the hot phrase is the band-0 minimum and the
+    cluster's own shingles own every later row's minimum) plus two
+    member-unique trailing tokens per doc, rejection-sampled so each
+    member's minimum DIPS BELOW the base minimum on exactly the last
+    row of every band 1..band-1 (pairwise-distinct dips break every
+    such band) while every other row keeps the shared base minimum
+    (the salvage sub-bucket that recovers the cluster).  Pairwise
+    jaccard is ~11/15 (two differing trailing tokens on a ~13-token
+    doc) — assert it against the consuming test's threshold as a
+    premise guard."""
+    rpb = rows_per_band
+    hot = find_hot_phrase(rpb)
+    unique_rows = {band * rpb + (rpb - 1) for band in range(1, bands)}
+    shared_rows = [
+        r for r in range(rpb, n_hashes) if r not in unique_rows
+    ]
+    # base: hot phrase minimal on band 0, and the base's own minimum
+    # strictly below the hot phrase's value on every later row (keeps
+    # degenerate members — whose only shared shingle is the hot
+    # phrase — out of the cluster's salvage sub-buckets)
+    hot_full = hash_rows(py_shingle_hash(hot), n_hashes)
+    base = None
+    for t in itertools.count():
+        cand = f"{hot} " + " ".join(f"cm{t}w{j}" for j in range(10))
+        sig = signature(cand, n_hashes)
+        if sig[:rpb] == hot_full[:rpb] and all(
+            sig[r] < hot_full[r] for r in range(rpb, n_hashes)
+        ):
+            base = cand
+            base_sig = sig
+            break
+    out: list[tuple[int, str]] = []
+    dips: set[tuple[int, ...]] = set()
+    seq = 0
+    while len(out) < c:
+        text = f"{base} xq{seq}a xq{seq}b"
+        seq += 1
+        sig = signature(text, n_hashes)
+        if sig[:rpb] != hot_full[:rpb]:
+            continue
+        if any(sig[r] != base_sig[r] for r in shared_rows):
+            continue
+        if any(sig[r] >= base_sig[r] for r in unique_rows):
+            continue
+        dip = tuple(sig[r] for r in sorted(unique_rows))
+        if dip in dips:  # pairwise-distinct dips break every band
+            continue
+        dips.add(dip)
+        out.append((start_id + len(out), text))
+    return out
+
+
 def degenerate_hot_docs(
     m: int, start_id: int = 0, rows_per_band: int = 3
 ) -> list[tuple[int, str]]:

@@ -245,7 +245,12 @@ def streaming_near_dedup(
     edge where the clique had m-1, so threshold-filtering unmarked
     star edges silently disconnects hot-bucket members (the same
     contract as the batch candidate operators and the probe-band
-    CLI's ``--mark-resolved``).
+    CLI's ``--mark-resolved``).  NOTE that contract resolves star
+    edges UNCONDITIONALLY — a popular-min-shingle degenerate bucket
+    (dissimilar docs colliding on one viral shingle) wholesale-merges
+    under it.  Continuous-ingest pipelines that verify should use
+    ``streaming_near_dedup_verified``, which evidence-gates each hot
+    bucket on the measured jaccard of its own star edges.
 
     Scale: per-batch cost is O(|batch|) signature work + a probe join
     sized by band-bucket collisions; the accumulated corpus is never
@@ -279,6 +284,128 @@ def streaming_near_dedup(
         ),
         max_files_per_trigger=max_files_per_trigger,
         checkpoint_dir=checkpoint_dir,
+    )
+
+
+def streaming_near_dedup_verified(
+    spark,
+    path: str,
+    schema,
+    index_dir: str,
+    docs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_files_per_trigger: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    star_accept_frac: float | None = 0.9,
+    demoted_salvage_cap: int | None = 32,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming VERIFIED near-dedup — the continuous-ingest form of
+    ``operators/dedup.near_dup_pairs``: each micro-batch is
+    signature-banded ONCE, probed against the persisted band table,
+    every candidate pair is verified with exact n-gram Jaccard
+    against the persisted DOCS store, hot buckets are evidence-gated
+    per bucket on the measured jaccard of their own star edges,
+    demoted buckets get the salvage pass, and only then are the
+    batch's bands and texts appended — so the popular-min-shingle
+    degenerate bucket can no longer wholesale-merge dissimilar docs
+    on the streaming path (``streaming_near_dedup``'s candidate
+    contract resolves star edges unconditionally; see
+    operators/dedup.gate_star_edges).
+
+    Two persisted stores: ``index_dir`` (band table — the probe
+    side) and ``docs_dir`` ((id, text) — the verification side; only
+    docs actually touched by a candidate pair are ever re-shingled).
+    Both are driver-local parquet appends with the same
+    LOCAL-FILESYSTEM-ONLY / at-least-once caveats as
+    ``_run_indexed_stream`` — at production scale both are
+    transactional tables.
+
+    Returns the concatenated pandas of all emitted
+    (id_a, id_b, jaccard) rows."""
+    import os
+
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.caching import PersistScope
+    from wrds_data_pipeline_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_band_table,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    out: list = []
+
+    def _has_rows(d: str) -> bool:
+        return any(f.endswith(".parquet") for f in os.listdir(d)) or any(
+            os.path.isdir(os.path.join(d, f)) for f in os.listdir(d)
+        )
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        ss = bdf.sparkSession
+        with PersistScope() as scope:
+            banded = scope.persist(
+                minhash_band_table(
+                    bdf, id_col, text_col, k_shingle, n_hashes, bands
+                )
+            )
+            stored_bands = (
+                ss.read.schema(banded.schema).parquet(index_dir)
+                if _has_rows(index_dir)
+                else ss.createDataFrame([], banded.schema)
+            )
+            docs_schema = bdf.select(id_col, text_col).schema
+            stored_docs = (
+                ss.read.schema(docs_schema).parquet(docs_dir)
+                if _has_rows(docs_dir)
+                else ss.createDataFrame([], docs_schema)
+            )
+            p = incremental_near_dup_pairs(
+                bdf,
+                stored_bands,
+                stored_docs,
+                id_col,
+                text_col,
+                k_shingle,
+                threshold,
+                n_hashes,
+                bands,
+                scope=scope,
+                max_bucket=max_bucket,
+                star_accept_frac=star_accept_frac,
+                demoted_salvage_cap=demoted_salvage_cap,
+                new_banded=banded,
+            ).toPandas()
+            if len(p):
+                out.append(p)
+            # appends AFTER the pairs are computed: every pair is
+            # completed by exactly one batch (the harness invariant)
+            banded.write.mode("append").parquet(index_dir)
+            bdf.select(id_col, text_col).write.mode("append").parquet(
+                docs_dir
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = reader.parquet(path).writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     )
 
 
