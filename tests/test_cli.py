@@ -547,6 +547,31 @@ def test_corpus_cli_fused_gates_parity_with_stock_operators(spark, tmp_path):
     assert got == want and got
 
 
+def test_apply_corpus_gates_validates_fractions_standalone(spark):
+    """apply_corpus_gates is a public importable helper: a direct
+    caller passing an out-of-range fraction gets a clear ValueError,
+    not an obscure percentile_approx failure (ADVICE r8)."""
+    import pytest
+
+    from wrds_data_pipeline_spark.cli import apply_corpus_gates
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match=r"keep_frac must be in \(0, 1\]"):
+        apply_corpus_gates(spark, docs, keep_frac=1.5)
+    with pytest.raises(ValueError, match="perplexity_keep_frac"):
+        apply_corpus_gates(
+            spark, docs, lm_ref="unused", perplexity_keep_frac=0.0
+        )
+    # perplexity fraction is only validated when the lm gate is on
+    # (matching the CLI's long-standing behavior)
+    kept, scored = apply_corpus_gates(
+        spark, docs, perplexity_keep_frac=0.0
+    )
+    assert scored is None
+
+
 def test_corpus_cli_scrub_recomputes_text_derived_columns(spark, tmp_path):
     """After --bench-scrub the known text-derived metadata columns are
     recomputed from the SCRUBBED text (ADVICE r6: n_chars etc. rode

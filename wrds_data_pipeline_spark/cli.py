@@ -225,6 +225,15 @@ def apply_corpus_gates(
     tools/scale_rehearsal.py --corpus-gates)."""
     from pyspark.sql import functions as F
 
+    # validate here, not only at the CLI: this is a public importable
+    # helper, and an out-of-range fraction otherwise surfaces as an
+    # obscure percentile_approx failure deep in the plan
+    for name, frac in (
+        ("keep_frac", keep_frac),
+        ("perplexity_keep_frac", perplexity_keep_frac if lm_ref else None),
+    ):
+        if frac is not None and not 0 < frac <= 1:
+            raise ValueError(f"{name} must be in (0, 1], got {frac}")
     if not (quality_model or lm_ref or keep_frac):
         return kept, None
     from wrds_data_pipeline_spark.functions import text as X
@@ -457,22 +466,20 @@ def corpus_main(argv: list[str] | None = None) -> int:
             kept = decontaminate(
                 kept, bench_df, n=8, cover_short_items=cover
             )
-    # fused per-doc gate stage — see apply_corpus_gates
-    for flag, frac in (
-        ("--keep-frac", args.keep_frac),
-        ("--perplexity-keep-frac", args.perplexity_keep_frac if args.lm_ref else None),
-    ):
-        if frac is not None and not 0 < frac <= 1:
-            raise SystemExit(f"{flag} must be in (0, 1], got {frac}")
-    kept, scored = apply_corpus_gates(
-        spark,
-        kept,
-        quality_model=args.quality_model,
-        lm_ref=args.lm_ref,
-        keep_frac=args.keep_frac,
-        model_min_prob=args.model_min_prob,
-        perplexity_keep_frac=args.perplexity_keep_frac,
-    )
+    # fused per-doc gate stage — see apply_corpus_gates (which owns
+    # the fraction-range validation; translate to the CLI's exit)
+    try:
+        kept, scored = apply_corpus_gates(
+            spark,
+            kept,
+            quality_model=args.quality_model,
+            lm_ref=args.lm_ref,
+            keep_frac=args.keep_frac,
+            model_min_prob=args.model_min_prob,
+            perplexity_keep_frac=args.perplexity_keep_frac,
+        )
+    except ValueError as exc:
+        raise SystemExit(f"--{str(exc).replace('_', '-')}") from exc
     # persist: kept feeds the packing plan AND the shard join; packed
     # feeds the write AND the summary — without these the whole
     # curate->decontaminate->quantile chain re-executes per action

@@ -3,13 +3,29 @@ fallback for ``functions/tokenize.py``.
 
 Implements the public HuggingFace ``tokenizer.json`` format (the
 serialization every HF tokenizer ships) for the subset a counting
-pipeline needs: Lowercase normalizer, Whitespace pre-tokenizer,
-WordLevel or BPE (merge-list) model, TemplateProcessing
-post-processor.  The BPE merge loop is the textbook public algorithm
-(Sennrich et al. 2016, as implemented by HF tokenizers): split the
-word into symbols, repeatedly merge the adjacent pair with the
-lowest merge rank until no ranked pair remains, then map symbols to
-ids (unknown symbols → ``unk_token``).
+pipeline needs: Lowercase normalizer, Whitespace or ByteLevel
+(GPT-2-style) pre-tokenizer, WordLevel or BPE (merge-list) model,
+TemplateProcessing (or no-op ByteLevel) post-processor.  The BPE
+merge loop is the textbook public algorithm (Sennrich et al. 2016,
+as implemented by HF tokenizers): split the word into symbols,
+repeatedly merge the adjacent pair with the lowest merge rank until
+no ranked pair remains, then map symbols to ids (unknown symbols →
+``unk_token``).
+
+Byte-level BPE (the most common public format — GPT-2, RoBERTa,
+many modern LLM tokenizers) adds two public pieces, both from the
+GPT-2 reference implementation: the byte→unicode table (every byte
+mapped to a printable codepoint so the BPE alphabet is exactly 256
+symbols) and the GPT-2 pre-tokenization regex (contractions,
+optional-space+letters/digits/punct runs, whitespace runs that
+leave their last space to prefix the next word).  Python's ``re``
+lacks ``\\p{L}``, so the regex is transcribed as an explicit scanner
+(``_gpt2_words``) over ``unicodedata`` categories — byte-identical
+on the pattern's alternation order, including the backtracking
+``\\s+(?!\\S)`` branch.  Exotic divergence note: the scanner treats
+``str.isspace()`` as ``\\s``, which differs from the Rust regex
+class on a few control codepoints (U+001C–001F) no tokenizer
+corpus contains.
 
 This exists so "tokenizer-grade token counts" is a TESTED claim in
 environments without the optional Rust ``tokenizers`` package: the
@@ -35,6 +51,89 @@ class _Encoding:
 
 _WHITESPACE_PRE = re.compile(r"\w+|[^\w\s]+")
 
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode table (public reference constant):
+    printable latin bytes map to themselves, the rest to 256+n — a
+    bijection making every byte a visible codepoint so BPE merges
+    operate on plain strings."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_BYTE_UNICODE = _bytes_to_unicode()
+
+
+def _cat(ch: str) -> str:
+    import unicodedata
+
+    return unicodedata.category(ch)[0]
+
+
+def _gpt2_words(text: str) -> list[str]:
+    """Scanner transcription of the GPT-2 pre-tokenization regex
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|
+    \\s+(?!\\S)|\\s+`` — alternation order preserved, including the
+    backtracking whitespace branch (a run followed by a non-space
+    yields all but its last char, leaving that char to prefix the
+    next word via the ``  ?`` branches)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        for c in _CONTRACTIONS:
+            if text.startswith(c, i):
+                out.append(c)
+                i += len(c)
+                break
+        else:
+            sp = text[i] == " " and i + 1 < n
+            k = i + 1 if sp else i
+            c2 = text[k] if k < n else ""
+            cat = _cat(c2) if c2 else ""
+            if cat == "L" or cat == "N":
+                j = k + 1
+                while j < n and _cat(text[j]) == cat:
+                    j += 1
+                out.append(text[i:j])
+                i = j
+            elif c2 and not c2.isspace():
+                j = k + 1
+                while (
+                    j < n
+                    and not text[j].isspace()
+                    and _cat(text[j]) not in ("L", "N")
+                ):
+                    j += 1
+                out.append(text[i:j])
+                i = j
+            elif text[i].isspace():
+                j = i + 1
+                while j < n and text[j].isspace():
+                    j += 1
+                if j < n and j - i > 1:
+                    # \s+(?!\S): leave the last space for the next word
+                    out.append(text[i : j - 1])
+                    i = j - 1
+                else:
+                    out.append(text[i:j])
+                    i = j
+            # no other case exists: a non-space char lands in one of
+            # the L/N/punct branches, whitespace in the run branch
+    return out
+
 
 class PurePythonTokenizer:
     """Interprets a tokenizer.json; exposes the two methods the
@@ -48,19 +147,28 @@ class PurePythonTokenizer:
             raise NotImplementedError(f"normalizer {norm.get('type')!r}")
         self.lowercase = norm.get("type") == "Lowercase"
         pre = spec.get("pre_tokenizer") or {}
-        if pre.get("type") not in ("Whitespace",):
+        if pre.get("type") not in ("Whitespace", "ByteLevel"):
             # an ABSENT pre_tokenizer is not "default to whitespace":
             # it means sentencepiece-style whole-text tokenization,
             # which this interpreter does not implement — silently
             # whitespace-splitting would produce wrong counts, the
             # exact failure these guards exist to make loud
             raise NotImplementedError(
-                f"pre_tokenizer {pre.get('type')!r} (must be Whitespace)"
+                f"pre_tokenizer {pre.get('type')!r} "
+                "(must be Whitespace or ByteLevel)"
             )
+        self.byte_level = pre.get("type") == "ByteLevel"
+        self.add_prefix_space = bool(pre.get("add_prefix_space"))
+        # use_regex=False is whole-text byte encoding (no word split)
+        self.use_regex = pre.get("use_regex", True)
         model = spec["model"]
         self.model_type = model["type"]
         if self.model_type not in ("WordLevel", "BPE"):
             raise NotImplementedError(f"model {self.model_type!r}")
+        if self.byte_level and self.model_type != "BPE":
+            raise NotImplementedError(
+                "ByteLevel pre_tokenizer with a non-BPE model"
+            )
         self.vocab: dict[str, int] = model["vocab"]
         self.unk = model.get("unk_token")
         if self.model_type == "BPE":
@@ -92,10 +200,16 @@ class PurePythonTokenizer:
         self.head_ids: list[int] = []
         self.tail_ids: list[int] = []
         if post:
-            if post.get("type") != "TemplateProcessing":
+            if post.get("type") == "ByteLevel":
+                # GPT-2's ByteLevel post-processor only adjusts
+                # offsets — it adds no tokens, so for ids/counts it
+                # is a no-op
+                post = {}
+            elif post.get("type") != "TemplateProcessing":
                 raise NotImplementedError(
                     f"post_processor {post.get('type')!r}"
                 )
+        if post:
             specials = post.get("special_tokens", {})
             seen_sequence = False
             for item in post.get("single", []):
@@ -115,16 +229,18 @@ class PurePythonTokenizer:
         symbols = list(word)
         while len(symbols) > 1:
             pairs = [
-                (self.ranks[p], i)
+                (self.ranks[p], i, p)
                 for i, p in enumerate(zip(symbols, symbols[1:]))
                 if p in self.ranks
             ]
             if not pairs:
                 break
-            rank, _ = min(pairs)
+            # the winning pair rides the min directly (the index is
+            # unique, so the tuple compare never reaches it) — no
+            # rescan of the merge table per iteration
+            rank, _, best = min(pairs)
             # merge every (left-to-right, non-overlapping) occurrence
             # of the best-ranked pair — the HF merge step
-            best = next(p for p in self.ranks if self.ranks[p] == rank)
             out, i = [], 0
             while i < len(symbols):
                 if (
@@ -143,6 +259,13 @@ class PurePythonTokenizer:
         if self.model_type == "WordLevel":
             pieces = [word]
         else:
+            if self.byte_level:
+                # GPT-2 byte-level alphabet: utf-8 bytes, each mapped
+                # through the public byte→unicode table, so merges and
+                # vocab lookups are over printable symbols
+                word = "".join(
+                    _BYTE_UNICODE[b] for b in word.encode("utf-8")
+                )
             pieces = self._bpe_word(word)
         ids = []
         for p in pieces:
@@ -155,8 +278,18 @@ class PurePythonTokenizer:
     def encode(self, text: str) -> _Encoding:
         if self.lowercase:
             text = text.lower()
+        if self.byte_level:
+            if self.add_prefix_space and text and not text.startswith(" "):
+                text = " " + text
+            words = (
+                _gpt2_words(text)
+                if self.use_regex
+                else ([text] if text else [])
+            )
+        else:
+            words = _WHITESPACE_PRE.findall(text)
         ids: list[int] = []
-        for word in _WHITESPACE_PRE.findall(text):
+        for word in words:
             ids.extend(self._word_ids(word))
         # TemplateProcessing wraps every encoding; tokenize.py
         # short-circuits empty text before reaching the tokenizer, so

@@ -174,6 +174,57 @@ def save_graphs_pt(
     return paths
 
 
+def save_graphs_pt_portable(
+    edges: DataFrame,
+    features: DataFrame,
+    labels: DataFrame,
+    out_dir: str,
+    feature_cols: tuple[str, ...] = FIRM_RATIO_FEATURES,
+) -> list[str]:
+    """Dependency-free ``.pt`` sink: one torch-LOADABLE file per day
+    written via the documented torch.save zip format
+    (functions/pt_format) — no torch import at write time, so the
+    artifact (and its round-trip) is testable in environments where
+    ``save_graphs_pt``'s guard fires.
+
+    Deliberately a DIFFERENT artifact shape from ``save_graphs_pt``:
+    a dict of plain tensors (x, edge_index, edge_attr, y) plus the
+    ``id`` date string, NOT a pickled ``torch_geometric.data.Data``
+    — unpickling a Data requires torch_geometric at LOAD time anyway,
+    and this sink never writes something it cannot itself verify.
+    ``torch.load(path)`` yields the dict; wrap in
+    ``Data(**{k: v for k, v in d.items() if k != 'id'})`` if PyG is
+    installed.  Same per-day layout/dtypes as the reference sink
+    (graph_code/pyg_graphs.py:201-206): float32 x/edge_attr/y, int64
+    edge_index."""
+    import os
+
+    import numpy as np
+
+    from wrds_data_pipeline_spark.functions.pt_format import (
+        write_pt_tensor_dict,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, g in enumerate(
+        graph_tensors_per_day(edges, features, labels, feature_cols)
+    ):
+        path = os.path.join(out_dir, f"data_{i}.pt")
+        write_pt_tensor_dict(
+            path,
+            {
+                "x": np.asarray(g["x"], dtype=np.float32),
+                "edge_index": np.asarray(g["edge_index"], dtype=np.int64),
+                "edge_attr": np.asarray(g["edge_attr"], dtype=np.float32),
+                "y": np.asarray(g["y"], dtype=np.float32),
+            },
+            meta={"id": g["date"].isoformat()},
+        )
+        paths.append(path)
+    return paths
+
+
 def export_graph_tensors(
     edges: DataFrame,
     features: DataFrame,
