@@ -391,6 +391,60 @@ def test_trailing_range_window_duckdb_twin(spark):
     )
 
 
+def test_ewma_duckdb_twin(spark, sf_dir):
+    """q47's oracle, preserved verbatim after its round-9 rotation out
+    of the registry (slot re-registers winnowing, q65): per-user EWMA
+    (pandas ewm(alpha=0.2, adjust=True) semantics) via the
+    grouped-Arrow operator against DuckDB's recursive-CTE walk of the
+    exact adjust-form recursion num_t = x_t + (1-α)·num_{t-1},
+    den_t = 1 + (1-α)·den_{t-1}, y = num/den."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.driver_queries import _events
+    from wrds_data_pipeline_spark.operators.windows import ewma
+
+    e = _events(spark, sf_dir).select("user_id", "ts_us", "event_id", "value")
+    out = ewma(e, ["user_id"], ["ts_us", "event_id"], "value", alpha=0.2)
+    got = (
+        out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, event_id, rn,
+                 value::DOUBLE AS num, 1.0::DOUBLE AS den
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn,
+                 e.value + 0.8 * r.num, 1 + 0.8 * r.den
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, round(num / den, 6) AS ewma FROM r
+        ORDER BY user_id, event_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"ewma": "float64"}),
+        want.astype({"ewma": "float64"}),
+        check_dtype=False,
+    )
+
+
 def test_rolling_zscore_duckdb_twin(spark):
     """q46's oracle, preserved verbatim after its round-8 rotation out
     of the registry (slot now checks portable hash_split, q64): the

@@ -567,10 +567,10 @@ def q10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q11_lag_label rotated out in round 7 (registry capped at 50): the
-# per-user ordered-window machinery stays oracle-covered by q47 (q39
-# and q46 were themselves rotated out in round 8 — all three oracles
-# live on verbatim as DuckDB-twin pytests in tests/test_features.py),
+# q11_lag_label rotated out in round 7 (registry capped at 50); q39
+# and q46 followed in round 8 and q47 in round 9 — all four oracles
+# of the per-user ordered-window family live on verbatim as
+# DuckDB-twin pytests in tests/test_features.py,
 # and q11's oracle SQL moved verbatim into
 # tests/test_features.py::test_lag_label_duckdb_twin.  The slot now
 # checks shingle CONTAINMENT (q62) — the subset/quote detector whose
@@ -2138,8 +2138,9 @@ def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after q39's rotation the ROWS-frame window machinery was still
 # double-covered by q46/q47, so q46 was the lowest-information slot.
 # Its oracle is preserved verbatim as a DuckDB-twin pytest
-# (tests/test_features.py::test_rolling_zscore_duckdb_twin); q47 keeps
-# the per-user ordered-window family hash-checked in the registry.
+# (tests/test_features.py::test_rolling_zscore_duckdb_twin); the
+# whole per-user ordered-window family is twin-checked there since
+# q47's round-9 rotation.
 # The slot now hash-checks hash_split (q64), previously pytest-only —
 # the last corpus-split operator without a driver oracle row.
 
@@ -2182,41 +2183,51 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+# q47_ewma rotated out in round 9 (registry capped at 50): the EWMA
+# grouped-Arrow operator shares its per-user ordered-window machinery
+# with q45/q10, making q47 the lowest-information slot, and its exact
+# recursive-CTE oracle lives on verbatim as
+# tests/test_features.py::test_ewma_duckdb_twin (the q11/q39/q46
+# precedent).  The slot re-registers winnowing — the last
+# dedup-family operator without an oracle-grade registry row (it had
+# been rotated out as q41 in round 6; VERDICT r8 next #7 brings it
+# back as q65).
+
+
 @query(
-    "q47_ewma",
-    """
-    WITH RECURSIVE e AS (
-      SELECT user_id, event_id, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY epoch_us(ts), event_id) AS rn
-      FROM events
+    "q65_winnowing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
     ),
-    r AS (
-      SELECT user_id, event_id, rn,
-             value::DOUBLE AS num, 1.0::DOUBLE AS den
-      FROM e WHERE rn = 1
-      UNION ALL
-      SELECT e.user_id, e.event_id, e.rn,
-             e.value + 0.8 * r.num, 1 + 0.8 * r.den
-      FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    posed AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+               % 1000000007 AS h
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
     )
-    SELECT user_id, event_id, round(num / den, 6) AS ewma FROM r
+    SELECT DISTINCT doc_id AS _id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM posed
     """,
 )
-def q47_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (pandas ``ewm(alpha=0.2,
-    adjust=True)`` semantics) via the grouped-Arrow operator.  The
-    adjust-form recursion num_t = x_t + (1-α)·num_{t-1},
-    den_t = 1 + (1-α)·den_{t-1}, y = num/den is exact and
-    overflow-free, so the DuckDB twin walks it with a recursive CTE
-    (depth = longest per-user series; ≤86 at sf0.01) — flipping this
-    from rows-only to hash-checked.  Exactness vs pandas itself is
-    additionally pinned in tests/test_resample_property."""
-    from wrds_data_pipeline_spark.operators.windows import ewma
+def q65_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme) over the documents
+    table: hash every ordered 3-gram, keep the min of each 4-wide
+    sliding window — any shared token run of ≥ 6 tokens between two
+    docs yields a shared fingerprint at ~1/4 the shingle-set storage.
+    Pure per-document window pipeline (partitioned by doc, state
+    bounded by doc length); the DuckDB oracle replays the identical
+    md5-prefix hash space position-for-position."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
 
-    e = _events(spark, sf_dir).select("user_id", "ts_us", "event_id", "value")
-    out = ewma(e, ["user_id"], ["ts_us", "event_id"], "value", alpha=0.2)
-    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k_shingle=3, window=4)
 
 
 @query(
