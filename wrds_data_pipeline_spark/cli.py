@@ -290,6 +290,14 @@ def apply_corpus_gates(
     return sel.drop("_prob", "_ce", "_q"), scored
 
 
+def _read_docs(spark, path: str):
+    """corpus_main's source read, as a seam: the full-chain pass-count
+    rehearsal (tools/scale_rehearsal.py --corpus-chain) wraps this
+    with a row-ticker accumulator so the measured pipeline is
+    corpus_main's OWN production body, not a reconstruction."""
+    return spark.read.parquet(path)
+
+
 def corpus_main(argv: list[str] | None = None) -> int:
     """Training-corpus pipeline (beyond the reference surface):
     boilerplate removal -> curation -> optional benchmark
@@ -364,7 +372,7 @@ def corpus_main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name="wrds-spark-corpus")
-    docs = spark.read.parquet(args.docs_path)
+    docs = _read_docs(spark, args.docs_path)
     if args.boilerplate_min_docs:
         from wrds_data_pipeline_spark.operators.boilerplate import (
             remove_boilerplate,
