@@ -67,6 +67,10 @@ HEADLINE = [
     # round 8: cross-corpus keep-first paragraph dedup, registered as
     # q63 by rotating q39 — the last dedup rung not tracked here.
     "q63_paragraph_dedup",
+    # round 9: winnowing fingerprints, re-registered as q65 by
+    # rotating q47 — completes round-over-round tracking of the whole
+    # dedup family.
+    "q65_winnowing",
 ]
 
 
