@@ -249,40 +249,52 @@ def test_streaming_verified_no_false_merges(
     """streaming_near_dedup_verified: the degenerate bucket
     accumulates across micro-batches, the hidden cluster arrives in
     the second batch — zero false merges, full cluster recall, and
-    every emitted pair carries its verified jaccard."""
+    every emitted pair carries its verified jaccard.  A CROSS-BATCH
+    true dup pair (doc in batch 1, near-copy in batch 2) pins the
+    shard-pruned docs-store read: its verification must fetch the
+    stored text from exactly the pruned partition."""
+    import os
+
     from wrds_data_pipeline_spark.streaming.corpus_stream import (
         streaming_near_dedup_verified,
     )
 
     cluster_ids = {i for i, _ in cluster}
+    dup_a = (30_000, "the quick brown fox jumps over the lazy dog again and again today")
+    dup_b = (30_001, "the quick brown fox jumps over the lazy dog again and again tonight")
     stage = str(tmp_path / "stage")
-    for batch in (degenerate[: M // 2], degenerate[M // 2 :] + cluster):
+    for batch in (
+        degenerate[: M // 2] + [dup_a],
+        degenerate[M // 2 :] + cluster + [dup_b],
+    ):
         spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
+    docs_dir = str(tmp_path / "docs")
     res = streaming_near_dedup_verified(
         spark,
         stage,
         DOC_SCHEMA,
         str(tmp_path / "bands"),
-        str(tmp_path / "docs"),
+        docs_dir,
         max_files_per_trigger=1,
         max_bucket=B,
         threshold=0.5,
     )
     assert list(res.columns) == ["id_a", "id_b", "jaccard"]
     assert (res.jaccard >= 0.5).all()
-    got = {
-        (a, b)
-        for a, b in zip(res.id_a, res.id_b)
-        if a in cluster_ids and b in cluster_ids
-    }
+    pairs = set(zip(res.id_a, res.id_b))
+    # the cross-batch dup verified against the pruned stored text
+    assert (30_000, 30_001) in pairs
+    got = {(a, b) for a, b in pairs if a in cluster_ids and b in cluster_ids}
     expected = {
         (min(a, b), max(a, b))
         for a, b in itertools.combinations(sorted(cluster_ids), 2)
     }
     assert got == expected
-    assert len(res) == len(expected)  # nothing else similar exists
+    assert len(res) == len(expected) + 1  # nothing else similar exists
+    # the docs store is shard-partitioned (the pruning handle)
+    assert any(d.startswith("shard=") for d in os.listdir(docs_dir))
 
 
 def test_cli_probe_verify_docs(spark, tmp_path, degenerate):

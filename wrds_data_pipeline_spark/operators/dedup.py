@@ -1094,6 +1094,7 @@ def _verify_gate_candidates(
     star_accept_frac: float | None,
     demoted_salvage_cap: int | None,
     scope: PersistScope,
+    cands_truncated: bool = False,
 ) -> DataFrame:
     """Shared verify→gate→salvage tail of the ingest compositions.
 
@@ -1113,8 +1114,11 @@ def _verify_gate_candidates(
     # (pairs-sized) computed relation; eager=False keeps it lazy until
     # the composition's first job.  At cluster scale this is the
     # materialized candidate table between the probe and verify
-    # stages.
-    cands = cands.localCheckpoint(eager=False)
+    # stages.  ``cands_truncated``: the caller already checkpointed
+    # (e.g. to collect shard-pruning keys off the same computed
+    # relation) — don't store a second copy.
+    if not cands_truncated:
+        cands = cands.localCheckpoint(eager=False)
     touched = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -1182,7 +1186,12 @@ def incremental_near_dup_pairs(
     work), so per-increment cost is O(|increment| + |collisions|),
     never O(|corpus|).  Ids must be globally unique across increments;
     a ``corpus_docs`` that already contains the increment is tolerated
-    (anti-joined).
+    (anti-joined).  COVERAGE CONTRACT: ``corpus_docs`` must contain
+    every previously-indexed id — a candidate pair whose stored doc is
+    absent cannot be verified and is dropped (the verification join is
+    inner on doc sizes), so an incomplete text store silently loses
+    pairs; keep the store append in lockstep with the index append
+    (``streaming_near_dedup_verified`` does).
 
     Returns (id_a, id_b, jaccard): pairs ≥ threshold plus star edges
     of accepted hot buckets; ``star_accept_frac=None`` skips the gate

@@ -304,6 +304,7 @@ def streaming_near_dedup_verified(
     star_accept_frac: float | None = 0.9,
     demoted_salvage_cap: int | None = 32,
     checkpoint_dir: str | None = None,
+    docs_shards: int = 64,
 ):
     """Streaming VERIFIED near-dedup — the continuous-ingest form of
     ``operators/dedup.near_dup_pairs``: each micro-batch is
@@ -319,9 +320,17 @@ def streaming_near_dedup_verified(
     operators/dedup.gate_star_edges).
 
     Two persisted stores: ``index_dir`` (band table — the probe
-    side) and ``docs_dir`` ((id, text) — the verification side; only
-    docs actually touched by a candidate pair are ever re-shingled).
-    Both are driver-local parquet appends with the same
+    side) and ``docs_dir`` ((id, text) — the verification side).
+    The docs store is parquet PARTITIONED by ``shard =
+    xxhash64(id) % docs_shards`` (the build_band_index trick): per
+    batch, the probe's candidate pairs are computed FIRST, the
+    touched STORED ids' shard set is collected (bounded by
+    ``docs_shards`` ints — driver-safe), and the verification read
+    statically prunes to those partition directories — the
+    accumulated corpus text is never fully scanned, let alone
+    re-shingled (verification re-shingles only candidate-touched
+    docs, semi-join-restricted on top of the pruned scan).  Both
+    stores are driver-local parquet appends with the same
     LOCAL-FILESYSTEM-ONLY / at-least-once caveats as
     ``_run_indexed_stream`` — at production scale both are
     transactional tables.
@@ -334,7 +343,8 @@ def streaming_near_dedup_verified(
 
     from wrds_data_pipeline_spark.caching import PersistScope
     from wrds_data_pipeline_spark.operators.dedup import (
-        incremental_near_dup_pairs,
+        _verify_gate_candidates,
+        lsh_probe_bands,
         minhash_band_table,
     )
 
@@ -346,6 +356,9 @@ def streaming_near_dedup_verified(
         return any(f.endswith(".parquet") for f in os.listdir(d)) or any(
             os.path.isdir(os.path.join(d, f)) for f in os.listdir(d)
         )
+
+    def _doc_shard(col):
+        return F.pmod(F.xxhash64(col), F.lit(docs_shards)).cast("int")
 
     def _sink(bdf: DataFrame, _epoch: int) -> None:
         if bdf.isEmpty():
@@ -362,36 +375,63 @@ def streaming_near_dedup_verified(
                 if _has_rows(index_dir)
                 else ss.createDataFrame([], banded.schema)
             )
+            # probe FIRST (lineage-truncated once here; the shard
+            # collect below and every verify/gate reference reuse the
+            # computed relation)
+            cands = lsh_probe_bands(
+                banded, stored_bands, max_bucket=max_bucket, scope=scope,
+                resolved_col="_resolved", carry_bucket=True,
+            ).localCheckpoint(eager=False)
             docs_schema = bdf.select(id_col, text_col).schema
-            stored_docs = (
-                ss.read.schema(docs_schema).parquet(docs_dir)
-                if _has_rows(docs_dir)
-                else ss.createDataFrame([], docs_schema)
-            )
-            p = incremental_near_dup_pairs(
+            if _has_rows(docs_dir):
+                # stored ids touched by a candidate → their shard set
+                # (new ids are anti-joined out — their shards would
+                # de-prune the read for partitions that hold nothing
+                # the verify needs)
+                touched_old = (
+                    cands.select(F.col("id_a").alias(id_col))
+                    .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                    .join(bdf.select(id_col), id_col, "left_anti")
+                )
+                shards = [
+                    r["s"]
+                    for r in touched_old.select(
+                        _doc_shard(F.col(id_col)).alias("s")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                stored_docs = (
+                    ss.read.parquet(docs_dir)
+                    .filter(F.col("shard").isin(shards))
+                    .select(id_col, text_col)
+                )
+            else:
+                stored_docs = ss.createDataFrame([], docs_schema)
+            p = _verify_gate_candidates(
+                cands,
                 bdf,
-                stored_bands,
                 stored_docs,
                 id_col,
                 text_col,
                 k_shingle,
                 threshold,
                 n_hashes,
-                bands,
-                scope=scope,
-                max_bucket=max_bucket,
-                star_accept_frac=star_accept_frac,
-                demoted_salvage_cap=demoted_salvage_cap,
-                new_banded=banded,
+                star_accept_frac,
+                demoted_salvage_cap,
+                scope,
+                cands_truncated=True,
             ).toPandas()
             if len(p):
                 out.append(p)
             # appends AFTER the pairs are computed: every pair is
             # completed by exactly one batch (the harness invariant)
             banded.write.mode("append").parquet(index_dir)
-            bdf.select(id_col, text_col).write.mode("append").parquet(
-                docs_dir
-            )
+            bdf.select(id_col, text_col).withColumn(
+                "shard", _doc_shard(F.col(id_col))
+            ).repartition(F.col("shard")).write.mode("append").partitionBy(
+                "shard"
+            ).parquet(docs_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
