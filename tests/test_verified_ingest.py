@@ -215,6 +215,38 @@ def test_incremental_salvage_recovers_hidden_cluster(
     assert _cluster_pairs(without, cluster_ids) == set()
 
 
+def test_duplicated_store_rows_do_not_corrupt_jaccard(spark, degenerate):
+    """At-least-once restart semantics can re-append a batch's (id,
+    text) rows to the docs store.  A duplicated row would double the
+    doc's shingle rows and QUADRUPLE its intersection counts —
+    jaccard corruption, not just waste.  The verify path dedups the
+    touched subset, so a store with duplicated rows must verify
+    bit-identically to the clean store."""
+    dup = [
+        (20_000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    old_rows = degenerate[: M // 2] + [dup[0]]
+    old_clean = spark.createDataFrame(old_rows, DOC_SCHEMA)
+    old_dirty = spark.createDataFrame(old_rows + old_rows, DOC_SCHEMA)
+    new = spark.createDataFrame(degenerate[M // 2 :] + [dup[1]], DOC_SCHEMA)
+    bt = minhash_band_table(old_clean)
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_near_dup_pairs(
+            new, bt, old_clean, threshold=0.5, max_bucket=B
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_near_dup_pairs(
+            new, bt, old_dirty, threshold=0.5, max_bucket=B
+        ).collect()
+    )
+    assert (20_000, 20_001) in {(a, b) for a, b, _ in want}
+    assert got == want
+
+
 def test_probe_band_index_verified_on_disk(spark, tmp_path, degenerate):
     """The on-disk form: signature params come from the index meta
     (built with non-default k/n/bands to prove the meta drives

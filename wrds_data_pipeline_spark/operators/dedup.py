@@ -1124,10 +1124,21 @@ def _verify_gate_candidates(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs_v = new_docs.select(id_col, text_col).unionByName(
-        corpus_docs.select(id_col, text_col)
-        .join(new_docs.select(id_col), id_col, "left_anti")
-    ).join(touched, id_col, "left_semi")
+    # dropDuplicates on the TOUCHED subset (collision-sized, cheap):
+    # a duplicated (id, text) row — e.g. a docs store re-appended by
+    # an at-least-once restart — would double that doc's shingle rows
+    # and quadruple its intersection counts, silently corrupting
+    # every jaccard it participates in.  Dedup AFTER the semi-join so
+    # the shuffle never sees the whole store.
+    docs_v = (
+        new_docs.select(id_col, text_col)
+        .unionByName(
+            corpus_docs.select(id_col, text_col)
+            .join(new_docs.select(id_col), id_col, "left_anti")
+        )
+        .join(touched, id_col, "left_semi")
+        .dropDuplicates([id_col])
+    )
     sh = scope.persist(_shingled(docs_v, id_col, text_col, k_shingle))
     scored = scope.persist(
         jaccard_pairs(

@@ -425,7 +425,19 @@ def streaming_near_dedup_verified(
             if len(p):
                 out.append(p)
             # appends AFTER the pairs are computed: every pair is
-            # completed by exactly one batch (the harness invariant)
+            # completed by exactly one batch (the harness invariant).
+            # Restart semantics (plain parquet append = at-least-once,
+            # see _run_indexed_stream): a replayed batch re-appends
+            # BOTH stores.  Duplicate band rows only inflate bucket
+            # censuses (group-preserving — pairs dedup, the gate's
+            # per-bucket fraction is value-identical over duplicated
+            # edges); duplicate doc rows would corrupt jaccard, which
+            # is why _verify_gate_candidates dropDuplicates the
+            # touched docs subset.  Bands are appended FIRST so the
+            # crash-between-appends replay parks its duplicate in the
+            # band store (benign inflation) rather than the text
+            # store (heavier rows, and correct only thanks to that
+            # dedup guard).
             banded.write.mode("append").parquet(index_dir)
             bdf.select(id_col, text_col).withColumn(
                 "shard", _doc_shard(F.col(id_col))
