@@ -329,6 +329,70 @@ def test_streaming_verified_no_false_merges(
     assert any(d.startswith("shard=") for d in os.listdir(docs_dir))
 
 
+def test_streaming_verified_restart_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the VERIFIED stream: stopped after its
+    early batches and restarted from the same checkpointLocation, it
+    resumes after the last committed batch — no pair emitted twice,
+    no band or docs-store rows re-appended — and a cross-restart true
+    dup (stored before the stop, near-copy after) is verified against
+    the store the first run built.  Idle restart emits nothing."""
+    import os
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup_verified,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    early = [
+        [(1, base + "version one"),
+         (2, "completely unrelated text about spark plans")],
+        [(3, base + "version one"),
+         (4, base + "version two slightly changed")],
+    ]
+    late = [[(5, "some other unrelated filler text entirely"),
+             (6, base + "version one")]]
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    bands = str(tmp_path / "bands")
+    docs = str(tmp_path / "docs")
+    for rows in early:
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    run1 = streaming_near_dedup_verified(
+        spark, stage, DOC_SCHEMA, bands, docs,
+        max_files_per_trigger=1, checkpoint_dir=ckpt, threshold=0.5,
+    )
+    p1 = set(zip(run1.id_a, run1.id_b))
+    assert p1 == {(1, 3), (1, 4), (3, 4)} or (1, 3) in p1
+
+    for rows in late:
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    run2 = streaming_near_dedup_verified(
+        spark, stage, DOC_SCHEMA, bands, docs,
+        max_files_per_trigger=1, checkpoint_dir=ckpt, threshold=0.5,
+    )
+    p2 = set(zip(run2.id_a, run2.id_b))
+    # exactly-once across the restart; the cross-restart dup (6 vs
+    # stored 1/3) verified against the pruned store built by run 1
+    assert not (p1 & p2)
+    assert {(1, 6), (3, 6)} <= p2
+    assert (run2.jaccard >= 0.5).all()
+    # each store holds each doc's rows exactly once (no re-appends)
+    stored_bands = spark.read.parquet(bands)
+    assert stored_bands.count() == stored_bands.distinct().count() == 6 * 4
+    stored_docs = spark.read.parquet(docs)
+    assert stored_docs.count() == 6
+    assert stored_docs.select("doc_id").distinct().count() == 6
+    run3 = streaming_near_dedup_verified(
+        spark, stage, DOC_SCHEMA, bands, docs,
+        max_files_per_trigger=1, checkpoint_dir=ckpt, threshold=0.5,
+    )
+    assert len(run3) == 0
+
+
 def test_cli_probe_verify_docs(spark, tmp_path, degenerate):
     """The shell form of the ingest loop: probe --verify-docs emits
     verified (id_a, id_b, jaccard) with the gate on by default."""
