@@ -215,6 +215,52 @@ def test_incremental_salvage_recovers_hidden_cluster(
     assert _cluster_pairs(without, cluster_ids) == set()
 
 
+def test_gate_fails_safe_when_star_evidence_is_missing(spark, degenerate):
+    """A star edge with NO score row (its stored doc missing from the
+    verification store — a coverage-contract violation) must count
+    AGAINST its bucket, never be ignored: with only the passing half
+    of a bucket's edges present, counting present edges alone would
+    ACCEPT the bucket and emit its sub-threshold edge as a merge."""
+    # unit-level: 20-edge bucket, 10 edges scored (9 pass at 0.9, one
+    # fails at 0.1), 10 missing entirely
+    star = spark.createDataFrame(
+        [(0, i, 1, "bh") for i in range(1, 21)],
+        ["id_a", "id_b", "band", "band_hash"],
+    )
+    scored = spark.createDataFrame(
+        [(0, i, 0.9) for i in range(1, 10)] + [(0, 10, 0.1)],
+        ["id_a", "id_b", "jaccard"],
+    )
+    out = gate_star_edges(scored, star, threshold=0.5).collect()
+    assert (0, 10) not in {(r.id_a, r.id_b) for r in out}
+    assert all(r.jaccard >= 0.5 for r in out)
+    # and with every present edge passing, acceptance still requires
+    # the WHOLE bucket's evidence — 10/20 < 0.9 stays demoted
+    scored_all_pass = spark.createDataFrame(
+        [(0, i, 0.9) for i in range(1, 11)], ["id_a", "id_b", "jaccard"]
+    )
+    kept = gate_star_edges(scored_all_pass, star, threshold=0.95).collect()
+    assert kept == []  # none pass 0.95 individually; bucket not accepted
+
+    # integration: an incomplete store on the ingest path can lose
+    # pairs but never emit a sub-threshold merge
+    dup = [
+        (20_000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    old_rows = degenerate[: M // 2] + [dup[0]]
+    old = spark.createDataFrame(old_rows, DOC_SCHEMA)
+    incomplete = spark.createDataFrame(
+        old_rows[: M // 4] + [dup[0]], DOC_SCHEMA
+    )
+    new = spark.createDataFrame(degenerate[M // 2 :] + [dup[1]], DOC_SCHEMA)
+    got = incremental_near_dup_pairs(
+        new, minhash_band_table(old), incomplete, threshold=0.5, max_bucket=B
+    ).collect()
+    assert all(r.jaccard >= 0.5 for r in got)
+    assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in got}
+
+
 def test_duplicated_store_rows_do_not_corrupt_jaccard(spark, degenerate):
     """At-least-once restart semantics can re-append a batch's (id,
     text) rows to the docs store.  A duplicated row would double the
@@ -391,6 +437,16 @@ def test_streaming_verified_restart_from_checkpoint(spark, tmp_path):
         max_files_per_trigger=1, checkpoint_dir=ckpt, threshold=0.5,
     )
     assert len(run3) == 0
+    # a restart with a DIFFERENT hash/layout scheme must refuse
+    # loudly (stored band hashes incomparable / shard pruning reads
+    # the wrong partitions — both silent-miss regimes otherwise)
+    for kwargs in ({"bands": 2}, {"docs_shards": 16}, {"k_shingle": 2}):
+        with pytest.raises(ValueError, match="was built with"):
+            streaming_near_dedup_verified(
+                spark, stage, DOC_SCHEMA, bands, docs,
+                max_files_per_trigger=1, checkpoint_dir=ckpt,
+                threshold=0.5, **kwargs,
+            )
 
 
 def test_cli_probe_verify_docs(spark, tmp_path, degenerate):

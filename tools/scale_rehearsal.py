@@ -399,15 +399,17 @@ def _generate_chain_docs(n: int) -> str:
     """Full-chain fixture: every doc has three '\\n\\n' paragraphs —
     one SHARED boilerplate line (the --boilerplate-min-docs target), a
     ~150-token body (20% of docs carry one of 32 planted 30-token
-    passages mid-body — the span-dedup target), and for 10% of docs a
-    duplicated closing paragraph (the paragraph-dedup target) — so
-    each ladder stage has real work, not an empty-relation
-    short-circuit."""
+    passages mid-body — the span-dedup target), and 10% of docs in
+    PAIRS sharing a closing paragraph (the paragraph-dedup target;
+    exactly 2 copies each, deliberately BELOW the ladder's
+    --boilerplate-min-docs=3 so the earlier boilerplate stage cannot
+    strip the paragraph stage's work away) — so each ladder stage has
+    real work, not an empty-relation short-circuit."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(STAGE, f"chaindocs_{n}.parquet")
+    path = os.path.join(STAGE, f"chaindocs_{n}_v2.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(STAGE, exist_ok=True)
@@ -417,19 +419,18 @@ def _generate_chain_docs(n: int) -> str:
     passages = [
         " ".join(vocab[rng.integers(0, len(vocab), 30)]) for _ in range(32)
     ]
-    closers = [
-        " ".join(vocab[rng.integers(0, len(vocab), 12)]) for _ in range(10)
-    ]
     texts = []
+    prev_closer = None
     for d in range(n):
         body = vocab[rng.integers(0, len(vocab), 150)].tolist()
         if d % 5 == 0:
             body.insert(75, passages[d % 32])
-        closer = (
-            closers[d % 10]
-            if d % 10 == 0
-            else " ".join(vocab[rng.integers(0, len(vocab), 12)])
-        )
+        if d % 20 == 1 and prev_closer is not None:
+            closer = prev_closer  # second (and last) copy of d-1's
+        else:
+            closer = " ".join(vocab[rng.integers(0, len(vocab), 12)])
+            if d % 20 == 0:
+                prev_closer = closer
         texts.append(boiler + "\n\n" + " ".join(body) + "\n\n" + closer)
     t = pa.table(
         {

@@ -198,6 +198,19 @@ def corr_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _validate_gate_fracs(keep_frac, perplexity_keep_frac, lm_ref) -> None:
+    """Range validation shared by apply_corpus_gates (loud ValueError
+    for direct importers) and corpus_main (which calls THIS before the
+    gate so only a genuine usage error — never an unrelated ValueError
+    raised mid-pipeline — becomes its SystemExit)."""
+    for name, frac in (
+        ("keep_frac", keep_frac),
+        ("perplexity_keep_frac", perplexity_keep_frac if lm_ref else None),
+    ):
+        if frac is not None and not 0 < frac <= 1:
+            raise ValueError(f"{name} must be in (0, 1], got {frac}")
+
+
 def apply_corpus_gates(
     spark,
     kept,
@@ -228,12 +241,7 @@ def apply_corpus_gates(
     # validate here, not only at the CLI: this is a public importable
     # helper, and an out-of-range fraction otherwise surfaces as an
     # obscure percentile_approx failure deep in the plan
-    for name, frac in (
-        ("keep_frac", keep_frac),
-        ("perplexity_keep_frac", perplexity_keep_frac if lm_ref else None),
-    ):
-        if frac is not None and not 0 < frac <= 1:
-            raise ValueError(f"{name} must be in (0, 1], got {frac}")
+    _validate_gate_fracs(keep_frac, perplexity_keep_frac, lm_ref)
     if not (quality_model or lm_ref or keep_frac):
         return kept, None
     from wrds_data_pipeline_spark.functions import text as X
@@ -474,20 +482,25 @@ def corpus_main(argv: list[str] | None = None) -> int:
             kept = decontaminate(
                 kept, bench_df, n=8, cover_short_items=cover
             )
-    # fused per-doc gate stage — see apply_corpus_gates (which owns
-    # the fraction-range validation; translate to the CLI's exit)
+    # fused per-doc gate stage — validate the fractions FIRST (so
+    # only a genuine usage error becomes the CLI exit; a ValueError
+    # raised mid-pipeline must propagate with its traceback, never be
+    # re-dressed as a flag problem)
     try:
-        kept, scored = apply_corpus_gates(
-            spark,
-            kept,
-            quality_model=args.quality_model,
-            lm_ref=args.lm_ref,
-            keep_frac=args.keep_frac,
-            model_min_prob=args.model_min_prob,
-            perplexity_keep_frac=args.perplexity_keep_frac,
+        _validate_gate_fracs(
+            args.keep_frac, args.perplexity_keep_frac, args.lm_ref
         )
     except ValueError as exc:
         raise SystemExit(f"--{str(exc).replace('_', '-')}") from exc
+    kept, scored = apply_corpus_gates(
+        spark,
+        kept,
+        quality_model=args.quality_model,
+        lm_ref=args.lm_ref,
+        keep_frac=args.keep_frac,
+        model_min_prob=args.model_min_prob,
+        perplexity_keep_frac=args.perplexity_keep_frac,
+    )
     # persist: kept feeds the packing plan AND the shard join; packed
     # feeds the write AND the summary — without these the whole
     # curate->decontaminate->quantile chain re-executes per action
@@ -649,6 +662,27 @@ def index_main(argv: list[str] | None = None) -> int:
                     None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
                 )
             if args.verify_docs is not None:
+                # loud range checks, same rationale as the corpus
+                # gates' _validate_gate_fracs: an out-of-range
+                # fraction would silently demote every bucket
+                # (--star-accept-frac 1.5) or emit nothing
+                # (--threshold 1.2) rather than error.  0 stays the
+                # documented "disable" sentinel.
+                if not 0 < args.threshold <= 1:
+                    raise SystemExit(
+                        f"--threshold must be in (0, 1], got {args.threshold}"
+                    )
+                if args.star_accept_frac != 0 and not (
+                    0 < args.star_accept_frac <= 1
+                ):
+                    raise SystemExit(
+                        "--star-accept-frac must be in (0, 1] or 0 to "
+                        f"disable the gate, got {args.star_accept_frac}"
+                    )
+                if args.salvage_cap < 0:
+                    raise SystemExit(
+                        f"--salvage-cap must be >= 0, got {args.salvage_cap}"
+                    )
                 from wrds_data_pipeline_spark.operators.dedup import (
                     probe_band_index_verified,
                 )

@@ -741,20 +741,72 @@ def _star_bucket_fractions(
     """(band, band_hash, _frac): per hot bucket, the fraction of its
     star edges whose measured jaccard meets the threshold — the
     acceptance evidence both the gate and the demotion list read.
-    The join is total when ``scored`` came from
-    ``jaccard_pairs(resolved_col=...)`` over candidates containing the
-    star edges: resolved pairs always survive verification (zero-
-    intersection ones restored at jaccard 0.0)."""
+
+    The join is LEFT from the star edges, and an edge with no score
+    row counts as FAILING: the join is total when ``scored`` came
+    from ``jaccard_pairs(resolved_col=...)`` over candidates
+    containing the star edges (resolved pairs always survive
+    verification, zero-intersection ones restored at jaccard 0.0) —
+    but when the verification text store is INCOMPLETE (a coverage-
+    contract violation), edges whose stored doc is missing have no
+    score, and counting only the present edges could flip a bucket's
+    fate to ACCEPT (e.g. the missing half would all have failed).
+    Missing evidence therefore counts against the bucket — an
+    incomplete store can only cost recall, never cause a merge."""
     return (
         star_edges.select("id_a", "id_b", "band", "band_hash")
-        .join(scored, ["id_a", "id_b"])
+        .join(scored, ["id_a", "id_b"], "left")
         .groupBy("band", "band_hash")
         .agg(
             F.avg(
-                (F.col("jaccard") >= F.lit(threshold)).cast("double")
+                F.coalesce(
+                    F.col("jaccard") >= F.lit(threshold), F.lit(False)
+                ).cast("double")
             ).alias("_frac")
         )
     )
+
+
+def _gate_and_demote(
+    scored: DataFrame,
+    star_edges: DataFrame,
+    threshold: float,
+    accept_frac: float,
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass form of the gate for the verified compositions:
+    returns ``(gated_pairs, demoted_buckets)`` off a SINGLE per-bucket
+    fraction aggregation (the public ``gate_star_edges`` +
+    ``demoted_star_buckets`` pair would run it twice — once per
+    call)."""
+    fr = _star_bucket_fractions(scored, star_edges, threshold)
+    accepted_buckets = fr.filter(F.col("_frac") >= F.lit(accept_frac)).select(
+        "band", "band_hash"
+    )
+    demoted = fr.filter(F.col("_frac") < F.lit(accept_frac)).select(
+        "band", "band_hash"
+    )
+    # an edge sitting in ≥1 accepted bucket is kept resolved; the
+    # inner join against scored means an accepted edge with NO score
+    # row (missing text) is still never emitted — membership for
+    # missing docs is lost (recall), never invented (precision)
+    accepted_edges = (
+        star_edges.select("id_a", "id_b", "band", "band_hash")
+        .join(accepted_buckets, ["band", "band_hash"], "left_semi")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gated = (
+        scored.join(
+            accepted_edges.withColumn("_acc", F.lit(True)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .filter(
+            (F.col("jaccard") >= F.lit(threshold)) | F.col("_acc").isNotNull()
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return gated, demoted
 
 
 def gate_star_edges(
@@ -784,38 +836,17 @@ def gate_star_edges(
     edges passing the threshold on their own merit survive.  This is
     what stops the popular-min-shingle degenerate bucket (dissimilar
     short docs colliding on one viral shingle) from wholesale-merging
-    on the ingest paths.  Member↔member recall inside a demoted
-    bucket: see ``demoted_salvage_candidates``.
+    on the ingest paths.  A star edge MISSING from ``scored`` counts
+    as failing its bucket (see _star_bucket_fractions) and is never
+    itself emitted.  Member↔member recall inside a demoted bucket:
+    see ``demoted_salvage_candidates``.
 
     Returns (id_a, id_b, jaccard): pairs ≥ threshold plus star edges
     of accepted buckets.  Persist ``scored`` (and ``star_edges``)
     before calling when they are expensive to recompute — both are
     read by more than one subtree here."""
-    star_scored = star_edges.select("id_a", "id_b", "band", "band_hash").join(
-        scored, ["id_a", "id_b"]
-    )
-    accepted_buckets = (
-        _star_bucket_fractions(scored, star_edges, threshold)
-        .filter(F.col("_frac") >= F.lit(accept_frac))
-        .select("band", "band_hash")
-    )
-    # an edge sitting in ≥1 accepted bucket is kept resolved
-    accepted_edges = (
-        star_scored.join(accepted_buckets, ["band", "band_hash"], "left_semi")
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return (
-        scored.join(
-            accepted_edges.withColumn("_acc", F.lit(True)),
-            ["id_a", "id_b"],
-            "left",
-        )
-        .filter(
-            (F.col("jaccard") >= F.lit(threshold)) | F.col("_acc").isNotNull()
-        )
-        .select("id_a", "id_b", "jaccard")
-    )
+    gated, _ = _gate_and_demote(scored, star_edges, threshold, accept_frac)
+    return gated
 
 
 def demoted_star_buckets(
@@ -1041,13 +1072,15 @@ def near_dup_pairs(
             out = scored
         else:
             scored = scope.persist(scored)
-            out = gate_star_edges(scored, star, threshold, star_accept_frac)
+            out, demoted = _gate_and_demote(
+                scored, star, threshold, star_accept_frac
+            )
             if demoted_salvage_cap:
                 out = out.unionByName(
                     _salvage_demoted(
                         docs, id_col, text_col, k_shingle, threshold,
-                        n_hashes, scored, star, sh, scope,
-                        star_accept_frac, demoted_salvage_cap,
+                        n_hashes, scored, star, sh, scope, demoted,
+                        demoted_salvage_cap,
                     )
                 )
     return materialize_release(out, scope) if own else out
@@ -1064,15 +1097,15 @@ def _salvage_demoted(
     star: DataFrame,
     sh: DataFrame,
     scope: PersistScope,
-    accept_frac: float,
+    demoted: DataFrame,
     salvage_cap: int,
 ) -> DataFrame:
     """Shared salvage stage of the verified compositions: generate
-    sub-bucket candidates for demoted buckets, drop pairs already
-    scored, verify the rest through the same shingle cache.  Returns
-    (id_a, id_b, jaccard) DISJOINT from ``scored``'s pairs (anti-
-    joined), so the caller's union needs no dedup."""
-    demoted = demoted_star_buckets(scored, star, threshold, accept_frac)
+    sub-bucket candidates for the (caller-computed) demoted buckets,
+    drop pairs already scored, verify the rest through the same
+    shingle cache.  Returns (id_a, id_b, jaccard) DISJOINT from
+    ``scored``'s pairs (anti-joined), so the caller's union needs no
+    dedup."""
     salv = demoted_salvage_candidates(
         star, demoted, sh, n_hashes, salvage_cap
     ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
@@ -1152,13 +1185,12 @@ def _verify_gate_candidates(
     star = cands.filter(
         F.col("_resolved") & F.col("band").isNotNull()
     ).select("id_a", "id_b", "band", "band_hash")
-    out = gate_star_edges(scored, star, threshold, star_accept_frac)
+    out, demoted = _gate_and_demote(scored, star, threshold, star_accept_frac)
     if demoted_salvage_cap:
         out = out.unionByName(
             _salvage_demoted(
                 docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
-                scored, star, sh, scope, star_accept_frac,
-                demoted_salvage_cap,
+                scored, star, sh, scope, demoted, demoted_salvage_cap,
             )
         )
     return out
@@ -1202,7 +1234,11 @@ def incremental_near_dup_pairs(
     absent cannot be verified and is dropped (the verification join is
     inner on doc sizes), so an incomplete text store silently loses
     pairs; keep the store append in lockstep with the index append
-    (``streaming_near_dedup_verified`` does).
+    (``streaming_near_dedup_verified`` does).  The gate fails safe
+    under a violation: a star edge with no score counts AGAINST its
+    bucket's acceptance fraction (see _star_bucket_fractions), so
+    missing text can cost recall but never flip a degenerate bucket
+    to a wholesale merge.
 
     Returns (id_a, id_b, jaccard): pairs ≥ threshold plus star edges
     of accepted hot buckets; ``star_accept_frac=None`` skips the gate

@@ -348,12 +348,45 @@ def streaming_near_dedup_verified(
         minhash_band_table,
     )
 
+    import json
+
     os.makedirs(index_dir, exist_ok=True)
     os.makedirs(docs_dir, exist_ok=True)
+    # Pin the hash/layout parameters to the stores, like the on-disk
+    # band index's meta row (build_band_index): a restart with
+    # different k/n/bands makes stored band hashes incomparable
+    # (silently zero cross-batch candidates), and a different
+    # docs_shards makes shard pruning read the WRONG partitions
+    # (silently dropped pairs).  The underscore prefix hides the file
+    # from Spark's parquet listing; driver-local json is fine under
+    # the harness's LOCAL-FILESYSTEM-ONLY contract.
+    meta = {
+        "k_shingle": k_shingle,
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "docs_shards": docs_shards,
+    }
+    meta_path = os.path.join(index_dir, "_ingest_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored_meta = json.load(fh)
+        if stored_meta != meta:
+            raise ValueError(
+                "streaming_near_dedup_verified: store at "
+                f"{index_dir!r} was built with {stored_meta}, called "
+                f"with {meta} — probing it would silently miss pairs; "
+                "pass the original parameters or rebuild the stores"
+            )
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
     out: list = []
 
     def _has_rows(d: str) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(d)) or any(
+        return any(
+            f.endswith(".parquet")
+            for f in os.listdir(d)
+        ) or any(
             os.path.isdir(os.path.join(d, f)) for f in os.listdir(d)
         )
 
