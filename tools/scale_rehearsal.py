@@ -343,6 +343,126 @@ def lsh_bucket_precision_rung(spark, sizes: list[int]) -> None:
         )
 
 
+def ingest_precision_rung(spark, sizes: list[int]) -> None:
+    """The r8 `weak`, rehearsed at scale on the INGEST surfaces: the
+    popular-min-shingle degenerate bucket accumulating across a stored
+    corpus and an increment must produce ZERO false merges through
+    the verified probe (on-disk index) and the verified stream, while
+    (a) a genuine hot cluster split across the boundary still
+    connects and (b) a similar cluster HIDDEN inside the degenerate
+    bucket (sharing no other band — the demoted-recall class) is
+    recovered by the salvage pass.  The legacy resolved-flag contract
+    (star_accept_frac=None) runs alongside to show the regime is
+    live: it emits the wholesale sub-threshold merges the gate
+    blocks."""
+    import shutil
+    import tempfile
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        build_band_index,
+        probe_band_index_verified,
+    )
+    from wrds_data_pipeline_spark.operators.lsh_fixtures import (
+        degenerate_hot_docs,
+        demoted_cluster_docs,
+    )
+
+    m_true = 400  # over the production bound — a genuine hot cluster
+    c = 8
+    template = " ".join(f"t{i}" for i in range(60))
+    for m in sizes:
+        deg = degenerate_hot_docs(m)
+        true_rows = [
+            (1_000_000 + i, template + f" variant{i}") for i in range(m_true)
+        ]
+        cl = demoted_cluster_docs(c, start_id=2_000_000)
+        cluster_ids = {i for i, _ in cl}
+        stored_rows = deg[: m // 2] + true_rows[: m_true // 2]
+        inc_rows = deg[m // 2 :] + true_rows[m_true // 2 :] + cl
+        stored = spark.createDataFrame(stored_rows, ["doc_id", "text"])
+        inc = spark.createDataFrame(inc_rows, ["doc_id", "text"])
+        tmp = tempfile.mkdtemp(prefix="ingest_precision_")
+        try:
+            build_band_index(stored, os.path.join(tmp, "idx"), n_shards=16)
+            t0 = time.time()
+            gated = probe_band_index_verified(
+                inc, os.path.join(tmp, "idx"), stored, threshold=0.5
+            ).collect()
+            w = time.time() - t0
+            degen = set(range(m))
+            false_merges = [
+                r for r in gated
+                if r.id_a in degen and r.id_b in degen and r.jaccard < 0.5
+            ]
+            # hidden-cluster salvage recall: all C(c,2) pairs, each
+            # individually verified
+            got_cl = {
+                (r.id_a, r.id_b)
+                for r in gated
+                if r.id_a in cluster_ids and r.id_b in cluster_ids
+            }
+            # true-cluster connectivity: every increment-side true doc
+            # reaches ONE component that also contains a stored-side
+            # true doc (spokes to the increment hub + the bridge edge)
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent.setdefault(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for r in gated:
+                ra, rb = find(r.id_a), find(r.id_b)
+                if ra != rb:
+                    parent[ra] = rb
+            inc_true = [
+                i for i, _ in true_rows[m_true // 2 :] if i in parent
+            ]
+            stored_true_edged = any(
+                i in parent for i, _ in true_rows[: m_true // 2]
+            )
+            true_connected = (
+                len(inc_true) >= 0.95 * (m_true - m_true // 2)
+                and len({find(i) for i in inc_true}) == 1
+                and stored_true_edged
+            )
+
+            t0 = time.time()
+            legacy = probe_band_index_verified(
+                inc, os.path.join(tmp, "idx"), stored, threshold=0.5,
+                star_accept_frac=None,
+            ).collect()
+            legacy_false = sum(
+                1 for r in legacy
+                if r.id_a in degen and r.id_b in degen and r.jaccard < 0.5
+            )
+            w_l = time.time() - t0
+            print(
+                f"m_degen={m} m_true={m_true} hidden_c={c}: "
+                f"verified-probe pairs={len(gated)} "
+                f"false_merges={len(false_merges)} "
+                f"hidden_cluster_pairs={len(got_cl)}/{c*(c-1)//2} "
+                f"true_cluster_connected={true_connected} wall={w:.1f}s | "
+                f"legacy: sub-threshold degenerate edges={legacy_false} "
+                f"wall={w_l:.1f}s"
+            )
+            assert not false_merges, f"gate failed on ingest at m={m}"
+            assert got_cl == {
+                (min(a, b), max(a, b))
+                for a in cluster_ids
+                for b in cluster_ids
+                if a < b
+            }, "salvage missed hidden-cluster pairs on the ingest path"
+            assert true_connected, "gate over-demoted the true cluster"
+            assert legacy_false >= (m - m // 2) - 1, (
+                "legacy regime not live — rehearsal would be vacuous"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _row_ticker(spark, df):
     """(wrapped_df, accumulator): wrap ``df`` in a mapInPandas ticker
     so the accumulator counts every source row EVERY time the scan
@@ -904,6 +1024,14 @@ def main() -> None:
         corpus_gates_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000, 32000],
+        )
+        return
+    if "--ingest-precision" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        ingest_precision_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [300, 600],
         )
         return
     if "--corpus-chain" in sys.argv:
