@@ -261,6 +261,26 @@ def test_gate_fails_safe_when_star_evidence_is_missing(spark, degenerate):
     assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in got}
 
 
+def test_gate_accept_frac_out_of_range_refuses(spark):
+    """An accept_frac the per-bucket average can never reach (>1)
+    would silently demote every bucket; ≤0 would accept every bucket
+    unconditionally — both must refuse loudly (None is the documented
+    legacy escape hatch)."""
+    star = spark.createDataFrame(
+        [(0, 1, 0, "bh")], ["id_a", "id_b", "band", "band_hash"]
+    )
+    scored = spark.createDataFrame(
+        [(0, 1, 0.9)], ["id_a", "id_b", "jaccard"]
+    )
+    for frac in (1.5, 0.0, -0.1):
+        with pytest.raises(ValueError, match="accept_frac"):
+            gate_star_edges(scored, star, threshold=0.5, accept_frac=frac)
+    from wrds_data_pipeline_spark.operators.dedup import demoted_star_buckets
+
+    with pytest.raises(ValueError, match="accept_frac"):
+        demoted_star_buckets(scored, star, threshold=0.5, accept_frac=2.0)
+
+
 def test_duplicated_store_rows_do_not_corrupt_jaccard(spark, degenerate):
     """At-least-once restart semantics can re-append a batch's (id,
     text) rows to the docs store.  A duplicated row would double the

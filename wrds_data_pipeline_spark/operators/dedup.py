@@ -778,6 +778,16 @@ def _gate_and_demote(
     fraction aggregation (the public ``gate_star_edges`` +
     ``demoted_star_buckets`` pair would run it twice — once per
     call)."""
+    if not 0 < accept_frac <= 1:
+        # a fraction the per-bucket average can never reach (>1) would
+        # silently demote EVERY bucket; ≤0 would accept every bucket
+        # unconditionally — both are the legacy regimes this gate
+        # exists to replace, so refuse rather than degrade
+        raise ValueError(
+            f"accept_frac must be in (0, 1], got {accept_frac}; "
+            "pass star_accept_frac=None for the legacy unconditional "
+            "resolution"
+        )
     fr = _star_bucket_fractions(scored, star_edges, threshold)
     accepted_buckets = fr.filter(F.col("_frac") >= F.lit(accept_frac)).select(
         "band", "band_hash"
@@ -858,6 +868,10 @@ def demoted_star_buckets(
     """(band, band_hash) of hot buckets the evidence gate DEMOTES —
     the complement of ``gate_star_edges``' accepted set, fed to
     ``demoted_salvage_candidates``."""
+    if not 0 < accept_frac <= 1:
+        raise ValueError(
+            f"accept_frac must be in (0, 1], got {accept_frac}"
+        )
     return (
         _star_bucket_fractions(scored, star_edges, threshold)
         .filter(F.col("_frac") < F.lit(accept_frac))
