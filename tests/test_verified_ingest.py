@@ -261,7 +261,50 @@ def test_gate_fails_safe_when_star_evidence_is_missing(spark, degenerate):
     assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in got}
 
 
-def test_gate_accept_frac_out_of_range_refuses(spark):
+def test_salvage_excludes_the_buckets_own_band_rows(spark, degenerate):
+    """A demoted bucket's own band rows are identical across its
+    members (equal band hash ⇒ equal row values), so they carry zero
+    pair-specific evidence — and for a demoted bucket with population
+    ≤ salvage_cap they would silently re-enumerate the whole bucket
+    clique, the wholesale path the gate avoids.  With the exclusion,
+    20 pairwise-dissimilar members produce (near-)zero salvage
+    candidates instead of all 190 clique pairs."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _shingled,
+        demoted_salvage_candidates,
+    )
+
+    rows = degenerate[:20]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    banded = minhash_band_table(docs)
+    # the degenerate band-0 bucket, as star edges with their key
+    bucket = (
+        banded.groupBy("band", "band_hash")
+        .count()
+        .filter("count >= 20")
+        .select("band", "band_hash")
+    )
+    hub = rows[0][0]
+    star = (
+        banded.join(bucket, ["band", "band_hash"])
+        .filter(F.col("_id") != hub)
+        .select(
+            F.lit(hub).alias("id_a"),
+            F.col("_id").alias("id_b"),
+            "band",
+            "band_hash",
+        )
+    )
+    sh = _shingled(docs, "doc_id", "text", 3)
+    salv = demoted_salvage_candidates(
+        star, bucket, sh, salvage_cap=32
+    ).count()
+    # members are pairwise dissimilar, and every polluted salt (the
+    # hot value on rows outside band 0 included — measured: row 3 is
+    # bucket-constant, rows 4-5 split in half) is excluded, so the
+    # salvage generates NO candidates here (python-mirror-confirmed),
+    # where the unexcluded rules would emit the full 190-pair clique
+    assert salv == 0, f"salvage re-enumerated polluted salts: {salv}"
     """An accept_frac the per-bucket average can never reach (>1)
     would silently demote every bucket; ≤0 would accept every bucket
     unconditionally — both must refuse loudly (None is the documented

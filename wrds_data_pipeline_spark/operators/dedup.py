@@ -885,6 +885,7 @@ def demoted_salvage_candidates(
     shingles: DataFrame,
     n_hashes: int = 12,
     salvage_cap: int = 32,
+    bands: int = 4,
 ) -> DataFrame:
     """Extra candidate pairs recovering member↔member near-dups inside
     DEMOTED hot buckets (id_a, id_b — verify with jaccard_pairs).
@@ -912,7 +913,37 @@ def demoted_salvage_candidates(
 
     Salvage candidates are NOT resolved edges — each must pass the
     jaccard threshold on its own merit, so the salvage can add recall
-    but never false merges."""
+    but never false merges.
+
+    Two exclusions keep the salt set HONEST (pair-specific evidence
+    only — without them a demoted bucket with population ≤ cap would
+    silently re-enumerate its whole clique, the wholesale path the
+    gate exists to avoid):
+
+    - the bucket's OWN band rows: equal band hashes imply the
+      members' values on those rows are IDENTICAL (md5 of the row
+      concatenation) — zero pair information by construction;
+    - any sub-bucket holding MORE THAN HALF its bucket's members: the
+      popular shingle that made the bucket degenerate also tends to
+      own the minimum on rows OUTSIDE its band (short docs have few
+      competing shingles — measured: a 20-member degenerate fixture
+      shares its hot value on row 3 and splits rows 4-5 in half), and
+      a value shared by most of a DISSIMILAR-majority bucket is that
+      shingle again, not evidence.  A genuine hidden cluster is a
+      minority of its bucket by the demotion premise, so its
+      sub-buckets pass.  Documented trade-off: a true cluster that IS
+      the majority of its demoted bucket loses its salvage salts —
+      at the production bound (demoted pops > 256, majority clusters
+      > 128 members) its pairs recover via other-band collisions with
+      near-certainty (each pair independently at ~1−(1−j^r)^(b−1),
+      and the component needs only a vanishing fraction of them), so
+      the exclusion costs ~nothing where it matters and removes the
+      bounded-but-systematic clique re-enumeration everywhere.
+
+    A similar pair's recovery rests on the non-excluded rows —
+    P(miss) ≤ (1−j)^9 at the defaults.  ``bands`` must match the
+    banding that produced the bucket keys."""
+    rows_per_band = n_hashes // bands
     members = (
         star_edges.join(demoted, ["band", "band_hash"], "left_semi")
         .select(
@@ -950,20 +981,34 @@ def demoted_salvage_candidates(
             F.col("_rv._v").alias("_v"),
             "_id",
         )
+        # the bucket's own band rows are bucket-constant, never
+        # pair-specific evidence (see docstring)
+        .filter(
+            (F.col("_r") < F.col("band") * rows_per_band)
+            | (F.col("_r") >= (F.col("band") + 1) * rows_per_band)
+        )
     )
     key = ["band", "band_hash", "_r", "_v"]
     # census first (map-side-combined, never a partitionBy window), so
-    # the collect_list below only ever sees groups of 2..cap members —
-    # a polluted sub-bucket (the popular row: the WHOLE demoted
-    # bucket) is dropped before any row is collected.  The pairing is
-    # collect_list + two nested explodes, NOT an a⋈b self-join: a
-    # self-join duplicates the whole probe/verify lineage per side,
-    # which blew up Catalyst's relation dedup on the ingest
+    # the collect_list below only ever sees bounded groups — polluted
+    # sub-buckets (over cap, or over HALF their bucket's membership;
+    # see docstring) are dropped before any row is collected.  The
+    # pairing is collect_list + two nested explodes, NOT an a⋈b
+    # self-join: a self-join duplicates the whole probe/verify lineage
+    # per side, which blew up Catalyst's relation dedup on the ingest
     # composition.
+    bucket_pop = members.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
     ok = (
         sub.groupBy(*key)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= F.lit(salvage_cap)))
+        .join(bucket_pop, ["band", "band_hash"])
+        .filter(
+            (F.col("_n") >= 2)
+            & (F.col("_n") <= F.lit(salvage_cap))
+            & (F.col("_n") * 2 <= F.col("_m") + 1)
+        )
         .select(*key)
     )
     grp = (
@@ -1036,8 +1081,9 @@ def near_dup_pairs(
     near-dups (neither doc the hub) would otherwise be found only via
     an other-band collision; the salvage pass re-buckets the demoted
     members by single minhash rows (the salt), fully pair-joins
-    sub-buckets of 2..cap members, and verifies each recovered pair on
-    its own merit — extra recall, zero extra false-merge risk (see
+    sub-buckets of 2..cap members (bucket-constant and majority-
+    shared salts excluded — see demoted_salvage_candidates), and
+    verifies each recovered pair on its own merit — extra recall, zero extra false-merge risk (see
     ``demoted_salvage_candidates``).  ``None``/0 disables it, leaving
     the residual documented there; clusters larger than the cap still
     rely on other-band collisions.
@@ -1093,8 +1139,8 @@ def near_dup_pairs(
                 out = out.unionByName(
                     _salvage_demoted(
                         docs, id_col, text_col, k_shingle, threshold,
-                        n_hashes, scored, star, sh, scope, demoted,
-                        demoted_salvage_cap,
+                        n_hashes, bands, scored, star, sh, scope,
+                        demoted, demoted_salvage_cap,
                     )
                 )
     return materialize_release(out, scope) if own else out
@@ -1107,6 +1153,7 @@ def _salvage_demoted(
     k_shingle: int,
     threshold: float,
     n_hashes: int,
+    bands: int,
     scored: DataFrame,
     star: DataFrame,
     sh: DataFrame,
@@ -1121,7 +1168,7 @@ def _salvage_demoted(
     ``scored``'s pairs (anti-joined), so the caller's union needs no
     dedup."""
     salv = demoted_salvage_candidates(
-        star, demoted, sh, n_hashes, salvage_cap
+        star, demoted, sh, n_hashes, salvage_cap, bands
     ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return jaccard_pairs(
         docs, id_col, text_col, k_shingle, threshold,
@@ -1138,6 +1185,7 @@ def _verify_gate_candidates(
     k_shingle: int,
     threshold: float,
     n_hashes: int,
+    bands: int,
     star_accept_frac: float | None,
     demoted_salvage_cap: int | None,
     scope: PersistScope,
@@ -1204,7 +1252,8 @@ def _verify_gate_candidates(
         out = out.unionByName(
             _salvage_demoted(
                 docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
-                scored, star, sh, scope, demoted, demoted_salvage_cap,
+                bands, scored, star, sh, scope, demoted,
+                demoted_salvage_cap,
             )
         )
     return out
@@ -1276,7 +1325,8 @@ def incremental_near_dup_pairs(
     )
     out = _verify_gate_candidates(
         cands, new_docs, corpus_docs, id_col, text_col, k_shingle,
-        threshold, n_hashes, star_accept_frac, demoted_salvage_cap, scope,
+        threshold, n_hashes, bands, star_accept_frac, demoted_salvage_cap,
+        scope,
     )
     return materialize_release(out, scope) if own else out
 
@@ -1531,7 +1581,7 @@ def probe_band_index_verified(
     )
     out = _verify_gate_candidates(
         cands, new_docs, corpus_docs, id_col, text_col,
-        meta["k_shingle"], threshold, meta["n_hashes"],
+        meta["k_shingle"], threshold, meta["n_hashes"], meta["bands"],
         star_accept_frac, demoted_salvage_cap, scope,
     )
     return materialize_release(out, scope) if own else out

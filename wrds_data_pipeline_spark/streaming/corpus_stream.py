@@ -450,6 +450,7 @@ def streaming_near_dedup_verified(
                 k_shingle,
                 threshold,
                 n_hashes,
+                bands,
                 star_accept_frac,
                 demoted_salvage_cap,
                 scope,
