@@ -140,16 +140,27 @@ def minhash_band_table(
     n_hashes: int = 12,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, band, band_hash): the LSH banding relation — signatures
     split into ``bands`` bands of ``n_hashes/bands`` rows, one md5 per
     band.  This is the *index* of LSH dedup: materialize it (parquet,
     bucketed by (band, band_hash) at scale) once per corpus and each
     new ingest increment joins against it instead of recomputing
-    signatures for the whole corpus (`incremental_lsh_candidates`)."""
+    signatures for the whole corpus (`incremental_lsh_candidates`).
+
+    ``signatures``: optionally a precomputed ``minhash_signatures``
+    relation (_id, sig0..sig{n-1}) — a caller that also needs the raw
+    per-row values downstream (``near_dup_pairs``' demoted-bucket
+    salvage) computes/persists it once and both consumers read the
+    same relation instead of re-aggregating the shingle table."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(
-        docs, id_col, text_col, k_shingle, n_hashes, shingles=shingles
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            docs, id_col, text_col, k_shingle, n_hashes, shingles=shingles
+        )
     )
     # all bands in ONE pass over the signatures (a per-band union would
     # replay the whole shingle+signature pipeline once per band)
@@ -772,12 +783,24 @@ def _gate_and_demote(
     star_edges: DataFrame,
     threshold: float,
     accept_frac: float,
-) -> tuple[DataFrame, DataFrame]:
+    scope: PersistScope | None = None,
+    eager_demote: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
     """One-pass form of the gate for the verified compositions:
     returns ``(gated_pairs, demoted_buckets)`` off a SINGLE per-bucket
     fraction aggregation (the public ``gate_star_edges`` +
     ``demoted_star_buckets`` pair would run it twice — once per
-    call)."""
+    call).
+
+    ``eager_demote=True`` (requires ``scope``) persists the tiny
+    per-bucket fraction relation and answers "did ANY bucket demote?"
+    as a scalar at plan-build time, returning ``demoted=None`` when
+    the answer is no — so the caller can skip attaching the salvage
+    subtree entirely in the common all-buckets-accepted case instead
+    of paying the sub-bucketing/census/verify plan as always-on
+    insurance (the r9 q43 regression).  The scalar runs off the
+    already-persisted ``scored``/``star_edges``, so it materializes
+    work the composition's first job needed anyway."""
     if not 0 < accept_frac <= 1:
         # a fraction the per-bucket average can never reach (>1) would
         # silently demote EVERY bucket; ≤0 would accept every bucket
@@ -789,12 +812,18 @@ def _gate_and_demote(
             "resolution"
         )
     fr = _star_bucket_fractions(scored, star_edges, threshold)
+    if eager_demote:
+        # one row per hot bucket — tiny; read by the accepted filter,
+        # the demoted filter, and the any-demoted scalar below
+        fr = scope.persist(fr)
     accepted_buckets = fr.filter(F.col("_frac") >= F.lit(accept_frac)).select(
         "band", "band_hash"
     )
     demoted = fr.filter(F.col("_frac") < F.lit(accept_frac)).select(
         "band", "band_hash"
     )
+    if eager_demote and demoted.first() is None:
+        demoted = None
     # an edge sitting in ≥1 accepted bucket is kept resolved; the
     # inner join against scored means an accepted edge with NO score
     # row (missing text) is still never emitted — membership for
@@ -886,6 +915,7 @@ def demoted_salvage_candidates(
     n_hashes: int = 12,
     salvage_cap: int = 32,
     bands: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Extra candidate pairs recovering member↔member near-dups inside
     DEMOTED hot buckets (id_a, id_b — verify with jaccard_pairs).
@@ -942,7 +972,16 @@ def demoted_salvage_candidates(
 
     A similar pair's recovery rests on the non-excluded rows —
     P(miss) ≤ (1−j)^9 at the defaults.  ``bands`` must match the
-    banding that produced the bucket keys."""
+    banding that produced the bucket keys.
+
+    ``signatures``: optionally the (_id, sig0..sig{n-1}) relation the
+    signature stage already computed to build the band table
+    (``minhash_signatures``) — reused directly instead of
+    re-aggregating the same per-row minimums from the shingle
+    relation (one fewer aggregation over the demoted members).  When
+    absent (the incremental/on-disk paths, where the stored side's
+    raw signatures are not retained), the values are recomputed from
+    ``shingles``, semi-join-restricted to the demoted members."""
     rows_per_band = n_hashes // bands
     members = (
         star_edges.join(demoted, ["band", "band_hash"], "left_semi")
@@ -954,15 +993,23 @@ def demoted_salvage_candidates(
         .distinct()
     )
     ids = members.select("_id").distinct()
-    # per-row minhash of the demoted members ONLY — the shingle scan
-    # is semi-join-restricted, never the whole corpus
-    sh_m = shingles.join(ids, "_id", "left_semi")
-    mh = sh_m.groupBy("_id").agg(
-        *[
-            F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"_mh{i}")
-            for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
-        ]
-    )
+    if signatures is not None:
+        # the signature stage's own per-row values, restricted to the
+        # demoted members — no second aggregation
+        mh = signatures.join(ids, "_id", "left_semi").select(
+            "_id",
+            *[F.col(f"sig{i}").alias(f"_mh{i}") for i in range(n_hashes)],
+        )
+    else:
+        # per-row minhash of the demoted members ONLY — the shingle
+        # scan is semi-join-restricted, never the whole corpus
+        sh_m = shingles.join(ids, "_id", "left_semi")
+        mh = sh_m.groupBy("_id").agg(
+            *[
+                F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"_mh{i}")
+                for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+            ]
+        )
     rows = F.array(
         *[
             F.struct(
@@ -1094,15 +1141,33 @@ def near_dup_pairs(
     intermediate cache is freed before returning.  Note that with or
     without a scope, CALLING this function runs one plan-build job
     (the census short-circuit: band-table materialization + a scalar
-    max-population aggregate — see _lsh_candidate_split); a purely
-    plan-side composition that must not touch the data should use
-    the candidate-level operators, whose census stays lazy."""
+    max-population aggregate — see _lsh_candidate_split), and when a
+    hot bucket survives the census with the gate + salvage enabled,
+    the verification job too (the pay-per-use salvage decision —
+    "did any bucket demote? did sub-bucketing yield any fresh
+    candidate?" — is a scalar off the persisted scored relation, so
+    the common nothing-to-salvage case never carries the salvage
+    subtree in its plan); a purely plan-side composition that must
+    not touch the data should use the candidate-level operators,
+    whose census stays lazy."""
     own = scope is None
     scope = scope or PersistScope()
     sh = scope.persist(_shingled(docs, id_col, text_col, k_shingle))
+    # the per-row signature relation is persisted (not just an
+    # internal subtree of the band table) so the demoted-bucket
+    # salvage can reuse the exact values the banding computed instead
+    # of re-aggregating them from the shingle relation; it sits on the
+    # band table's critical path, so caching it stores an intermediate
+    # the census job materializes anyway (|docs| rows of n longs)
+    sig = scope.persist(
+        minhash_signatures(
+            docs, id_col, text_col, k_shingle, n_hashes, shingles=sh
+        )
+    )
     banded = scope.persist(
         minhash_band_table(
-            docs, id_col, text_col, k_shingle, n_hashes, bands, shingles=sh
+            docs, id_col, text_col, k_shingle, n_hashes, bands,
+            signatures=sig,
         )
     )
     small, star = _lsh_candidate_split(
@@ -1133,16 +1198,17 @@ def near_dup_pairs(
         else:
             scored = scope.persist(scored)
             out, demoted = _gate_and_demote(
-                scored, star, threshold, star_accept_frac
+                scored, star, threshold, star_accept_frac,
+                scope=scope, eager_demote=bool(demoted_salvage_cap),
             )
-            if demoted_salvage_cap:
-                out = out.unionByName(
-                    _salvage_demoted(
-                        docs, id_col, text_col, k_shingle, threshold,
-                        n_hashes, bands, scored, star, sh, scope,
-                        demoted, demoted_salvage_cap,
-                    )
+            if demoted_salvage_cap and demoted is not None:
+                salvaged = _salvage_demoted(
+                    docs, id_col, text_col, k_shingle, threshold,
+                    n_hashes, bands, scored, star, sh, scope,
+                    demoted, demoted_salvage_cap, signatures=sig,
                 )
+                if salvaged is not None:
+                    out = out.unionByName(salvaged)
     return materialize_release(out, scope) if own else out
 
 
@@ -1160,16 +1226,27 @@ def _salvage_demoted(
     scope: PersistScope,
     demoted: DataFrame,
     salvage_cap: int,
-) -> DataFrame:
+    signatures: DataFrame | None = None,
+) -> DataFrame | None:
     """Shared salvage stage of the verified compositions: generate
     sub-bucket candidates for the (caller-computed) demoted buckets,
     drop pairs already scored, verify the rest through the same
     shingle cache.  Returns (id_a, id_b, jaccard) DISJOINT from
     ``scored``'s pairs (anti-joined), so the caller's union needs no
-    dedup."""
-    salv = demoted_salvage_candidates(
-        star, demoted, sh, n_hashes, salvage_cap, bands
-    ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    dedup — or ``None`` when the sub-bucketing yields NO fresh
+    candidate (pay-per-use: the verification subtree is never
+    attached for candidates that don't exist).  The emptiness scalar
+    runs over the persisted star/signature/shingle relations plus the
+    tiny demoted list, so it re-reads caches rather than recomputing
+    text work."""
+    salv = scope.persist(
+        demoted_salvage_candidates(
+            star, demoted, sh, n_hashes, salvage_cap, bands,
+            signatures=signatures,
+        ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    )
+    if salv.first() is None:
+        return None
     return jaccard_pairs(
         docs, id_col, text_col, k_shingle, threshold,
         candidates=salv, shingles=sh, scope=scope,
@@ -1247,15 +1324,18 @@ def _verify_gate_candidates(
     star = cands.filter(
         F.col("_resolved") & F.col("band").isNotNull()
     ).select("id_a", "id_b", "band", "band_hash")
-    out, demoted = _gate_and_demote(scored, star, threshold, star_accept_frac)
-    if demoted_salvage_cap:
-        out = out.unionByName(
-            _salvage_demoted(
-                docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
-                bands, scored, star, sh, scope, demoted,
-                demoted_salvage_cap,
-            )
+    out, demoted = _gate_and_demote(
+        scored, star, threshold, star_accept_frac,
+        scope=scope, eager_demote=bool(demoted_salvage_cap),
+    )
+    if demoted_salvage_cap and demoted is not None:
+        salvaged = _salvage_demoted(
+            docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
+            bands, scored, star, sh, scope, demoted,
+            demoted_salvage_cap,
         )
+        if salvaged is not None:
+            out = out.unionByName(salvaged)
     return out
 
 
