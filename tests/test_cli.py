@@ -725,3 +725,24 @@ def test_corpus_cli_scrub_strict_catches_spliced_grams(spark, tmp_path):
     assert rc == 0
     strict = pd.read_parquet(os.path.join(out_strict, "shards"))
     assert set(strict["doc_id"]) == {2}          # residual leak dropped
+
+
+def test_index_cli_refuses_mark_resolved_with_verify_docs(spark, tmp_path):
+    """--mark-resolved is meaningless on the verified path (its output
+    has no resolved column — hot buckets are evidence-gated instead);
+    combining the flags refuses loudly rather than silently handing
+    back a different schema than asked for."""
+    import pytest
+
+    from wrds_data_pipeline_spark.cli import index_main
+
+    docs_p = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    ).write.parquet(docs_p)
+    with pytest.raises(SystemExit, match="mark-resolved"):
+        index_main([
+            "probe-band", docs_p, os.path.join(str(tmp_path), "idx"),
+            os.path.join(str(tmp_path), "out"),
+            "--verify-docs", docs_p, "--mark-resolved",
+        ])

@@ -631,3 +631,32 @@ def test_streaming_paragraph_dedup_restart_from_checkpoint(spark, tmp_path):
     assert all_text.count(quote) == 1
     stored = spark.read.parquet(idx)
     assert stored.count() == stored.distinct().count()
+
+
+def test_store_has_rows_ignores_non_data_entries(tmp_path):
+    """A crash during the FIRST batch's docs-store write can leave only
+    underscore/dot residue (_ingest_meta.json, a _temporary dir) in the
+    store dir; counting those as data would make the restart take the
+    has-rows path and die on schema inference over an empty read
+    instead of recovering."""
+    import os
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        _store_has_rows,
+    )
+
+    d = str(tmp_path / "docs_store")
+    os.makedirs(os.path.join(d, "_temporary"))
+    with open(os.path.join(d, "_ingest_meta.json"), "w") as fh:
+        fh.write("{}")
+    with open(os.path.join(d, "._SUCCESS.crc"), "w") as fh:
+        fh.write("")
+    assert not _store_has_rows(d)
+
+    # a partition dir or a bare parquet file IS data
+    os.makedirs(os.path.join(d, "shard=3"))
+    assert _store_has_rows(d)
+    os.rmdir(os.path.join(d, "shard=3"))
+    with open(os.path.join(d, "part-000.parquet"), "w") as fh:
+        fh.write("")
+    assert _store_has_rows(d)

@@ -485,3 +485,32 @@ def test_rolling_zscore_duckdb_twin(spark):
         want["zscore"].astype("float64"),
         check_names=False,
     )
+
+
+def test_pt_format_reader_refuses_missing_storage_record(tmp_path):
+    """A pickle referencing a storage key with no matching data/<key>
+    record (truncated/corrupt archive) fails with the same loud typed
+    UnpicklingError as a smuggled global — not a bare KeyError that
+    reads like a reader bug."""
+    import pickle
+    import zipfile
+
+    import pytest
+
+    from wrds_data_pipeline_spark.functions.pt_format import (
+        read_pt_tensor_dict,
+        write_pt_tensor_dict,
+    )
+
+    import numpy as np
+
+    good = tmp_path / "good.pt"
+    write_pt_tensor_dict(str(good), {"x": np.arange(4, dtype=np.int64)})
+    truncated = tmp_path / "truncated.pt"
+    with zipfile.ZipFile(good) as src, zipfile.ZipFile(truncated, "w") as dst:
+        for name in src.namelist():
+            if "/data/" in name:
+                continue  # drop every storage record, keep the pickle
+            dst.writestr(name, src.read(name))
+    with pytest.raises(pickle.UnpicklingError, match="missing storage record"):
+        read_pt_tensor_dict(str(truncated))

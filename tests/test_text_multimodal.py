@@ -357,3 +357,27 @@ def test_normalize_unicode_forms_and_passthrough(spark):
     assert out.schema == docs.schema
     with pytest.raises(ValueError):
         normalize_unicode(docs, "NFX")
+
+
+def test_frame_luma_refuses_silent_fake_when_decoder_present(monkeypatch):
+    """The real-decode probe must sit OUTSIDE the fake-selecting
+    fallback: with a video stack importable, the operator fails loudly
+    (NotImplementedError) instead of silently keeping the
+    deterministic fake — the repo-wide unsupported-capability
+    contract (pybpe's loud refusals)."""
+    import sys
+    import types
+
+    import pytest
+
+    from wrds_data_pipeline_spark.multimodal import _frame_luma
+
+    # no decoder present (the container): deterministic fake, stable
+    assert _frame_luma(b"some video bytes", 3) == _frame_luma(
+        b"some video bytes", 3
+    )
+    assert _frame_luma(b"", 0) is None
+
+    monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
+    with pytest.raises(NotImplementedError, match="pyav"):
+        _frame_luma(b"some video bytes", 3)

@@ -662,6 +662,18 @@ def index_main(argv: list[str] | None = None) -> int:
                     None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
                 )
             if args.verify_docs is not None:
+                if args.mark_resolved:
+                    # the verified path emits (id_a, id_b, jaccard)
+                    # with no resolved column (star edges are
+                    # evidence-gated, not flagged) — honoring only one
+                    # of two co-passed flags silently hands the user a
+                    # different schema than asked for
+                    raise SystemExit(
+                        "--mark-resolved cannot be combined with "
+                        "--verify-docs: verified output has no "
+                        "resolved column (hot buckets are "
+                        "evidence-gated instead)"
+                    )
                 # loud range checks, same rationale as the corpus
                 # gates' _validate_gate_fracs: an out-of-range
                 # fraction would silently demote every bucket

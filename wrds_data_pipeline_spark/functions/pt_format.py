@@ -215,6 +215,15 @@ def read_pt_tensor_dict(path: str) -> dict:
             tag, dtype, key, _location, _numel = pid
             if tag != "storage":
                 raise pickle.UnpicklingError(f"unknown persistent id {tag!r}")
-            return _Storage(records[str(key)], dtype)
+            rec = records.get(str(key))
+            if rec is None:
+                # same loud, typed failure as a non-whitelisted
+                # global — a bare KeyError here reads like a reader
+                # bug, not the truncated/corrupt archive it is
+                raise pickle.UnpicklingError(
+                    f"missing storage record data/{key} "
+                    "(truncated or corrupt archive)"
+                )
+            return _Storage(rec, dtype)
 
     return _Unpickler(io.BytesIO(payload)).load()

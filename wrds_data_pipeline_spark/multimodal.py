@@ -198,6 +198,34 @@ FRAME_FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _frame_luma(content: bytes, idx: int):
+    """Per-frame luma for one sampled frame index.
+
+    The import probe sits OUTSIDE any swallowing except: if a video
+    stack (pyav) is ever present in the environment, this must fail
+    loudly rather than silently keep using the deterministic fake —
+    the same unsupported-capability contract as pybpe's loud refusals
+    (an earlier version raised the NotImplementedError *inside* the
+    try whose except selected the fake, making the real-decode branch
+    unreachable by construction)."""
+    try:
+        import av  # type: ignore  # noqa: F401
+    except ImportError:
+        av = None
+    if av is not None:
+        raise NotImplementedError(
+            "a video decode stack (pyav) is importable but real "
+            "seek+decode is not implemented; refusing to silently "
+            "substitute the deterministic fake"
+        )
+    if not content:
+        return None
+    # deterministic fake: rotate the byte window by frame
+    start = idx % len(content)
+    window = content[start:start + 64] or content[:64]
+    return (sum(window) * (idx + 1) % 25600) / 100.0
+
+
 def extract_frame_features(media: DataFrame) -> DataFrame:
     """Per-sampled-frame decode for video: consumes the
     ``sample_frame_indices`` column from frame_sample_plan and emits
@@ -205,24 +233,15 @@ def extract_frame_features(media: DataFrame) -> DataFrame:
     frame explosion happens inside the Arrow batch, never on the
     driver.  Real path would seek+decode each index (pyav); the
     deterministic fake derives per-frame luma from a byte slice so
-    distinct frames get distinct, reproducible values."""
+    distinct frames get distinct, reproducible values (see
+    ``_frame_luma`` for the loud-refusal contract when a real decoder
+    is present)."""
     out_cols = [f.name for f in FRAME_FEATURE_SCHEMA.fields]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        def frame_luma(content: bytes, idx: int):
-            try:  # real path, if a video stack is ever present
-                import av  # type: ignore  # noqa: F401
-
-                raise NotImplementedError  # seek+decode would go here
-            except Exception:
-                if not content:
-                    return None
-                # deterministic fake: rotate the byte window by frame
-                start = idx % len(content)
-                window = content[start:start + 64] or content[:64]
-                return (sum(window) * (idx + 1) % 25600) / 100.0
+        frame_luma = _frame_luma
 
         for pdf in batches:
             out = []

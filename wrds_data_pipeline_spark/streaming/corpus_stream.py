@@ -41,6 +41,23 @@ from wrds_data_pipeline_spark.functions.text import fingerprint
 from wrds_data_pipeline_spark.operators.dedup import DEFAULT_MAX_BUCKET
 
 
+def _store_has_rows(d: str) -> bool:
+    """Whether a store directory holds any DATA (parquet files or
+    partition dirs).  Underscore/dot entries (_ingest_meta.json, an
+    aborted write's _temporary dir, Spark's ._SUCCESS.crc) are NOT
+    data — counting them would make a restart after a first-batch
+    crash take the has-rows path and fail schema inference on the
+    empty read instead of recovering (Spark itself hides them from
+    its file listing for the same reason)."""
+    import os
+
+    return any(
+        not f.startswith(("_", "."))
+        and (f.endswith(".parquet") or os.path.isdir(os.path.join(d, f)))
+        for f in os.listdir(d)
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",
@@ -382,13 +399,7 @@ def streaming_near_dedup_verified(
             json.dump(meta, fh)
     out: list = []
 
-    def _has_rows(d: str) -> bool:
-        return any(
-            f.endswith(".parquet")
-            for f in os.listdir(d)
-        ) or any(
-            os.path.isdir(os.path.join(d, f)) for f in os.listdir(d)
-        )
+    _has_rows = _store_has_rows
 
     def _doc_shard(col):
         return F.pmod(F.xxhash64(col), F.lit(docs_shards)).cast("int")
