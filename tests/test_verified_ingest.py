@@ -551,3 +551,130 @@ def test_cli_probe_verify_docs(spark, tmp_path, degenerate):
     assert all(r.jaccard >= 0.5 for r in rows)
     assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in rows}
     assert not any(r.id_a < 20_000 and r.id_b < 20_000 for r in rows)
+
+
+def test_cli_ingest_two_increments_lockstep_and_recovery(
+    spark, tmp_path, degenerate, cluster
+):
+    """The one-verb ``ingest`` loop: two increments of the degenerate
+    fixture through the CLI — zero false merges on both, the
+    cross-increment true dup verified against the docs store the
+    first call built, the hidden cluster salvaged out of the demoted
+    bucket, and the stores in LOCKSTEP (every indexed id has its
+    text).  Then the crash window the docs-first append ordering
+    leaves (texts stored, bands not) recovers on re-run, and
+    parameter mismatches against the stored metas refuse loudly."""
+    import os
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    def write_inc(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(p)
+        return p
+
+    def lockstep():
+        indexed = {
+            r["_id"]
+            for r in spark.read.parquet(f"{idx}/bands")
+            .select("_id").distinct().collect()
+        }
+        stored = {
+            r["doc_id"]
+            for r in spark.read.parquet(store)
+            .select("doc_id").distinct().collect()
+        }
+        assert indexed == stored, (
+            f"stores out of lockstep: indexed-not-stored="
+            f"{indexed - stored}, stored-not-indexed={stored - indexed}"
+        )
+        return indexed
+
+    dup_a = (30_000, "the quick brown fox jumps over the lazy dog again and again today")
+    dup_b = (30_001, "the quick brown fox jumps over the lazy dog again and again tonight")
+    degenerate_ids = {i for i, _ in degenerate}
+    cluster_ids = {i for i, _ in cluster}
+    idx = str(tmp_path / "band_idx")
+    store = str(tmp_path / "docs_store")
+
+    p1 = write_inc("inc1.parquet", degenerate[: M // 2] + [dup_a])
+    out1 = str(tmp_path / "out1")
+    assert index_main(
+        ["ingest", p1, idx, store, out1, "--lsh-max-bucket", str(B)]
+    ) == 0
+    r1 = spark.read.parquet(out1).collect()
+    # nothing in increment 1 is similar: the degenerate bucket went
+    # hot, was gated, and emitted zero sub-threshold merges
+    assert r1 == []
+    assert lockstep() == {i for i, _ in degenerate[: M // 2]} | {30_000}
+
+    p2 = write_inc(
+        "inc2.parquet", degenerate[M // 2 :] + cluster + [dup_b]
+    )
+    out2 = str(tmp_path / "out2")
+    assert index_main(
+        ["ingest", p2, idx, store, out2, "--lsh-max-bucket", str(B)]
+    ) == 0
+    r2 = spark.read.parquet(out2).collect()
+    assert all(r.jaccard >= 0.5 for r in r2), "sub-threshold merge emitted"
+    pairs2 = {(r.id_a, r.id_b) for r in r2}
+    assert not any(
+        a in degenerate_ids and b in degenerate_ids for a, b in pairs2
+    ), "degenerate members merged"
+    # cross-increment dup: verified against the STORE's text for 30_000
+    assert (30_000, 30_001) in pairs2
+    # hidden cluster salvaged out of the demoted bucket
+    assert _cluster_pairs(r2, cluster_ids) == {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(cluster_ids), 2)
+    }
+    all_ids = lockstep()
+
+    # crash window: increment 3's TEXTS land, bands don't (docs are
+    # appended first precisely so the indexed-without-text state can
+    # never exist); re-running the same increment must recover
+    inc3 = [
+        (40_000, dup_b[1]),  # exact copy of a stored doc
+        (40_001, "completely unrelated text about spark plans"),
+    ]
+    p3 = write_inc("inc3.parquet", inc3)
+    spark.read.parquet(p3).withColumn(
+        "shard", _doc_store_shard(F.col("doc_id"), 64)
+    ).write.mode("append").partitionBy("shard").parquet(store)
+    out3 = str(tmp_path / "out3")
+    assert index_main(
+        ["ingest", p3, idx, store, out3, "--lsh-max-bucket", str(B)]
+    ) == 0
+    r3 = spark.read.parquet(out3).collect()
+    pairs3 = {(r.id_a, r.id_b) for r in r3}
+    assert (30_001, 40_000) in pairs3  # found despite the dirty store
+    assert all(r.jaccard >= 0.5 for r in r3)
+    assert lockstep() == all_ids | {40_000, 40_001}
+
+    # mismatched parameters refuse loudly against each store's meta
+    with pytest.raises(SystemExit, match="built with"):
+        index_main(["ingest", p3, idx, store, out3, "--n-hashes", "24"])
+    with pytest.raises(SystemExit, match="docs store"):
+        index_main(["ingest", p3, idx, store, out3, "--docs-shards", "8"])
+
+
+def test_cli_ingest_refuses_index_without_store(spark, tmp_path):
+    """An index with stored ids but an empty docs store is the
+    operational mistake the verb exists to prevent (every cross pair
+    would be silently dropped by the fail-closed gate): refuse."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import build_band_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], DOC_SCHEMA
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+    idx = str(tmp_path / "idx")
+    build_band_index(docs, idx)
+    with pytest.raises(SystemExit, match="docs store"):
+        index_main([
+            "ingest", p, idx, str(tmp_path / "store"),
+            str(tmp_path / "out"),
+        ])

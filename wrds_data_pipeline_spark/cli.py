@@ -598,6 +598,36 @@ def index_main(argv: list[str] | None = None) -> int:
                     help="demoted-bucket salvage sub-bucket cap (with "
                     "--verify-docs); 0 disables salvage")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="one-verb verified ingest: probe -> verify -> gate -> "
+        "salvage -> append band index AND docs store in lockstep "
+        "(first call creates both stores; later calls refuse on "
+        "parameter mismatch with the stored metas)",
+    )
+    ing.add_argument("docs_path", help="the increment's (doc_id, text) parquet")
+    ing.add_argument("index_path", help="on-disk band index (build-band layout)")
+    ing.add_argument("docs_store", help="shard-partitioned (id, text) store")
+    ing.add_argument("out_dir", help="verified (id_a, id_b, jaccard) parquet")
+    ing.add_argument("--threshold", type=float, default=0.5)
+    ing.add_argument("--star-accept-frac", type=float, default=0.9,
+                     help="per-bucket evidence-gate acceptance fraction; "
+                     "0 disables the gate (legacy unconditional resolution)")
+    ing.add_argument("--salvage-cap", type=int, default=32,
+                     help="demoted-bucket salvage sub-bucket cap; 0 disables")
+    ing.add_argument("--lsh-max-bucket", type=int, default=None,
+                     help="band-bucket population bound (default "
+                     "DEFAULT_MAX_BUCKET=256; 0 = unbounded)")
+    ing.add_argument("--n-shards", type=int, default=64,
+                     help="band-index shard count (creation only; later "
+                     "calls must match the stored meta)")
+    ing.add_argument("--docs-shards", type=int, default=64,
+                     help="docs-store shard count (creation only; later "
+                     "calls must match the stored meta)")
+    ing.add_argument("--k-shingle", type=int, default=3)
+    ing.add_argument("--n-hashes", type=int, default=12)
+    ing.add_argument("--bands", type=int, default=4)
+
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
     bv.add_argument("index_path")
@@ -636,6 +666,61 @@ def index_main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-index")
+
+    if args.cmd == "ingest":
+        if not 0 < args.threshold <= 1:
+            raise SystemExit(
+                f"--threshold must be in (0, 1], got {args.threshold}"
+            )
+        if args.star_accept_frac != 0 and not (
+            0 < args.star_accept_frac <= 1
+        ):
+            raise SystemExit(
+                "--star-accept-frac must be in (0, 1] or 0 to disable "
+                f"the gate, got {args.star_accept_frac}"
+            )
+        if args.salvage_cap < 0:
+            raise SystemExit(
+                f"--salvage-cap must be >= 0, got {args.salvage_cap}"
+            )
+        from wrds_data_pipeline_spark.operators.dedup import (
+            DEFAULT_MAX_BUCKET,
+            ingest_increment,
+        )
+
+        max_bucket = DEFAULT_MAX_BUCKET
+        if args.lsh_max_bucket is not None:
+            max_bucket = (
+                None if args.lsh_max_bucket == 0 else args.lsh_max_bucket
+            )
+        try:
+            pairs = ingest_increment(
+                spark.read.parquet(args.docs_path),
+                args.index_path,
+                args.docs_store,
+                threshold=args.threshold,
+                k_shingle=args.k_shingle,
+                n_hashes=args.n_hashes,
+                bands=args.bands,
+                n_shards=args.n_shards,
+                docs_shards=args.docs_shards,
+                max_bucket=max_bucket,
+                star_accept_frac=(
+                    None if args.star_accept_frac == 0
+                    else args.star_accept_frac
+                ),
+                demoted_salvage_cap=(
+                    None if args.salvage_cap == 0 else args.salvage_cap
+                ),
+            )
+        except ValueError as exc:
+            # meta mismatch / store-inconsistency refusals, dressed as
+            # the CLI's usage-error exit
+            raise SystemExit(str(exc)) from exc
+        pairs.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"{n} verified pairs -> {args.out_dir}; stores updated")
+        return 0
 
     if args.cmd in ("build-band", "append-band", "probe-band"):
         from wrds_data_pipeline_spark.operators.dedup import (

@@ -1586,6 +1586,7 @@ def probe_band_index(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     resolved_col: str | None = None,
     carry_bucket: bool = False,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """``incremental_lsh_candidates`` against the ON-DISK index:
     candidate pairs (id_a, id_b) of the increment vs the accumulated
@@ -1598,21 +1599,27 @@ def probe_band_index(
     the stored side's OTHER shards are never listed, read, or shuffled.
     Pass False to benchmark the full-scan plan or when the increment
     is known to span every shard anyway.
+
+    ``new_banded``: optionally the increment's precomputed (persisted)
+    band relation — a caller that must also APPEND those bands after
+    probing (``ingest_increment``) hashes the increment exactly once.
+    MUST have been built with the index's own meta scheme.
     """
     spark = new_docs.sparkSession
     meta = _read_band_index_meta(spark, path)
     own = scope is None
     scope = scope or PersistScope()
-    new_banded = scope.persist(
-        minhash_band_table(
-            new_docs,
-            id_col,
-            text_col,
-            meta["k_shingle"],
-            meta["n_hashes"],
-            meta["bands"],
+    if new_banded is None:
+        new_banded = scope.persist(
+            minhash_band_table(
+                new_docs,
+                id_col,
+                text_col,
+                meta["k_shingle"],
+                meta["n_hashes"],
+                meta["bands"],
+            )
         )
-    )
     index = spark.read.parquet(f"{path}/bands")
     if prune_shards:
         shards = [
@@ -1665,6 +1672,200 @@ def probe_band_index_verified(
         star_accept_frac, demoted_salvage_cap, scope,
     )
     return materialize_release(out, scope) if own else out
+
+
+_DOCS_STORE_META = "_ingest_meta.json"
+
+
+def _doc_store_shard(col, docs_shards: int):
+    return F.pmod(F.xxhash64(col), F.lit(docs_shards)).cast("int")
+
+
+def ingest_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    docs_store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    n_shards: int = 64,
+    docs_shards: int = 64,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    star_accept_frac: float | None = 0.9,
+    demoted_salvage_cap: int | None = 32,
+) -> DataFrame:
+    """ONE-VERB verified ingest: probe the on-disk band index with the
+    increment, exact-Jaccard-verify every candidate against the
+    on-disk DOCS STORE, evidence-gate hot buckets, salvage demoted
+    ones, and only then append the increment's bands AND texts to the
+    two stores IN LOCKSTEP — the library/streaming coverage contract
+    ("every indexed id has its text in the store") made operational,
+    so a CLI user no longer has to compose ``probe-band
+    --verify-docs`` + ``append-band`` + a store append by hand and
+    honor the contract themselves.
+
+    Store layout: the band side is ``build_band_index``'s
+    (``index_path/bands`` partitioned by ``shard = xxhash64(band,
+    band_hash) % n_shards`` + a ``meta`` row), so the existing
+    ``probe-band``/``append-band`` verbs interoperate; the docs store
+    is parquet partitioned by ``shard = xxhash64(id) % docs_shards``
+    (the ``streaming_near_dedup_verified`` scheme) with a
+    ``_ingest_meta.json`` pinning ``docs_shards``.  First call
+    CREATES both stores with the passed parameters; later calls
+    REFUSE loudly when the passed signature/shard parameters differ
+    from the stored metas (a mismatched probe silently misses pairs;
+    a mismatched shard count silently prunes the wrong partitions).
+
+    Per increment, cost is O(|increment| + |collisions|): the band
+    probe statically prunes to the increment's band shards, the
+    verification read statically prunes to the shards of
+    candidate-touched STORED ids (both collects bounded by the shard
+    counts), and only candidate-touched docs are ever re-shingled.
+
+    Crash recovery (plain-parquet appends are not transactional —
+    LOCAL-FILESYSTEM-ONLY, at production scale both stores are
+    transactional tables): the docs store is appended FIRST, so an
+    interruption leaves at worst orphan TEXT rows — never an indexed
+    id without its verification text, which is the one ordering that
+    preserves the coverage contract under a crash (orphan texts are
+    benign: never probed, deduplicated at read if the increment is
+    re-ingested).  Re-running the same increment after ANY
+    interruption recovers: duplicate band rows only inflate bucket
+    censuses (group-preserving), duplicate doc rows are dropped on
+    the touched subset at verification time, and the emitted pairs
+    are the same set.
+
+    Returns the materialized (id_a, id_b, jaccard) pairs — computed
+    BEFORE the appends, so every pair is attributed to exactly one
+    increment (the streaming harness invariant)."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    os.makedirs(index_path, exist_ok=True)
+    os.makedirs(docs_store_path, exist_ok=True)
+
+    index_exists = os.path.exists(os.path.join(index_path, "meta"))
+    if index_exists:
+        meta = _read_band_index_meta(spark, index_path)
+        passed = {
+            "n_shards": n_shards, "k_shingle": k_shingle,
+            "n_hashes": n_hashes, "bands": bands,
+        }
+        if meta != passed:
+            raise ValueError(
+                f"ingest_increment: band index at {index_path!r} was "
+                f"built with {meta}, called with {passed} — probing "
+                "it would silently miss pairs; pass the original "
+                "parameters or rebuild the stores"
+            )
+    docs_meta_path = os.path.join(docs_store_path, _DOCS_STORE_META)
+    if os.path.exists(docs_meta_path):
+        with open(docs_meta_path) as fh:
+            stored = json.load(fh)
+        if stored != {"docs_shards": docs_shards}:
+            raise ValueError(
+                f"ingest_increment: docs store at {docs_store_path!r} "
+                f"was built with {stored}, called with docs_shards="
+                f"{docs_shards} — shard pruning would read the wrong "
+                "partitions; pass the original value or rebuild"
+            )
+    else:
+        with open(docs_meta_path, "w") as fh:
+            json.dump({"docs_shards": docs_shards}, fh)
+    # an index with rows but an UNREADABLE verification side is the
+    # operational mistake this verb exists to prevent (a probe-band
+    # index built without a store): refuse rather than fail-closed
+    # drop every cross pair (the gate would, silently costing recall)
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        _store_has_rows,
+    )
+
+    docs_has_rows = _store_has_rows(docs_store_path)
+    if index_exists and not docs_has_rows:
+        raise ValueError(
+            f"ingest_increment: band index at {index_path!r} has "
+            f"stored ids but the docs store {docs_store_path!r} is "
+            "empty — candidates against stored docs cannot be "
+            "verified (every cross pair would be dropped).  Ingest "
+            "through this verb from the start, or backfill the store "
+            "with the indexed corpus's (id, text) rows first"
+        )
+
+    with PersistScope() as scope:
+        banded = scope.persist(
+            minhash_band_table(
+                new_docs, id_col, text_col, k_shingle, n_hashes, bands
+            )
+        )
+        if index_exists:
+            cands = probe_band_index(
+                new_docs, index_path, id_col, text_col, True, scope,
+                max_bucket, resolved_col="_resolved", carry_bucket=True,
+                new_banded=banded,
+            )
+        else:
+            # first increment: new-vs-new only, probed against an
+            # empty stored side so the hot-bucket machinery still
+            # applies to the increment's own buckets
+            empty = spark.createDataFrame([], banded.schema)
+            cands = lsh_probe_bands(
+                banded, empty, max_bucket=max_bucket, scope=scope,
+                resolved_col="_resolved", carry_bucket=True,
+            )
+        cands = cands.localCheckpoint(eager=False)
+        docs_schema = new_docs.select(id_col, text_col).schema
+        if docs_has_rows:
+            # stored ids touched by a candidate → their shard set
+            # (bounded collect; new ids anti-joined out so their
+            # shards don't de-prune the read)
+            touched_old = (
+                cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .join(new_docs.select(id_col), id_col, "left_anti")
+            )
+            shards = [
+                r["s"]
+                for r in touched_old.select(
+                    _doc_store_shard(F.col(id_col), docs_shards).alias("s")
+                )
+                .distinct()
+                .collect()
+            ]
+            stored_docs = (
+                spark.read.parquet(docs_store_path)
+                .filter(F.col("shard").isin(shards))
+                .select(id_col, text_col)
+            )
+        else:
+            stored_docs = spark.createDataFrame([], docs_schema)
+        pairs = _verify_gate_candidates(
+            cands, new_docs, stored_docs, id_col, text_col, k_shingle,
+            threshold, n_hashes, bands, star_accept_frac,
+            demoted_salvage_cap, scope, cands_truncated=True,
+        ).localCheckpoint(eager=True)  # pairs complete BEFORE appends
+
+        new_docs.select(id_col, text_col).withColumn(
+            "shard", _doc_store_shard(F.col(id_col), docs_shards)
+        ).repartition(F.col("shard")).write.mode("append").partitionBy(
+            "shard"
+        ).parquet(docs_store_path)
+        banded.withColumn("shard", _band_index_shard(n_shards)).repartition(
+            F.col("shard")
+        ).write.mode("append").partitionBy("shard").parquet(
+            f"{index_path}/bands"
+        )
+        if not index_exists:
+            spark.createDataFrame(
+                [(n_shards, k_shingle, n_hashes, bands)],
+                list(_BAND_INDEX_META_COLS),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{index_path}/meta"
+            )
+    return pairs
 
 
 def containment_pairs(
