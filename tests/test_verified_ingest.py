@@ -678,3 +678,116 @@ def test_cli_ingest_refuses_index_without_store(spark, tmp_path):
             "ingest", p, idx, str(tmp_path / "store"),
             str(tmp_path / "out"),
         ])
+
+
+def test_cli_compact_preserves_results_and_bounds_files(
+    spark, tmp_path, degenerate
+):
+    """Store maintenance: re-running an increment (at-least-once
+    residue) duplicates rows in BOTH stores and adds one file per
+    shard per append; `compact` must reclaim the duplicates and
+    collapse each shard to one file while changing NOTHING observable
+    — same meta, same probe candidate set, same verified-ingest
+    pairs, lockstep intact."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _read_band_index_meta,
+        probe_band_index,
+    )
+
+    dup_a = (30_000, "the quick brown fox jumps over the lazy dog again and again today")
+    dup_b = (30_001, "the quick brown fox jumps over the lazy dog again and again tonight")
+    inc1_rows = degenerate[: M // 2] + [dup_a]
+    inc2_rows = degenerate[M // 2 :] + [dup_b]
+
+    def write_inc(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(p)
+        return p
+
+    p1 = write_inc("inc1.parquet", inc1_rows)
+    p2 = write_inc("inc2.parquet", inc2_rows)
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    assert index_main(
+        ["ingest", p1, idx, store, out, "--lsh-max-bucket", str(B)]
+    ) == 0
+    # the at-least-once residue: the SAME increment ingested again
+    assert index_main(
+        ["ingest", p1, idx, store, out, "--lsh-max-bucket", str(B)]
+    ) == 0
+    n_ids = len(inc1_rows)
+    assert spark.read.parquet(f"{idx}/bands").count() == 2 * 4 * n_ids
+    assert spark.read.parquet(store).count() == 2 * n_ids
+
+    # frozen duplicate-laden copies: the dirty baseline to diff against
+    idx2, store2 = str(tmp_path / "idx2"), str(tmp_path / "store2")
+    shutil.copytree(idx, idx2)
+    shutil.copytree(store, store2)
+
+    meta_before = _read_band_index_meta(spark, idx2)
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(idx2)
+    )
+    assert index_main(
+        ["compact", "--band-index", idx2, "--docs-store", store2]
+    ) == 0
+    # duplicates reclaimed, one file per touched shard, scheme pinned
+    assert spark.read.parquet(f"{idx2}/bands").count() == 4 * n_ids
+    assert spark.read.parquet(store2).count() == n_ids
+    assert _read_band_index_meta(spark, idx2) == meta_before
+    assert os.path.exists(os.path.join(store2, "_ingest_meta.json"))
+    files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(idx2)
+    )
+    assert files_after < files_before
+    shard_dirs = [
+        os.path.join(store2, d)
+        for d in os.listdir(store2)
+        if d.startswith("shard=")
+    ]
+    assert shard_dirs
+    for d in shard_dirs:
+        assert (
+            len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+        )
+
+    # observable behavior identical: probe candidates and a verified
+    # ingest of a NEW increment agree dirty-vs-compacted
+    inc2 = spark.read.parquet(p2)
+    cand_dirty = {
+        (r.id_a, r.id_b)
+        for r in probe_band_index(inc2, idx, max_bucket=B).collect()
+    }
+    cand_compact = {
+        (r.id_a, r.id_b)
+        for r in probe_band_index(inc2, idx2, max_bucket=B).collect()
+    }
+    assert cand_dirty == cand_compact
+    out_d, out_c = str(tmp_path / "out_d"), str(tmp_path / "out_c")
+    assert index_main(
+        ["ingest", p2, idx, store, out_d, "--lsh-max-bucket", str(B)]
+    ) == 0
+    assert index_main(
+        ["ingest", p2, idx2, store2, out_c, "--lsh-max-bucket", str(B)]
+    ) == 0
+    got_d = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(out_d).collect()
+    )
+    got_c = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(out_c).collect()
+    )
+    assert (30_000, 30_001) in {(a, b) for a, b, _ in got_d}
+    assert got_d == got_c
+
+    # a no-target call refuses
+    with pytest.raises(SystemExit, match="compact"):
+        index_main(["compact"])

@@ -628,6 +628,18 @@ def index_main(argv: list[str] | None = None) -> int:
     ing.add_argument("--n-hashes", type=int, default=12)
     ing.add_argument("--bands", type=int, default=4)
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite the band index and/or docs store dropping "
+        "at-least-once duplicate rows and per-append small files; "
+        "shard scheme and metas preserved (probe/ingest results "
+        "identical post-compact)",
+    )
+    cp.add_argument("--band-index", default=None,
+                    help="band index path (build-band/ingest layout)")
+    cp.add_argument("--docs-store", default=None,
+                    help="shard-partitioned docs store path (ingest layout)")
+
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
     bv.add_argument("index_path")
@@ -666,6 +678,30 @@ def index_main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-index")
+
+    if args.cmd == "compact":
+        if args.band_index is None and args.docs_store is None:
+            raise SystemExit(
+                "compact: pass --band-index and/or --docs-store"
+            )
+        from wrds_data_pipeline_spark.operators.dedup import (
+            compact_band_index,
+            compact_docs_store,
+        )
+
+        for label, target, fn in (
+            ("band index", args.band_index, compact_band_index),
+            ("docs store", args.docs_store, compact_docs_store),
+        ):
+            if target is None:
+                continue
+            s = fn(spark, target)
+            print(
+                f"compacted {label} {target}: rows "
+                f"{s['rows_before']} -> {s['rows_after']}, files "
+                f"{s['files_before']} -> {s['files_after']}"
+            )
+        return 0
 
     if args.cmd == "ingest":
         if not 0 < args.threshold <= 1:

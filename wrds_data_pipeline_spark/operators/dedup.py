@@ -1868,6 +1868,107 @@ def ingest_increment(
     return pairs
 
 
+def _count_parquet_files(root: str) -> int:
+    import os
+
+    return sum(
+        1
+        for dirpath, _dirs, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:
+    """Replace ``live`` with ``tmp`` via two renames (write-then-swap:
+    the rewrite never touches the live store, so a crash DURING the
+    rewrite loses nothing).  ``keep_files``: store-level sidecars
+    (e.g. _ingest_meta.json) copied into the compacted dir before the
+    swap so the scheme pin survives.  The swap itself is two renames
+    wide — a crash between them leaves the store at ``live + '.old'``
+    (rename it back by hand); at production scale this whole verb is
+    a transactional-table REPLACE and the window doesn't exist."""
+    import os
+    import shutil
+
+    for f in keep_files:
+        src = os.path.join(live, f)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(tmp, f))
+    old = live + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
+def compact_band_index(spark, path: str) -> dict:
+    """Rewrite the on-disk band index dropping duplicated rows — the
+    at-least-once residue (a replayed/re-run increment re-appends its
+    bands) that is TOLERATED at read (duplicate band rows only
+    inflate bucket censuses, group-preservingly) but never reclaimed,
+    and the per-append small files (one file per shard per append)
+    that grow the listing cost monotonically.  Preserves the shard
+    scheme and the meta row exactly: post-compact probes see the same
+    candidate set, post-compact verified ingests emit the same pairs.
+    Returns {rows_before, rows_after, files_before, files_after}.
+
+    LOCAL-FILESYSTEM-ONLY (the store contract): the compacted copy is
+    fully written BESIDE the live store, then swapped in via rename —
+    see _swap_compacted for the crash window."""
+    meta = _read_band_index_meta(spark, path)
+    bands_dir = f"{path}/bands"
+    stats = {
+        "rows_before": spark.read.parquet(bands_dir).count(),
+        "files_before": _count_parquet_files(bands_dir),
+    }
+    tmp = bands_dir + ".compacting"
+    (
+        spark.read.parquet(bands_dir)
+        .dropDuplicates()  # full-row: exactly the re-append residue
+        .repartition(F.col("shard"))  # one file per shard
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    _swap_compacted(bands_dir, tmp, keep_files=[])
+    assert _read_band_index_meta(spark, path) == meta  # scheme pinned
+    stats["rows_after"] = spark.read.parquet(bands_dir).count()
+    stats["files_after"] = _count_parquet_files(bands_dir)
+    return stats
+
+
+def compact_docs_store(spark, path: str) -> dict:
+    """``compact_band_index``'s twin for the shard-partitioned docs
+    store: drop full-row duplicates (the re-appended (id, text) rows
+    the verification read dedups on every touched subset — paid per
+    read, never reclaimed) and collapse each shard to one file.
+    Full-row dedup only: two rows sharing an id with DIFFERENT text
+    are an id-uniqueness contract violation and stay visible rather
+    than being silently resolved here (the read-time guard keeps
+    handling them).  ``_ingest_meta.json`` (the docs_shards pin) is
+    carried into the compacted store.  Returns the same stats shape
+    as compact_band_index."""
+    stats = {
+        "rows_before": spark.read.parquet(path).count(),
+        "files_before": _count_parquet_files(path),
+    }
+    tmp = path + ".compacting"
+    (
+        spark.read.parquet(path)
+        .dropDuplicates()
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
+    stats["rows_after"] = spark.read.parquet(path).count()
+    stats["files_after"] = _count_parquet_files(path)
+    return stats
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
