@@ -461,3 +461,92 @@ def test_counts_feed_packing_and_budget(spark):
     ).toPandas()
     assert budget["n_tokens"].sum() <= 40
     assert len(budget) > 0
+
+
+_UNIGRAM_FIXTURE = (
+    __file__.rsplit("/", 1)[0] + "/fixtures/tiny_unigram_tokenizer.json"
+)
+
+# Hand-derived Viterbi walks over the unigram fixture (piece scores in
+# the json; unk penalty = min score −10 = −20; Metaspace prepends ▁
+# and keeps each ▁ with what follows, so "a  b" yields a lone-▁ word):
+#   "hello world" -> [▁hello][▁world]          best single pieces = 2
+#   "hello hold"  -> ▁hold has no whole piece: [▁h](-3.0)+[o](-1.5)+
+#                    [ld](-2.2) = -6.7 beats [▁h,o,l,d] (-8.0) and
+#                    [▁,ho,ld] (-14.7)                           = 4
+#   "hello xyz!"  -> ▁xyz!: [▁](-10) then x,y,z,! all unknown —
+#                    four unk chars FUSE into ONE <unk>           = 3
+#   "hello  world"-> lone ▁ between the words                     = 3
+_UNIGRAM_GOLDEN = [
+    ("hello world", 2),
+    ("hello hold", 4),
+    ("hello xyz!", 3),
+    ("hello  world", 3),
+    ("hello", 1),
+    ("", 0),
+    (None, 0),
+]
+
+
+def test_unigram_viterbi_golden_parity(spark):
+    """The Unigram (SentencePiece) half of the golden contract: the
+    vendored fixture reproduces the hand-walked Viterbi segmentations
+    through the same mapInPandas counting path."""
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        local_tokenizer_factory,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(_UNIGRAM_GOLDEN)],
+        "doc_id long, text string",
+    )
+    counted = tokenizer_token_counts(
+        docs, local_tokenizer_factory(_UNIGRAM_FIXTURE)
+    )
+    got = {r.doc_id: r.n_tokens for r in counted.collect()}
+    assert got == {i: n for i, (_, n) in enumerate(_UNIGRAM_GOLDEN)}
+
+
+def test_unigram_interpreter_ids_locally():
+    """Driver-side ids (not just counts): piece ids are vocab-list
+    positions, the best segmentation wins, consecutive unknowns fuse
+    into one unk_id, and the lone-▁ double-space word maps to ▁."""
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    tok = PurePythonTokenizer.from_file(_UNIGRAM_FIXTURE)
+    assert tok.encode("hello world").ids == [2, 3]
+    assert tok.encode("hello hold").ids == [2, 8, 5, 7]
+    assert tok.encode("hello xyz!").ids == [2, 1, 0]
+    assert tok.encode("hello  world").ids == [2, 1, 3]
+    assert tok.encode("").ids == []
+
+
+def test_unigram_unsupported_features_still_loud():
+    """The loud-refusal contract extends to the Unigram family:
+    byte_fallback, a missing unk_id, an unknown Metaspace
+    prepend_scheme, and ByteLevel-with-Unigram all refuse to load
+    (each would silently change ids relative to the Rust backend)."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_UNIGRAM_FIXTURE) as fh:
+        base = json.load(fh)
+    for mutate in (
+        lambda s: s["model"].__setitem__("byte_fallback", True),
+        lambda s: s["model"].__setitem__("unk_id", None),
+        lambda s: s["pre_tokenizer"].__setitem__(
+            "prepend_scheme", "exotic"
+        ),
+        lambda s: s.__setitem__("pre_tokenizer", {"type": "ByteLevel"}),
+        lambda s: s.__setitem__("pre_tokenizer", None),
+    ):
+        spec = json.loads(json.dumps(base))
+        mutate(spec)
+        with pytest.raises(NotImplementedError):
+            PurePythonTokenizer(spec)
+    # legacy add_prefix_space serialization still loads identically
+    spec = json.loads(json.dumps(base))
+    del spec["pre_tokenizer"]["prepend_scheme"]
+    spec["pre_tokenizer"]["add_prefix_space"] = True
+    assert PurePythonTokenizer(spec).encode("hello world").ids == [2, 3]

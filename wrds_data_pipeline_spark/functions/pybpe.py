@@ -3,8 +3,11 @@ fallback for ``functions/tokenize.py``.
 
 Implements the public HuggingFace ``tokenizer.json`` format (the
 serialization every HF tokenizer ships) for the subset a counting
-pipeline needs: Lowercase normalizer, Whitespace or ByteLevel
-(GPT-2-style) pre-tokenizer, WordLevel or BPE (merge-list) model,
+pipeline needs: Lowercase normalizer, Whitespace / ByteLevel
+(GPT-2-style) / Metaspace (SentencePiece-style) pre-tokenizer,
+WordLevel, BPE (merge-list), or Unigram (Viterbi over piece
+log-probs — Kudo 2018, the other dominant public tokenizer family:
+T5/ALBERT/XLNet and most SentencePiece exports) model,
 TemplateProcessing (or no-op ByteLevel) post-processor.  The BPE
 merge loop is the textbook public algorithm (Sennrich et al. 2016,
 as implemented by HF tokenizers): split the word into symbols,
@@ -147,7 +150,7 @@ class PurePythonTokenizer:
             raise NotImplementedError(f"normalizer {norm.get('type')!r}")
         self.lowercase = norm.get("type") == "Lowercase"
         pre = spec.get("pre_tokenizer") or {}
-        if pre.get("type") not in ("Whitespace", "ByteLevel"):
+        if pre.get("type") not in ("Whitespace", "ByteLevel", "Metaspace"):
             # an ABSENT pre_tokenizer is not "default to whitespace":
             # it means sentencepiece-style whole-text tokenization,
             # which this interpreter does not implement — silently
@@ -155,22 +158,77 @@ class PurePythonTokenizer:
             # exact failure these guards exist to make loud
             raise NotImplementedError(
                 f"pre_tokenizer {pre.get('type')!r} "
-                "(must be Whitespace or ByteLevel)"
+                "(must be Whitespace, ByteLevel, or Metaspace)"
             )
-        self.byte_level = pre.get("type") == "ByteLevel"
+        self.pre_type = pre.get("type")
+        self.byte_level = self.pre_type == "ByteLevel"
         self.add_prefix_space = bool(pre.get("add_prefix_space"))
         # use_regex=False is whole-text byte encoding (no word split)
         self.use_regex = pre.get("use_regex", True)
+        if self.pre_type == "Metaspace":
+            self.ms_replacement = pre.get("replacement", "▁")
+            scheme = pre.get("prepend_scheme")
+            if scheme is None:
+                # legacy serialization: add_prefix_space bool
+                # (defaults True, like the Rust struct)
+                self.ms_prepend = bool(pre.get("add_prefix_space", True))
+            elif scheme in ("always", "first"):
+                # identical on a single-segment encode (this
+                # interpreter never splits on added special tokens,
+                # the only case where they diverge)
+                self.ms_prepend = True
+            elif scheme == "never":
+                self.ms_prepend = False
+            else:
+                raise NotImplementedError(
+                    f"Metaspace prepend_scheme {scheme!r}"
+                )
+            self.ms_split = bool(pre.get("split", True))
         model = spec["model"]
         self.model_type = model["type"]
-        if self.model_type not in ("WordLevel", "BPE"):
+        if self.model_type not in ("WordLevel", "BPE", "Unigram"):
             raise NotImplementedError(f"model {self.model_type!r}")
         if self.byte_level and self.model_type != "BPE":
             raise NotImplementedError(
                 "ByteLevel pre_tokenizer with a non-BPE model"
             )
-        self.vocab: dict[str, int] = model["vocab"]
-        self.unk = model.get("unk_token")
+        if self.pre_type == "Metaspace" and self.model_type != "Unigram":
+            # a real public combo (sentencepiece-BPE), just not one
+            # this interpreter implements — refuse rather than feed
+            # metaspace words to a merge loop never tested on them
+            raise NotImplementedError(
+                "Metaspace pre_tokenizer with a non-Unigram model"
+            )
+        if self.model_type == "Unigram":
+            # Unigram (SentencePiece) — Viterbi segmentation over a
+            # vocab of (piece, log-prob).  Same loud-refusal contract
+            # as the BPE options below for anything that would change
+            # ids relative to the Rust backend.
+            if model.get("byte_fallback"):
+                raise NotImplementedError("Unigram byte_fallback")
+            if model.get("unk_id") is None:
+                raise NotImplementedError(
+                    "Unigram without unk_id (an unknown character "
+                    "would have no fallback — refusing rather than "
+                    "dropping it silently)"
+                )
+            entries = model["vocab"]  # [[piece, log_prob], ...]
+            self.uni_unk_id = int(model["unk_id"])
+            self.uni_scores = {p: float(s) for p, s in entries}
+            self.uni_ids = {p: i for i, (p, _) in enumerate(entries)}
+            self.uni_max_len = max((len(p) for p, _ in entries), default=1)
+            # sentencepiece's unknown penalty: 10 below the worst
+            # real piece score, so an unknown single char can never
+            # beat a real segmentation but still completes the
+            # lattice when nothing else covers a position
+            self.uni_unk_score = (
+                min((float(s) for _, s in entries), default=0.0) - 10.0
+            )
+            self.vocab = self.uni_ids
+            self.unk = None
+        else:
+            self.vocab: dict[str, int] = model["vocab"]
+            self.unk = model.get("unk_token")
         if self.model_type == "BPE":
             # BPE options that change the merge/symbol semantics: a
             # spec that sets any of them would load fine but produce
@@ -255,7 +313,66 @@ class PurePythonTokenizer:
             symbols = out
         return symbols
 
+    def _metaspace_words(self, text: str) -> list[str]:
+        """The Metaspace pre-tokenizer: spaces become the replacement
+        codepoint (▁), one is optionally prepended, and the text
+        splits so each replacement stays attached to what follows it
+        ("hello  world" → ["▁hello", "▁", "▁world"] — a lone ▁ word
+        per extra space, matching the merged-with-next split)."""
+        rep = self.ms_replacement
+        t = text.replace(" ", rep)
+        if self.ms_prepend and t and not t.startswith(rep):
+            t = rep + t
+        if not self.ms_split:
+            return [t] if t else []
+        parts = t.split(rep)
+        words = [parts[0]] if parts[0] else []
+        words.extend(rep + p for p in parts[1:])
+        return words
+
+    def _unigram_word_ids(self, word: str) -> list[int]:
+        """Viterbi over the piece lattice — the public SentencePiece
+        algorithm (Kudo 2018): best[e] is the max total log-prob of
+        any segmentation of word[:e]; every vocab piece ending at e
+        competes, plus a single-char unknown at uni_unk_score, so the
+        lattice always completes.  On a score tie the longest piece
+        wins (strict improvement keeps the first candidate; starts
+        scan longest-first).  Consecutive unknown chars FUSE into one
+        unk id (sentencepiece fuse_unk, the conversion default)."""
+        n = len(word)
+        neg = float("-inf")
+        best = [0.0] + [neg] * n
+        back: list[tuple[int, int | None]] = [(0, None)] * (n + 1)
+        for e in range(1, n + 1):
+            for s in range(max(0, e - self.uni_max_len), e):
+                sc = self.uni_scores.get(word[s:e])
+                if sc is not None and best[s] + sc > best[e]:
+                    best[e] = best[s] + sc
+                    back[e] = (s, self.uni_ids[word[s:e]])
+            if best[e - 1] + self.uni_unk_score > best[e]:
+                best[e] = best[e - 1] + self.uni_unk_score
+                back[e] = (e - 1, None)
+        rev: list[int | None] = []
+        e = n
+        while e > 0:
+            s, tid = back[e]
+            rev.append(tid)
+            e = s
+        out: list[int] = []
+        prev_unk = False
+        for tid in reversed(rev):
+            if tid is None:
+                if not prev_unk:
+                    out.append(self.uni_unk_id)
+                prev_unk = True
+            else:
+                out.append(tid)
+                prev_unk = False
+        return out
+
     def _word_ids(self, word: str) -> list[int]:
+        if self.model_type == "Unigram":
+            return self._unigram_word_ids(word)
         if self.model_type == "WordLevel":
             pieces = [word]
         else:
@@ -286,6 +403,8 @@ class PurePythonTokenizer:
                 if self.use_regex
                 else ([text] if text else [])
             )
+        elif self.pre_type == "Metaspace":
+            words = self._metaspace_words(text)
         else:
             words = _WHITESPACE_PRE.findall(text)
         ids: list[int] = []
