@@ -147,12 +147,27 @@ def main() -> None:
             "load_avg_1m_end": round(load_end, 2),
         },
     }))
+    # the 1-min load rides in the HEADLINE too (not just the aux
+    # diagnostics line), so a timing regression can neither hide
+    # behind nor be mis-blamed on ambient load without the stored
+    # record saying which (VERDICT r9 next #8); note Spark itself
+    # contributes to the reading — local[32] runs ~32 threads hot
+    load_1m = round(load_end, 2)
+    if load_1m > 2:
+        print(
+            f"# WARNING: 1-min load {load_1m} > 2 at bench end — "
+            "ambient contention may inflate these medians; prefer the "
+            "per-query [min, median] spread on the aux line when "
+            "comparing rounds",
+            file=sys.stderr,
+        )
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_1m": load_1m,
     }))
 
 
