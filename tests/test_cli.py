@@ -746,3 +746,52 @@ def test_index_cli_refuses_mark_resolved_with_verify_docs(spark, tmp_path):
             os.path.join(str(tmp_path), "out"),
             "--verify-docs", docs_p, "--mark-resolved",
         ])
+
+
+def test_corpus_cli_materialize_stages_parity(spark, tmp_path):
+    """--materialize-stages (the production deployment shape: each
+    stage writes a table its successor scans) must change NOTHING
+    observable: shard contents, report, and summary identical to the
+    lazy default, with the stage tables actually on disk."""
+    from wrds_data_pipeline_spark.cli import corpus_main
+
+    rows = []
+    boiler = "subscribe to our newsletter for updates"
+    para = "this paragraph repeats across many documents verbatim"
+    for i in range(40):
+        body = f"document {i} discusses topic {i % 7} in useful detail"
+        text = f"{body}\n{boiler}" if i % 2 else f"{body}\n{para}\n{boiler}"
+        rows.append((i, text))
+    docs_p = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_p
+    )
+    flags = [
+        "--min-quality", "0.0", "--langs", "xx,en,unknown",
+        "--boilerplate-min-docs", "5", "--paragraph-dedup",
+        "--keep-frac", "0.9",
+    ]
+    out_lazy = os.path.join(str(tmp_path), "out_lazy")
+    out_mat = os.path.join(str(tmp_path), "out_mat")
+    stages = os.path.join(str(tmp_path), "stages")
+    assert corpus_main([docs_p, out_lazy] + flags) == 0
+    assert corpus_main(
+        [docs_p, out_mat] + flags + ["--materialize-stages", stages]
+    ) == 0
+
+    def rows_of(d, sub):
+        return sorted(
+            map(tuple, spark.read.parquet(os.path.join(d, sub)).collect())
+        )
+
+    got = rows_of(out_mat, "shards")
+    assert got, "empty shards would make the parity vacuous"
+    assert got == rows_of(out_lazy, "shards")
+    assert rows_of(out_mat, "report") == rows_of(out_lazy, "report")
+    assert rows_of(out_mat, "shards_summary") == rows_of(
+        out_lazy, "shards_summary"
+    )
+    # the enabled stages each left their table
+    for stage in ("boilerplate", "paragraph_dedup", "curated", "gated"):
+        assert spark.read.parquet(os.path.join(stages, stage)).count() > 0
+    assert not os.path.exists(os.path.join(stages, "span_dedup"))

@@ -562,33 +562,15 @@ def _generate_chain_docs(n: int) -> str:
     return path
 
 
-def corpus_chain_rung(spark, sizes: list[int]) -> None:
-    """Whole-pipeline pass counting (VERDICT r8 next #8): the
-    `--corpus-gates` protocol extended to the full 9-stage CLI chain
-    (boilerplate → paragraph → span → curate → decontaminate → model
-    → quantile/perplexity → pack → shards), driven through
-    ``corpus_main`` ITSELF — the source read is wrapped via the
-    ``cli._read_docs`` seam, so what is measured is the production
-    body including its persist points and writes.
-
-    Per-stage attribution: stages are lazy inside one plan, so a
-    stage's scan cost surfaces at whichever action forces it — the
-    honest per-stage number is therefore the MARGINAL total passes of
-    a ladder that switches stages on one at a time (each rung a full
-    corpus_main run).  Structural expectation: every marginal is a
-    small constant, flat across corpus sizes."""
-    import shutil
-    import tempfile
-
+def _chain_assets(spark, tmp: str, docs0) -> tuple[str, str, str]:
+    """Stage-side artifacts shared by the chain rungs, built once:
+    benchmark items sliced from a carrier doc (live hit path), an LM
+    reference, a trained quality model (synthetic good/bad seed, same
+    recipe as the CLI test).  Returns (bench, lm_ref, model) paths."""
     from pyspark.sql import functions as F
 
     from wrds_data_pipeline_spark import cli
 
-    tmp = tempfile.mkdtemp(prefix="chain_rung_")
-    # stage-side artifacts, built once: benchmark items sliced from a
-    # carrier doc (live hit path), an LM reference, a trained quality
-    # model (synthetic good/bad seed, same recipe as the CLI test)
-    docs0 = spark.read.parquet(_generate_chain_docs(sizes[0]))
     body = docs0.filter(F.col("doc_id") == 0).first()["text"].split()
     bench_p = os.path.join(tmp, "bench")
     spark.createDataFrame(
@@ -608,6 +590,112 @@ def corpus_chain_rung(spark, sizes: list[int]) -> None:
     assert cli.quality_main(
         ["train", labeled_p, model_p, "--n-buckets", "4096"]
     ) == 0
+    return bench_p, lm_p, model_p
+
+
+def corpus_chain_materialized_rung(spark, sizes: list[int]) -> None:
+    """--materialize-stages validation (VERDICT r9 next #7): the FULL
+    9-stage chain run twice on the same fixture — lazy (the default)
+    vs stage-materialized — must produce IDENTICAL shard contents,
+    and the materialized run's total SOURCE passes must collapse to
+    the first stage's intrinsic constant (every later stage reads its
+    predecessor's table, so the original source is never re-scanned
+    by a downstream action — the deployment shape SCALE.md argues)."""
+    import shutil
+    import tempfile
+
+    from wrds_data_pipeline_spark import cli
+
+    tmp = tempfile.mkdtemp(prefix="chain_mat_")
+    n = sizes[0]
+    docs_path = _generate_chain_docs(n)
+    docs0 = spark.read.parquet(docs_path)
+    n_docs = docs0.count()
+    bench_p, lm_p, model_p = _chain_assets(spark, tmp, docs0)
+    flags = [
+        "--min-quality", "0.0", "--langs", "xx,en,unknown",
+        "--boilerplate-min-docs", "3", "--paragraph-dedup",
+        "--span-dedup-k", "12",
+        "--bench", bench_p, "--bench-scrub", "--bench-scrub-strict",
+        # min-prob 0: the synthetic-seed model scores every chain doc
+        # under the default 0.5, which would empty the shards and make
+        # the content-parity assertion below vacuous — the stage still
+        # runs (scores joined, filter applied), it just keeps rows
+        "--quality-model", model_p, "--model-min-prob", "0.0",
+        "--lm-ref", lm_p,
+        "--keep-frac", "0.5",
+    ]
+    real_read = cli._read_docs
+    results = {}
+    try:
+        print(f"n={n}: full chain, lazy vs --materialize-stages")
+        for mode, extra in (
+            ("lazy", []),
+            (
+                "materialized",
+                ["--materialize-stages", os.path.join(tmp, "stages")],
+            ),
+        ):
+            ticker = {}
+
+            def patched(s, p, _t=ticker):
+                df, acc = _row_ticker(s, real_read(s, p))
+                _t["acc"] = acc
+                return df
+
+            cli._read_docs = patched
+            out_dir = os.path.join(tmp, f"out_{mode}")
+            t0 = time.time()
+            assert cli.corpus_main([docs_path, out_dir] + flags + extra) == 0
+            wall = time.time() - t0
+            passes = ticker["acc"].value / n_docs
+            content = sorted(
+                map(tuple, spark.read.parquet(f"{out_dir}/shards").collect())
+            )
+            results[mode] = (passes, content)
+            print(
+                f"  {mode}: source passes={passes:.2f} wall={wall:.1f}s "
+                f"shard_rows={len(content)}"
+            )
+        assert results["lazy"][1], (
+            "empty shards — the parity assertion would be vacuous"
+        )
+        assert results["lazy"][1] == results["materialized"][1], (
+            "shard contents diverged between lazy and materialized"
+        )
+        print(
+            f"  shards identical ({len(results['lazy'][1])} rows); "
+            f"source passes {results['lazy'][0]:.2f} -> "
+            f"{results['materialized'][0]:.2f}"
+        )
+    finally:
+        cli._read_docs = real_read
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def corpus_chain_rung(spark, sizes: list[int]) -> None:
+    """Whole-pipeline pass counting (VERDICT r8 next #8): the
+    `--corpus-gates` protocol extended to the full 9-stage CLI chain
+    (boilerplate → paragraph → span → curate → decontaminate → model
+    → quantile/perplexity → pack → shards), driven through
+    ``corpus_main`` ITSELF — the source read is wrapped via the
+    ``cli._read_docs`` seam, so what is measured is the production
+    body including its persist points and writes.
+
+    Per-stage attribution: stages are lazy inside one plan, so a
+    stage's scan cost surfaces at whichever action forces it — the
+    honest per-stage number is therefore the MARGINAL total passes of
+    a ladder that switches stages on one at a time (each rung a full
+    corpus_main run).  Structural expectation: every marginal is a
+    small constant, flat across corpus sizes."""
+    import shutil
+    import tempfile
+
+    from wrds_data_pipeline_spark import cli
+
+    tmp = tempfile.mkdtemp(prefix="chain_rung_")
+    docs0 = spark.read.parquet(_generate_chain_docs(sizes[0]))
+    bench_p, lm_p, model_p = _chain_assets(spark, tmp, docs0)
 
     base = ["--min-quality", "0.0", "--langs", "xx,en,unknown"]
     ladder = [
@@ -1040,6 +1128,14 @@ def main() -> None:
         corpus_chain_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000, 32000],
+        )
+        return
+    if "--corpus-chain-materialized" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        corpus_chain_materialized_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000],
         )
         return
     if "--scrub-short-items" in sys.argv:

@@ -368,6 +368,13 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "--perplexity-keep-frac LEAST surprising docs "
                    "(the CCNet recipe)")
     p.add_argument("--perplexity-keep-frac", type=float, default=0.7)
+    p.add_argument("--materialize-stages", default=None, metavar="DIR",
+                   help="write each stage's output table under DIR "
+                   "and read it back (the production deployment "
+                   "shape, SCALE.md: every stage scans its "
+                   "predecessor's materialized table instead of "
+                   "re-deriving the lazy chain per downstream "
+                   "action); shard contents are identical either way")
     args = p.parse_args(argv)
 
     from wrds_data_pipeline_spark.operators.packing import (
@@ -380,26 +387,52 @@ def corpus_main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name="wrds-spark-corpus")
+
+    def _stage_table(df, name: str):
+        """Stage-materialized mode: write ``df`` as DIR/name and read
+        it back — lineage truncation by TABLE, the deployment shape
+        SCALE.md argues for (each stage's output scanned once by its
+        successor; a downstream action can no longer re-derive the
+        whole upstream chain).  A plain read, deliberately NOT the
+        _read_docs seam: the pass-count rehearsal ticks SOURCE
+        passes, and stage-table reads are not source scans."""
+        if not args.materialize_stages:
+            return df
+        import os
+
+        path = os.path.join(args.materialize_stages, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     docs = _read_docs(spark, args.docs_path)
     if args.boilerplate_min_docs:
         from wrds_data_pipeline_spark.operators.boilerplate import (
             remove_boilerplate,
         )
 
-        docs = remove_boilerplate(
-            docs, min_docs=args.boilerplate_min_docs
-        ).select("doc_id", "text")
+        docs = _stage_table(
+            remove_boilerplate(
+                docs, min_docs=args.boilerplate_min_docs
+            ).select("doc_id", "text"),
+            "boilerplate",
+        )
     if args.paragraph_dedup:
         from wrds_data_pipeline_spark.operators.boilerplate import (
             paragraph_dedup,
         )
 
-        docs = paragraph_dedup(docs).select("doc_id", "text")
+        docs = _stage_table(
+            paragraph_dedup(docs).select("doc_id", "text"),
+            "paragraph_dedup",
+        )
     if args.span_dedup_k > 0:
         from wrds_data_pipeline_spark.operators.spans import span_dedup
 
-        docs = span_dedup(docs, k=args.span_dedup_k).select(
-            "doc_id", "text"
+        docs = _stage_table(
+            span_dedup(docs, k=args.span_dedup_k).select(
+                "doc_id", "text"
+            ),
+            "span_dedup",
         )
     curate_kwargs = {}
     if args.lsh_max_bucket is not None:
@@ -413,6 +446,7 @@ def corpus_main(argv: list[str] | None = None) -> int:
         group_dedup=args.group_dedup,
         **curate_kwargs,
     )
+    kept = _stage_table(kept, "curated")
     if args.bench:
         from wrds_data_pipeline_spark.operators.contamination import (
             benchmark_leak_report,
@@ -482,6 +516,7 @@ def corpus_main(argv: list[str] | None = None) -> int:
             kept = decontaminate(
                 kept, bench_df, n=8, cover_short_items=cover
             )
+        kept = _stage_table(kept, "decontaminated")
     # fused per-doc gate stage — validate the fractions FIRST (so
     # only a genuine usage error becomes the CLI exit; a ValueError
     # raised mid-pipeline must propagate with its traceback, never be
@@ -504,7 +539,9 @@ def corpus_main(argv: list[str] | None = None) -> int:
     # persist: kept feeds the packing plan AND the shard join; packed
     # feeds the write AND the summary — without these the whole
     # curate->decontaminate->quantile chain re-executes per action
-    kept = kept.persist()
+    # (in stage-materialized mode the gated table plays that role and
+    # the persist just pins the parquet read)
+    kept = _stage_table(kept, "gated").persist()
     packed = pack_sequences(kept, args.max_tokens).persist()
     if args.shard_format == "jsonl":
         from wrds_data_pipeline_spark.sinks import write_jsonl_shards
