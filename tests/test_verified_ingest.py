@@ -791,3 +791,35 @@ def test_cli_compact_preserves_results_and_bounds_files(
     # a no-target call refuses
     with pytest.raises(SystemExit, match="compact"):
         index_main(["compact"])
+
+
+def test_cli_compact_flat_store(spark, tmp_path):
+    """The streaming twins' flat per-batch-append indexes (band /
+    membership stores) accumulate full-row duplicates under
+    at-least-once replay and one-plus files per batch; `compact
+    --flat-store` must reclaim both, schema-agnostically, with the
+    content set unchanged."""
+    import os
+
+    from wrds_data_pipeline_spark.cli import index_main
+
+    store = str(tmp_path / "flat_idx")
+    rows = spark.createDataFrame(
+        [(i, i % 4, f"h{i % 7}") for i in range(50)],
+        "_id long, band int, band_hash string",
+    )
+    for _ in range(3):  # three appends, one a full replay duplicate
+        rows.repartition(4).write.mode("append").parquet(store)
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert len(before) == 150
+    n_files_before = sum(
+        1 for f in os.listdir(store) if f.endswith(".parquet")
+    )
+    assert index_main(["compact", "--flat-store", store]) == 0
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert after == sorted(set(before))
+    assert len(after) == 50
+    n_files_after = sum(
+        1 for f in os.listdir(store) if f.endswith(".parquet")
+    )
+    assert n_files_after <= 8 < n_files_before

@@ -676,6 +676,10 @@ def index_main(argv: list[str] | None = None) -> int:
                     help="band index path (build-band/ingest layout)")
     cp.add_argument("--docs-store", default=None,
                     help="shard-partitioned docs store path (ingest layout)")
+    cp.add_argument("--flat-store", action="append", default=None,
+                    help="flat (unpartitioned) parquet store appended "
+                    "per micro-batch by the streaming twins "
+                    "(band/vector/membership indexes); repeatable")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -717,19 +721,29 @@ def index_main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="wrds-spark-index")
 
     if args.cmd == "compact":
-        if args.band_index is None and args.docs_store is None:
+        if (
+            args.band_index is None
+            and args.docs_store is None
+            and not args.flat_store
+        ):
             raise SystemExit(
-                "compact: pass --band-index and/or --docs-store"
+                "compact: pass --band-index, --docs-store, and/or "
+                "--flat-store"
             )
         from wrds_data_pipeline_spark.operators.dedup import (
             compact_band_index,
             compact_docs_store,
+            compact_flat_store,
         )
 
-        for label, target, fn in (
+        jobs = [
             ("band index", args.band_index, compact_band_index),
             ("docs store", args.docs_store, compact_docs_store),
-        ):
+        ] + [
+            ("flat store", p, compact_flat_store)
+            for p in (args.flat_store or [])
+        ]
+        for label, target, fn in jobs:
             if target is None:
                 continue
             s = fn(spark, target)

@@ -1939,6 +1939,33 @@ def compact_band_index(spark, path: str) -> dict:
     return stats
 
 
+def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
+    """``compact_band_index``'s twin for the FLAT (unpartitioned)
+    parquet stores the streaming harness appends per micro-batch
+    (``_run_indexed_stream``'s band/vector/membership indexes and the
+    seen-hash sets): full-row dedup — the at-least-once replay
+    residue — plus a bounded output file count (each append adds
+    files forever otherwise).  Schema-agnostic; same write-then-swap
+    as the other compactors, and any ``_ingest_meta.json`` sidecar is
+    carried over.  Returns the same stats shape."""
+    stats = {
+        "rows_before": spark.read.parquet(path).count(),
+        "files_before": _count_parquet_files(path),
+    }
+    tmp = path + ".compacting"
+    (
+        spark.read.parquet(path)
+        .dropDuplicates()
+        .repartition(max(1, n_files))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
+    stats["rows_after"] = spark.read.parquet(path).count()
+    stats["files_after"] = _count_parquet_files(path)
+    return stats
+
+
 def compact_docs_store(spark, path: str) -> dict:
     """``compact_band_index``'s twin for the shard-partitioned docs
     store: drop full-row duplicates (the re-appended (id, text) rows
