@@ -823,3 +823,68 @@ def test_cli_compact_flat_store(spark, tmp_path):
         1 for f in os.listdir(store) if f.endswith(".parquet")
     )
     assert n_files_after <= 8 < n_files_before
+
+
+def test_verified_composition_plan_audit(spark, tmp_path, degenerate, cluster):
+    """The composed probe→verify→gate→salvage plan (the shape both
+    `ingest_increment` and `probe-band --verify-docs` execute) stays
+    JVM-side: no row-at-a-time Python UDFs, no cartesian products, no
+    broadcast-nested-loop joins — the registry-wide ban extended to
+    the ingest surface, with the salvage subtree LIVE in the audited
+    plan (the fixture demotes its hot bucket and hides a cluster)."""
+    from wrds_data_pipeline_spark.caching import PersistScope
+    from wrds_data_pipeline_spark.operators.dedup import (
+        build_band_index,
+    )
+
+    old = spark.createDataFrame(degenerate[: M // 2], DOC_SCHEMA)
+    new = spark.createDataFrame(degenerate[M // 2 :] + cluster, DOC_SCHEMA)
+    idx = str(tmp_path / "band_idx")
+    build_band_index(old, idx)
+    with PersistScope() as scope:
+        out = probe_band_index_verified(
+            new, idx, old, threshold=0.5, max_bucket=B, scope=scope
+        )
+        rows = out.collect()
+        assert rows, "fixture produced no pairs — audit would be thin"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in (
+        "CartesianProduct",
+        "BatchEvalPython",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert marker not in plan, marker
+
+
+def test_ingest_increment_string_ids(spark, tmp_path):
+    """Non-long ids round-trip through both stores: xxhash64 shards
+    strings directly, the band index keeps the id type, and a
+    cross-increment exact dup is found and verified against the
+    stored text."""
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    inc1 = spark.createDataFrame(
+        [("a-1", base + "version one"),
+         ("b-2", "completely unrelated text about spark plans")],
+        schema,
+    )
+    inc2 = spark.createDataFrame(
+        [("c-3", base + "version one"),
+         ("d-4", "another unrelated text about parquet readers")],
+        schema,
+    )
+    assert ingest_increment(inc1, idx, store).collect() == []
+    got = ingest_increment(inc2, idx, store).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {("a-1", "c-3")}
+    assert all(r.jaccard >= 0.5 for r in got)
+    stored = spark.read.parquet(store)
+    assert dict(stored.dtypes)["doc_id"] == "string"
+    assert {
+        r["_id"] for r in spark.read.parquet(f"{idx}/bands").collect()
+    } == {"a-1", "b-2", "c-3", "d-4"}
