@@ -888,3 +888,14 @@ def test_ingest_increment_string_ids(spark, tmp_path):
     assert {
         r["_id"] for r in spark.read.parquet(f"{idx}/bands").collect()
     } == {"a-1", "b-2", "c-3", "d-4"}
+
+
+def test_cli_compact_refuses_missing_store(spark, tmp_path):
+    """A mistyped path must refuse with a typed message, not die in
+    the parquet reader — compact RENAMES directories, so the loud
+    up-front check matters more here than anywhere."""
+    from wrds_data_pipeline_spark.cli import index_main
+
+    for flag in ("--band-index", "--docs-store", "--flat-store"):
+        with pytest.raises(SystemExit, match="compact: no"):
+            index_main(["compact", flag, str(tmp_path / "nope")])

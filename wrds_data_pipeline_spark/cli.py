@@ -746,7 +746,10 @@ def index_main(argv: list[str] | None = None) -> int:
         for label, target, fn in jobs:
             if target is None:
                 continue
-            s = fn(spark, target)
+            try:
+                s = fn(spark, target)
+            except ValueError as exc:
+                raise SystemExit(str(exc)) from exc
             print(
                 f"compacted {label} {target}: rows "
                 f"{s['rows_before']} -> {s['rows_after']}, files "

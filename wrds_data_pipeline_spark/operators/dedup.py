@@ -1879,6 +1879,16 @@ def _count_parquet_files(root: str) -> int:
     )
 
 
+def _require_store(path: str, label: str) -> None:
+    """A typed refusal for the compaction verbs: a mistyped path
+    otherwise dies deep in the parquet reader (AnalysisException) —
+    dangerous next to verbs that RENAME directories."""
+    import os
+
+    if not os.path.isdir(path):
+        raise ValueError(f"compact: no {label} at {path!r}")
+
+
 def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:
     """Replace ``live`` with ``tmp`` via two renames (write-then-swap:
     the rewrite never touches the live store, so a crash DURING the
@@ -1917,6 +1927,7 @@ def compact_band_index(spark, path: str) -> dict:
     LOCAL-FILESYSTEM-ONLY (the store contract): the compacted copy is
     fully written BESIDE the live store, then swapped in via rename —
     see _swap_compacted for the crash window."""
+    _require_store(f"{path}/bands", "band index")
     meta = _read_band_index_meta(spark, path)
     bands_dir = f"{path}/bands"
     stats = {
@@ -1948,6 +1959,7 @@ def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
     files forever otherwise).  Schema-agnostic; same write-then-swap
     as the other compactors, and any ``_ingest_meta.json`` sidecar is
     carried over.  Returns the same stats shape."""
+    _require_store(path, "flat store")
     stats = {
         "rows_before": spark.read.parquet(path).count(),
         "files_before": _count_parquet_files(path),
@@ -1977,6 +1989,7 @@ def compact_docs_store(spark, path: str) -> dict:
     handling them).  ``_ingest_meta.json`` (the docs_shards pin) is
     carried into the compacted store.  Returns the same stats shape
     as compact_band_index."""
+    _require_store(path, "docs store")
     stats = {
         "rows_before": spark.read.parquet(path).count(),
         "files_before": _count_parquet_files(path),
