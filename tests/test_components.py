@@ -219,3 +219,86 @@ def test_dedup_keep_best_keeps_highest_score(spark):
         for r in dedup_keep_canonical(docs, pairs).collect()
     )
     assert a == b == [1, 4, 6]
+
+
+def _fold_increments(spark, increments):
+    """The store-maintenance fold `ingest --groups-store` performs:
+    apply each increment's pairs to the running assignment table."""
+    from wrds_data_pipeline_spark.operators.components import (
+        update_duplicate_groups,
+    )
+
+    stored = spark.createDataFrame([], "id bigint, group_id bigint")
+    for inc in increments:
+        if not inc:
+            continue
+        pairs = spark.createDataFrame(inc, ["id_a", "id_b"])
+        updated, affected = update_duplicate_groups(stored, pairs)
+        stored = (
+            stored.join(affected, "group_id", "left_anti")
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+    return stored
+
+
+def test_incremental_groups_match_batch_on_merges(spark):
+    """The deliberate group-MERGE case: two stored groups joined by a
+    later increment's pair relabel all their members to the smaller
+    minimum, while an untouched group keeps its rows verbatim."""
+    increments = [
+        [(1, 2), (10, 11), (20, 21)],   # three groups form
+        [(2, 10)],                       # merges {1,2} with {10,11}
+        [(30, 31)],                      # touches nothing stored
+    ]
+    got = {
+        (r["id"], r["group_id"])
+        for r in _fold_increments(spark, increments).collect()
+    }
+    want = _union_find_groups([p for inc in increments for p in inc])
+    assert got == set(want.items())
+    assert ("11", "1") not in got  # types stay bigint
+    assert (11, 1) in got  # merged group relabeled to global min
+    assert (21, 20) in got  # untouched group intact
+
+
+def test_incremental_groups_match_batch_random_foldings(spark):
+    """Property: folding update_duplicate_groups over ANY split of a
+    random edge stream equals the batch recompute over all edges —
+    including chains that merge repeatedly across increments."""
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut1, cut2 = sorted(rng.sample(range(1, len(edges)), 2))
+        increments = [edges[:cut1], edges[cut1:cut2], edges[cut2:]]
+        got = {
+            (r["id"], r["group_id"])
+            for r in _fold_increments(spark, increments).collect()
+        }
+        assert got == set(_union_find_groups(edges).items()), (
+            f"trial {trial} diverged"
+        )
+
+
+def test_incremental_groups_idempotent_replay(spark):
+    """At-least-once replay: re-applying the LAST increment to the
+    already-updated store reproduces the same table (the merged
+    groups are found, not re-merged into something new)."""
+    from wrds_data_pipeline_spark.operators.components import (
+        update_duplicate_groups,
+    )
+
+    increments = [[(1, 2), (10, 11)], [(2, 10), (40, 41)]]
+    stored = _fold_increments(spark, increments)
+    replay = spark.createDataFrame(increments[-1], ["id_a", "id_b"])
+    updated, affected = update_duplicate_groups(stored, replay)
+    again = (
+        stored.join(affected, "group_id", "left_anti")
+        .unionByName(updated)
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, stored.collect())
+    )

@@ -899,3 +899,116 @@ def test_cli_compact_refuses_missing_store(spark, tmp_path):
     for flag in ("--band-index", "--docs-store", "--flat-store"):
         with pytest.raises(SystemExit, match="compact: no"):
             index_main(["compact", flag, str(tmp_path / "nope")])
+
+
+def test_cli_ingest_groups_store_cross_increment_merge(spark, tmp_path):
+    """`ingest --groups-store`: the loop's RESOLVE step persisted —
+    two groups formed in increment 1 are MERGED by increment 2's
+    bridge docs (a verified similarity chain), relabeling every member
+    to the global minimum; an unrelated increment 3 leaves the merged
+    group's partitions untouched on disk (only its own shards are
+    written); the final table equals the batch recompute over every
+    emitted pair; a mismatched --groups-shards refuses."""
+    import os
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    words = [f"tok{i:02d}" for i in range(30)]
+
+    def mut(idxs):
+        w = list(words)
+        for i in idxs:
+            w[i] = f"alt{i:02d}"
+        return " ".join(w)
+
+    ta, tb = " ".join(words), mut((4, 9, 14, 19, 24))
+    bridge1, bridge2 = mut((4, 9)), mut((4, 9, 14, 19))
+    incs = [
+        [(100, ta), (101, ta), (200, tb), (201, tb)],
+        [(300, bridge1), (301, bridge2)],
+        [(400, "an entirely different duplicated document body"),
+         (401, "an entirely different duplicated document body")],
+    ]
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    groups = str(tmp_path / "groups")
+    all_pairs = []
+    for i, rows in enumerate(incs):
+        p = str(tmp_path / f"inc{i}.parquet")
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(p)
+        out = str(tmp_path / f"out{i}")
+        assert index_main([
+            "ingest", p, idx, store, out, "--groups-store", groups,
+        ]) == 0
+        all_pairs += [
+            (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+        ]
+        if i == 0:
+            # two separate groups stored
+            got0 = {
+                (r.id, r.group_id)
+                for r in spark.read.parquet(groups)
+                .select("id", "group_id").collect()
+            }
+            assert got0 == {(100, 100), (101, 100), (200, 200), (201, 200)}
+        if i == 1:
+            # the bridge chain merged BOTH stored groups to min=100
+            snapshot_files = {
+                os.path.join(d, f)
+                for d, _, fs in os.walk(groups)
+                for f in fs
+                if f.endswith(".parquet")
+            }
+    got = {
+        (r.id, r.group_id)
+        for r in spark.read.parquet(groups).select("id", "group_id").collect()
+    }
+    want = {
+        (r["id"], r["group_id"])
+        for r in connected_components(
+            spark.createDataFrame(all_pairs, ["id_a", "id_b"])
+        ).collect()
+    }
+    assert got == want
+    assert {g for _, g in got} == {100, 400}  # one merged group + inc3's
+    # increment 3 rewrote ONLY its own shards: every file holding the
+    # merged group's rows survives by identical path (dynamic
+    # overwrite rewrites touched partitions with fresh file names)
+    after_files = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(groups)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert snapshot_files <= after_files
+
+    # meta pin: a mismatched shard count refuses loudly
+    p_again = str(tmp_path / "inc0.parquet")
+    with pytest.raises(SystemExit, match="groups_shards|built with"):
+        index_main([
+            "ingest", p_again, idx, store, str(tmp_path / "outx"),
+            "--groups-store", groups, "--groups-shards", "8",
+        ])
+
+
+def test_ingest_groups_store_refuses_string_ids(spark, tmp_path):
+    """String ids cannot feed duplicate-group resolution (components
+    are integral-id); the refusal fires BEFORE any store append."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame([("a", "alpha beta gamma delta")], schema)
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="integral ids"):
+        ingest_increment(
+            docs, idx, str(tmp_path / "store"),
+            groups_store_path=str(tmp_path / "groups"),
+        )
+    assert not os.path.exists(os.path.join(idx, "bands"))

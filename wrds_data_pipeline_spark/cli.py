@@ -664,6 +664,15 @@ def index_main(argv: list[str] | None = None) -> int:
     ing.add_argument("--k-shingle", type=int, default=3)
     ing.add_argument("--n-hashes", type=int, default=12)
     ing.add_argument("--bands", type=int, default=4)
+    ing.add_argument("--groups-store", default=None,
+                     help="also resolve the emitted pairs into a "
+                     "persisted duplicate-GROUP table (id, group_id) "
+                     "updated incrementally — cross-increment merges "
+                     "relabel transitively, only touched partitions "
+                     "rewritten; requires integral ids")
+    ing.add_argument("--groups-shards", type=int, default=64,
+                     help="groups-store shard count (creation only; "
+                     "later calls must match the stored meta)")
 
     cp = sub.add_parser(
         "compact",
@@ -802,6 +811,8 @@ def index_main(argv: list[str] | None = None) -> int:
                 demoted_salvage_cap=(
                     None if args.salvage_cap == 0 else args.salvage_cap
                 ),
+                groups_store_path=args.groups_store,
+                groups_shards=args.groups_shards,
             )
         except ValueError as exc:
             # meta mismatch / store-inconsistency refusals, dressed as

@@ -251,3 +251,189 @@ def dedup_keep_best(
         .select(F.col("id").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def update_duplicate_groups(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL duplicate-group maintenance — the "resolve" step of
+    the continuous-ingest loop (probe → verify → gate → RESOLVE →
+    append) without recomputing components over the accumulated pair
+    history.
+
+    ``assignments``: the stored (id, group_id) table — exactly
+    ``connected_components``' output shape over every pair ingested so
+    far (group_id = component-minimum id; ids absent from any pair
+    carry no row).  ``new_pairs``: the increment's verified pairs.
+
+    Returns ``(updated, affected_groups)``:
+
+    - ``updated``: (id, group_id) rows for every id whose assignment
+      is NEW OR CHANGED — the increment's own ids plus every member of
+      a stored group the increment touches (a new pair can MERGE two
+      stored groups, which relabels all their members to the smaller
+      minimum).  Union with the untouched stored rows —
+      ``assignments.join(affected_groups, "group_id", "left_anti")``
+      — to get the full post-increment table; the partitioned-store
+      form of that union is what ``cli.index_main ingest
+      --groups-store`` performs (only affected shard partitions are
+      rewritten).
+    - ``affected_groups``: the (group_id,) rows of stored groups the
+      increment touched — the anti-join key above, and the shard-
+      pruning handle for a partitioned store.
+
+    Correctness: stored connectivity within a group is exactly its
+    (member, group_id) star — group_id IS a member (the minimum) — so
+    running components over ``new_pairs ∪ touched-group stars``
+    reproduces what components-over-all-history would assign to every
+    node reachable from the increment, including min-label propagation
+    through merged groups; untouched groups cannot change (no new edge
+    touches them).  Equivalence with the batch recompute is
+    property-tested over randomized increment foldings.
+
+    Scale: the subgraph is O(|new_pairs| + |members of touched
+    groups|) — never the accumulated pair history, never the corpus.
+    Idempotent under at-least-once replay: re-applying the same
+    increment finds the already-merged groups and reproduces the same
+    rows."""
+    ids_a = new_pairs.select(F.col(id_a).cast("bigint").alias("id"))
+    ids_b = new_pairs.select(F.col(id_b).cast("bigint").alias("id"))
+    touched_ids = ids_a.unionByName(ids_b).distinct()
+    affected_groups = (
+        assignments.join(touched_ids, "id", "left_semi")
+        .select("group_id")
+        .distinct()
+    )
+    member_stars = assignments.join(
+        affected_groups, "group_id", "left_semi"
+    ).select(F.col("id").alias(id_a), F.col("group_id").alias(id_b))
+    subgraph = new_pairs.select(id_a, id_b).unionByName(member_stars)
+    updated = connected_components(
+        subgraph, id_a, id_b, max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return updated, affected_groups
+
+
+GROUPS_STORE_META = "_ingest_meta.json"
+
+
+def update_groups_store(
+    spark,
+    path: str,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_shards: int = 64,
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Persisted form of ``update_duplicate_groups``: maintain an
+    on-disk (id, group_id) table across ingest increments, rewriting
+    ONLY the partitions the increment touches.
+
+    Layout: parquet partitioned by ``shard = xxhash64(id) %
+    n_shards`` — the MEMBER id, deliberately, not the group id: an id
+    never changes, so a row never migrates between partitions when
+    its group merges (a group_id-sharded layout would have to delete
+    rows from shards that dynamic partition overwrite cannot touch
+    when they end up empty — a silent-stale-rows corruption class).
+    ``_ingest_meta.json`` pins ``n_shards``; a mismatched call
+    refuses loudly (the sibling stores' contract).
+
+    Per increment: two broadcast-semi scans of the store (touched ids
+    → their groups; affected groups → their members — the second is a
+    predicate scan, not partition-pruned, since members scatter
+    across id-shards; at production scale this store is a
+    transactional table clustered on group_id and that scan becomes
+    an index lookup), components over the bounded subgraph, then ONE
+    dynamic-partition-overwrite write of exactly the affected
+    id-shards (preserved rows ∪ updated rows — every affected shard
+    keeps ≥1 row, so no shard ever empties into staleness).
+    LOCAL-FILESYSTEM/at-least-once like the sibling stores; re-running
+    the same increment is idempotent.
+
+    Ids must be integral (the components contract); a string-id pair
+    relation refuses rather than silently casting.  Returns the
+    updated (id, group_id) rows (new or relabeled)."""
+    import json
+    import os
+
+    dt = dict(new_pairs.dtypes)
+    for c in (id_a, id_b):
+        if dt[c] not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"update_groups_store: id column {c!r} has type "
+                f"{dt[c]!r} — duplicate-group resolution requires "
+                "integral ids (map string ids to a surrogate first)"
+            )
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, GROUPS_STORE_META)
+    meta = {"groups_shards": n_shards}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored_meta = json.load(fh)
+        if stored_meta != meta:
+            raise ValueError(
+                f"update_groups_store: store at {path!r} was built "
+                f"with {stored_meta}, called with {meta} — shard "
+                "pruning would read the wrong partitions; pass the "
+                "original value or rebuild"
+            )
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        _store_has_rows,
+    )
+
+    def _shard(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
+
+    has = _store_has_rows(path)
+    assignments = (
+        spark.read.parquet(path).select("id", "group_id")
+        if has
+        else spark.createDataFrame([], "id bigint, group_id bigint")
+    )
+    updated, _affected = update_duplicate_groups(
+        assignments, new_pairs, id_a, id_b, max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+    )
+    # small (increment-touched rows); read by the shard collect, the
+    # preserved anti-join, the content union, and the caller
+    updated = updated.localCheckpoint(eager=True)
+    if not has:
+        updated.withColumn("shard", _shard(F.col("id"))).repartition(
+            F.col("shard")
+        ).write.mode("append").partitionBy("shard").parquet(path)
+        return updated
+    shards = [
+        r["s"]
+        for r in updated.select(_shard(F.col("id")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    preserved = (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(shards))
+        .select("id", "group_id")
+        .join(updated.select("id"), "id", "left_anti")
+    )
+    content = preserved.unionByName(updated).withColumn(
+        "shard", _shard(F.col("id"))
+    )
+    (
+        content.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return updated

@@ -1696,6 +1696,8 @@ def ingest_increment(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     star_accept_frac: float | None = 0.9,
     demoted_salvage_cap: int | None = 32,
+    groups_store_path: str | None = None,
+    groups_shards: int = 64,
 ) -> DataFrame:
     """ONE-VERB verified ingest: probe the on-disk band index with the
     increment, exact-Jaccard-verify every candidate against the
@@ -1706,6 +1708,14 @@ def ingest_increment(
     so a CLI user no longer has to compose ``probe-band
     --verify-docs`` + ``append-band`` + a store append by hand and
     honor the contract themselves.
+
+    ``groups_store_path``: optionally ALSO resolve the emitted pairs
+    into persisted duplicate GROUPS — the loop's "resolve" step
+    (``operators/components.update_groups_store``): a partitioned
+    (id, group_id) table updated incrementally, only the partitions
+    the increment touches rewritten, cross-increment merges relabeled
+    transitively.  Requires integral ids (checked up front, before
+    any append).
 
     Store layout: the band side is ``build_band_index``'s
     (``index_path/bands`` partitioned by ``shard = xxhash64(band,
@@ -1745,6 +1755,16 @@ def ingest_increment(
     import os
 
     spark = new_docs.sparkSession
+    if groups_store_path is not None:
+        # refuse BEFORE any append: a post-append refusal would leave
+        # the band/docs stores updated with the pairs never resolved
+        dt = dict(new_docs.dtypes)[id_col]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"ingest_increment: groups_store_path requires "
+                f"integral ids, got {id_col}:{dt!r} (map string ids "
+                "to a surrogate first)"
+            )
     os.makedirs(index_path, exist_ok=True)
     os.makedirs(docs_store_path, exist_ok=True)
 
@@ -1864,6 +1884,15 @@ def ingest_increment(
                 list(_BAND_INDEX_META_COLS),
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{index_path}/meta"
+            )
+        if groups_store_path is not None:
+            from wrds_data_pipeline_spark.operators.components import (
+                update_groups_store,
+            )
+
+            update_groups_store(
+                spark, groups_store_path, pairs,
+                n_shards=groups_shards,
             )
     return pairs
 
