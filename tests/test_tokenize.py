@@ -550,3 +550,44 @@ def test_unigram_unsupported_features_still_loud():
     del spec["pre_tokenizer"]["prepend_scheme"]
     spec["pre_tokenizer"]["add_prefix_space"] = True
     assert PurePythonTokenizer(spec).encode("hello world").ids == [2, 3]
+
+
+def test_unigram_byte_fallback_golden():
+    """SentencePiece byte_fallback: a character no piece covers emits
+    its UTF-8 bytes as <0xAB> pieces (no unk fusing — every byte is a
+    real token), real pieces still win where they exist, and a
+    partial byte table refuses at load."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_UNIGRAM_FIXTURE) as fh:
+        base = json.load(fh)
+    spec = json.loads(json.dumps(base))
+    spec["model"]["byte_fallback"] = True
+    n_base = len(spec["model"]["vocab"])  # byte piece id = n_base + b
+    spec["model"]["vocab"] += [
+        [f"<0x{b:02X}>", -9.0] for b in range(256)
+    ]
+    tok = PurePythonTokenizer(spec)
+    # '¢' (U+00A2) = bytes C2 A2, 'x' = byte 78 — neither covered by a
+    # piece; '▁hello' still wins as one piece, and 'o' (a real piece,
+    # score −1.5) still beats its byte (−9.0)
+    assert tok.encode("hello ¢x").ids == [
+        2, 1, n_base + 0xC2, n_base + 0xA2, n_base + 0x78,
+    ]
+    assert tok.encode("hello").ids == [2]
+    # byte_fallback permits a missing unk_id (coverage is total);
+    # Metaspace still prepends the ▁ piece (id 1)
+    spec2 = json.loads(json.dumps(spec))
+    spec2["model"]["unk_id"] = None
+    assert PurePythonTokenizer(spec2).encode("¢").ids == [
+        1, n_base + 0xC2, n_base + 0xA2,
+    ]
+    # an incomplete byte table refuses at load
+    spec3 = json.loads(json.dumps(spec))
+    spec3["model"]["vocab"] = [
+        v for v in spec3["model"]["vocab"] if v[0] != "<0x41>"
+    ]
+    with pytest.raises(NotImplementedError, match="0x41"):
+        PurePythonTokenizer(spec3)

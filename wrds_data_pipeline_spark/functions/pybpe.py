@@ -204,19 +204,39 @@ class PurePythonTokenizer:
             # vocab of (piece, log-prob).  Same loud-refusal contract
             # as the BPE options below for anything that would change
             # ids relative to the Rust backend.
-            if model.get("byte_fallback"):
-                raise NotImplementedError("Unigram byte_fallback")
-            if model.get("unk_id") is None:
-                raise NotImplementedError(
-                    "Unigram without unk_id (an unknown character "
-                    "would have no fallback — refusing rather than "
-                    "dropping it silently)"
-                )
             entries = model["vocab"]  # [[piece, log_prob], ...]
-            self.uni_unk_id = int(model["unk_id"])
             self.uni_scores = {p: float(s) for p, s in entries}
             self.uni_ids = {p: i for i, (p, _) in enumerate(entries)}
             self.uni_max_len = max((len(p) for p, _ in entries), default=1)
+            self.uni_byte_ids = None
+            if model.get("byte_fallback"):
+                # the sentencepiece fallback: a character no piece
+                # covers encodes as its UTF-8 bytes, one <0xAB> piece
+                # each — only sound when ALL 256 byte pieces exist
+                # (coverage is the point), so a partial table refuses
+                ids, scores = [], []
+                for b in range(256):
+                    p = f"<0x{b:02X}>"
+                    if p not in self.uni_ids:
+                        raise NotImplementedError(
+                            "Unigram byte_fallback with an incomplete "
+                            f"byte-piece table (missing {p!r})"
+                        )
+                    ids.append(self.uni_ids[p])
+                    scores.append(self.uni_scores[p])
+                self.uni_byte_ids = ids
+                self.uni_byte_scores = scores
+            if model.get("unk_id") is None and self.uni_byte_ids is None:
+                raise NotImplementedError(
+                    "Unigram without unk_id or byte_fallback (an "
+                    "unknown character would have no fallback — "
+                    "refusing rather than dropping it silently)"
+                )
+            self.uni_unk_id = (
+                int(model["unk_id"])
+                if model.get("unk_id") is not None
+                else None
+            )
             # sentencepiece's unknown penalty: 10 below the worst
             # real piece score, so an unknown single char can never
             # beat a real segmentation but still completes the
@@ -338,21 +358,35 @@ class PurePythonTokenizer:
         lattice always completes.  On a score tie the longest piece
         wins (strict improvement keeps the first candidate; starts
         scan longest-first).  Consecutive unknown chars FUSE into one
-        unk id (sentencepiece fuse_unk, the conversion default)."""
+        unk id (sentencepiece fuse_unk, the conversion default) —
+        unless ``byte_fallback`` is set, in which case an uncovered
+        character emits its UTF-8 bytes as <0xAB> pieces instead (the
+        sentencepiece fallback; no fusing, every byte is a real
+        token)."""
         n = len(word)
         neg = float("-inf")
         best = [0.0] + [neg] * n
-        back: list[tuple[int, int | None]] = [(0, None)] * (n + 1)
+        # back[e]: (start, token-id) for a piece, (start, None) for a
+        # fused-unk char, (start, list-of-ids) for a byte-fallback char
+        back: list[tuple[int, int | list[int] | None]] = [(0, None)] * (
+            n + 1
+        )
         for e in range(1, n + 1):
             for s in range(max(0, e - self.uni_max_len), e):
                 sc = self.uni_scores.get(word[s:e])
                 if sc is not None and best[s] + sc > best[e]:
                     best[e] = best[s] + sc
                     back[e] = (s, self.uni_ids[word[s:e]])
-            if best[e - 1] + self.uni_unk_score > best[e]:
+            if self.uni_byte_ids is not None:
+                bs = word[e - 1].encode("utf-8")
+                fb_score = sum(self.uni_byte_scores[b] for b in bs)
+                if best[e - 1] + fb_score > best[e]:
+                    best[e] = best[e - 1] + fb_score
+                    back[e] = (e - 1, [self.uni_byte_ids[b] for b in bs])
+            elif best[e - 1] + self.uni_unk_score > best[e]:
                 best[e] = best[e - 1] + self.uni_unk_score
                 back[e] = (e - 1, None)
-        rev: list[int | None] = []
+        rev: list[int | list[int] | None] = []
         e = n
         while e > 0:
             s, tid = back[e]
@@ -365,6 +399,9 @@ class PurePythonTokenizer:
                 if not prev_unk:
                     out.append(self.uni_unk_id)
                 prev_unk = True
+            elif isinstance(tid, list):
+                out.extend(tid)
+                prev_unk = False
             else:
                 out.append(tid)
                 prev_unk = False
