@@ -591,3 +591,105 @@ def test_unigram_byte_fallback_golden():
     ]
     with pytest.raises(NotImplementedError, match="0x41"):
         PurePythonTokenizer(spec3)
+
+
+def _llama2_mini_spec():
+    """A minimal Llama-2-family serialization: null pre_tokenizer,
+    Prepend(▁)+Replace(' '→▁) normalizer Sequence, whole-text BPE
+    with fuse_unk + byte_fallback.  Piece ids: <unk>=0, bytes
+    1..256, then chars/merged pieces in vocab-insertion order."""
+    chars = ["▁", "h", "e", "l", "o", "w", "r", "d"]
+    merged = ["he", "ll", "hell", "hello", "▁hello",
+              "wo", "rl", "rld", "world", "▁world"]
+    vocab = {"<unk>": 0}
+    for b in range(256):
+        vocab[f"<0x{b:02X}>"] = 1 + b
+    for i, p in enumerate(chars + merged):
+        vocab[p] = 257 + i
+    merges = ["h e", "l l", "he ll", "hell o", "▁ hello",
+              "w o", "r l", "rl d", "wo rld", "▁ world"]
+    return {
+        "normalizer": {"type": "Sequence", "normalizers": [
+            {"type": "Prepend", "prepend": "▁"},
+            {"type": "Replace", "pattern": {"String": " "},
+             "content": "▁"},
+        ]},
+        "pre_tokenizer": None,
+        "post_processor": None,
+        "model": {
+            "type": "BPE", "unk_token": "<unk>", "fuse_unk": True,
+            "byte_fallback": True, "vocab": vocab, "merges": merges,
+        },
+    }
+
+
+def test_sentencepiece_bpe_whole_text_golden():
+    """The Llama-2 serialization end-to-end: normalizer does the
+    space→▁ mapping, the whole normalized text feeds ONE merge loop
+    (the ▁+word merges must fire across what a word-split would have
+    severed), and byte_fallback covers uncovered symbols."""
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    spec = _llama2_mini_spec()
+    tok = PurePythonTokenizer(spec)
+    v = spec["model"]["vocab"]
+    # "hello world" -> "▁hello▁world" -> [▁hello][▁world]
+    assert tok.encode("hello world").ids == [v["▁hello"], v["▁world"]]
+    # leading space: Prepend is unconditional -> ▁▁hello -> [▁][▁hello]
+    assert tok.encode(" hello").ids == [v["▁"], v["▁hello"]]
+    # '¢' (C2 A2) has no piece: byte fallback, no unk, no fusing
+    assert tok.encode("hello ¢").ids == [
+        v["▁hello"], v["▁"], v["<0xC2>"], v["<0xA2>"],
+    ]
+    # partial merges still resolve: "held" -> ▁ he l d (no ▁he merge)
+    assert tok.encode("held").ids == [
+        v["▁"], v["he"], v["l"], v["d"],
+    ]
+
+
+def test_sentencepiece_bpe_refusals_still_loud():
+    """The new shape keeps its guards: fuse_unk WITHOUT byte_fallback
+    refuses (fusing would change ids), an incomplete byte table
+    refuses, a Regex replace refuses, a bare null pre_tokenizer
+    without the sentencepiece normalizer still refuses, and
+    whole-text WordLevel refuses."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    base = _llama2_mini_spec()
+    for mutate in (
+        lambda s: s["model"].__setitem__("byte_fallback", False),
+        lambda s: s["model"]["vocab"].pop("<0x41>"),
+        lambda s: s["normalizer"]["normalizers"].__setitem__(
+            1, {"type": "Replace", "pattern": {"Regex": "\\s+"},
+                "content": "▁"}
+        ),
+        lambda s: s.__setitem__("normalizer", None),
+        lambda s: s["model"].__setitem__("type", "WordLevel"),
+    ):
+        spec = json.loads(json.dumps(base))
+        mutate(spec)
+        with pytest.raises(NotImplementedError):
+            PurePythonTokenizer(spec)
+
+
+def test_bpe_heap_merge_parity_with_scan_merge():
+    """The whole-text heap merge must equal the per-word scan merge
+    symbol-for-symbol on random inputs over the BPE fixture's
+    alphabet (both implement the HF step; the heap form exists
+    because the scan is O(n²) on document-sized words)."""
+    import json
+    import random
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_BPE_FIXTURE) as fh:
+        tok = PurePythonTokenizer(json.load(fh))
+    rng = random.Random(11)
+    alphabet = "helowrd,! "
+    for trial in range(200):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 40))
+        )
+        assert tok._bpe_text(w) == tok._bpe_word(w), repr(w)

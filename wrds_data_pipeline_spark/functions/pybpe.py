@@ -3,12 +3,17 @@ fallback for ``functions/tokenize.py``.
 
 Implements the public HuggingFace ``tokenizer.json`` format (the
 serialization every HF tokenizer ships) for the subset a counting
-pipeline needs: Lowercase normalizer, Whitespace / ByteLevel
-(GPT-2-style) / Metaspace (SentencePiece-style) pre-tokenizer,
-WordLevel, BPE (merge-list), or Unigram (Viterbi over piece
-log-probs — Kudo 2018, the other dominant public tokenizer family:
-T5/ALBERT/XLNet and most SentencePiece exports) model,
-TemplateProcessing (or no-op ByteLevel) post-processor.  The BPE
+pipeline needs: Lowercase / Prepend / Replace(String) normalizers
+(Sequences flattened), Whitespace / ByteLevel (GPT-2-style) /
+Metaspace (SentencePiece-style) pre-tokenizer — or the Llama-2-family
+NULL pre-tokenizer, where a Prepend(▁)+Replace(' '→▁) normalizer
+feeds the whole text to the model — WordLevel, BPE (merge-list, with
+sentencepiece ``byte_fallback``), or Unigram (Viterbi over piece
+log-probs — Kudo 2018: T5/ALBERT/XLNet and most SentencePiece
+exports, with ``byte_fallback``) model, TemplateProcessing (or no-op
+ByteLevel) post-processor.  Together these cover every mainstream
+public family: BERT-style WordLevel, GPT-2-style byte-level BPE,
+T5-style Unigram, Llama-2-style sentencepiece-BPE.  The BPE
 merge loop is the textbook public algorithm (Sennrich et al. 2016,
 as implemented by HF tokenizers): split the word into symbols,
 repeatedly merge the adjacent pair with the lowest merge rank until
@@ -145,22 +150,31 @@ class PurePythonTokenizer:
 
     def __init__(self, spec: dict):
         self.spec = spec
-        norm = spec.get("normalizer") or {}
-        if norm and norm.get("type") not in ("Lowercase",):
-            raise NotImplementedError(f"normalizer {norm.get('type')!r}")
-        self.lowercase = norm.get("type") == "Lowercase"
+        self._norm_steps = self._parse_normalizer(
+            spec.get("normalizer") or {}
+        )
         pre = spec.get("pre_tokenizer") or {}
-        if pre.get("type") not in ("Whitespace", "ByteLevel", "Metaspace"):
-            # an ABSENT pre_tokenizer is not "default to whitespace":
-            # it means sentencepiece-style whole-text tokenization,
-            # which this interpreter does not implement — silently
+        if not pre and self._sentencepiece_shape:
+            # the Llama-2-family serialization: pre_tokenizer null,
+            # the space→▁ mapping done by a Prepend/Replace
+            # normalizer, the MODEL tokenizing the whole normalized
+            # text — supported as the whole-text path (pre_type None)
+            self.pre_type = None
+        elif pre.get("type") not in (
+            "Whitespace", "ByteLevel", "Metaspace"
+        ):
+            # an ABSENT pre_tokenizer without the sentencepiece-shape
+            # normalizer is not "default to whitespace": silently
             # whitespace-splitting would produce wrong counts, the
             # exact failure these guards exist to make loud
             raise NotImplementedError(
                 f"pre_tokenizer {pre.get('type')!r} "
-                "(must be Whitespace, ByteLevel, or Metaspace)"
+                "(must be Whitespace, ByteLevel, or Metaspace — or "
+                "absent with a Prepend/Replace(' '→▁) normalizer, "
+                "the sentencepiece whole-text shape)"
             )
-        self.pre_type = pre.get("type")
+        else:
+            self.pre_type = pre.get("type")
         self.byte_level = self.pre_type == "ByteLevel"
         self.add_prefix_space = bool(pre.get("add_prefix_space"))
         # use_regex=False is whole-text byte encoding (no word split)
@@ -194,10 +208,19 @@ class PurePythonTokenizer:
             )
         if self.pre_type == "Metaspace" and self.model_type != "Unigram":
             # a real public combo (sentencepiece-BPE), just not one
-            # this interpreter implements — refuse rather than feed
-            # metaspace words to a merge loop never tested on them
+            # this interpreter implements through METASPACE — the
+            # Llama-2 serialization of that family (null
+            # pre_tokenizer + Prepend/Replace normalizer, whole-text
+            # BPE) IS supported; refuse rather than feed metaspace
+            # words to a merge loop never tested on them
             raise NotImplementedError(
                 "Metaspace pre_tokenizer with a non-Unigram model"
+            )
+        if self.pre_type is None and self.model_type == "WordLevel":
+            # whole-text WordLevel would map the entire document to
+            # one vocab lookup — certainly a misread spec
+            raise NotImplementedError(
+                "absent pre_tokenizer with a WordLevel model"
             )
         if self.model_type == "Unigram":
             # Unigram (SentencePiece) — Viterbi segmentation over a
@@ -259,8 +282,29 @@ class PurePythonTokenizer:
                     raise NotImplementedError(f"BPE {opt} {model[opt]!r}")
             if model.get("dropout"):
                 raise NotImplementedError("BPE dropout")
+            self.bpe_byte_ids = None
             if model.get("byte_fallback"):
-                raise NotImplementedError("BPE byte_fallback")
+                # sentencepiece-BPE fallback (Llama-2 family): a
+                # post-merge symbol absent from the vocab encodes as
+                # its UTF-8 bytes, one <0xAB> piece each — requires
+                # the full byte table, like the Unigram form
+                ids = []
+                for b in range(256):
+                    p = f"<0x{b:02X}>"
+                    if p not in self.vocab:
+                        raise NotImplementedError(
+                            "BPE byte_fallback with an incomplete "
+                            f"byte-piece table (missing {p!r})"
+                        )
+                    ids.append(self.vocab[p])
+                self.bpe_byte_ids = ids
+            if model.get("fuse_unk") and self.bpe_byte_ids is None:
+                # fusing changes ids whenever unk fires; with
+                # byte_fallback unk is unreachable, so the flag is
+                # then a no-op and tolerated (Llama-2 sets both)
+                raise NotImplementedError(
+                    "BPE fuse_unk without byte_fallback"
+                )
             merges = model.get("merges", [])
             # both serializations are public: ["a b", ...] strings or
             # [["a","b"], ...] pairs
@@ -298,6 +342,50 @@ class PurePythonTokenizer:
                     sid = specials[tok]["ids"][0]
                     (self.tail_ids if seen_sequence else self.head_ids).append(sid)
 
+    def _parse_normalizer(self, norm: dict):
+        """Supported normalizers → a list of str→str steps, applied in
+        order (a Sequence is flattened).  Sets
+        ``_sentencepiece_shape`` when a Prepend or Replace(' '→X)
+        step is present — the signal that an ABSENT pre_tokenizer
+        means sentencepiece whole-text tokenization (the Llama-2
+        serialization), not a misread spec.  Anything else
+        (Precompiled charsmaps, NFC/NFKC, Regex replaces, Strip...)
+        refuses loudly: each would silently change ids."""
+        self._sentencepiece_shape = False
+        if not norm:
+            return []
+        items = (
+            norm.get("normalizers") or []
+            if norm.get("type") == "Sequence"
+            else [norm]
+        )
+        steps = []
+        for it in items:
+            t = it.get("type")
+            if t == "Lowercase":
+                steps.append(str.lower)
+            elif t == "Prepend":
+                p = it["prepend"]
+                self._sentencepiece_shape = True
+                # HF prepends unconditionally on non-empty input
+                # (" x" → "▁ x" → after Replace "▁▁x", the Llama
+                # leading-space behavior)
+                steps.append(lambda s, _p=p: _p + s if s else s)
+            elif t == "Replace":
+                pat = it.get("pattern") or {}
+                if "String" not in pat:
+                    raise NotImplementedError(
+                        f"Replace normalizer pattern {pat!r} "
+                        "(String patterns only)"
+                    )
+                frm, to = pat["String"], it.get("content", "")
+                if frm == " ":
+                    self._sentencepiece_shape = True
+                steps.append(lambda s, _f=frm, _t=to: s.replace(_f, _t))
+            else:
+                raise NotImplementedError(f"normalizer {t!r}")
+        return steps
+
     @classmethod
     def from_file(cls, path: str) -> "PurePythonTokenizer":
         with open(path) as fh:
@@ -332,6 +420,53 @@ class PurePythonTokenizer:
                     i += 1
             symbols = out
         return symbols
+
+    def _bpe_text(self, text: str) -> list[str]:
+        """Heap-based form of the merge loop for the sentencepiece
+        WHOLE-TEXT path, where the "word" is the entire document —
+        ``_bpe_word``'s per-iteration rescan is O(n²) there.  Lazy
+        heap of (rank, position) over a doubly-linked symbol list;
+        stale entries are validated against the live symbols before
+        merging.  Identical output to ``_bpe_word`` under the
+        training-order invariant every real merge list satisfies (a
+        pair's rank exceeds the ranks of the merges that built its
+        two symbols) — parity is fuzz-tested against the scan form."""
+        import heapq
+
+        sym = list(text)
+        n = len(sym)
+        if n < 2:
+            return sym
+        nxt = list(range(1, n + 1))
+        prv = list(range(-1, n - 1))
+        alive = [True] * n
+        heap: list[tuple[int, int, str, str]] = []
+
+        def push(i: int) -> None:
+            j = nxt[i]
+            if j < n:
+                r = self.ranks.get((sym[i], sym[j]))
+                if r is not None:
+                    heapq.heappush(heap, (r, i, sym[i], sym[j]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _r, i, a, b = heapq.heappop(heap)
+            if not alive[i] or sym[i] != a:
+                continue
+            j = nxt[i]
+            if j >= n or not alive[j] or sym[j] != b:
+                continue
+            sym[i] = a + b
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] < n:
+                prv[nxt[j]] = i
+            if prv[i] >= 0:
+                push(prv[i])
+            push(i)
+        return [sym[i] for i in range(n) if alive[i]]
 
     def _metaspace_words(self, text: str) -> list[str]:
         """The Metaspace pre-tokenizer: spaces become the replacement
@@ -412,6 +547,10 @@ class PurePythonTokenizer:
             return self._unigram_word_ids(word)
         if self.model_type == "WordLevel":
             pieces = [word]
+        elif self.pre_type is None:
+            # sentencepiece whole-text: the "word" is the document —
+            # use the heap merge (the scan form is O(n²) there)
+            pieces = self._bpe_text(word)
         else:
             if self.byte_level:
                 # GPT-2 byte-level alphabet: utf-8 bytes, each mapped
@@ -425,14 +564,22 @@ class PurePythonTokenizer:
         for p in pieces:
             if p in self.vocab:
                 ids.append(self.vocab[p])
+            elif self.model_type == "BPE" and self.bpe_byte_ids is not None:
+                # sentencepiece-BPE byte_fallback: the unmerged symbol
+                # encodes as its UTF-8 bytes, one <0xAB> piece each
+                ids.extend(
+                    self.bpe_byte_ids[b] for b in p.encode("utf-8")
+                )
             elif self.unk is not None:
                 ids.append(self.vocab[self.unk])
         return ids
 
     def encode(self, text: str) -> _Encoding:
-        if self.lowercase:
-            text = text.lower()
-        if self.byte_level:
+        for step in self._norm_steps:
+            text = step(text)
+        if self.pre_type is None:
+            words = [text] if text else []
+        elif self.byte_level:
             if self.add_prefix_space and text and not text.startswith(" "):
                 text = " " + text
             words = (
