@@ -660,3 +660,82 @@ def test_store_has_rows_ignores_non_data_entries(tmp_path):
     with open(os.path.join(d, "part-000.parquet"), "w") as fh:
         fh.write("")
     assert _store_has_rows(d)
+
+
+def test_streaming_verified_maintains_groups_store(spark, tmp_path):
+    """groups_dir: the streaming verified twin keeps the persisted
+    duplicate-GROUP table in lockstep per micro-batch — two groups
+    formed by batch 1 merge when batch 2's bridge docs arrive
+    (relabeled to the global min), the table equals the batch
+    recompute over every emitted pair, and string ids refuse before
+    the stream starts."""
+    import os
+
+    import pytest
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wrds_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup_verified,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    words = [f"tok{i:02d}" for i in range(30)]
+
+    def mut(idxs):
+        w = list(words)
+        for i in idxs:
+            w[i] = f"alt{i:02d}"
+        return " ".join(w)
+
+    ta, tb = " ".join(words), mut((4, 9, 14, 19, 24))
+    batches = [
+        [(100, ta), (101, ta), (200, tb), (201, tb)],
+        [(300, mut((4, 9))), (301, mut((4, 9, 14, 19)))],
+    ]
+    stage = str(tmp_path / "stage")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    groups = str(tmp_path / "groups")
+    res = streaming_near_dedup_verified(
+        spark, stage, schema,
+        str(tmp_path / "bands"), str(tmp_path / "docs"),
+        max_files_per_trigger=1, threshold=0.5, groups_dir=groups,
+    )
+    got = {
+        (r.id, r.group_id)
+        for r in spark.read.parquet(groups).select("id", "group_id").collect()
+    }
+    want = {
+        (r["id"], r["group_id"])
+        for r in connected_components(
+            spark.createDataFrame(
+                list(zip(res.id_a, res.id_b)), ["id_a", "id_b"]
+            )
+        ).collect()
+    }
+    assert got == want
+    assert {g for _, g in got} == {100}  # everything merged to the min
+    assert os.path.exists(os.path.join(groups, "_ingest_meta.json"))
+
+    str_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    with pytest.raises(ValueError, match="integral ids"):
+        streaming_near_dedup_verified(
+            spark, stage, str_schema,
+            str(tmp_path / "b2"), str(tmp_path / "d2"),
+            groups_dir=str(tmp_path / "g2"),
+        )

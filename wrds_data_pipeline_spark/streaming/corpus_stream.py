@@ -322,6 +322,8 @@ def streaming_near_dedup_verified(
     demoted_salvage_cap: int | None = 32,
     checkpoint_dir: str | None = None,
     docs_shards: int = 64,
+    groups_dir: str | None = None,
+    groups_shards: int = 64,
 ):
     """Streaming VERIFIED near-dedup — the continuous-ingest form of
     ``operators/dedup.near_dup_pairs``: each micro-batch is
@@ -352,6 +354,14 @@ def streaming_near_dedup_verified(
     ``_run_indexed_stream`` — at production scale both are
     transactional tables.
 
+    ``groups_dir``: optionally ALSO maintain the persisted
+    duplicate-GROUP table per micro-batch (the loop's "resolve" step
+    — ``operators/components.update_groups_store``): each batch's
+    verified pairs update the (id, group_id) store incrementally,
+    cross-batch merges relabeling transitively, idempotent under
+    at-least-once replay.  Requires integral ids (checked before the
+    stream starts).
+
     Returns the concatenated pandas of all emitted
     (id_a, id_b, jaccard) rows."""
     import os
@@ -367,6 +377,17 @@ def streaming_near_dedup_verified(
 
     import json
 
+    if groups_dir is not None:
+        ftype = {f.name: f.dataType.simpleString() for f in schema.fields}[
+            id_col
+        ]
+        if ftype not in ("tinyint", "smallint", "int", "bigint"):
+            # refuse BEFORE the stream starts — a mid-stream refusal
+            # would leave batches half-applied
+            raise ValueError(
+                f"streaming_near_dedup_verified: groups_dir requires "
+                f"integral ids, got {id_col}:{ftype!r}"
+            )
     os.makedirs(index_dir, exist_ok=True)
     os.makedirs(docs_dir, exist_ok=True)
     # Pin the hash/layout parameters to the stores, like the on-disk
@@ -489,6 +510,17 @@ def streaming_near_dedup_verified(
             ).repartition(F.col("shard")).write.mode("append").partitionBy(
                 "shard"
             ).parquet(docs_dir)
+            if groups_dir is not None and len(p):
+                from wrds_data_pipeline_spark.operators.components import (
+                    update_groups_store,
+                )
+
+                update_groups_store(
+                    ss,
+                    groups_dir,
+                    ss.createDataFrame(p[["id_a", "id_b"]]),
+                    n_shards=groups_shards,
+                )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
