@@ -1012,3 +1012,74 @@ def test_ingest_groups_store_refuses_string_ids(spark, tmp_path):
             groups_store_path=str(tmp_path / "groups"),
         )
     assert not os.path.exists(os.path.join(idx, "bands"))
+
+
+def test_store_parameter_and_state_guards(spark, tmp_path):
+    """The review-pass guards: (a) shard counts of 0 refuse up front
+    on every store surface — pmod(x, 0) is NULL, so every row would
+    land in the default partition and isin([None]) pruning would
+    silently match nothing; (b) a band index holding rows but no meta
+    row (a creation interrupted between the bands append and the meta
+    write) refuses with the recovery path instead of silently probing
+    future increments against an empty stored side; (c) compacting an
+    existing-but-empty store dir refuses with the typed message, not
+    an AnalysisException."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import (
+        build_band_index,
+        ingest_increment,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], DOC_SCHEMA
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+
+    # (a) shard-count zero refusals, library and CLI
+    with pytest.raises(ValueError, match="n_shards"):
+        build_band_index(docs, str(tmp_path / "bx"), n_shards=0)
+    for flag in ("--n-shards", "--docs-shards", "--groups-shards"):
+        with pytest.raises(SystemExit, match="shards"):
+            index_main([
+                "ingest", p, str(tmp_path / "i0"), str(tmp_path / "s0"),
+                str(tmp_path / "o0"), flag, "0",
+            ])
+    from wrds_data_pipeline_spark.operators.components import (
+        update_groups_store,
+    )
+
+    with pytest.raises(ValueError, match="groups_shards"):
+        update_groups_store(
+            spark, str(tmp_path / "g0"),
+            spark.createDataFrame([(1, 2)], ["id_a", "id_b"]),
+            n_shards=0,
+        )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup_verified,
+    )
+
+    with pytest.raises(ValueError, match="docs_shards"):
+        streaming_near_dedup_verified(
+            spark, p, DOC_SCHEMA, str(tmp_path / "bi"),
+            str(tmp_path / "di"), docs_shards=0,
+        )
+
+    # (b) band rows without a meta row: the interrupted-creation state
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    assert ingest_increment(docs, idx, store).collect() == []
+    shutil.rmtree(os.path.join(idx, "meta"))
+    with pytest.raises(ValueError, match="no meta row"):
+        ingest_increment(docs, idx, store)
+
+    # (c) compact of an existing dir with no data rows
+    empty = str(tmp_path / "empty_store")
+    os.makedirs(empty)
+    with open(os.path.join(empty, "_ingest_meta.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(SystemExit, match="no data rows"):
+        index_main(["compact", "--docs-store", empty])

@@ -198,21 +198,31 @@ FRAME_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _frame_luma(content: bytes, idx: int):
+def _decode_stack_present() -> bool:
+    """Probe for a real video decode stack (pyav).  A FAILED import
+    is never cached by Python (each retry pays a full finder scan),
+    so the mapInPandas operator probes ONCE per batch iterator and
+    threads the answer through — never once per frame."""
+    try:
+        import av  # type: ignore  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _frame_luma(content: bytes, idx: int, decoder_present: bool | None = None):
     """Per-frame luma for one sampled frame index.
 
-    The import probe sits OUTSIDE any swallowing except: if a video
+    The decoder probe sits OUTSIDE any swallowing except: if a video
     stack (pyav) is ever present in the environment, this must fail
     loudly rather than silently keep using the deterministic fake —
     the same unsupported-capability contract as pybpe's loud refusals
     (an earlier version raised the NotImplementedError *inside* the
     try whose except selected the fake, making the real-decode branch
     unreachable by construction)."""
-    try:
-        import av  # type: ignore  # noqa: F401
-    except ImportError:
-        av = None
-    if av is not None:
+    if decoder_present is None:
+        decoder_present = _decode_stack_present()
+    if decoder_present:
         raise NotImplementedError(
             "a video decode stack (pyav) is importable but real "
             "seek+decode is not implemented; refusing to silently "
@@ -241,7 +251,10 @@ def extract_frame_features(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        frame_luma = _frame_luma
+        present = _decode_stack_present()  # once, not per frame
+
+        def frame_luma(content, idx):
+            return _frame_luma(content, idx, decoder_present=present)
 
         for pdf in batches:
             out = []

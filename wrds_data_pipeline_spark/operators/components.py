@@ -320,9 +320,6 @@ def update_duplicate_groups(
     return updated, affected_groups
 
 
-GROUPS_STORE_META = "_ingest_meta.json"
-
-
 def update_groups_store(
     spark,
     path: str,
@@ -361,8 +358,11 @@ def update_groups_store(
     Ids must be integral (the components contract); a string-id pair
     relation refuses rather than silently casting.  Returns the
     updated (id, group_id) rows (new or relabeled)."""
-    import json
-    import os
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _doc_store_shard,
+        _pin_store_meta,
+        _store_has_rows,
+    )
 
     dt = dict(new_pairs.dtypes)
     for c in (id_a, id_b):
@@ -372,29 +372,17 @@ def update_groups_store(
                 f"{dt[c]!r} — duplicate-group resolution requires "
                 "integral ids (map string ids to a surrogate first)"
             )
-    os.makedirs(path, exist_ok=True)
-    meta_path = os.path.join(path, GROUPS_STORE_META)
-    meta = {"groups_shards": n_shards}
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            stored_meta = json.load(fh)
-        if stored_meta != meta:
-            raise ValueError(
-                f"update_groups_store: store at {path!r} was built "
-                f"with {stored_meta}, called with {meta} — shard "
-                "pruning would read the wrong partitions; pass the "
-                "original value or rebuild"
-            )
-    else:
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
-
-    from wrds_data_pipeline_spark.streaming.corpus_stream import (
-        _store_has_rows,
+    if n_shards < 1:
+        raise ValueError(
+            f"update_groups_store: groups_shards must be >= 1, got "
+            f"{n_shards}"
+        )
+    _pin_store_meta(
+        path, {"groups_shards": n_shards}, "update_groups_store"
     )
 
     def _shard(col):
-        return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
+        return _doc_store_shard(col, n_shards)
 
     has = _store_has_rows(path)
     assignments = (

@@ -1542,6 +1542,13 @@ def build_band_index(
     increment's distinct-band count for proportional skipping; within
     a shard, files stay row-group-skippable via min/max on band_hash.
     """
+    if n_shards < 1:
+        # pmod(x, 0) is NULL: every row lands in the default
+        # partition and the probe's isin([None]) pruning matches
+        # NOTHING — cross-increment pairs silently missed forever
+        raise ValueError(
+            f"build_band_index: n_shards must be >= 1, got {n_shards}"
+        )
     banded = minhash_band_table(docs, id_col, text_col, k_shingle, n_hashes, bands)
     # repartition by shard before the partitioned write: without it
     # every write task emits one file per shard it holds (tasks ×
@@ -1678,7 +1685,55 @@ _DOCS_STORE_META = "_ingest_meta.json"
 
 
 def _doc_store_shard(col, docs_shards: int):
+    """THE shard expression of every id/group-keyed on-disk store
+    (docs store, streaming docs store, groups store) — one
+    definition, because a drifted copy silently prunes the wrong
+    partitions, the corruption class the meta pins exist to catch."""
     return F.pmod(F.xxhash64(col), F.lit(docs_shards)).cast("int")
+
+
+def _store_has_rows(d: str) -> bool:
+    """Whether a store directory holds any DATA (parquet files or
+    partition dirs).  Underscore/dot entries (_ingest_meta.json, an
+    aborted write's _temporary dir, Spark's ._SUCCESS.crc) are NOT
+    data — counting them would make a restart after a first-batch
+    crash take the has-rows path and fail schema inference on the
+    empty read instead of recovering (Spark itself hides them from
+    its file listing for the same reason)."""
+    import os
+
+    return any(
+        not f.startswith(("_", "."))
+        and (f.endswith(".parquet") or os.path.isdir(os.path.join(d, f)))
+        for f in os.listdir(d)
+    )
+
+
+def _pin_store_meta(dir_path: str, meta: dict, label: str) -> None:
+    """The shared scheme pin of the json-meta stores: create the dir,
+    write ``_ingest_meta.json`` on first touch, REFUSE loudly when an
+    existing pin differs (a mismatched scheme silently misses pairs /
+    prunes the wrong partitions — the failure is invisible until
+    duplicates ship, so it must never load).  One implementation so
+    the refusal contract cannot drift between sibling stores."""
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    meta_path = os.path.join(dir_path, _DOCS_STORE_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = json.load(fh)
+        if stored != meta:
+            raise ValueError(
+                f"{label}: store at {dir_path!r} was built with "
+                f"{stored}, called with {meta} — probing it would "
+                "silently miss pairs or prune the wrong partitions; "
+                "pass the original parameters or rebuild the store"
+            )
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
 
 
 def ingest_increment(
@@ -1751,7 +1806,6 @@ def ingest_increment(
     Returns the materialized (id_a, id_b, jaccard) pairs — computed
     BEFORE the appends, so every pair is attributed to exactly one
     increment (the streaming harness invariant)."""
-    import json
     import os
 
     spark = new_docs.sparkSession
@@ -1765,9 +1819,21 @@ def ingest_increment(
                 f"integral ids, got {id_col}:{dt!r} (map string ids "
                 "to a surrogate first)"
             )
+    for pname, val in (
+        ("n_shards", n_shards), ("docs_shards", docs_shards),
+        ("groups_shards", groups_shards),
+    ):
+        if val < 1:
+            # pmod(x, 0) is NULL under non-ANSI Spark: every row
+            # lands in the default partition, the pruning collect
+            # yields [None], and isin([None]) matches NOTHING — every
+            # cross-increment pair silently missed with exit code 0
+            raise ValueError(
+                f"ingest_increment: {pname} must be >= 1, got {val}"
+            )
     os.makedirs(index_path, exist_ok=True)
-    os.makedirs(docs_store_path, exist_ok=True)
 
+    bands_dir = os.path.join(index_path, "bands")
     index_exists = os.path.exists(os.path.join(index_path, "meta"))
     if index_exists:
         meta = _read_band_index_meta(spark, index_path)
@@ -1782,28 +1848,27 @@ def ingest_increment(
                 "it would silently miss pairs; pass the original "
                 "parameters or rebuild the stores"
             )
-    docs_meta_path = os.path.join(docs_store_path, _DOCS_STORE_META)
-    if os.path.exists(docs_meta_path):
-        with open(docs_meta_path) as fh:
-            stored = json.load(fh)
-        if stored != {"docs_shards": docs_shards}:
-            raise ValueError(
-                f"ingest_increment: docs store at {docs_store_path!r} "
-                f"was built with {stored}, called with docs_shards="
-                f"{docs_shards} — shard pruning would read the wrong "
-                "partitions; pass the original value or rebuild"
-            )
-    else:
-        with open(docs_meta_path, "w") as fh:
-            json.dump({"docs_shards": docs_shards}, fh)
+    elif os.path.isdir(bands_dir) and _store_has_rows(bands_dir):
+        # band rows without a meta row: a previous index CREATION was
+        # interrupted between the bands append and the meta write.
+        # Treating the index as absent would probe future increments
+        # against an EMPTY stored side — the interrupted increment's
+        # ids silently unprobed FOREVER once the meta lands — so
+        # refuse with the recovery path instead
+        raise ValueError(
+            f"ingest_increment: {bands_dir!r} has band rows but no "
+            f"meta row — a previous index creation was interrupted. "
+            "Delete the bands directory and re-ingest the interrupted "
+            "increment (its docs-store rows are tolerated duplicates)"
+        )
+    _pin_store_meta(
+        docs_store_path, {"docs_shards": docs_shards},
+        "ingest_increment docs store",
+    )
     # an index with rows but an UNREADABLE verification side is the
     # operational mistake this verb exists to prevent (a probe-band
     # index built without a store): refuse rather than fail-closed
     # drop every cross pair (the gate would, silently costing recall)
-    from wrds_data_pipeline_spark.streaming.corpus_stream import (
-        _store_has_rows,
-    )
-
     docs_has_rows = _store_has_rows(docs_store_path)
     if index_exists and not docs_has_rows:
         raise ValueError(
@@ -1909,13 +1974,21 @@ def _count_parquet_files(root: str) -> int:
 
 
 def _require_store(path: str, label: str) -> None:
-    """A typed refusal for the compaction verbs: a mistyped path
-    otherwise dies deep in the parquet reader (AnalysisException) —
-    dangerous next to verbs that RENAME directories."""
+    """A typed refusal for the compaction verbs: a mistyped path — or
+    an existing directory holding no data rows (e.g. a store dir a
+    refused ingest left with only its meta sidecar) — otherwise dies
+    deep in the parquet reader (AnalysisException) — dangerous next
+    to verbs that RENAME directories."""
     import os
 
     if not os.path.isdir(path):
         raise ValueError(f"compact: no {label} at {path!r}")
+    if not _store_has_rows(path):
+        raise ValueError(
+            f"compact: {label} at {path!r} holds no data rows — "
+            "nothing to compact (a mistyped path, or a store a "
+            "refused ingest left with only its meta sidecar)"
+        )
 
 
 def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:

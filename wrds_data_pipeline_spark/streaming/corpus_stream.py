@@ -38,24 +38,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.functions.text import fingerprint
-from wrds_data_pipeline_spark.operators.dedup import DEFAULT_MAX_BUCKET
 
-
-def _store_has_rows(d: str) -> bool:
-    """Whether a store directory holds any DATA (parquet files or
-    partition dirs).  Underscore/dot entries (_ingest_meta.json, an
-    aborted write's _temporary dir, Spark's ._SUCCESS.crc) are NOT
-    data — counting them would make a restart after a first-batch
-    crash take the has-rows path and fail schema inference on the
-    empty read instead of recovering (Spark itself hides them from
-    its file listing for the same reason)."""
-    import os
-
-    return any(
-        not f.startswith(("_", "."))
-        and (f.endswith(".parquet") or os.path.isdir(os.path.join(d, f)))
-        for f in os.listdir(d)
-    )
+# _store_has_rows lives with the store machinery in the operators
+# layer; the streaming module re-uses it (the dependency points this
+# way, never operators→streaming)
+from wrds_data_pipeline_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    _doc_store_shard,
+    _pin_store_meta,
+    _store_has_rows,
+)
 
 
 def streaming_exact_dedup(
@@ -163,12 +155,10 @@ def _run_indexed_stream(
         # index_select to shrink it
         to_index = index_select(rows) if index_select is not None else rows
         row_schema = to_index.schema
-        has_index = any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ) or any(
-            os.path.isdir(os.path.join(index_dir, f))
-            for f in os.listdir(index_dir)
-        )
+        # the shared probe (underscore/dot residue is not data): the
+        # explicit read schema makes a false positive benign here,
+        # but the check should not drift from its siblings'
+        has_index = _store_has_rows(index_dir)
         stored = (
             bdf.sparkSession.read.schema(row_schema).parquet(index_dir)
             if has_index
@@ -375,8 +365,6 @@ def streaming_near_dedup_verified(
         minhash_band_table,
     )
 
-    import json
-
     if groups_dir is not None:
         ftype = {f.name: f.dataType.simpleString() for f in schema.fields}[
             id_col
@@ -388,42 +376,36 @@ def streaming_near_dedup_verified(
                 f"streaming_near_dedup_verified: groups_dir requires "
                 f"integral ids, got {id_col}:{ftype!r}"
             )
-    os.makedirs(index_dir, exist_ok=True)
+    if docs_shards < 1:
+        raise ValueError(
+            "streaming_near_dedup_verified: docs_shards must be >= 1, "
+            f"got {docs_shards} (pmod(x, 0) is NULL — shard pruning "
+            "would silently read nothing)"
+        )
     os.makedirs(docs_dir, exist_ok=True)
     # Pin the hash/layout parameters to the stores, like the on-disk
     # band index's meta row (build_band_index): a restart with
     # different k/n/bands makes stored band hashes incomparable
     # (silently zero cross-batch candidates), and a different
     # docs_shards makes shard pruning read the WRONG partitions
-    # (silently dropped pairs).  The underscore prefix hides the file
-    # from Spark's parquet listing; driver-local json is fine under
-    # the harness's LOCAL-FILESYSTEM-ONLY contract.
-    meta = {
-        "k_shingle": k_shingle,
-        "n_hashes": n_hashes,
-        "bands": bands,
-        "docs_shards": docs_shards,
-    }
-    meta_path = os.path.join(index_dir, "_ingest_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            stored_meta = json.load(fh)
-        if stored_meta != meta:
-            raise ValueError(
-                "streaming_near_dedup_verified: store at "
-                f"{index_dir!r} was built with {stored_meta}, called "
-                f"with {meta} — probing it would silently miss pairs; "
-                "pass the original parameters or rebuild the stores"
-            )
-    else:
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
+    # (silently dropped pairs).  Driver-local json is fine under the
+    # harness's LOCAL-FILESYSTEM-ONLY contract.
+    _pin_store_meta(
+        index_dir,
+        {
+            "k_shingle": k_shingle,
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "docs_shards": docs_shards,
+        },
+        "streaming_near_dedup_verified",
+    )
     out: list = []
 
     _has_rows = _store_has_rows
 
     def _doc_shard(col):
-        return F.pmod(F.xxhash64(col), F.lit(docs_shards)).cast("int")
+        return _doc_store_shard(col, docs_shards)
 
     def _sink(bdf: DataFrame, _epoch: int) -> None:
         if bdf.isEmpty():
