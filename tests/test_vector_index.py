@@ -214,3 +214,64 @@ def test_vector_index_topk_batch_matches_per_query(spark, driver_tables, tmp_pat
             assert b["cos_sim"].tolist() == pytest.approx(
                 single["cos_sim"].tolist(), abs=2e-6
             ), kw
+
+
+def test_compact_vector_index_repairs_duplicate_appends(
+    spark, driver_tables, tmp_path
+):
+    """An at-least-once replay of append_vector_index re-appends its
+    batch: the duplicate rows are SECOND IDENTICAL NEIGHBORS that
+    top-k returns twice, crowding out real neighbors — compact is
+    repair here, not just reclamation.  Post-compact the index
+    answers exactly like the never-duplicated build, with one file
+    per cell."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        vector_index_topk_batch,
+    )
+
+    emb = driver_tables["embeddings"]
+    clean = str(tmp_path / "vidx_clean")
+    build_vector_index(emb, clean, n_cells=8)
+    dirty = str(tmp_path / "vidx_dirty")
+    shutil.copytree(clean, dirty)
+    append_vector_index(emb, dirty)  # the replayed batch
+    n = emb.count()
+    assert spark.read.parquet(f"{dirty}/vectors").count() == 2 * n
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def topk(path):
+        idx = load_vector_index(spark, path)
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["cos_sim"], 6))
+            for r in vector_index_topk_batch(
+                idx, queries, k=5, n_probe=8
+            ).collect()
+        )
+
+    want = topk(clean)
+    got_dirty = topk(dirty)
+    # the corruption is real: duplicate neighbors displace true ones
+    assert got_dirty != want
+    assert any(
+        got_dirty.count((q, v, s)) > 1 for (q, v, s) in got_dirty
+    )
+
+    assert index_main(["compact", "--vector-index", dirty]) == 0
+    assert spark.read.parquet(f"{dirty}/vectors").count() == n
+    assert topk(dirty) == want
+    for d in os.listdir(f"{dirty}/vectors"):
+        if d.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(f"{dirty}/vectors", d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1

@@ -689,6 +689,11 @@ def index_main(argv: list[str] | None = None) -> int:
                     help="flat (unpartitioned) parquet store appended "
                     "per micro-batch by the streaming twins "
                     "(band/vector/membership indexes); repeatable")
+    cp.add_argument("--vector-index", default=None,
+                    help="IVF(-PQ) vector index path (build-vector "
+                    "layout); duplicate rows there actively corrupt "
+                    "top-k (a re-appended batch is a second identical "
+                    "neighbor), so this is repair, not just reclaim")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -733,21 +738,26 @@ def index_main(argv: list[str] | None = None) -> int:
         if (
             args.band_index is None
             and args.docs_store is None
+            and args.vector_index is None
             and not args.flat_store
         ):
             raise SystemExit(
-                "compact: pass --band-index, --docs-store, and/or "
-                "--flat-store"
+                "compact: pass --band-index, --docs-store, "
+                "--vector-index, and/or --flat-store"
             )
         from wrds_data_pipeline_spark.operators.dedup import (
             compact_band_index,
             compact_docs_store,
             compact_flat_store,
         )
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            compact_vector_index,
+        )
 
         jobs = [
             ("band index", args.band_index, compact_band_index),
             ("docs store", args.docs_store, compact_docs_store),
+            ("vector index", args.vector_index, compact_vector_index),
         ] + [
             ("flat store", p, compact_flat_store)
             for p in (args.flat_store or [])

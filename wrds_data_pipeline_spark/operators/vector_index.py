@@ -199,6 +199,46 @@ def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     ).parquet(f"{path}/vectors")
 
 
+def compact_vector_index(spark: SparkSession, path: str) -> dict:
+    """``dedup.compact_band_index``'s twin for the vector store:
+    rewrite ``path/vectors`` dropping full-row duplicates and
+    collapsing each cell to one file.  Unlike the band stores —
+    where duplicated rows are TOLERATED at read — a re-appended
+    vector batch (at-least-once replay of ``append_vector_index``)
+    actively corrupts results: the duplicate row is a second
+    identical neighbor, so top-k queries return the same id twice
+    and crowd out a real neighbor.  Compaction is therefore the
+    REPAIR verb here, not just reclamation.  Centroids / codebooks /
+    meta live beside ``vectors`` and are untouched (the quantizer is
+    pinned; only the assigned rows rewrite).  Same write-then-swap
+    and stats shape as the other compactors."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _count_parquet_files,
+        _require_store,
+        _swap_compacted,
+    )
+
+    vectors_dir = f"{path}/vectors"
+    _require_store(vectors_dir, "vector index")
+    stats = {
+        "rows_before": spark.read.parquet(vectors_dir).count(),
+        "files_before": _count_parquet_files(vectors_dir),
+    }
+    tmp = vectors_dir + ".compacting"
+    (
+        spark.read.parquet(vectors_dir)
+        .dropDuplicates()
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    _swap_compacted(vectors_dir, tmp, keep_files=[])
+    stats["rows_after"] = spark.read.parquet(vectors_dir).count()
+    stats["files_after"] = _count_parquet_files(vectors_dir)
+    return stats
+
+
 def vector_index_topk(
     index: VectorIndex,
     query_vec: list[float],
