@@ -275,3 +275,41 @@ def test_compact_vector_index_repairs_duplicate_appends(
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1
+
+
+def test_vector_index_swap_crash_window_recovers_on_load(
+    spark, driver_tables, tmp_path
+):
+    """compact_vector_index interrupted between its two renames leaves
+    vectors/ at vectors.old with the compacted copy beside it —
+    load_vector_index must complete the swap and answer identically;
+    with the copy gone, refuse naming the recovery command."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        vector_index_topk,
+    )
+
+    emb = driver_tables["embeddings"]
+    path = str(tmp_path / "vidx")
+    build_vector_index(emb, path, n_cells=8)
+    [q] = emb.filter(F.col("vec_id") == 1).select("embedding").collect()
+    qvec = list(q[0])
+
+    def topk():
+        idx = load_vector_index(spark, path)
+        return [
+            (r["vec_id"], round(r["cos_sim"], 6))
+            for r in vector_index_topk(idx, qvec, k=5, n_probe=8).collect()
+        ]
+
+    want = topk()
+    vectors = os.path.join(path, "vectors")
+    shutil.copytree(vectors, vectors + ".compacting")
+    os.rename(vectors, vectors + ".old")
+    assert topk() == want  # swap completed on load
+    assert not os.path.exists(vectors + ".old")
+    os.rename(vectors, vectors + ".old")
+    with pytest.raises(RuntimeError, match="mv "):
+        load_vector_index(spark, path)

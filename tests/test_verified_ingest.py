@@ -1083,3 +1083,120 @@ def test_store_parameter_and_state_guards(spark, tmp_path):
         fh.write("{}")
     with pytest.raises(SystemExit, match="no data rows"):
         index_main(["compact", "--docs-store", empty])
+
+
+def test_compact_swap_crash_window_recovers_on_load(spark, tmp_path, degenerate):
+    """A crash between ``_swap_compacted``'s two renames leaves the
+    store at ``X.old`` with the fully-written compacted copy at
+    ``X.compacting``.  Every loader must COMPLETE the swap (the copy
+    was finished before any rename, so finishing is always safe) and
+    answer identically to the pre-crash store; when the compacted
+    copy is gone (manual intervention — the swap itself never drops
+    it early), refuse with the exact recovery command instead of
+    dying in the parquet reader or minting a fresh empty store."""
+    import json
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _pin_store_meta,
+        _read_band_index_meta,
+        build_band_index,
+        probe_band_index,
+    )
+
+    docs = spark.createDataFrame(degenerate, DOC_SCHEMA)
+    idx = str(tmp_path / "idx")
+    build_band_index(docs, idx, n_shards=8)
+    inc = spark.createDataFrame(degenerate[:3], DOC_SCHEMA)
+    before = {(r.id_a, r.id_b) for r in probe_band_index(inc, idx).collect()}
+    assert before, "fixture must produce candidates"
+
+    # crash between the two renames: compacted copy beside, live gone
+    bands = os.path.join(idx, "bands")
+    shutil.copytree(bands, bands + ".compacting")
+    os.rename(bands, bands + ".old")
+    after = {(r.id_a, r.id_b) for r in probe_band_index(inc, idx).collect()}
+    assert after == before
+    assert os.path.isdir(bands)
+    assert not os.path.exists(bands + ".old")
+    assert not os.path.exists(bands + ".compacting")
+
+    # no compacted copy to finish with: refuse, naming the recovery
+    os.rename(bands, bands + ".old")
+    with pytest.raises(RuntimeError, match="mv "):
+        _read_band_index_meta(spark, idx)
+    os.rename(bands + ".old", bands)  # the prescribed recovery
+    assert {
+        (r.id_a, r.id_b) for r in probe_band_index(inc, idx).collect()
+    } == before
+
+    # the docs/groups-store loader path: _pin_store_meta's
+    # create-on-first-touch must NOT mint a fresh empty store over a
+    # mid-swap one (that would silently orphan the data)
+    store = str(tmp_path / "pinstore")
+    os.makedirs(store)
+    with open(os.path.join(store, "_ingest_meta.json"), "w") as fh:
+        json.dump({"docs_shards": 64}, fh)
+    with open(os.path.join(store, "part-000.parquet"), "w") as fh:
+        fh.write("sentinel")
+    shutil.copytree(store, store + ".compacting")
+    os.rename(store, store + ".old")
+    _pin_store_meta(store, {"docs_shards": 64}, "test")
+    assert os.path.exists(os.path.join(store, "part-000.parquet")), (
+        "swap not completed — the data rows were orphaned"
+    )
+    assert not os.path.exists(store + ".old")
+    os.rename(store, store + ".old")  # and the refuse shape
+    with pytest.raises(RuntimeError, match="mv "):
+        _pin_store_meta(store, {"docs_shards": 64}, "test")
+
+
+def test_ingest_refuses_established_store_without_index(spark, tmp_path):
+    """Docs store with rows + ABSENT band index is legitimate exactly
+    once — first-increment crash recovery, where every stored id is
+    the increment's own (docs are appended before bands).  A fresh or
+    mistyped index_path against an ESTABLISHED store matches the same
+    shape but would silently miss every cross-increment pair with
+    exit 0, so the verb verifies the recovery premise (stored ids ⊆
+    increment ids) and refuses otherwise."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _doc_store_shard,
+        _pin_store_meta,
+        ingest_increment,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "eta theta iota kappa lambda mu"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    assert ingest_increment(docs, idx, store).collect() == []
+
+    # established store, fresh index path: the silent-miss shape
+    inc2 = spark.createDataFrame(
+        [(3, "nu xi omicron pi rho sigma")], DOC_SCHEMA
+    )
+    with pytest.raises(ValueError, match="no band index"):
+        ingest_increment(inc2, str(tmp_path / "wrong_idx"), store)
+
+    # the legitimate shape: a FIRST increment whose docs landed but
+    # whose bands never did (crash after the docs-first append) —
+    # re-running the same increment must recover, not refuse
+    store2 = str(tmp_path / "store2")
+    _pin_store_meta(store2, {"docs_shards": 64}, "test")
+    docs.withColumn(
+        "shard", _doc_store_shard(F.col("doc_id"), 64)
+    ).write.mode("append").partitionBy("shard").parquet(store2)
+    idx2 = str(tmp_path / "idx2")
+    assert ingest_increment(docs, idx2, store2).collect() == []
+    indexed = {
+        r["_id"]
+        for r in spark.read.parquet(f"{idx2}/bands")
+        .select("_id").distinct().collect()
+    }
+    assert indexed == {1, 2}

@@ -1510,6 +1510,7 @@ def _band_index_shard(n_shards: int):
 
 
 def _read_band_index_meta(spark, path: str) -> dict:
+    _recover_compact_swap(f"{path}/bands")
     [row] = spark.read.parquet(f"{path}/meta").collect()
     return {k: int(row[k]) for k in _BAND_INDEX_META_COLS}
 
@@ -1719,6 +1720,10 @@ def _pin_store_meta(dir_path: str, meta: dict, label: str) -> None:
     import json
     import os
 
+    # BEFORE the create-on-first-touch: a store mid-compaction-swap
+    # (live dir missing, .old present) would otherwise be minted as a
+    # fresh empty store here, silently orphaning the real data
+    _recover_compact_swap(dir_path)
     os.makedirs(dir_path, exist_ok=True)
     meta_path = os.path.join(dir_path, _DOCS_STORE_META)
     if os.path.exists(meta_path):
@@ -1879,6 +1884,34 @@ def ingest_increment(
             "through this verb from the start, or backfill the store "
             "with the indexed corpus's (id, text) rows first"
         )
+    if not index_exists and docs_has_rows:
+        # the CONVERSE shape: docs rows with no band index.  Legitimate
+        # exactly once — first-increment crash recovery (docs are
+        # appended before bands, so a crash leaves the increment's own
+        # ids stored and nothing indexed).  An ESTABLISHED docs store
+        # paired with a mistyped/fresh index_path matches the same
+        # shape but would silently miss every cross-increment pair
+        # with exit 0 (nothing indexed → nothing probed), so verify
+        # the recovery premise: every stored id must be one of the
+        # increment's own.  The anti-join scans the store, but in the
+        # legitimate case the store IS increment-sized — and this
+        # branch only runs on the rare index-missing shape.
+        stray = (
+            spark.read.parquet(docs_store_path)
+            .select(id_col)
+            .join(new_docs.select(id_col), id_col, "left_anti")
+            .first()
+        )
+        if stray is not None:
+            raise ValueError(
+                f"ingest_increment: docs store {docs_store_path!r} "
+                f"holds ids beyond this increment (e.g. "
+                f"{stray[id_col]!r}) but there is no band index at "
+                f"{index_path!r} — probing would silently miss every "
+                "cross-increment pair.  Check the index path; to "
+                "rebuild a lost index, build-band from the store's "
+                "full (id, text) rows first"
+            )
 
     with PersistScope() as scope:
         banded = scope.persist(
@@ -1981,6 +2014,7 @@ def _require_store(path: str, label: str) -> None:
     to verbs that RENAME directories."""
     import os
 
+    _recover_compact_swap(path)
     if not os.path.isdir(path):
         raise ValueError(f"compact: no {label} at {path!r}")
     if not _store_has_rows(path):
@@ -1991,15 +2025,52 @@ def _require_store(path: str, label: str) -> None:
         )
 
 
+def _recover_compact_swap(live: str) -> None:
+    """Detect — and when safe, resolve — the ``_swap_compacted`` crash
+    window at LOAD time: a crash between the swap's two renames leaves
+    the store at ``live + '.old'`` with the fully-written compacted
+    copy still at ``live + '.compacting'``.  Without this check the
+    next loader either dies deep in the parquet reader (band/vector
+    paths) or — worse — ``_pin_store_meta``'s create-on-first-touch
+    would mint a FRESH EMPTY store at ``live`` and silently orphan the
+    data (the docs/groups paths).  Every store loader calls this
+    before touching ``live``.
+
+    Resolution: when the compacted copy exists, COMPLETE the swap (it
+    was fully written before the first rename, so finishing is always
+    safe); when it does not (only possible via manual intervention —
+    the swap never removes it before the second rename), refuse with
+    the exact recovery command instead of guessing."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    if os.path.exists(live) or not os.path.exists(old):
+        return
+    tmp = live + ".compacting"
+    if os.path.isdir(tmp):
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+        return
+    raise RuntimeError(
+        f"store at {live!r} is missing but {old!r} exists — an "
+        "interrupted compaction swap with no compacted copy beside it "
+        f"to finish; recover the pre-compact store with:  mv {old!r} "
+        f"{live!r}"
+    )
+
+
 def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:
     """Replace ``live`` with ``tmp`` via two renames (write-then-swap:
     the rewrite never touches the live store, so a crash DURING the
     rewrite loses nothing).  ``keep_files``: store-level sidecars
     (e.g. _ingest_meta.json) copied into the compacted dir before the
     swap so the scheme pin survives.  The swap itself is two renames
-    wide — a crash between them leaves the store at ``live + '.old'``
-    (rename it back by hand); at production scale this whole verb is
-    a transactional-table REPLACE and the window doesn't exist."""
+    wide — a crash between them leaves the store at ``live + '.old'``;
+    every loader detects that state and completes the swap (or refuses
+    with the recovery command — see _recover_compact_swap); at
+    production scale this whole verb is a transactional-table REPLACE
+    and the window doesn't exist."""
     import os
     import shutil
 
@@ -2046,7 +2117,14 @@ def compact_band_index(spark, path: str) -> dict:
         .parquet(tmp)
     )
     _swap_compacted(bands_dir, tmp, keep_files=[])
-    assert _read_band_index_meta(spark, path) == meta  # scheme pinned
+    if _read_band_index_meta(spark, path) != meta:
+        # postcondition, raised (not assert — stripped under -O): a
+        # drifted scheme pin after the swap means future probes hash
+        # with the wrong parameters and silently miss pairs
+        raise RuntimeError(
+            f"compact_band_index: meta at {path!r} changed across the "
+            "compaction swap — the scheme pin must be byte-identical"
+        )
     stats["rows_after"] = spark.read.parquet(bands_dir).count()
     stats["files_after"] = _count_parquet_files(bands_dir)
     return stats

@@ -133,6 +133,14 @@ def build_vector_index(
 def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
     """Open a persisted index: lazy vectors scan + collected quantizer
     state (centroid table and codebooks are KBs by construction)."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _recover_compact_swap,
+    )
+
+    # a compact_vector_index swap interrupted between its two renames
+    # leaves vectors/ at vectors.old — complete it (or refuse with the
+    # recovery command) instead of dying in the parquet reader
+    _recover_compact_swap(f"{path}/vectors")
     [meta] = spark.read.parquet(f"{path}/meta").collect()
     cents = tuple(
         sorted(
