@@ -302,3 +302,172 @@ def test_incremental_groups_idempotent_replay(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, stored.collect())
     )
+
+
+def _store_groups(spark, path):
+    return {
+        (r["id"], r["group_id"])
+        for r in spark.read.parquet(path).select("id", "group_id").collect()
+    }
+
+
+def test_groups_store_member_lookup_prunes_shards(spark, tmp_path):
+    """The inverted sidecar: an increment touching ONE stored group
+    must read only that group's member id-shards — asserted through
+    the helper's shard set, an input_file_name audit of the pruned
+    scan, and the unchanged result."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+        _affected_member_shards,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    path = str(tmp_path / "groups")
+    n_shards = 16
+    # two groups whose members scatter across shards: A = 0..5,
+    # B = 1000..1005 (chains)
+    seed = [(i, i + 1) for i in range(5)] + [
+        (i, i + 1) for i in range(1000, 1005)
+    ]
+    update_groups_store(
+        spark, path, spark.createDataFrame(seed, ["id_a", "id_b"]),
+        n_shards=n_shards,
+    )
+    assert os.path.isdir(os.path.join(path, _GROUP_SHARDS_DIR))
+
+    def shards_of(ids):
+        return {
+            r["s"]
+            for r in spark.createDataFrame([(i,) for i in ids], "id bigint")
+            .select(_doc_store_shard(F.col("id"), n_shards).alias("s"))
+            .distinct()
+            .collect()
+        }
+
+    a_shards = shards_of(range(6))
+    b_shards = shards_of(range(1000, 1006))
+    assert b_shards - a_shards, "fixture premise: B occupies extra shards"
+
+    # increment touches group A only (new member 6 pairs with 0)
+    affected = spark.createDataFrame([(0,)], "group_id bigint")
+    got = _affected_member_shards(spark, path, n_shards, affected)
+    assert got is not None and set(got) == a_shards
+
+    # the pruned member scan lists ONLY group A's shard directories
+    store = spark.read.parquet(path)
+    pruned_files = [
+        r["f"]
+        for r in store.filter(F.col("shard").isin(got))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert 0 < len(pruned_files) < len(store.inputFiles())
+    assert all(
+        any(f"shard={s}/" in f for s in a_shards) for f in pruned_files
+    )
+
+    # and the update itself: A absorbs 6, B untouched
+    update_groups_store(
+        spark, path, spark.createDataFrame([(0, 6)], ["id_a", "id_b"]),
+        n_shards=n_shards,
+    )
+    want = _union_find_groups(seed + [(0, 6)])
+    assert _store_groups(spark, path) == set(want.items())
+
+
+def test_groups_store_sidecar_migration_and_stale_fallback(spark, tmp_path):
+    """A pre-sidecar store (no _group_shards dir) migrates via one
+    full-scan rebuild on first update; a STALE sidecar — an affected
+    group with zero rows, the shape a crash between the sidecar and
+    store writes leaves — is detected and falls back to the unpruned
+    member scan, then self-heals on the write.  Results match the
+    union-find oracle throughout."""
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+        _affected_member_shards,
+        update_groups_store,
+    )
+
+    path = str(tmp_path / "groups")
+    sc_dir = f"{path}/{_GROUP_SHARDS_DIR}"
+    edges1 = [(1, 2), (10, 11), (20, 21)]
+    update_groups_store(
+        spark, path, spark.createDataFrame(edges1, ["id_a", "id_b"]),
+        n_shards=8,
+    )
+
+    # migration: nuke the sidecar entirely (pre-sidecar store shape)
+    shutil.rmtree(sc_dir)
+    edges2 = [(2, 10)]  # merges {1,2} with {10,11}
+    update_groups_store(
+        spark, path, spark.createDataFrame(edges2, ["id_a", "id_b"]),
+        n_shards=8,
+    )
+    want = _union_find_groups(edges1 + edges2)
+    assert _store_groups(spark, path) == set(want.items())
+    assert _store_has_rows_sc(spark, sc_dir)
+
+    # stale shape: drop ONE group's sidecar rows (keep the others)
+    kept = (
+        spark.read.parquet(sc_dir)
+        .filter(F.col("group_id") != 20)
+        .select("group_id", "shard", "gshard")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(sc_dir)
+    kept.repartition(F.col("gshard")).write.partitionBy("gshard").parquet(
+        sc_dir
+    )
+    affected = spark.createDataFrame([(20,)], "group_id bigint")
+    assert _affected_member_shards(spark, path, 8, affected) is None
+
+    edges3 = [(21, 22)]  # touches the group with the missing rows
+    update_groups_store(
+        spark, path, spark.createDataFrame(edges3, ["id_a", "id_b"]),
+        n_shards=8,
+    )
+    want = _union_find_groups(edges1 + edges2 + edges3)
+    assert _store_groups(spark, path) == set(want.items())
+    # self-healed: the lookup answers again, with group 20's true shards
+    assert _affected_member_shards(spark, path, 8, affected) is not None
+
+
+def _store_has_rows_sc(spark, d):
+    from wrds_data_pipeline_spark.operators.dedup import _store_has_rows
+
+    return _store_has_rows(d)
+
+
+def test_groups_store_random_foldings_match_batch(spark, tmp_path):
+    """The on-disk twin of the update_duplicate_groups property: folding
+    random edge-stream splits through update_groups_store (sidecar
+    maintained across every increment) equals the batch union-find."""
+    from wrds_data_pipeline_spark.operators.components import (
+        update_groups_store,
+    )
+
+    rng = random.Random(11)
+    for trial in range(2):
+        path = str(tmp_path / f"g{trial}")
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut1, cut2 = sorted(rng.sample(range(1, len(edges)), 2))
+        for inc in (edges[:cut1], edges[cut1:cut2], edges[cut2:]):
+            if not inc:
+                continue
+            update_groups_store(
+                spark, path,
+                spark.createDataFrame(inc, ["id_a", "id_b"]),
+                n_shards=8,
+            )
+        assert _store_groups(spark, path) == set(
+            _union_find_groups(edges).items()
+        ), f"trial {trial} diverged"

@@ -312,12 +312,103 @@ def update_duplicate_groups(
     member_stars = assignments.join(
         affected_groups, "group_id", "left_semi"
     ).select(F.col("id").alias(id_a), F.col("group_id").alias(id_b))
+    updated = _components_over_increment(
+        new_pairs, member_stars, id_a, id_b, max_iters, checkpoint_dir
+    )
+    return updated, affected_groups
+
+
+def _components_over_increment(
+    new_pairs: DataFrame,
+    member_stars: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """THE incremental-fold core — components over ``new_pairs ∪
+    touched-group stars`` — shared by ``update_duplicate_groups``
+    (in-memory assignments) and ``update_groups_store`` (sidecar-
+    pruned store reads), so the correctness-critical subgraph
+    construction exists once (the union-find-oracle property test
+    covers both callers through it)."""
     subgraph = new_pairs.select(id_a, id_b).unionByName(member_stars)
-    updated = connected_components(
+    return connected_components(
         subgraph, id_a, id_b, max_iters=max_iters,
         checkpoint_dir=checkpoint_dir,
     )
-    return updated, affected_groups
+
+
+# the inverted sidecar of the groups store: group_id → the member
+# id-shards holding its rows, partitioned by gshard = xxhash64(
+# group_id) % n_shards.  Underscore-prefixed so spark.read.parquet
+# over the store root never sees it as data (the Hadoop hidden-file
+# convention the store helpers already rely on).
+_GROUP_SHARDS_DIR = "_group_shards"
+
+
+def rebuild_group_shards(spark, path: str, n_shards: int) -> None:
+    """(Re)derive the inverted sidecar from a FULL store scan — the
+    migration path for pre-sidecar stores, and the repair verb for a
+    sidecar whose dead-label residue (benign, see update_groups_store)
+    is worth reclaiming.  O(store) by design, like the compactors."""
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    (
+        spark.read.parquet(path)
+        .select("group_id", F.col("shard").cast("int").alias("shard"))
+        .distinct()
+        .withColumn(
+            "gshard", _doc_store_shard(F.col("group_id"), n_shards)
+        )
+        .repartition(F.col("gshard"))
+        .write.mode("overwrite")
+        .partitionBy("gshard")
+        .parquet(f"{path}/{_GROUP_SHARDS_DIR}")
+    )
+
+
+def _affected_member_shards(
+    spark, path: str, n_shards: int, affected_groups: DataFrame
+) -> list[int] | None:
+    """The id-shards holding members of ``affected_groups``, looked up
+    through the inverted sidecar: prune the sidecar to the affected
+    groups' gshards (static partition filter off a bounded collect),
+    semi-join, collect the member-shard set (≤ n_shards ints).
+
+    Returns ``None`` when the sidecar cannot answer for EVERY affected
+    group — an affected label with zero sidecar rows is the stale
+    shape a crash between the sidecar and store writes leaves (see
+    update_groups_store's ordering note) — and the caller falls back
+    to the unpruned member scan; the write that follows repairs the
+    sidecar, so staleness never compounds.  Fail-safe direction
+    matters: a STALE-SUPERSET sidecar (rows for members not yet
+    relabeled) only over-reads, and a missing group is detected here —
+    the sidecar can cost extra reads but never lose a member star."""
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    gshards = [
+        r["g"]
+        for r in affected_groups.select(
+            _doc_store_shard(F.col("group_id"), n_shards).alias("g")
+        )
+        .distinct()
+        .collect()
+    ]
+    sc = (
+        spark.read.parquet(f"{path}/{_GROUP_SHARDS_DIR}")
+        .filter(F.col("gshard").isin(gshards))
+        .join(affected_groups, "group_id", "left_semi")
+        # tiny (affected groups × their shards); read by the stale
+        # check and the shard collect
+        .localCheckpoint(eager=True)
+    )
+    stale = affected_groups.join(
+        sc.select("group_id").distinct(), "group_id", "left_anti"
+    ).first()
+    if stale is not None:
+        return None
+    return [r["shard"] for r in sc.select("shard").distinct().collect()]
 
 
 def update_groups_store(
@@ -343,15 +434,36 @@ def update_groups_store(
     ``_ingest_meta.json`` pins ``n_shards``; a mismatched call
     refuses loudly (the sibling stores' contract).
 
-    Per increment: two broadcast-semi scans of the store (touched ids
-    → their groups; affected groups → their members — the second is a
-    predicate scan, not partition-pruned, since members scatter
-    across id-shards; at production scale this store is a
-    transactional table clustered on group_id and that scan becomes
-    an index lookup), components over the bounded subgraph, then ONE
-    dynamic-partition-overwrite write of exactly the affected
-    id-shards (preserved rows ∪ updated rows — every affected shard
-    keeps ≥1 row, so no shard ever empties into staleness).
+    Per increment: BOTH store lookups are partition-pruned.  Touched
+    ids → their groups reads only the touched ids' id-shards (the ids
+    come from the increment, so the shard set is known up front);
+    affected groups → their members goes through the INVERTED SIDECAR
+    ``path/_group_shards`` (group_id → member id-shard set,
+    partitioned by gshard = xxhash64(group_id) % n_shards), so the
+    member scan reads only the shards that actually hold affected
+    members instead of predicate-scanning every shard — the lookup
+    that otherwise grows with the corpus, not the increment.  Then
+    components over the bounded subgraph, and dynamic-partition-
+    overwrite writes of exactly the affected partitions in BOTH
+    relations (preserved rows ∪ updated rows — every affected
+    id-shard keeps ≥1 row, so no shard ever empties into staleness;
+    a sidecar gshard CAN empty when a merge moves a dead label's rows
+    nowhere — those linger as unreachable garbage, since labels are
+    non-increasing a dead label never labels again; reclaim with
+    ``rebuild_group_shards``).
+
+    Sidecar crash ordering: the sidecar is written BEFORE the store.
+    A crash between them leaves sidecar rows the store doesn't justify
+    — for a label the store still knows, a SUPERSET of its true member
+    shards (over-read, never wrong); for a label the crashed merge
+    dropped, NO rows, which the next lookup detects (an affected group
+    with zero sidecar rows) and falls back to the unpruned scan,
+    self-healing on its own write.  The store-before-sidecar order
+    would instead leave a label whose PARTIAL sidecar rows pass the
+    detection while missing freshly-absorbed members' shards —
+    silently incomplete member stars — which is why the ordering is
+    load-bearing.  A pre-sidecar store (no ``_group_shards`` dir) is
+    migrated by one full-scan rebuild on first update.
     LOCAL-FILESYSTEM/at-least-once like the sibling stores; re-running
     the same increment is idempotent.
 
@@ -384,24 +496,116 @@ def update_groups_store(
     def _shard(col):
         return _doc_store_shard(col, n_shards)
 
+    sc_dir = f"{path}/{_GROUP_SHARDS_DIR}"
     has = _store_has_rows(path)
-    assignments = (
-        spark.read.parquet(path).select("id", "group_id")
-        if has
-        else spark.createDataFrame([], "id bigint, group_id bigint")
-    )
-    updated, _affected = update_duplicate_groups(
-        assignments, new_pairs, id_a, id_b, max_iters=max_iters,
-        checkpoint_dir=checkpoint_dir,
-    )
-    # small (increment-touched rows); read by the shard collect, the
-    # preserved anti-join, the content union, and the caller
-    updated = updated.localCheckpoint(eager=True)
     if not has:
+        empty = spark.createDataFrame([], "id bigint, group_id bigint")
+        updated, _ = update_duplicate_groups(
+            empty, new_pairs, id_a, id_b, max_iters=max_iters,
+            checkpoint_dir=checkpoint_dir,
+        )
+        # small (increment-touched rows); read by the store write,
+        # the sidecar write, and the caller
+        updated = updated.localCheckpoint(eager=True)
+        # store first on CREATE: a crash before the sidecar lands is
+        # exactly the pre-sidecar shape the migration rebuild heals
         updated.withColumn("shard", _shard(F.col("id"))).repartition(
             F.col("shard")
         ).write.mode("append").partitionBy("shard").parquet(path)
+        if updated.first() is not None:
+            # the store IS `updated` on create — derive the sidecar
+            # from it directly (an empty increment writes no data
+            # rows, and a scan-rebuild over the rowless dir would die
+            # on schema inference)
+            updated.select(
+                "group_id", _shard(F.col("id")).alias("shard")
+            ).distinct().withColumn(
+                "gshard", _shard(F.col("group_id"))
+            ).repartition(F.col("gshard")).write.mode(
+                "overwrite"
+            ).partitionBy("gshard").parquet(sc_dir)
         return updated
+
+    # touched ids → their groups: pruned to the touched ids' shards
+    # (bounded collect — the ids come from the increment, no store
+    # read needed to know them)
+    ids_a2 = new_pairs.select(F.col(id_a).cast("bigint").alias("id"))
+    ids_b2 = new_pairs.select(F.col(id_b).cast("bigint").alias("id"))
+    touched_ids = ids_a2.unionByName(ids_b2).distinct()
+    t_shards = [
+        r["s"]
+        for r in touched_ids.select(_shard(F.col("id")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    affected_groups = (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(t_shards))
+        .join(touched_ids, "id", "left_semi")
+        .select("group_id")
+        .distinct()
+        # tiny (touched groups); read by the gshard collect, the
+        # sidecar semi-join + stale check, the member semi-join, and
+        # the sidecar preserved anti-join
+        .localCheckpoint(eager=True)
+    )
+    import os
+
+    if not os.path.isdir(sc_dir) or not _store_has_rows(sc_dir):
+        # pre-sidecar store: one full-scan migration, then pruned
+        # lookups forever after
+        rebuild_group_shards(spark, path, n_shards)
+    m_shards = _affected_member_shards(spark, path, n_shards, affected_groups)
+    members_src = spark.read.parquet(path)
+    if m_shards is not None:
+        members_src = members_src.filter(F.col("shard").isin(m_shards))
+    member_stars = (
+        members_src.select("id", "group_id")
+        .join(affected_groups, "group_id", "left_semi")
+        .select(F.col("id").alias(id_a), F.col("group_id").alias(id_b))
+    )
+    updated = _components_over_increment(
+        new_pairs, member_stars, id_a, id_b, max_iters, checkpoint_dir
+    )
+    # small (increment-touched rows); read by the shard collect, the
+    # preserved anti-join, the content union, both sidecar writes,
+    # and the caller
+    updated = updated.localCheckpoint(eager=True)
+
+    # SIDECAR FIRST (the crash ordering in the docstring): fresh rows
+    # cover every updated group's full member-shard set (updated holds
+    # every member of every touched group), preserved drops all
+    # affected old labels in the touched gshards
+    fresh_sc = updated.select(
+        "group_id", _shard(F.col("id")).alias("shard")
+    ).distinct()
+    gshards = [
+        r["g"]
+        for r in affected_groups.select("group_id")
+        .unionByName(fresh_sc.select("group_id"))
+        .select(_shard(F.col("group_id")).alias("g"))
+        .distinct()
+        .collect()
+    ]
+    preserved_sc = (
+        spark.read.parquet(sc_dir)
+        .filter(F.col("gshard").isin(gshards))
+        .select("group_id", "shard")
+        .join(affected_groups, "group_id", "left_anti")
+        # pinned BEFORE the overwrite of the same path: a lazy read
+        # under its own overwrite only works by committer accident
+        .localCheckpoint(eager=True)
+    )
+    (
+        preserved_sc.unionByName(fresh_sc)
+        .withColumn("gshard", _shard(F.col("group_id")))
+        .repartition(F.col("gshard"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gshard")
+        .parquet(sc_dir)
+    )
+
     shards = [
         r["s"]
         for r in updated.select(_shard(F.col("id")).alias("s"))
@@ -413,6 +617,8 @@ def update_groups_store(
         .filter(F.col("shard").isin(shards))
         .select("id", "group_id")
         .join(updated.select("id"), "id", "left_anti")
+        # pinned BEFORE the overwrite, same as preserved_sc above
+        .localCheckpoint(eager=True)
     )
     content = preserved.unionByName(updated).withColumn(
         "shard", _shard(F.col("id"))
