@@ -693,3 +693,136 @@ def test_bpe_heap_merge_parity_with_scan_merge():
             rng.choice(alphabet) for _ in range(rng.randrange(0, 40))
         )
         assert tok._bpe_text(w) == tok._bpe_word(w), repr(w)
+
+
+_WORDPIECE_FIXTURE = (
+    __file__.rsplit("/", 1)[0] + "/fixtures/tiny_wordpiece_tokenizer.json"
+)
+
+# Hand-derived from the vendored fixture (vocab ids in the JSON):
+# BertNormalizer (clean_text, CJK padding, strip-accents-on-lowercase,
+# lowercase) -> BertPreTokenizer (whitespace + isolated punctuation)
+# -> WordPiece greedy longest-match with ## continuation,
+# max_input_chars_per_word=12 -> [CLS] $A [SEP] template (+2).
+_WORDPIECE_GOLDEN = [
+    ("unaffable", 3 + 2),              # un ##aff ##able
+    ("wanted running", 4 + 2),         # want ##ed runn ##ing
+    ("hugs!", 3 + 2),                  # hug ##s !  (punct isolated)
+    ("Héllo, hugs!", 6 + 2),      # accents stripped: hell ##o , hug ##s !
+    ("xyz", 1 + 2),                    # no match anywhere -> one [UNK]
+    ("wantxyz", 1 + 2),                # greedy fails mid-word -> WHOLE word [UNK]
+    ("unaffableunaffable", 1 + 2),     # 18 chars > max 12 -> [UNK]
+    ("un中", 2 + 2),               # CJK char space-padded into its own word
+    ("", 0),
+    (None, 0),
+]
+
+
+def test_wordpiece_golden_parity(spark):
+    """The BERT family (VERDICT r10 next #1): WordPiece greedy
+    longest-match-first with ## continuation pieces, per-word [UNK] on
+    failure, max_input_chars_per_word, BertNormalizer and
+    BertPreTokenizer — hand-derived counts through the same
+    mapInPandas path as every other family."""
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        local_tokenizer_factory,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(_WORDPIECE_GOLDEN)],
+        "doc_id long, text string",
+    )
+    counted = tokenizer_token_counts(
+        docs, local_tokenizer_factory(_WORDPIECE_FIXTURE)
+    )
+    got = {r.doc_id: r.n_tokens for r in counted.collect()}
+    assert got == {i: n for i, (_, n) in enumerate(_WORDPIECE_GOLDEN)}
+
+
+def test_wordpiece_interpreter_ids_locally():
+    """Driver-side ids, not just counts: the exact greedy
+    segmentation, the whole-word [UNK] on mid-word failure, the
+    max-chars cutoff, CJK isolation, control-char cleaning, and a
+    custom continuation prefix."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    tok = PurePythonTokenizer.from_file(_WORDPIECE_FIXTURE)
+    assert tok.encode("unaffable").ids == [2, 4, 5, 6, 3]
+    assert tok.encode("Héllo, hugs!").ids == [2, 16, 17, 14, 11, 12, 15, 3]
+    assert tok.encode("wantxyz").ids == [2, 1, 3]  # whole word, one unk
+    assert tok.encode("unaffableunaffable").ids == [2, 1, 3]  # > max chars
+    assert tok.encode("un中").ids == [2, 4, 18, 3]
+    assert tok.encode("\x00bad\x07ctl the").ids == [2, 1, 13, 3]
+    assert tok.encode("").ids == [2, 3]  # specials even when empty (HF)
+
+    # a custom continuation prefix is a supported FIELD, not exotica
+    with open(_WORDPIECE_FIXTURE) as fh:
+        spec = json.load(fh)
+    spec["model"]["continuing_subword_prefix"] = "@@"
+    spec["model"]["vocab"] = {
+        "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "un": 4, "@@aff": 5,
+        "@@able": 6,
+    }
+    assert PurePythonTokenizer(spec).encode("unaffable").ids == [
+        2, 4, 5, 6, 3,
+    ]
+
+
+def test_wordpiece_refusals_still_loud():
+    """The refusal matrix extends to the new family: WordPiece without
+    a vocab-resident unk_token, an absent pre_tokenizer, ByteLevel or
+    Metaspace with WordPiece — each would silently change ids, so each
+    refuses at load."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_WORDPIECE_FIXTURE) as fh:
+        base = json.load(fh)
+    for mutate in (
+        lambda s: s["model"].__setitem__("unk_token", None),
+        lambda s: s["model"].__setitem__("unk_token", "[NOTINVOCAB]"),
+        lambda s: s.__setitem__("pre_tokenizer", None),
+        lambda s: s.__setitem__("pre_tokenizer", {"type": "ByteLevel"}),
+        lambda s: s.__setitem__("pre_tokenizer", {"type": "Metaspace"}),
+        lambda s: s.__setitem__("pre_tokenizer", {"type": "Exotic"}),
+    ):
+        spec = json.loads(json.dumps(base))
+        mutate(spec)
+        with pytest.raises(NotImplementedError):
+            PurePythonTokenizer(spec)
+
+
+def test_unigram_byte_fallback_lattice_uses_unk_penalty():
+    """Regression for the lattice-competitor divergence (ADVICE r10):
+    the Rust backend runs Viterbi with the unk penalty (min score -
+    10) and expands unknowns to byte pieces only AFTER the lattice —
+    so a real covering piece must win even when its score is WORSE
+    than its character's summed byte-piece scores.  The old in-lattice
+    byte competitor picked the bytes here."""
+    import json
+
+    from wrds_data_pipeline_spark.functions.pybpe import PurePythonTokenizer
+
+    with open(_UNIGRAM_FIXTURE) as fh:
+        spec = json.load(fh)
+    spec["model"]["byte_fallback"] = True
+    n_base = len(spec["model"]["vocab"])
+    q_id = n_base
+    # a real piece scoring far below its byte (q: -25 vs byte 0x71 at
+    # -9.0) -- the lattice must still prefer the real piece, because
+    # the unk competitor is min-10 = -35, not the byte sum
+    spec["model"]["vocab"].append(["q", -25.0])
+    spec["model"]["vocab"] += [
+        [f"<0x{b:02X}>", -9.0] for b in range(256)
+    ]
+    tok = PurePythonTokenizer(spec)
+    assert tok.encode("q").ids == [1, q_id]  # [metaspace-prepended, q]
+    # an uncovered char still byte-expands post-Viterbi
+    assert tok.encode("z").ids == [1, n_base + 1 + 0x7A]
+    # consecutive unknowns fuse then expand -- bytes of the fused run
+    assert tok.encode("zz").ids == [
+        1, n_base + 1 + 0x7A, n_base + 1 + 0x7A,
+    ]

@@ -3,17 +3,20 @@ fallback for ``functions/tokenize.py``.
 
 Implements the public HuggingFace ``tokenizer.json`` format (the
 serialization every HF tokenizer ships) for the subset a counting
-pipeline needs: Lowercase / Prepend / Replace(String) normalizers
-(Sequences flattened), Whitespace / ByteLevel (GPT-2-style) /
-Metaspace (SentencePiece-style) pre-tokenizer — or the Llama-2-family
-NULL pre-tokenizer, where a Prepend(▁)+Replace(' '→▁) normalizer
-feeds the whole text to the model — WordLevel, BPE (merge-list, with
-sentencepiece ``byte_fallback``), or Unigram (Viterbi over piece
+pipeline needs: Lowercase / Prepend / Replace(String) / BertNormalizer
+normalizers (Sequences flattened), Whitespace / ByteLevel
+(GPT-2-style) / Metaspace (SentencePiece-style) / BertPreTokenizer
+pre-tokenizer — or the Llama-2-family NULL pre-tokenizer, where a
+Prepend(▁)+Replace(' '→▁) normalizer feeds the whole text to the
+model — WordLevel, BPE (merge-list, with sentencepiece
+``byte_fallback``), WordPiece (greedy longest-match-first with ``##``
+continuation — the BERT family), or Unigram (Viterbi over piece
 log-probs — Kudo 2018: T5/ALBERT/XLNet and most SentencePiece
 exports, with ``byte_fallback``) model, TemplateProcessing (or no-op
 ByteLevel) post-processor.  Together these cover every mainstream
-public family: BERT-style WordLevel, GPT-2-style byte-level BPE,
-T5-style Unigram, Llama-2-style sentencepiece-BPE.  The BPE
+public family: BERT-style WordPiece, plain WordLevel, GPT-2-style
+byte-level BPE, T5-style Unigram, Llama-2-style sentencepiece-BPE.
+The BPE
 merge loop is the textbook public algorithm (Sennrich et al. 2016,
 as implemented by HF tokenizers): split the word into symbols,
 repeatedly merge the adjacent pair with the lowest merge rank until
@@ -143,6 +146,100 @@ def _gpt2_words(text: str) -> list[str]:
     return out
 
 
+def _bert_is_punct(ch: str) -> bool:
+    """BERT's punctuation class (public reference,
+    google-research/bert tokenization.py — mirrored by HF's
+    BertPreTokenizer): the four ASCII punctuation ranges, plus any
+    Unicode P* category."""
+    import unicodedata
+
+    cp = ord(ch)
+    if (
+        33 <= cp <= 47
+        or 58 <= cp <= 64
+        or 91 <= cp <= 96
+        or 123 <= cp <= 126
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _bert_words(text: str) -> list[str]:
+    """The BertPreTokenizer: split on whitespace (removed), then
+    isolate each punctuation char as its own word — the pre-tokenizer
+    every BERT-family tokenizer.json ships."""
+    out: list[str] = []
+    for w in text.split():
+        buf: list[str] = []
+        for ch in w:
+            if _bert_is_punct(ch):
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                out.append(ch)
+            else:
+                buf.append(ch)
+        if buf:
+            out.append("".join(buf))
+    return out
+
+
+# the CJK ideograph blocks BertNormalizer space-pads (public
+# reference constant, google-research/bert tokenization.py)
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _bert_normalize(
+    text: str,
+    clean_text: bool,
+    handle_chinese_chars: bool,
+    strip_accents: bool | None,
+    lowercase: bool,
+) -> str:
+    """The BertNormalizer, in the Rust backend's step order:
+    clean_text (drop NUL/U+FFFD/control chars, map whitespace to one
+    space) → CJK space-padding → strip accents (NFD, drop Mn;
+    defaulting to the lowercase flag when unset, the HF rule) →
+    lowercase."""
+    import unicodedata
+
+    if clean_text:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD:
+                continue
+            if ch in ("\t", "\n", "\r") or unicodedata.category(ch) == "Zs":
+                out.append(" ")
+            elif unicodedata.category(ch).startswith("C"):
+                continue
+            else:
+                out.append(ch)
+        text = "".join(out)
+    if handle_chinese_chars:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if any(lo <= cp <= hi for lo, hi in _CJK_RANGES):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        text = "".join(out)
+    if strip_accents if strip_accents is not None else lowercase:
+        text = "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", text)
+            if unicodedata.category(ch) != "Mn"
+        )
+    if lowercase:
+        text = text.lower()
+    return text
+
+
 class PurePythonTokenizer:
     """Interprets a tokenizer.json; exposes the two methods the
     ``tokenizer_token_counts`` factory contract reads
@@ -161,7 +258,7 @@ class PurePythonTokenizer:
             # text — supported as the whole-text path (pre_type None)
             self.pre_type = None
         elif pre.get("type") not in (
-            "Whitespace", "ByteLevel", "Metaspace"
+            "Whitespace", "ByteLevel", "Metaspace", "BertPreTokenizer"
         ):
             # an ABSENT pre_tokenizer without the sentencepiece-shape
             # normalizer is not "default to whitespace": silently
@@ -169,9 +266,10 @@ class PurePythonTokenizer:
             # exact failure these guards exist to make loud
             raise NotImplementedError(
                 f"pre_tokenizer {pre.get('type')!r} "
-                "(must be Whitespace, ByteLevel, or Metaspace — or "
-                "absent with a Prepend/Replace(' '→▁) normalizer, "
-                "the sentencepiece whole-text shape)"
+                "(must be Whitespace, ByteLevel, Metaspace, or "
+                "BertPreTokenizer — or absent with a "
+                "Prepend/Replace(' '→▁) normalizer, the "
+                "sentencepiece whole-text shape)"
             )
         else:
             self.pre_type = pre.get("type")
@@ -200,7 +298,9 @@ class PurePythonTokenizer:
             self.ms_split = bool(pre.get("split", True))
         model = spec["model"]
         self.model_type = model["type"]
-        if self.model_type not in ("WordLevel", "BPE", "Unigram"):
+        if self.model_type not in (
+            "WordLevel", "BPE", "Unigram", "WordPiece"
+        ):
             raise NotImplementedError(f"model {self.model_type!r}")
         if self.byte_level and self.model_type != "BPE":
             raise NotImplementedError(
@@ -216,11 +316,14 @@ class PurePythonTokenizer:
             raise NotImplementedError(
                 "Metaspace pre_tokenizer with a non-Unigram model"
             )
-        if self.pre_type is None and self.model_type == "WordLevel":
-            # whole-text WordLevel would map the entire document to
-            # one vocab lookup — certainly a misread spec
+        if self.pre_type is None and self.model_type in (
+            "WordLevel", "WordPiece"
+        ):
+            # whole-text WordLevel/WordPiece would map the entire
+            # document to one lookup / one greedy walk over the whole
+            # document — certainly a misread spec
             raise NotImplementedError(
-                "absent pre_tokenizer with a WordLevel model"
+                f"absent pre_tokenizer with a {self.model_type} model"
             )
         if self.model_type == "Unigram":
             # Unigram (SentencePiece) — Viterbi segmentation over a
@@ -237,7 +340,7 @@ class PurePythonTokenizer:
                 # covers encodes as its UTF-8 bytes, one <0xAB> piece
                 # each — only sound when ALL 256 byte pieces exist
                 # (coverage is the point), so a partial table refuses
-                ids, scores = [], []
+                ids = []
                 for b in range(256):
                     p = f"<0x{b:02X}>"
                     if p not in self.uni_ids:
@@ -246,9 +349,7 @@ class PurePythonTokenizer:
                             f"byte-piece table (missing {p!r})"
                         )
                     ids.append(self.uni_ids[p])
-                    scores.append(self.uni_scores[p])
                 self.uni_byte_ids = ids
-                self.uni_byte_scores = scores
             if model.get("unk_id") is None and self.uni_byte_ids is None:
                 raise NotImplementedError(
                     "Unigram without unk_id or byte_fallback (an "
@@ -272,6 +373,20 @@ class PurePythonTokenizer:
         else:
             self.vocab: dict[str, int] = model["vocab"]
             self.unk = model.get("unk_token")
+        if self.model_type == "WordPiece":
+            # the BERT family: greedy longest-match-first with a
+            # continuation prefix.  unk_token is REQUIRED (the Rust
+            # struct's field — a greedy walk that fails mid-word emits
+            # it for the whole word), and must resolve in the vocab.
+            if not self.unk or self.unk not in self.vocab:
+                raise NotImplementedError(
+                    "WordPiece without a vocab-resident unk_token "
+                    f"(got {self.unk!r})"
+                )
+            self.wp_prefix = model.get("continuing_subword_prefix", "##")
+            self.wp_max_chars = int(
+                model.get("max_input_chars_per_word", 100)
+            )
         if self.model_type == "BPE":
             # BPE options that change the merge/symbol semantics: a
             # spec that sets any of them would load fine but produce
@@ -382,6 +497,16 @@ class PurePythonTokenizer:
                 if frm == " ":
                     self._sentencepiece_shape = True
                 steps.append(lambda s, _f=frm, _t=to: s.replace(_f, _t))
+            elif t == "BertNormalizer":
+                steps.append(
+                    lambda s,
+                    _ct=it.get("clean_text", True),
+                    _cc=it.get("handle_chinese_chars", True),
+                    _sa=it.get("strip_accents"),
+                    _lc=it.get("lowercase", True): _bert_normalize(
+                        s, _ct, _cc, _sa, _lc
+                    )
+                )
             else:
                 raise NotImplementedError(f"normalizer {t!r}")
         return steps
@@ -492,59 +617,99 @@ class PurePythonTokenizer:
         competes, plus a single-char unknown at uni_unk_score, so the
         lattice always completes.  On a score tie the longest piece
         wins (strict improvement keeps the first candidate; starts
-        scan longest-first).  Consecutive unknown chars FUSE into one
-        unk id (sentencepiece fuse_unk, the conversion default) —
-        unless ``byte_fallback`` is set, in which case an uncovered
-        character emits its UTF-8 bytes as <0xAB> pieces instead (the
-        sentencepiece fallback; no fusing, every byte is a real
-        token)."""
+        scan longest-first).
+
+        The unknown competitor is ALWAYS the unk penalty (min real
+        score − 10), byte_fallback or not — the Rust backend and
+        sentencepiece run the lattice that way and expand unknowns to
+        <0xAB> byte pieces only AFTER Viterbi, so a byte-piece score
+        must never compete with (and beat) a real covering piece
+        in-lattice.  Post-Viterbi, consecutive unknown chars FUSE
+        (sentencepiece fuse_unk, the conversion default) and each
+        fused run then either expands to its UTF-8 bytes' <0xAB>
+        pieces (``byte_fallback`` — byte-complete by the load-time
+        check, and bytes-of-concatenation == concatenation-of-bytes,
+        so fusing cannot change the expansion) or emits one unk_id."""
         n = len(word)
         neg = float("-inf")
         best = [0.0] + [neg] * n
-        # back[e]: (start, token-id) for a piece, (start, None) for a
-        # fused-unk char, (start, list-of-ids) for a byte-fallback char
-        back: list[tuple[int, int | list[int] | None]] = [(0, None)] * (
-            n + 1
-        )
+        # back[e]: (start, token-id) for a piece, (start, None) for an
+        # unknown char (fused / byte-expanded after the walk)
+        back: list[tuple[int, int | None]] = [(0, None)] * (n + 1)
         for e in range(1, n + 1):
             for s in range(max(0, e - self.uni_max_len), e):
                 sc = self.uni_scores.get(word[s:e])
                 if sc is not None and best[s] + sc > best[e]:
                     best[e] = best[s] + sc
                     back[e] = (s, self.uni_ids[word[s:e]])
-            if self.uni_byte_ids is not None:
-                bs = word[e - 1].encode("utf-8")
-                fb_score = sum(self.uni_byte_scores[b] for b in bs)
-                if best[e - 1] + fb_score > best[e]:
-                    best[e] = best[e - 1] + fb_score
-                    back[e] = (e - 1, [self.uni_byte_ids[b] for b in bs])
-            elif best[e - 1] + self.uni_unk_score > best[e]:
+            if best[e - 1] + self.uni_unk_score > best[e]:
                 best[e] = best[e - 1] + self.uni_unk_score
                 back[e] = (e - 1, None)
-        rev: list[int | list[int] | None] = []
+        rev: list[tuple[int, int | None]] = []
         e = n
         while e > 0:
             s, tid = back[e]
-            rev.append(tid)
+            rev.append((s, tid))
             e = s
         out: list[int] = []
-        prev_unk = False
-        for tid in reversed(rev):
-            if tid is None:
-                if not prev_unk:
-                    out.append(self.uni_unk_id)
-                prev_unk = True
-            elif isinstance(tid, list):
-                out.extend(tid)
-                prev_unk = False
+        unk_run: list[str] = []
+
+        def flush_unk() -> None:
+            if not unk_run:
+                return
+            if self.uni_byte_ids is not None:
+                out.extend(
+                    self.uni_byte_ids[b]
+                    for b in "".join(unk_run).encode("utf-8")
+                )
             else:
+                out.append(self.uni_unk_id)
+            unk_run.clear()
+
+        for s, tid in reversed(rev):
+            if tid is None:
+                unk_run.append(word[s])
+            else:
+                flush_unk()
                 out.append(tid)
-                prev_unk = False
+        flush_unk()
         return out
+
+    def _wordpiece_word_ids(self, word: str) -> list[int]:
+        """The public WordPiece algorithm (google-research/bert
+        tokenization.py, as implemented by HF's WordPiece model):
+        greedy LONGEST-match-first — repeatedly take the longest vocab
+        piece prefixing the remainder (pieces after the first looked
+        up with the continuation prefix); a word over
+        ``max_input_chars_per_word``, or any position with no matching
+        piece, maps the WHOLE word to one unk token (is_bad — never a
+        partial emission)."""
+        if len(word) > self.wp_max_chars:
+            return [self.vocab[self.unk]]
+        ids: list[int] = []
+        start, n = 0, len(word)
+        while start < n:
+            end = n
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = self.wp_prefix + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.vocab[self.unk]]
+            ids.append(self.vocab[cur])
+            start = end
+        return ids
 
     def _word_ids(self, word: str) -> list[int]:
         if self.model_type == "Unigram":
             return self._unigram_word_ids(word)
+        if self.model_type == "WordPiece":
+            return self._wordpiece_word_ids(word)
         if self.model_type == "WordLevel":
             pieces = [word]
         elif self.pre_type is None:
@@ -589,6 +754,8 @@ class PurePythonTokenizer:
             )
         elif self.pre_type == "Metaspace":
             words = self._metaspace_words(text)
+        elif self.pre_type == "BertPreTokenizer":
+            words = _bert_words(text)
         else:
             words = _WHITESPACE_PRE.findall(text)
         ids: list[int] = []
