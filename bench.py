@@ -64,13 +64,16 @@ HEADLINE = [
     # round 7: shingle containment (the subset/quote detector),
     # registered as q62 by rotating q11.
     "q62_containment_pairs",
-    # round 8: cross-corpus keep-first paragraph dedup, registered as
-    # q63 by rotating q39 — the last dedup rung not tracked here.
-    "q63_paragraph_dedup",
     # round 9: winnowing fingerprints, re-registered as q65 by
     # rotating q47 — completes round-over-round tracking of the whole
     # dedup family.
     "q65_winnowing",
+    # round 11: the gate/salvage hot path on a derived hot-bucket
+    # corpus (q66, rotated in for q63 — whose paragraph-dedup oracle
+    # lives on as a DuckDB-twin pytest): the one dedup configuration
+    # BENCH never exercised, since the sf0.1 documents table has no
+    # naturally hot LSH buckets (census max 16 vs bound 256).
+    "q66_gated_near_dup",
 ]
 
 

@@ -274,3 +274,95 @@ def test_quantile_filter_keep_low_for_loss_signals(spark):
     )
     assert all(i < 55 for i in low_ids) and all(i > 45 for i in high_ids)
     assert len(low_ids) >= 45 and len(high_ids) >= 45
+
+
+def test_paragraph_dedup_duckdb_twin(spark):
+    """q63's oracle, preserved verbatim after its round-11 rotation
+    out of the registry (slot now checks the gate/salvage composition,
+    q66): cross-corpus keep-first paragraph dedup on 50 synthetic
+    multi-paragraph documents built from the driver documents table,
+    bracketed by a shared header/footer planted in every group, vs
+    DuckDB replaying the split -> normalize -> keep-first window ->
+    lockstep rebuild on the raw paragraph STRINGS (no hash), so
+    agreement also re-checks the 60-bit hash path's collision-freedom
+    on this corpus."""
+    import duckdb
+
+    from wrds_data_pipeline_spark.operators.boilerplate import (
+        paragraph_dedup,
+    )
+
+    header = "shared license header reproduced at the top of every page"
+    footer = "standard site footer with contact links and copyright"
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+    )
+    g = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy((F.col("doc_id") % 50).alias("gid"))
+        .agg(
+            F.concat_ws(
+                "\n\n", F.lit(header), body, F.lit(footer)
+            ).alias("text")
+        )
+    )
+    got = sorted(
+        (r["gid"], r["text"], r["n_paragraphs"], r["n_dropped"])
+        for r in paragraph_dedup(g, id_col="gid").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            rf"""
+    WITH gdocs AS (
+      SELECT doc_id % 50 AS gid,
+             '{header}' || e'\n\n'
+               || string_agg(text, e'\n\n' ORDER BY doc_id)
+               || e'\n\n' || '{footer}' AS text
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY doc_id % 50
+    ), split AS (
+      SELECT gid, regexp_split_to_array(text, '\n{{2,}}') AS arr FROM gdocs
+    ), pars0 AS (
+      SELECT gid, unnest(range(len(arr))) AS pos, unnest(arr) AS par
+      FROM split
+    ), flagged AS (
+      SELECT gid, pos, par,
+             regexp_replace(lower(trim(par)), '\s+', ' ', 'g') AS np,
+             length(regexp_replace(lower(trim(par)), '\s+', ' ', 'g')) >= 1
+               AS dedupable
+      FROM pars0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT gid, pos, par, dedupable,
+               CASE WHEN NOT dedupable THEN 1
+                    ELSE row_number() OVER
+                         (PARTITION BY np ORDER BY gid, pos)
+               END AS rn
+        FROM flagged)
+      WHERE rn = 1
+    )
+    SELECT f.gid AS gid,
+           coalesce(string_agg(k.par, e'\n\n' ORDER BY k.pos), '') AS text,
+           count(f.pos) AS n_paragraphs,
+           count(f.pos) FILTER (f.dedupable)
+             - count(k.pos) FILTER (k.dedupable) AS n_dropped
+    FROM flagged f
+    LEFT JOIN kept k USING (gid, pos)
+    GROUP BY f.gid
+    """
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -1569,86 +1569,297 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q39/q46/q47 triple covered the same lag/frame window machinery, so
 # q39 was the lowest-information slot).  Its RANGE-frame oracle is
 # preserved verbatim as a DuckDB-twin pytest
-# (tests/test_features.py::test_trailing_range_window_duckdb_twin);
-# the slot now hash-checks cross-corpus keep-first paragraph dedup
-# (q63), previously pytest-only.
+# (tests/test_features.py::test_trailing_range_window_duckdb_twin).
+# q63_paragraph_dedup rotated out in round 11 (VERDICT r10 next #4:
+# q61/q63 overlap on keep-first dedup machinery, and no registry row
+# exercised the gate/salvage hot path on driver data).  Its
+# paragraph-dedup oracle is preserved verbatim as a DuckDB-twin pytest
+# (tests/test_boilerplate.py::test_paragraph_dedup_duckdb_twin); the
+# slot now hash-checks the FULL evidence-gate + demoted-bucket-salvage
+# composition on a corpus derived from `documents` (q66).
 
-_Q63_HEADER = "shared license header reproduced at the top of every page"
-_Q63_FOOTER = "standard site footer with contact links and copyright"
+# ---------------------------------------------------------------------------
+# q66: the gate/salvage hot path under the oracle (VERDICT r10 #4).
+# Corpus: `documents` with (a) a VIRAL-SHINGLE cohort injected over
+# doc_id % 20 == 1 — short docs sharing one engineered hot phrase
+# whose hash is the band-0 minimum for most members (the popular-min-
+# shingle degenerate regime: pairwise-dissimilar docs colliding on a
+# full band), and (b) a 6-doc HIDDEN CLUSTER replacing six fixed rows
+# — pairwise-similar texts engineered (rejection-sampled against the
+# production hash arithmetic by operators/lsh_fixtures.
+# demoted_cluster_docs; regeneration is premise-guard-tested in
+# tests/test_registry_plans.py) to sit inside the hot bucket while
+# sharing NO other band pairwise, so its 15 pairs are recoverable
+# ONLY by the demoted-bucket salvage pass.  The registered plan runs
+# near_dup_pairs' full composition (census -> star edges -> one
+# shared verification -> per-bucket evidence gate -> sub-bucket
+# salvage) with the salvage subtree LIVE; untouched documents rows
+# keep flowing through the ordinary small-bucket path (their natural
+# >= 0.7 near-dups are part of the hash-checked output).  Measured:
+# the 15 cluster pairs are salvage-only at sf0.01 AND sf0.1 (removing
+# the salvage pass loses exactly them), zero sub-threshold merges.
+# ---------------------------------------------------------------------------
+
+_Q66_HOT = "hotphrase56 viral boiler"
+_Q66_BASE = _Q66_HOT + " " + " ".join(f"cm2602w{j}" for j in range(10))
+# doc_id -> the member-unique xq tag (lsh_fixtures.demoted_cluster_docs
+# output, pinned as literals so the DuckDB oracle can mirror them)
+_Q66_CLUSTER = {3: 2901, 83: 3609, 163: 4096, 243: 6278, 323: 6414,
+                403: 8400}
+_Q66_T = 0.7
+_Q66_MAXB = 8
+_Q66_FRAC = 0.9
+_Q66_CAP = 32
 
 
-@query(
-    "q63_paragraph_dedup",
-    rf"""
-    WITH gdocs AS (
-      SELECT doc_id % 50 AS gid,
-             '{_Q63_HEADER}' || e'\n\n'
-               || string_agg(text, e'\n\n' ORDER BY doc_id)
-               || e'\n\n' || '{_Q63_FOOTER}' AS text
-      FROM documents WHERE text IS NOT NULL
-      GROUP BY doc_id % 50
-    ), split AS (
-      SELECT gid, regexp_split_to_array(text, '\n{{2,}}') AS arr FROM gdocs
-    ), pars0 AS (
-      SELECT gid, unnest(range(len(arr))) AS pos, unnest(arr) AS par
-      FROM split
-    ), flagged AS (
-      SELECT gid, pos, par,
-             regexp_replace(lower(trim(par)), '\s+', ' ', 'g') AS np,
-             length(regexp_replace(lower(trim(par)), '\s+', ' ', 'g')) >= 1
-               AS dedupable
-      FROM pars0
-    ), kept AS (
-      SELECT * FROM (
-        SELECT gid, pos, par, dedupable,
-               CASE WHEN NOT dedupable THEN 1
-                    ELSE row_number() OVER
-                         (PARTITION BY np ORDER BY gid, pos)
-               END AS rn
-        FROM flagged)
-      WHERE rn = 1
+def _q66_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
     )
-    SELECT f.gid AS gid,
-           coalesce(string_agg(k.par, e'\n\n' ORDER BY k.pos), '') AS text,
-           count(f.pos) AS n_paragraphs,
-           count(f.pos) FILTER (f.dedupable)
-             - count(k.pos) FILTER (k.dedupable) AS n_dropped
-    FROM flagged f
-    LEFT JOIN kept k USING (gid, pos)
-    GROUP BY f.gid
-    """,
-)
-def q63_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus keep-first paragraph dedup
-    (operators/boilerplate.paragraph_dedup): 50 synthetic multi-
-    paragraph documents built from the documents table — each group's
-    member texts as paragraphs, bracketed by a shared header and
-    footer planted in every group — so keep-first genuinely fires
-    (the header/footer survive exactly once corpus-wide, 49 copies of
-    each cut).  The oracle replays the split → normalize → keep-first
-    window → lockstep rebuild on the raw paragraph STRINGS (no hash),
-    so agreement also re-checks the 60-bit hash path's
-    collision-freedom on this corpus."""
-    from wrds_data_pipeline_spark.operators.boilerplate import paragraph_dedup
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    body = F.concat_ws(
-        "\n\n",
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-            lambda s: s["text"],
-        ),
+    idc = F.col("doc_id").cast("string")
+    noise = F.concat_ws(
+        " ", F.lit(_Q66_HOT),
+        F.concat(F.lit("nza"), idc), F.concat(F.lit("nzb"), idc),
+        F.concat(F.lit("nzc"), idc),
     )
-    g = (
-        docs.filter(F.col("text").isNotNull())
-        .groupBy((F.col("doc_id") % 50).alias("gid"))
-        .agg(
-            F.concat_ws(
-                "\n\n", F.lit(_Q63_HEADER), body, F.lit(_Q63_FOOTER)
-            ).alias("text")
+    expr = None
+    for did, tag in sorted(_Q66_CLUSTER.items()):
+        t = f"{_Q66_BASE} xq{tag}a xq{tag}b"
+        cond = F.col("doc_id") == did
+        expr = (
+            F.when(cond, F.lit(t)) if expr is None
+            else expr.when(cond, F.lit(t))
         )
+    expr = expr.when(F.col("doc_id") % 20 == 1, noise).otherwise(
+        F.col("text")
     )
-    return paragraph_dedup(g, id_col="gid")
+    return d.select("doc_id", expr.alias("text"))
+
+
+def _gated_near_dup_oracle_sql() -> str:
+    """The FULL near_dup_pairs(gate+salvage) algorithm in DuckDB:
+    shingle -> minhash -> band -> census/hub -> small pairs + star
+    edges -> one verification (resolved pairs restored at 0.0) ->
+    per-bucket acceptance fraction -> gate -> demoted-member
+    sub-bucketing (own-band rows excluded, 2..cap, majority-excluded)
+    -> salvage verify, anti-joined against the scored pairs exactly
+    like dedup._salvage_demoted.  Threshold comparisons mirror the
+    engine precisely: the scored keep-filter on the RAW jaccard, the
+    gate fraction and the gated filter on the ROUNDED one."""
+    from wrds_data_pipeline_spark.operators.dedup import MINHASH_AB, MINHASH_MOD
+
+    t, maxb, frac, cap = _Q66_T, _Q66_MAXB, _Q66_FRAC, _Q66_CAP
+    sig_exprs = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MINHASH_MOD}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:12])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '|' || ".join(
+                f"sig{band * 3 + j}::VARCHAR" for j in range(3)
+            ),
+        )
+        for band in range(4)
+    )
+    cluster_cases = "\n             ".join(
+        f"WHEN doc_id = {did} THEN '{_Q66_BASE} xq{tag}a xq{tag}b'"
+        for did, tag in sorted(_Q66_CLUSTER.items())
+    )
+    sig_case = " ".join(f"WHEN {i} THEN s.sig{i}" for i in range(12))
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id,
+             CASE {cluster_cases}
+                  WHEN doc_id % 20 = 1 THEN
+                    '{_Q66_HOT} nza' || doc_id::VARCHAR
+                    || ' nzb' || doc_id::VARCHAR
+                    || ' nzc' || doc_id::VARCHAR
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+      FROM corpus
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_MOD} AS h
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+      )
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh GROUP BY 1
+    ),
+    banded AS MATERIALIZED (
+      {band_selects}
+    ),
+    census AS MATERIALIZED (
+      SELECT band, band_hash, count(*) AS m, min(doc_id) AS hub
+      FROM banded GROUP BY 1, 2
+    ),
+    hot AS MATERIALIZED (SELECT band, band_hash, hub FROM census WHERE m > {maxb}),
+    smallb AS (
+      SELECT b.* FROM banded b
+      LEFT JOIN hot h ON h.band = b.band AND h.band_hash = b.band_hash
+      WHERE h.band IS NULL
+    ),
+    small_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM smallb a JOIN smallb b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    star AS MATERIALIZED (
+      SELECT least(h.hub, b.doc_id) AS id_a,
+             greatest(h.hub, b.doc_id) AS id_b,
+             b.band, b.band_hash
+      FROM banded b JOIN hot h
+        ON h.band = b.band AND h.band_hash = b.band_hash
+      WHERE b.doc_id <> h.hub
+    ),
+    cand AS MATERIALIZED (
+      SELECT id_a, id_b, max(res) AS res FROM (
+        SELECT id_a, id_b, FALSE AS res FROM small_pairs
+        UNION ALL
+        SELECT DISTINCT id_a, id_b, TRUE AS res FROM star
+      ) GROUP BY 1, 2
+    ),
+    inter AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    scored AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, c.res,
+             round(coalesce(i.n_inter, 0)
+               / CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+               AS jacc
+      FROM cand c
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      WHERE c.res OR coalesce(i.n_inter, 0)
+        / CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE) >= {t}
+    ),
+    fr AS MATERIALIZED (
+      SELECT s.band, s.band_hash,
+             avg(CASE WHEN coalesce(sc.jacc >= {t}, FALSE)
+                 THEN 1.0 ELSE 0.0 END) AS fr
+      FROM star s
+      LEFT JOIN scored sc ON sc.id_a = s.id_a AND sc.id_b = s.id_b
+      GROUP BY 1, 2
+    ),
+    accepted AS MATERIALIZED (SELECT band, band_hash FROM fr WHERE fr >= {frac}),
+    acc_edges AS MATERIALIZED (
+      SELECT DISTINCT s.id_a, s.id_b
+      FROM star s JOIN accepted a
+        ON a.band = s.band AND a.band_hash = s.band_hash
+    ),
+    gated AS MATERIALIZED (
+      SELECT sc.id_a, sc.id_b, sc.jacc
+      FROM scored sc
+      LEFT JOIN acc_edges e ON e.id_a = sc.id_a AND e.id_b = sc.id_b
+      WHERE sc.jacc >= {t} OR e.id_a IS NOT NULL
+    ),
+    demoted AS MATERIALIZED (SELECT band, band_hash FROM fr WHERE fr < {frac}),
+    dstar AS MATERIALIZED (
+      SELECT s.* FROM star s JOIN demoted d
+        ON d.band = s.band AND d.band_hash = s.band_hash
+    ),
+    members AS MATERIALIZED (
+      SELECT DISTINCT band, band_hash, id FROM (
+        SELECT band, band_hash, id_a AS id FROM dstar
+        UNION ALL
+        SELECT band, band_hash, id_b AS id FROM dstar
+      )
+    ),
+    bucket_pop AS MATERIALIZED (
+      SELECT band, band_hash, count(*) AS m FROM members GROUP BY 1, 2
+    ),
+    subrows AS MATERIALIZED (
+      SELECT mb.band, mb.band_hash, rr.r,
+             CASE rr.r {sig_case} END AS v,
+             mb.id
+      FROM members mb
+      JOIN sig s ON s.doc_id = mb.id
+      CROSS JOIN (SELECT unnest(range(12)) AS r) rr
+      WHERE rr.r < mb.band * 3 OR rr.r >= (mb.band + 1) * 3
+    ),
+    ok_sub AS MATERIALIZED (
+      SELECT sc.band, sc.band_hash, sc.r, sc.v
+      FROM (
+        SELECT band, band_hash, r, v, count(*) AS n
+        FROM subrows GROUP BY 1, 2, 3, 4
+      ) sc
+      JOIN bucket_pop p ON p.band = sc.band AND p.band_hash = sc.band_hash
+      WHERE sc.n >= 2 AND sc.n <= {cap} AND sc.n * 2 <= p.m + 1
+    ),
+    salv_cand AS MATERIALIZED (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM subrows a
+      JOIN subrows b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.r = b.r AND a.v = b.v AND a.id < b.id
+      JOIN ok_sub o
+        ON o.band = a.band AND o.band_hash = a.band_hash
+       AND o.r = a.r AND o.v = a.v
+    ),
+    salv_new AS MATERIALIZED (
+      SELECT s.* FROM salv_cand s
+      LEFT JOIN scored sc ON sc.id_a = s.id_a AND sc.id_b = s.id_b
+      WHERE sc.id_a IS NULL
+    ),
+    salv_inter AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM salv_new c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    salv_scored AS MATERIALIZED (
+      SELECT c.id_a, c.id_b,
+             round(i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE), 6)
+               AS jacc
+      FROM salv_new c
+      JOIN salv_inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+      WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= {t}
+    )
+    SELECT id_a, id_b, jacc AS jaccard FROM gated
+    UNION ALL
+    SELECT id_a, id_b, jacc AS jaccard FROM salv_scored
+    """
+
+
+@query("q66_gated_near_dup", _gated_near_dup_oracle_sql())
+def q66_gated_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-gated + salvaged near-dedup on a derived hot-bucket
+    corpus — the registry row that puts near_dup_pairs' FULL
+    degenerate-regime machinery under the value-hash oracle: the
+    injected viral cohort forms a hot band bucket that DEMOTES (its
+    members are pairwise dissimilar, so the per-bucket acceptance
+    fraction fails), the engineered hidden cluster inside it is
+    recovered pair-by-pair by the sub-bucket salvage pass (each pair
+    individually re-verified — measured salvage-ONLY at both driver
+    scale factors), and the rest of `documents` flows through the
+    ordinary small-bucket LSH -> verify path unchanged."""
+    from wrds_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _q66_corpus(spark, sf_dir), threshold=_Q66_T, n_hashes=12,
+        bands=4, max_bucket=_Q66_MAXB, star_accept_frac=_Q66_FRAC,
+        demoted_salvage_cap=_Q66_CAP, scope=_DRIVER_SCOPE,
+    )
 
 
 # q40_json_props rotated out in round 6 (VERDICT r5 #5: the last

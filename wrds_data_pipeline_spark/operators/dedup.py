@@ -916,6 +916,7 @@ def demoted_salvage_candidates(
     salvage_cap: int = 32,
     bands: int = 4,
     signatures: DataFrame | None = None,
+    signatures_loader=None,
 ) -> DataFrame:
     """Extra candidate pairs recovering member↔member near-dups inside
     DEMOTED hot buckets (id_a, id_b — verify with jaccard_pairs).
@@ -978,10 +979,18 @@ def demoted_salvage_candidates(
     signature stage already computed to build the band table
     (``minhash_signatures``) — reused directly instead of
     re-aggregating the same per-row minimums from the shingle
-    relation (one fewer aggregation over the demoted members).  When
-    absent (the incremental/on-disk paths, where the stored side's
-    raw signatures are not retained), the values are recomputed from
-    ``shingles``, semi-join-restricted to the demoted members."""
+    relation (one fewer aggregation over the demoted members).
+
+    ``signatures_loader``: the late-bound form for the on-disk/
+    streaming paths — a callable receiving the demoted-member id
+    relation (computed HERE, after the demotion list exists) and
+    returning the same (_id, sig0..sig{n-1}) shape covering every
+    member (increment sigs ∪ the index's retained signature store,
+    shard-pruned to the members), or ``None`` when the store predates
+    signature retention.  Only consulted when ``signatures`` is
+    absent.  When both are absent, the values are recomputed from
+    ``shingles``, semi-join-restricted to the demoted members — the
+    legacy fallback."""
     rows_per_band = n_hashes // bands
     members = (
         star_edges.join(demoted, ["band", "band_hash"], "left_semi")
@@ -993,6 +1002,8 @@ def demoted_salvage_candidates(
         .distinct()
     )
     ids = members.select("_id").distinct()
+    if signatures is None and signatures_loader is not None:
+        signatures = signatures_loader(ids)
     if signatures is not None:
         # the signature stage's own per-row values, restricted to the
         # demoted members — no second aggregation
@@ -1227,6 +1238,7 @@ def _salvage_demoted(
     demoted: DataFrame,
     salvage_cap: int,
     signatures: DataFrame | None = None,
+    signatures_loader=None,
 ) -> DataFrame | None:
     """Shared salvage stage of the verified compositions: generate
     sub-bucket candidates for the (caller-computed) demoted buckets,
@@ -1242,7 +1254,7 @@ def _salvage_demoted(
     salv = scope.persist(
         demoted_salvage_candidates(
             star, demoted, sh, n_hashes, salvage_cap, bands,
-            signatures=signatures,
+            signatures=signatures, signatures_loader=signatures_loader,
         ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     )
     if salv.first() is None:
@@ -1267,8 +1279,15 @@ def _verify_gate_candidates(
     demoted_salvage_cap: int | None,
     scope: PersistScope,
     cands_truncated: bool = False,
+    signatures_loader=None,
 ) -> DataFrame:
     """Shared verify→gate→salvage tail of the ingest compositions.
+
+    ``signatures_loader``: optionally the retained-signature lookup
+    for the salvage stage (see demoted_salvage_candidates) — the
+    on-disk/streaming callers build it over increment sigs ∪ the
+    index's signature store so salvage never re-aggregates stored
+    members' minhashes from shingles.
 
     ``cands``: bucket-carrying candidates (id_a, id_b, _resolved,
     band, band_hash) from a probe surface with ``carry_bucket=True``.
@@ -1332,7 +1351,7 @@ def _verify_gate_candidates(
         salvaged = _salvage_demoted(
             docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
             bands, scored, star, sh, scope, demoted,
-            demoted_salvage_cap,
+            demoted_salvage_cap, signatures_loader=signatures_loader,
         )
         if salvaged is not None:
             out = out.unionByName(salvaged)
@@ -1515,6 +1534,78 @@ def _read_band_index_meta(spark, path: str) -> dict:
     return {k: int(row[k]) for k in _BAND_INDEX_META_COLS}
 
 
+def _band_index_has_sigs(path: str) -> bool:
+    """Whether this index RETAINS per-row signatures (``path/
+    signatures``, partitioned by ``sshard = xxhash64(_id) %
+    n_shards``).  Presence-based, not meta-pinned: adding a meta
+    column would flip the exact-equality refusal on every pre-existing
+    store.  The invariant that makes presence sufficient is WRITE
+    ORDERING — signatures are appended before bands everywhere, so a
+    crash can leave orphan signature rows (benign, deduplicated at
+    read) but never an indexed id without its signature; an index
+    built before retention simply has no signatures dir and salvage
+    falls back to re-aggregating from shingles (correct, one extra
+    aggregation)."""
+    import os
+
+    d = f"{path}/signatures"
+    # an interrupted signature-compaction swap must not read as "no
+    # signatures" — that would silently degrade every future salvage
+    # to the fallback while the store sits at signatures.old
+    _recover_compact_swap(d)
+    return os.path.isdir(d) and _store_has_rows(d)
+
+
+def _stored_signature_loader(spark, path: str, meta: dict, new_sigs):
+    """Build the salvage-stage signature lookup for an on-disk index
+    (see demoted_salvage_candidates' ``signatures_loader``): demoted
+    members are either increment ids (covered by ``new_sigs``) or
+    stored ids (covered by the index's signature store — complete by
+    the write-ordering invariant).  The stored read statically prunes
+    to the members' sshards (a bounded collect over the tiny demoted-
+    member relation, which derives from already-persisted star/
+    demoted caches).  Returns None when the index predates signature
+    retention — the caller then re-aggregates from shingles."""
+    if not _band_index_has_sigs(path):
+        return None
+
+    def loader(ids):
+        sshards = [
+            r["s"]
+            for r in ids.select(
+                _doc_store_shard(F.col("_id"), meta["n_shards"]).alias("s")
+            )
+            .distinct()
+            .collect()
+        ]
+        stored = (
+            spark.read.parquet(f"{path}/signatures")
+            .filter(F.col("sshard").isin(sshards))
+            .drop("sshard")
+        )
+        # dropDuplicates on the members-restricted union: replayed
+        # appends duplicate signature rows, and a re-ingested id is in
+        # BOTH relations — a duplicated row would double-count ids in
+        # the salvage sub-buckets (self-pairs, inflated censuses)
+        return (
+            new_sigs.unionByName(stored)
+            .join(ids, "_id", "left_semi")
+            .dropDuplicates(["_id"])
+        )
+
+    return loader
+
+
+def _write_band_signatures(sig, path: str, n_shards: int, mode: str) -> None:
+    """Append/overwrite the retained-signature relation, partitioned by
+    the member-id shard so the salvage read prunes statically."""
+    sig.withColumn(
+        "sshard", _doc_store_shard(F.col("_id"), n_shards)
+    ).repartition(F.col("sshard")).write.mode(mode).partitionBy(
+        "sshard"
+    ).parquet(f"{path}/signatures")
+
+
 def build_band_index(
     docs: DataFrame,
     path: str,
@@ -1550,12 +1641,23 @@ def build_band_index(
         raise ValueError(
             f"build_band_index: n_shards must be >= 1, got {n_shards}"
         )
-    banded = minhash_band_table(docs, id_col, text_col, k_shingle, n_hashes, bands)
-    # repartition by shard before the partitioned write: without it
-    # every write task emits one file per shard it holds (tasks ×
-    # shards small files — measured 1112 files for 64 shards at test
-    # scale); with it each shard is one task's output, and AQE keeps
-    # task sizes sane when shards skew
+    # lineage-truncate the signature relation: both writes below (and
+    # at cluster scale, both consumers forever after) read it, and the
+    # banding derives from it — one shingle+signature pass total
+    sig = minhash_signatures(
+        docs, id_col, text_col, k_shingle, n_hashes
+    ).localCheckpoint(eager=False)
+    banded = minhash_band_table(
+        docs, id_col, text_col, k_shingle, n_hashes, bands, signatures=sig
+    )
+    # signatures FIRST (the retention ordering: a crash can orphan
+    # signature rows, never index an id without its signature —
+    # _band_index_has_sigs), then bands; repartition by shard before
+    # each partitioned write: without it every write task emits one
+    # file per shard it holds (tasks × shards small files — measured
+    # 1112 files for 64 shards at test scale); with it each shard is
+    # one task's output, and AQE keeps task sizes sane when shards skew
+    _write_band_signatures(sig, path, n_shards, "overwrite")
     banded.withColumn("shard", _band_index_shard(n_shards)).repartition(
         F.col("shard")
     ).write.mode("overwrite").partitionBy("shard").parquet(f"{path}/bands")
@@ -1574,10 +1676,21 @@ def append_band_index(
     """Add an increment's bands to the stored index (signature params
     from the index's own meta — by construction compatible).  Ids must
     be globally unique across increments (the
-    ``incremental_lsh_candidates`` contract)."""
+    ``incremental_lsh_candidates`` contract).  An index that retains
+    signatures gets the increment's appended too (before the bands —
+    the ordering that keeps retention complete under a crash); a
+    pre-retention index stays signature-less rather than becoming
+    PARTIALLY covered, which would silently lose salvage members."""
     meta = _read_band_index_meta(new_docs.sparkSession, path)
+    sig = None
+    if _band_index_has_sigs(path):
+        sig = minhash_signatures(
+            new_docs, id_col, text_col, meta["k_shingle"], meta["n_hashes"]
+        ).localCheckpoint(eager=False)
+        _write_band_signatures(sig, path, meta["n_shards"], "append")
     banded = minhash_band_table(
-        new_docs, id_col, text_col, meta["k_shingle"], meta["n_hashes"], meta["bands"]
+        new_docs, id_col, text_col, meta["k_shingle"], meta["n_hashes"],
+        meta["bands"], signatures=sig,
     )
     banded.withColumn("shard", _band_index_shard(meta["n_shards"])).repartition(
         F.col("shard")
@@ -1665,19 +1778,42 @@ def probe_band_index_verified(
     parameters (k/n/bands) taken from the index's own meta so the
     verification shingles exactly match what the index was built from.
     The index CLI's ``probe --verify-docs`` drives this.  Returns
-    (id_a, id_b, jaccard)."""
+    (id_a, id_b, jaccard).
+
+    When the index retains signatures (every index built/appended
+    since retention), the salvage stage reads the demoted STORED
+    members' minhashes from ``path/signatures`` (sshard-pruned) and
+    the increment's from the probe's own signature relation — no
+    shingle re-aggregation; a pre-retention index falls back."""
     spark = new_docs.sparkSession
     meta = _read_band_index_meta(spark, path)
     own = scope is None
     scope = scope or PersistScope()
+    # the increment is signature-aggregated ONCE: the banding derives
+    # from this relation, and the salvage loader re-reads it
+    new_sigs = scope.persist(
+        minhash_signatures(
+            new_docs, id_col, text_col, meta["k_shingle"], meta["n_hashes"]
+        )
+    )
+    new_banded = scope.persist(
+        minhash_band_table(
+            new_docs, id_col, text_col, meta["k_shingle"],
+            meta["n_hashes"], meta["bands"], signatures=new_sigs,
+        )
+    )
     cands = probe_band_index(
         new_docs, path, id_col, text_col, prune_shards, scope,
         max_bucket, resolved_col="_resolved", carry_bucket=True,
+        new_banded=new_banded,
     )
     out = _verify_gate_candidates(
         cands, new_docs, corpus_docs, id_col, text_col,
         meta["k_shingle"], threshold, meta["n_hashes"], meta["bands"],
         star_accept_frac, demoted_salvage_cap, scope,
+        signatures_loader=_stored_signature_loader(
+            spark, path, meta, new_sigs
+        ),
     )
     return materialize_release(out, scope) if own else out
 
@@ -1914,9 +2050,18 @@ def ingest_increment(
             )
 
     with PersistScope() as scope:
+        # signature-aggregate the increment ONCE: the banding derives
+        # from it, the salvage loader re-reads it, and (when the index
+        # retains signatures) the sig append re-reads it
+        sig = scope.persist(
+            minhash_signatures(
+                new_docs, id_col, text_col, k_shingle, n_hashes
+            )
+        )
         banded = scope.persist(
             minhash_band_table(
-                new_docs, id_col, text_col, k_shingle, n_hashes, bands
+                new_docs, id_col, text_col, k_shingle, n_hashes, bands,
+                signatures=sig,
             )
         )
         if index_exists:
@@ -1960,17 +2105,40 @@ def ingest_increment(
             )
         else:
             stored_docs = spark.createDataFrame([], docs_schema)
+        meta_for_loader = {
+            "n_shards": n_shards, "k_shingle": k_shingle,
+            "n_hashes": n_hashes, "bands": bands,
+        }
+        sig_retained = (not index_exists) or _band_index_has_sigs(
+            index_path
+        )
         pairs = _verify_gate_candidates(
             cands, new_docs, stored_docs, id_col, text_col, k_shingle,
             threshold, n_hashes, bands, star_accept_frac,
             demoted_salvage_cap, scope, cands_truncated=True,
+            signatures_loader=(
+                _stored_signature_loader(
+                    spark, index_path, meta_for_loader, sig
+                )
+                if index_exists
+                # first increment: nothing stored — the increment's
+                # own persisted signatures cover every possible member
+                else (lambda ids: sig)
+            ),
         ).localCheckpoint(eager=True)  # pairs complete BEFORE appends
 
+        # append ordering: docs (verification text) → signatures →
+        # bands.  Each store may run ahead of the ones after it under
+        # a crash; an id is only PROBED once its bands land, by which
+        # point its text and signature are already stored — the one
+        # direction that preserves both coverage contracts
         new_docs.select(id_col, text_col).withColumn(
             "shard", _doc_store_shard(F.col(id_col), docs_shards)
         ).repartition(F.col("shard")).write.mode("append").partitionBy(
             "shard"
         ).parquet(docs_store_path)
+        if sig_retained:
+            _write_band_signatures(sig, index_path, n_shards, "append")
         banded.withColumn("shard", _band_index_shard(n_shards)).repartition(
             F.col("shard")
         ).write.mode("append").partitionBy("shard").parquet(
@@ -2125,6 +2293,23 @@ def compact_band_index(spark, path: str) -> dict:
             f"compact_band_index: meta at {path!r} changed across the "
             "compaction swap — the scheme pin must be byte-identical"
         )
+    if _band_index_has_sigs(path):
+        # the retained-signature relation accumulates the same
+        # at-least-once residue (a replayed append re-appends its
+        # rows) and per-append small files — same rewrite, same swap
+        sigs_dir = f"{path}/signatures"
+        stats["sig_rows_before"] = spark.read.parquet(sigs_dir).count()
+        tmp = sigs_dir + ".compacting"
+        (
+            spark.read.parquet(sigs_dir)
+            .dropDuplicates()
+            .repartition(F.col("sshard"))
+            .write.mode("overwrite")
+            .partitionBy("sshard")
+            .parquet(tmp)
+        )
+        _swap_compacted(sigs_dir, tmp, keep_files=[])
+        stats["sig_rows_after"] = spark.read.parquet(sigs_dir).count()
     stats["rows_after"] = spark.read.parquet(bands_dir).count()
     stats["files_after"] = _count_parquet_files(bands_dir)
     return stats

@@ -363,6 +363,7 @@ def streaming_near_dedup_verified(
         _verify_gate_candidates,
         lsh_probe_bands,
         minhash_band_table,
+        minhash_signatures,
     )
 
     if groups_dir is not None:
@@ -407,15 +408,36 @@ def streaming_near_dedup_verified(
     def _doc_shard(col):
         return _doc_store_shard(col, docs_shards)
 
+    # the streaming index's retained-signature sidecar: a FLAT store
+    # like index_dir itself, hidden inside it (underscore prefix — the
+    # flat band read never lists it).  Presence-based activation with
+    # the sig-before-bands append ordering, exactly the on-disk
+    # index's contract (dedup._band_index_has_sigs): a store that
+    # predates retention stays signature-less (never PARTIAL), and a
+    # fresh store is signature-complete from batch one.  Restriction
+    # at salvage time is the member semi-join (the flat twin has no
+    # shard pruning on its band read either — it is the
+    # lower-scale form by design).
+    sigs_dir = f"{index_dir}/_signatures"
+
     def _sink(bdf: DataFrame, _epoch: int) -> None:
         if bdf.isEmpty():
             return
         ss = bdf.sparkSession
         with PersistScope() as scope:
+            sig = scope.persist(
+                minhash_signatures(
+                    bdf, id_col, text_col, k_shingle, n_hashes
+                )
+            )
             banded = scope.persist(
                 minhash_band_table(
-                    bdf, id_col, text_col, k_shingle, n_hashes, bands
+                    bdf, id_col, text_col, k_shingle, n_hashes, bands,
+                    signatures=sig,
                 )
+            )
+            sig_retained = (not _has_rows(index_dir)) or (
+                os.path.isdir(sigs_dir) and _has_rows(sigs_dir)
             )
             stored_bands = (
                 ss.read.schema(banded.schema).parquet(index_dir)
@@ -455,6 +477,23 @@ def streaming_near_dedup_verified(
                 )
             else:
                 stored_docs = ss.createDataFrame([], docs_schema)
+            def _sig_loader(ids):
+                if not sig_retained:
+                    return None
+                stored_sigs = (
+                    ss.read.schema(sig.schema).parquet(sigs_dir)
+                    if os.path.isdir(sigs_dir) and _has_rows(sigs_dir)
+                    else ss.createDataFrame([], sig.schema)
+                )
+                # replayed batches duplicate signature rows, and a
+                # replayed id is in BOTH relations — dedup on the
+                # members-restricted union (tiny)
+                return (
+                    sig.unionByName(stored_sigs)
+                    .join(ids, "_id", "left_semi")
+                    .dropDuplicates(["_id"])
+                )
+
             p = _verify_gate_candidates(
                 cands,
                 bdf,
@@ -469,6 +508,7 @@ def streaming_near_dedup_verified(
                 demoted_salvage_cap,
                 scope,
                 cands_truncated=True,
+                signatures_loader=_sig_loader,
             ).toPandas()
             if len(p):
                 out.append(p)
@@ -485,7 +525,11 @@ def streaming_near_dedup_verified(
             # crash-between-appends replay parks its duplicate in the
             # band store (benign inflation) rather than the text
             # store (heavier rows, and correct only thanks to that
-            # dedup guard).
+            # dedup guard).  Signatures land before their bands (the
+            # retention-completeness ordering — an indexed id must
+            # never lack its signature; see dedup._band_index_has_sigs).
+            if sig_retained:
+                sig.write.mode("append").parquet(sigs_dir)
             banded.write.mode("append").parquet(index_dir)
             bdf.select(id_col, text_col).withColumn(
                 "shard", _doc_shard(F.col(id_col))
