@@ -1313,3 +1313,97 @@ def test_band_index_signature_retention_and_salvage_reuse(
     assert run(legacy) == with_sigs
     append_band_index(extra, legacy)
     assert not os.path.isdir(f"{legacy}/signatures")
+
+
+def test_cli_ingest_compaction_economics(
+    spark, tmp_path, capsys, monkeypatch, degenerate
+):
+    """VERDICT r10 #6: the compact verb only pays off if something
+    runs it.  ``ingest --compact-every N`` auto-compacts once any
+    store's worst shard reaches N files (stateless — the store IS the
+    counter); without the flag, an advisory names the exact compact
+    command past the files-per-shard threshold.  Pairs are identical
+    to a never-compacted replica ingesting the same increments."""
+    import os
+
+    from wrds_data_pipeline_spark import cli
+    from wrds_data_pipeline_spark.cli import (
+        _max_files_per_shard,
+        index_main,
+    )
+
+    incs = [
+        degenerate[:10],
+        degenerate[10:20] + [(31_000, "a genuinely duplicated sentence appears here tonight")],
+        degenerate[20:30] + [(31_001, "a genuinely duplicated sentence appears here today")],
+    ]
+    paths = {}
+    for i, rows in enumerate(incs):
+        p = str(tmp_path / f"inc{i}.parquet")
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(p)
+        paths[i] = p
+
+    def drive(tag, extra):
+        idx = str(tmp_path / f"idx_{tag}")
+        store = str(tmp_path / f"store_{tag}")
+        outs = []
+        for i in range(len(incs)):
+            out = str(tmp_path / f"out_{tag}_{i}")
+            assert index_main(
+                ["ingest", paths[i], idx, store, out,
+                 "--lsh-max-bucket", str(B), "--n-shards", "8",
+                 "--docs-shards", "8"] + extra
+            ) == 0
+            outs.append({
+                (r.id_a, r.id_b, r.jaccard)
+                for r in spark.read.parquet(out).collect()
+            })
+        return idx, store, outs
+
+    idx_a, store_a, outs_a = drive("auto", ["--compact-every", "3"])
+    captured = capsys.readouterr()
+    assert "auto-compact" in captured.out
+    # post-compact: every store back to one file per shard
+    assert _max_files_per_shard(f"{idx_a}/bands") == 1
+    assert _max_files_per_shard(f"{idx_a}/signatures") == 1
+    assert _max_files_per_shard(store_a) == 1
+
+    idx_b, store_b, outs_b = drive("plain", [])
+    assert outs_a == outs_b  # maintenance changed nothing observable
+    assert (31_000, 31_001) in {(a, b) for a, b, _ in outs_a[2]}
+    assert _max_files_per_shard(f"{idx_b}/bands") > 1  # the growth is real
+
+    # a FOURTH increment against the compacted stores emits the same
+    # pairs as against the never-compacted replica
+    p4 = str(tmp_path / "inc4.parquet")
+    spark.createDataFrame(
+        degenerate[30:] + [(31_002, "a genuinely duplicated sentence appears here again")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.parquet(p4)
+    res = {}
+    for tag, idx, store in (("auto", idx_a, store_a), ("plain", idx_b, store_b)):
+        out = str(tmp_path / f"out4_{tag}")
+        assert index_main(
+            ["ingest", p4, idx, store, out, "--lsh-max-bucket", str(B),
+             "--n-shards", "8", "--docs-shards", "8"]
+        ) == 0
+        res[tag] = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spark.read.parquet(out).collect()
+        }
+    assert res["auto"] == res["plain"]
+
+    # advisory path: no flag, low threshold -> stderr names the verb
+    capsys.readouterr()
+    monkeypatch.setattr(cli, "_COMPACT_ADVISORY_AT", 2)
+    p5 = str(tmp_path / "inc5.parquet")
+    spark.createDataFrame(
+        [(31_003, "one more unrelated increment document")], DOC_SCHEMA
+    ).coalesce(1).write.parquet(p5)
+    assert index_main(
+        ["ingest", p5, idx_b, store_b, str(tmp_path / "out5"),
+         "--lsh-max-bucket", str(B), "--n-shards", "8",
+         "--docs-shards", "8"]
+    ) == 0
+    err = capsys.readouterr().err
+    assert "ADVISORY" in err and "compact --band-index" in err

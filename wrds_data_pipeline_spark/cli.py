@@ -578,6 +578,82 @@ def corpus_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+# files-per-shard level at which the ingest verb starts advising a
+# compact even without --compact-every: each ingest appends ~one file
+# per touched shard, so this is roughly "increments since the last
+# compact" — past it, listing cost and footer reads grow linearly for
+# every probe while the duplicate rows (if any) stay unreclaimed
+_COMPACT_ADVISORY_AT = 16
+
+
+def _max_files_per_shard(root: str) -> int:
+    """Worst per-partition-directory parquet file count under a
+    shard-partitioned store (files directly in ``root`` count as one
+    pseudo-shard — covers the flat layouts too)."""
+    import os
+
+    worst = 0
+    for dirpath, _dirs, files in os.walk(root):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        worst = max(worst, n)
+    return worst
+
+
+def _ingest_compaction_economics(
+    spark, index_path: str, docs_store: str, compact_every: int
+) -> None:
+    """The maintenance-trigger half of the ingest verb (VERDICT r10
+    #6): ingest appends one file per touched shard per increment
+    FOREVER, so the compact verb only pays off if something actually
+    runs it.  With ``--compact-every N``: auto-compact both stores in
+    place once any store's worst shard reaches N files (stateless —
+    the store itself is the counter, no sidecar bookkeeping to drift).
+    Without it: print a files-per-shard advisory past
+    ``_COMPACT_ADVISORY_AT``, naming the exact command.  The groups
+    store is exempt: its dynamic-overwrite writes REPLACE partition
+    contents, so its per-shard file count does not grow with
+    increments."""
+    import os
+    import sys
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        compact_band_index,
+        compact_docs_store,
+    )
+
+    tracked = [
+        ("band index", os.path.join(index_path, "bands")),
+        ("band signatures", os.path.join(index_path, "signatures")),
+        ("docs store", docs_store),
+    ]
+    levels = [
+        (label, _max_files_per_shard(d))
+        for label, d in tracked
+        if os.path.isdir(d)
+    ]
+    worst_label, worst = max(levels, key=lambda t: t[1], default=("", 0))
+    if compact_every and worst >= compact_every:
+        b = compact_band_index(spark, index_path)
+        d = compact_docs_store(spark, docs_store)
+        print(
+            f"auto-compact (--compact-every {compact_every}; "
+            f"{worst_label} reached {worst} files/shard): band index "
+            f"{b['rows_before']}->{b['rows_after']} rows, "
+            f"{b['files_before']}->{b['files_after']} files; docs "
+            f"store {d['rows_before']}->{d['rows_after']} rows, "
+            f"{d['files_before']}->{d['files_after']} files"
+        )
+    elif worst >= _COMPACT_ADVISORY_AT:
+        print(
+            f"ADVISORY: {worst_label} holds {worst} files in its "
+            "worst shard (one per ingest since the last compact) — "
+            "probe listing cost grows with this; reclaim with: "
+            f"wrds-spark-index compact --band-index {index_path} "
+            f"--docs-store {docs_store}",
+            file=sys.stderr,
+        )
+
+
 def index_main(argv: list[str] | None = None) -> int:
     """Persisted-index lifecycle (beyond the reference surface): the
     continuous-ingest loop for LSH near-dedup (band index) and ANN
@@ -673,6 +749,14 @@ def index_main(argv: list[str] | None = None) -> int:
     ing.add_argument("--groups-shards", type=int, default=64,
                      help="groups-store shard count (creation only; "
                      "later calls must match the stored meta)")
+    ing.add_argument("--compact-every", type=int, default=0,
+                     help="opt-in maintenance hook: after the ingest, "
+                     "when any store's worst shard holds >= N files "
+                     "(each ingest appends ~one file per touched "
+                     "shard, so files-per-shard ~= increments since "
+                     "the last compact), run the compact verb on the "
+                     "band index and docs store in place; 0 (default) "
+                     "never auto-compacts — the advisory still prints")
 
     cp = sub.add_parser(
         "compact",
@@ -792,6 +876,10 @@ def index_main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 f"--salvage-cap must be >= 0, got {args.salvage_cap}"
             )
+        if args.compact_every < 0:
+            raise SystemExit(
+                f"--compact-every must be >= 0, got {args.compact_every}"
+            )
         from wrds_data_pipeline_spark.operators.dedup import (
             DEFAULT_MAX_BUCKET,
             ingest_increment,
@@ -831,6 +919,9 @@ def index_main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(f"{n} verified pairs -> {args.out_dir}; stores updated")
+        _ingest_compaction_economics(
+            spark, args.index_path, args.docs_store, args.compact_every
+        )
         return 0
 
     if args.cmd in ("build-band", "append-band", "probe-band"):
