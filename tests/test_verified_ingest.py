@@ -1407,3 +1407,93 @@ def test_cli_ingest_compaction_economics(
     ) == 0
     err = capsys.readouterr().err
     assert "ADVISORY" in err and "compact --band-index" in err
+
+
+def test_cli_harvest_and_groups_compact(spark, tmp_path):
+    """The loop's HARVEST verb plus groups-store compaction: after two
+    ingests with --groups-store (a cross-increment merge killing a
+    group label), `harvest` emits exactly the canonical corpus (every
+    unpaired doc + the minimum-id member of each group), and `compact
+    --groups-store` rebuilds the sidecar to the garbage-free
+    store-derived truth while changing nothing observable — harvest
+    output, member lookups, and a subsequent ingest identical."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    inc1 = [
+        (1, f"{base} today"),
+        (2, f"{base} tonight"),
+        (5, "an entirely different duplicated paragraph appears here first"),
+        (6, "an entirely different duplicated paragraph appears here second"),
+        (9, "a unique never duplicated document about spark plans"),
+    ]
+    inc2 = [
+        # bridges {1,2} (label 1) with {5,6} (label 5): label 5 DIES
+        (3, f"{base} tomorrow"),
+        (7, "an entirely different duplicated paragraph appears here third"),
+    ]
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    groups = str(tmp_path / "groups")
+    for i, rows in enumerate((inc1, inc2)):
+        p = str(tmp_path / f"inc{i}.parquet")
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(p)
+        assert index_main(
+            ["ingest", p, idx, store, str(tmp_path / f"out{i}"),
+             "--groups-store", groups, "--groups-shards", "8",
+             "--docs-shards", "8"]
+        ) == 0
+    got_groups = {
+        (r["id"], r["group_id"])
+        for r in spark.read.parquet(groups).select("id", "group_id").collect()
+    }
+    assert got_groups == {
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 5),
+    }
+
+    def harvest(tag):
+        out = str(tmp_path / f"harvest_{tag}")
+        assert index_main(["harvest", store, groups, out]) == 0
+        return {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    kept = harvest("pre")
+    assert {i for i, _ in kept} == {1, 5, 9}  # canonical + unpaired
+    assert kept == {(i, t) for i, t in inc1 + inc2 if i in (1, 5, 9)}
+
+    # compact: the sidecar collapses to the store-derived truth (no
+    # label that isn't a live group label), observables unchanged
+    assert index_main(["compact", "--groups-store", groups]) == 0
+    sc = spark.read.parquet(f"{groups}/{_GROUP_SHARDS_DIR}")
+    got_sc = {(r["group_id"], r["shard"]) for r in sc.collect()}
+    want_sc = {
+        (r["group_id"], r["shard"])
+        for r in spark.read.parquet(groups)
+        .select("group_id", "shard").distinct().collect()
+    }
+    assert got_sc == want_sc
+    assert {g for g, _ in got_sc} == {1, 5}  # dead labels reclaimed
+    with open(os.path.join(groups, "_ingest_meta.json")) as fh:
+        assert json.load(fh) == {"groups_shards": 8}  # pin survived
+    assert harvest("post") == kept
+
+    # the loop keeps turning on the compacted store: a third increment
+    # merging INTO group 1 relabels and harvests correctly
+    inc3 = [(0, f"{base} forever")]
+    p = str(tmp_path / "inc3.parquet")
+    spark.createDataFrame(inc3, DOC_SCHEMA).coalesce(1).write.parquet(p)
+    assert index_main(
+        ["ingest", p, idx, store, str(tmp_path / "out3"),
+         "--groups-store", groups, "--groups-shards", "8",
+         "--docs-shards", "8"]
+    ) == 0
+    assert {i for i, _ in harvest("final")} == {0, 5, 9}

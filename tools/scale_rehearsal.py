@@ -807,6 +807,130 @@ def scrub_short_items_rung(spark, sizes: list[int]) -> None:
             )
 
 
+def groups_ladder_rung(spark, sizes: list[int]) -> None:
+    """Groups-store maintenance scaling (VERDICT r10 next #7): fold
+    the same increment shape through ``update_groups_store`` against
+    stores of growing size and record, per increment, (wall, id-shards
+    rewritten, member-lookup rows scanned).  This is the measured form
+    of the O(increment + affected-members) claim: the write column and
+    the sidecar-pruned member scan must stay FLAT as the store grows
+    (the scan tracks the touched group's size, not the corpus), where
+    the r10 predicate scan read every store row per increment (the
+    ``full_scan`` column).  Each rung ends with a union-find oracle
+    over everything folded, so the ladder can never trade correctness
+    for the flat columns."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.components import (
+        _affected_member_shards,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    n_shards = 64
+    n_inc = 5
+    for s_groups in sizes:
+        base = tempfile.mkdtemp(prefix=f"groups_ladder_{s_groups}_")
+        path = f"{base}/store"
+        # seed: s_groups two-member groups in one batch (ids 2i, 2i+1)
+        seed = spark.range(s_groups).select(
+            (F.col("id") * 2).alias("id_a"),
+            (F.col("id") * 2 + 1).alias("id_b"),
+        )
+        t0 = time.time()
+        update_groups_store(spark, path, seed, n_shards=n_shards)
+        w_seed = time.time() - t0
+        total = spark.read.parquet(path).count()
+
+        walls, rewrites, scans = [], [], []
+        folded = [
+            (2 * i, 2 * i + 1) for i in range(s_groups)
+        ]
+        for k in range(n_inc):
+            # touch ONE existing group per increment, spread across
+            # the id space so shard locality can't flatter the numbers
+            gid = 2 * ((k * (s_groups // n_inc + 1)) % s_groups)
+            new_id = 10_000_000 + s_groups * 10 + k
+            inc_pairs = [(gid, new_id)]
+            inc = spark.createDataFrame(
+                inc_pairs, "id_a bigint, id_b bigint"
+            )
+            # instrument the member lookup exactly as the verb will
+            # run it: affected groups -> sidecar-pruned shard set ->
+            # rows the pruned member scan reads (vs the full store)
+            touched = spark.createDataFrame(
+                [(gid,), (new_id,)], "id bigint"
+            )
+            affected = (
+                spark.read.parquet(path)
+                .join(touched, "id", "left_semi")
+                .select("group_id")
+                .distinct()
+            )
+            shards = _affected_member_shards(
+                spark, path, n_shards, affected
+            )
+            scan = (
+                spark.read.parquet(path)
+                .filter(F.col("shard").isin(shards))
+                .count()
+                if shards is not None
+                else total
+            )
+            t0 = time.time()
+            upd = update_groups_store(spark, path, inc, n_shards=n_shards)
+            walls.append(time.time() - t0)
+            rewrites.append(
+                upd.select(
+                    _doc_store_shard(F.col("id"), n_shards).alias("s")
+                )
+                .distinct()
+                .count()
+            )
+            scans.append(scan)
+            folded.extend(inc_pairs)
+
+        # union-find oracle over everything folded — the rung is a
+        # rehearsal, never a benchmark that could drift wrong
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in folded:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {(n, find(n)) for n in parent}
+        got = {
+            (r["id"], r["group_id"])
+            for r in spark.read.parquet(path)
+            .select("id", "group_id")
+            .collect()
+        }
+        assert got == want, (
+            f"groups-ladder S={s_groups}: store diverged from the "
+            f"union-find oracle ({len(got ^ want)} differing rows)"
+        )
+        med = sorted(walls)[len(walls) // 2]
+        print(
+            f"groups-ladder S={s_groups}: store_rows={total} "
+            f"seed={w_seed:.1f}s | per-increment wall "
+            f"med={med:.2f}s {['%.2f' % w for w in walls]} | "
+            f"shards_rewritten={rewrites} | "
+            f"member_scan_rows={scans} (r10 full scan = {total}) | "
+            f"oracle ok"
+        )
+        shutil.rmtree(base)
+
+
 def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
     """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
     ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
@@ -1136,6 +1260,15 @@ def main() -> None:
         corpus_chain_materialized_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000],
+        )
+        return
+    if "--groups-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        groups_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [2000, 8000, 32000],
         )
         return
     if "--scrub-short-items" in sys.argv:

@@ -778,6 +778,27 @@ def index_main(argv: list[str] | None = None) -> int:
                     "layout); duplicate rows there actively corrupt "
                     "top-k (a re-appended batch is a second identical "
                     "neighbor), so this is repair, not just reclaim")
+    cp.add_argument("--groups-store", default=None,
+                    help="duplicate-groups store path (ingest "
+                    "--groups-store layout); the reclaim target is "
+                    "the inverted sidecar's dead-label residue, which "
+                    "the per-increment dynamic overwrite can never "
+                    "remove")
+
+    hv = sub.add_parser(
+        "harvest",
+        help="emit the DEDUPLICATED corpus from the ingest loop's two "
+        "resolved stores: every docs-store document except the "
+        "non-canonical members of duplicate groups (a group's label "
+        "IS its minimum member id, so losers are simply the "
+        "groups-store rows with id != group_id — one anti-join)",
+    )
+    hv.add_argument("docs_store", help="shard-partitioned (id, text) store")
+    hv.add_argument("groups_store",
+                    help="duplicate-groups store (ingest --groups-store)")
+    hv.add_argument("out_dir", help="deduplicated (id, text) parquet")
+    hv.add_argument("--id-col", default="doc_id",
+                    help="the docs store's id column name")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -823,12 +844,16 @@ def index_main(argv: list[str] | None = None) -> int:
             args.band_index is None
             and args.docs_store is None
             and args.vector_index is None
+            and args.groups_store is None
             and not args.flat_store
         ):
             raise SystemExit(
                 "compact: pass --band-index, --docs-store, "
-                "--vector-index, and/or --flat-store"
+                "--vector-index, --groups-store, and/or --flat-store"
             )
+        from wrds_data_pipeline_spark.operators.components import (
+            compact_groups_store,
+        )
         from wrds_data_pipeline_spark.operators.dedup import (
             compact_band_index,
             compact_docs_store,
@@ -842,6 +867,7 @@ def index_main(argv: list[str] | None = None) -> int:
             ("band index", args.band_index, compact_band_index),
             ("docs store", args.docs_store, compact_docs_store),
             ("vector index", args.vector_index, compact_vector_index),
+            ("groups store", args.groups_store, compact_groups_store),
         ] + [
             ("flat store", p, compact_flat_store)
             for p in (args.flat_store or [])
@@ -853,11 +879,44 @@ def index_main(argv: list[str] | None = None) -> int:
                 s = fn(spark, target)
             except ValueError as exc:
                 raise SystemExit(str(exc)) from exc
+            extra = (
+                f", sidecar rows {s['sidecar_rows_before']} -> "
+                f"{s['sidecar_rows_after']}"
+                if "sidecar_rows_before" in s
+                else ""
+            )
             print(
                 f"compacted {label} {target}: rows "
                 f"{s['rows_before']} -> {s['rows_after']}, files "
-                f"{s['files_before']} -> {s['files_after']}"
+                f"{s['files_before']} -> {s['files_after']}{extra}"
             )
+        return 0
+
+    if args.cmd == "harvest":
+        from pyspark.sql import functions as F
+
+        from wrds_data_pipeline_spark.operators.components import (
+            harvest_canonical_store,
+        )
+
+        try:
+            kept = harvest_canonical_store(
+                spark, args.docs_store, args.groups_store,
+                id_col=args.id_col,
+            )
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from exc
+        kept.write.mode("overwrite").parquet(args.out_dir)
+        n_kept = spark.read.parquet(args.out_dir).count()
+        n_losers = (
+            spark.read.parquet(args.groups_store)
+            .filter(F.col("id") != F.col("group_id"))
+            .count()
+        )
+        print(
+            f"harvested {n_kept} canonical docs -> {args.out_dir} "
+            f"({n_losers} non-canonical group members dropped)"
+        )
         return 0
 
     if args.cmd == "ingest":

@@ -331,8 +331,24 @@ def _components_over_increment(
     (in-memory assignments) and ``update_groups_store`` (sidecar-
     pruned store reads), so the correctness-critical subgraph
     construction exists once (the union-find-oracle property test
-    covers both callers through it)."""
-    subgraph = new_pairs.select(id_a, id_b).unionByName(member_stars)
+    covers both callers through it).
+
+    The union is lineage-truncated before the components loop: on
+    Spark 4.1 a raw ``<non-local relation> UNION <empty/propagated
+    member stars>`` plan makes a LATER iteration's snapshot die inside
+    Catalyst (``localCheckpoint`` → assertOptimized →
+    ``NoSuchElementException: key not found: u#N``, reproduced with a
+    ``spark.range``-derived pair stream against an empty store — the
+    first-ever increment of any programmatically generated corpus).
+    ``localCheckpoint(eager=False)`` replaces the union with a clean
+    LogicalRDD at the loop's entry, which every iteration then builds
+    on safely; the relation is increment-sized and the loop was going
+    to materialize it in round one anyway."""
+    subgraph = (
+        new_pairs.select(id_a, id_b)
+        .unionByName(member_stars)
+        .localCheckpoint(eager=False)
+    )
     return connected_components(
         subgraph, id_a, id_b, max_iters=max_iters,
         checkpoint_dir=checkpoint_dir,
@@ -631,3 +647,116 @@ def update_groups_store(
         .parquet(path)
     )
     return updated
+
+
+def compact_groups_store(spark, path: str) -> dict:
+    """``dedup.compact_docs_store``'s twin for the groups store.  The
+    main relation does NOT accumulate files (dynamic overwrite
+    REPLACES partition contents), so the reclaim target here is the
+    inverted sidecar's dead-label residue: a merge relabels a group to
+    the smaller minimum and drops the old label's rows — except when
+    the rewrite would leave its gshard empty, where dynamic overwrite
+    cannot touch the partition and the rows linger as permanently
+    unreachable garbage (labels are non-increasing, so a dead label
+    never labels again — see update_groups_store).  Compaction
+    rewrites the main store to one file per shard (full-row dedup —
+    idempotent-replay residue only) via the shared write-then-swap,
+    then rebuilds the sidecar from the compacted truth, which is
+    exactly the garbage-free form.  Returns the compactors' stats
+    shape plus the sidecar row delta."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _count_parquet_files,
+        _doc_store_shard,
+        _require_store,
+        _store_has_rows,
+        _swap_compacted,
+    )
+
+    _require_store(path, "groups store")
+    meta_path = os.path.join(path, _DOCS_STORE_META)
+    with open(meta_path) as fh:
+        n_shards = int(json.load(fh)["groups_shards"])
+    sc_dir = f"{path}/{_GROUP_SHARDS_DIR}"
+    stats = {
+        "rows_before": spark.read.parquet(path).count(),
+        "files_before": _count_parquet_files(path),
+        "sidecar_rows_before": (
+            spark.read.parquet(sc_dir).count()
+            if os.path.isdir(sc_dir) and _store_has_rows(sc_dir)
+            else 0
+        ),
+    }
+    tmp = path + ".compacting"
+    (
+        spark.read.parquet(path)
+        .select("id", "group_id", "shard")
+        .dropDuplicates()
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    # the compacted copy gets a FRESH sidecar before the swap, so the
+    # swapped-in store is never sidecar-less (a crash after the swap
+    # but before a separate rebuild would otherwise force the
+    # migration full-scan on the next increment — harmless, but this
+    # is one rename cheaper and never degraded)
+    (
+        spark.read.parquet(tmp)
+        .select("group_id", F.col("shard").cast("int").alias("shard"))
+        .distinct()
+        .withColumn(
+            "gshard", _doc_store_shard(F.col("group_id"), n_shards)
+        )
+        .repartition(F.col("gshard"))
+        .write.mode("overwrite")
+        .partitionBy("gshard")
+        .parquet(f"{tmp}/{_GROUP_SHARDS_DIR}")
+    )
+    _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
+    stats["rows_after"] = spark.read.parquet(path).count()
+    stats["files_after"] = _count_parquet_files(path)
+    stats["sidecar_rows_after"] = spark.read.parquet(sc_dir).count()
+    return stats
+
+
+def harvest_canonical_store(
+    spark, docs_store_path: str, groups_store_path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ingest loop's HARVEST verb: the deduplicated corpus from
+    the two stores the loop maintains — every docs-store document
+    except the non-canonical members of resolved duplicate groups.
+
+    Because a group's label IS its minimum member id (the
+    connected-components contract), the loser set is simply the
+    groups-store rows with ``id != group_id`` — no aggregation, no
+    winner election; one anti-join against a relation sized by the
+    corpus's DUPLICATE mass (typically a few percent), which AQE
+    broadcasts when it fits.  Full-row duplicates (the docs store's
+    at-least-once append residue) collapse; same-id rows with
+    DIFFERENT text are an id-uniqueness violation and stay visible
+    (the sibling stores' read-guard convention) rather than being
+    silently resolved here.
+
+    Returns the lazy (id_col, text...) relation WITHOUT the shard
+    column — the caller owns the write."""
+    from wrds_data_pipeline_spark.operators.dedup import _require_store
+
+    _require_store(docs_store_path, "docs store")
+    _require_store(groups_store_path, "groups store")
+    losers = (
+        spark.read.parquet(groups_store_path)
+        .filter(F.col("id") != F.col("group_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return (
+        spark.read.parquet(docs_store_path)
+        .drop("shard")
+        .dropDuplicates()
+        .join(losers, id_col, "left_anti")
+    )
