@@ -327,7 +327,8 @@ def test_lag_label_duckdb_twin(spark):
 
 def test_trailing_range_window_duckdb_twin(spark):
     """q39's oracle, preserved verbatim after its round-8 rotation out
-    of the registry (slot now checks paragraph dedup, q63): the W7/O3
+    of the registry (slot then checked paragraph dedup, q63; since
+    r11 the gate/salvage composition, q66): the W7/O3
     RANGE-frame trailing 1-hour window against DuckDB on the driver
     events table.  q47 keeps the per-user ordered-window machinery
     hash-checked in the registry; q46's ROWS-frame oracle lives on as

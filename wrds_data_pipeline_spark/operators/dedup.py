@@ -992,6 +992,12 @@ def demoted_salvage_candidates(
     ``shingles``, semi-join-restricted to the demoted members — the
     legacy fallback."""
     rows_per_band = n_hashes // bands
+    # members-sized truncation points: this relation is read by ids,
+    # the sub explosion, AND the bucket census — and `mh` below drags
+    # the signature/shingle lineage in; without truncation every
+    # downstream action re-optimizes those trees per reference (the
+    # near_dup_pairs plan-depth note).  Both relations are bounded by
+    # the demoted buckets' membership.
     members = (
         star_edges.join(demoted, ["band", "band_hash"], "left_semi")
         .select(
@@ -1000,6 +1006,7 @@ def demoted_salvage_candidates(
             F.explode(F.array("id_a", "id_b")).alias("_id"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ids = members.select("_id").distinct()
     if signatures is None and signatures_loader is not None:
@@ -1021,6 +1028,7 @@ def demoted_salvage_candidates(
                 for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
             ]
         )
+    mh = mh.localCheckpoint(eager=False)
     rows = F.array(
         *[
             F.struct(
@@ -1208,14 +1216,27 @@ def near_dup_pairs(
             out = scored
         else:
             scored = scope.persist(scored)
+            # PLAN-TRUNCATED handles for the gate/salvage subtree: the
+            # persists above keep the cross-call caches (a repeated
+            # invocation's identical plan re-hits them), but a persist
+            # does NOT truncate the logical plan — so every eager
+            # scalar on this path (the demote decision, the salvage
+            # emptiness check, the final job) re-OPTIMIZED the whole
+            # composed census→verify lineage, ~0.5-1s of driver time
+            # per plan layer per action (measured: the salvage stages
+            # of the q66-shaped corpus dropped 7.7s→1.6s and 4.7s→0.9s
+            # with truncation).  localCheckpoint reads each persisted
+            # cache once and hands the subtree a pairs-sized LogicalRDD.
+            star_t = star.localCheckpoint(eager=False)
+            scored_t = scored.localCheckpoint(eager=False)
             out, demoted = _gate_and_demote(
-                scored, star, threshold, star_accept_frac,
+                scored_t, star_t, threshold, star_accept_frac,
                 scope=scope, eager_demote=bool(demoted_salvage_cap),
             )
             if demoted_salvage_cap and demoted is not None:
                 salvaged = _salvage_demoted(
                     docs, id_col, text_col, k_shingle, threshold,
-                    n_hashes, bands, scored, star, sh, scope,
+                    n_hashes, bands, scored_t, star_t, sh, scope,
                     demoted, demoted_salvage_cap, signatures=sig,
                 )
                 if salvaged is not None:
