@@ -471,3 +471,60 @@ def test_groups_store_random_foldings_match_batch(spark, tmp_path):
         assert _store_groups(spark, path) == set(
             _union_find_groups(edges).items()
         ), f"trial {trial} diverged"
+
+
+def test_harvest_score_elected_winners(spark, tmp_path):
+    """harvest with a scores relation keeps the BEST-scoring member of
+    each group (ties and MISSING scores break to the minimum id) —
+    dedup_keep_best's election over the persisted stores — while the
+    default stays the minimum-id canonical."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.components import (
+        harvest_canonical_store,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+
+    docs = [
+        (1, "one"), (2, "two"), (3, "three"),   # group 1 = {1,2,3}
+        (5, "five"), (6, "six"),                 # group 5 = {5,6}
+        (9, "unpaired"),
+    ]
+    store = str(tmp_path / "docs")
+    os.makedirs(store)
+    with open(os.path.join(store, "_ingest_meta.json"), "w") as fh:
+        json.dump({"docs_shards": 8}, fh)
+    spark.createDataFrame(docs, "doc_id bigint, text string").withColumn(
+        "shard", _doc_store_shard(F.col("doc_id"), 8)
+    ).write.mode("append").partitionBy("shard").parquet(store)
+    groups = str(tmp_path / "groups")
+    update_groups_store(
+        spark, groups,
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        ),
+        n_shards=8,
+    )
+
+    def ids(**kw):
+        return {
+            r["doc_id"]
+            for r in harvest_canonical_store(
+                spark, store, groups, **kw
+            ).collect()
+        }
+
+    assert ids() == {1, 5, 9}  # default: minimum-id canonical
+    # scores elect 2 in group 1; group 5 has NO scored member -> both
+    # at -inf -> tie -> min id 5; unpaired 9 always kept
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5)], "doc_id bigint, score double"
+    )
+    assert ids(scores=scores) == {2, 5, 9}
+    # a tie on the best score breaks to the minimum id
+    tie = spark.createDataFrame(
+        [(2, 0.9), (3, 0.9), (6, 1.0)], "doc_id bigint, score double"
+    )
+    assert ids(scores=tie) == {2, 6, 9}

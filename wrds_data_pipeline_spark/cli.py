@@ -799,6 +799,13 @@ def index_main(argv: list[str] | None = None) -> int:
     hv.add_argument("out_dir", help="deduplicated (id, text) parquet")
     hv.add_argument("--id-col", default="doc_id",
                     help="the docs store's id column name")
+    hv.add_argument("--scores", default=None,
+                    help="optional (id, score) parquet: keep the "
+                    "BEST-scoring member of each group instead of the "
+                    "minimum id (ties and missing scores break to the "
+                    "minimum id)")
+    hv.add_argument("--score-col", default="score",
+                    help="score column name in --scores")
 
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
@@ -903,19 +910,28 @@ def index_main(argv: list[str] | None = None) -> int:
             kept = harvest_canonical_store(
                 spark, args.docs_store, args.groups_store,
                 id_col=args.id_col,
+                scores=(
+                    spark.read.parquet(args.scores)
+                    if args.scores is not None
+                    else None
+                ),
+                score_col=args.score_col,
             )
         except ValueError as exc:
             raise SystemExit(str(exc)) from exc
         kept.write.mode("overwrite").parquet(args.out_dir)
         n_kept = spark.read.parquet(args.out_dir).count()
-        n_losers = (
-            spark.read.parquet(args.groups_store)
-            .filter(F.col("id") != F.col("group_id"))
+        # counted against the distinct stored ids, not the min-id
+        # loser rule — with --scores the winner is score-elected
+        n_total = (
+            spark.read.parquet(args.docs_store)
+            .select(F.col(args.id_col))
+            .distinct()
             .count()
         )
         print(
             f"harvested {n_kept} canonical docs -> {args.out_dir} "
-            f"({n_losers} non-canonical group members dropped)"
+            f"({n_total - n_kept} non-canonical group members dropped)"
         )
         return 0
 

@@ -727,21 +727,32 @@ def compact_groups_store(spark, path: str) -> dict:
 def harvest_canonical_store(
     spark, docs_store_path: str, groups_store_path: str,
     id_col: str = "doc_id",
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
     """The ingest loop's HARVEST verb: the deduplicated corpus from
     the two stores the loop maintains — every docs-store document
     except the non-canonical members of resolved duplicate groups.
 
-    Because a group's label IS its minimum member id (the
-    connected-components contract), the loser set is simply the
-    groups-store rows with ``id != group_id`` — no aggregation, no
-    winner election; one anti-join against a relation sized by the
-    corpus's DUPLICATE mass (typically a few percent), which AQE
-    broadcasts when it fits.  Full-row duplicates (the docs store's
-    at-least-once append residue) collapse; same-id rows with
-    DIFFERENT text are an id-uniqueness violation and stay visible
-    (the sibling stores' read-guard convention) rather than being
-    silently resolved here.
+    Default (no ``scores``): because a group's label IS its minimum
+    member id (the connected-components contract), the loser set is
+    simply the groups-store rows with ``id != group_id`` — no
+    aggregation, no winner election; one anti-join against a relation
+    sized by the corpus's DUPLICATE mass (typically a few percent),
+    which AQE broadcasts when it fits.
+
+    ``scores``: optionally an (``id_col``, ``score_col``) relation —
+    the winner per group becomes the BEST-scoring member instead
+    (ties and missing/null scores break to the minimum id — exactly
+    ``dedup_keep_best``'s election, run over the groups STORE instead
+    of a transient components result).  The score join and the
+    min-struct argmax stay duplicate-mass-sized; the corpus is still
+    touched only by the final anti-join.
+
+    Full-row duplicates (the docs store's at-least-once append
+    residue) collapse; same-id rows with DIFFERENT text are an
+    id-uniqueness violation and stay visible (the sibling stores'
+    read-guard convention) rather than being silently resolved here.
 
     Returns the lazy (id_col, text...) relation WITHOUT the shard
     column — the caller owns the write."""
@@ -749,11 +760,40 @@ def harvest_canonical_store(
 
     _require_store(docs_store_path, "docs store")
     _require_store(groups_store_path, "groups store")
-    losers = (
-        spark.read.parquet(groups_store_path)
-        .filter(F.col("id") != F.col("group_id"))
-        .select(F.col("id").alias(id_col))
-    )
+    groups = spark.read.parquet(groups_store_path).select("id", "group_id")
+    if scores is None:
+        losers = groups.filter(F.col("id") != F.col("group_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        members = groups.join(
+            scores.select(
+                F.col(id_col).cast("bigint").alias("id"),
+                F.coalesce(
+                    F.col(score_col).cast("double"), F.lit(float("-inf"))
+                ).alias("_s"),
+            ),
+            "id",
+            "left",
+        ).select(
+            "id", "group_id", F.coalesce("_s", F.lit(float("-inf"))).alias("_s")
+        )
+        winners = (
+            members.groupBy("group_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_s")).alias("a"), F.col("id").alias("b")
+                    )
+                ).alias("_w")
+            )
+            .select("group_id", F.col("_w.b").alias("_keep"))
+        )
+        losers = (
+            members.join(winners, "group_id")
+            .filter(F.col("id") != F.col("_keep"))
+            .select(F.col("id").alias(id_col))
+        )
     return (
         spark.read.parquet(docs_store_path)
         .drop("shard")
