@@ -528,3 +528,42 @@ def test_harvest_score_elected_winners(spark, tmp_path):
         [(2, 0.9), (3, 0.9), (6, 1.0)], "doc_id bigint, score double"
     )
     assert ids(scores=tie) == {2, 6, 9}
+
+
+def test_groups_store_idempotent_replay_with_sidecar(spark, tmp_path):
+    """At-least-once replay at the STORE level: re-applying the last
+    increment reproduces byte-identical (id, group_id) rows AND an
+    identical sidecar — the merged groups are found through the
+    pruned lookup, not re-merged into something new."""
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+        update_groups_store,
+    )
+
+    path = str(tmp_path / "groups")
+    incs = [[(1, 2), (10, 11)], [(2, 10), (40, 41)]]
+    for inc in incs:
+        update_groups_store(
+            spark, path,
+            spark.createDataFrame(inc, ["id_a", "id_b"]), n_shards=8,
+        )
+
+    def snap():
+        rows = _store_groups(spark, path)
+        sc = {
+            (r["group_id"], r["shard"], r["gshard"])
+            for r in spark.read.parquet(
+                f"{path}/{_GROUP_SHARDS_DIR}"
+            ).collect()
+        }
+        return rows, sc
+
+    before = snap()
+    update_groups_store(
+        spark, path,
+        spark.createDataFrame(incs[-1], ["id_a", "id_b"]), n_shards=8,
+    )
+    assert snap() == before
+    assert before[0] == set(
+        _union_find_groups([p for inc in incs for p in inc]).items()
+    )
