@@ -1497,3 +1497,54 @@ def test_cli_harvest_and_groups_compact(spark, tmp_path):
          "--docs-shards", "8"]
     ) == 0
     assert {i for i, _ in harvest("final")} == {0, 5, 9}
+
+
+def test_streaming_signature_retention_lockstep(spark, tmp_path, degenerate):
+    """The streaming twin's retained-signature sidecar
+    (``index_dir/_signatures``): fresh stores keep it in LOCKSTEP with
+    the flat band store (sig ids == indexed ids after every batch —
+    the invariant that makes presence-based activation safe), and a
+    LEGACY store (band rows, no sidecar) must never grow a PARTIAL one
+    — later batches leave it signature-less."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_near_dedup_verified,
+    )
+
+    def ids_of(path, col="_id"):
+        return {
+            r[col]
+            for r in spark.read.parquet(path).select(col).distinct().collect()
+        }
+
+    stage = str(tmp_path / "stage")
+    for batch in (degenerate[:10], degenerate[10:20]):
+        spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    bands = str(tmp_path / "bands")
+    streaming_near_dedup_verified(
+        spark, stage, DOC_SCHEMA, bands, str(tmp_path / "docs"),
+        max_files_per_trigger=1, max_bucket=B, threshold=0.5,
+    )
+    sigs = f"{bands}/_signatures"
+    assert os.path.isdir(sigs)
+    assert ids_of(sigs) == ids_of(bands) == {i for i, _ in degenerate[:20]}
+
+    # legacy shape: delete the sidecar, stream another batch — the
+    # store must stay signature-less rather than become PARTIAL
+    # (partial coverage would silently drop members at the salvage
+    # join)
+    shutil.rmtree(sigs)
+    spark.createDataFrame(degenerate[20:30], DOC_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(stage)
+    streaming_near_dedup_verified(
+        spark, stage, DOC_SCHEMA, bands, str(tmp_path / "docs"),
+        max_files_per_trigger=1, max_bucket=B, threshold=0.5,
+        checkpoint_dir=None,
+    )
+    assert not os.path.isdir(sigs)
+    assert ids_of(bands) == {i for i, _ in degenerate[:30]}
