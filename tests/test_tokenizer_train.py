@@ -1,0 +1,349 @@
+"""Tokenizer training (functions/tokenizer_train.py): hand-derived
+merge goldens, encode-through-the-interpreter round trips, the
+JVM-regex vs scanner pre-tokenization parity that makes the
+distributed counting phase trustworthy, and the CLI verbs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wrds_data_pipeline_spark.functions.pybpe import (
+    PurePythonTokenizer,
+    _BYTE_UNICODE,
+    _gpt2_words,
+)
+from wrds_data_pipeline_spark.functions.tokenizer_train import (
+    bert_word_counts,
+    bpe_tokenizer_spec,
+    gpt2_word_counts,
+    learn_bpe_from_counts,
+    learn_wordpiece_from_counts,
+    train_bpe,
+    train_wordpiece,
+    wordpiece_tokenizer_spec,
+    write_tokenizer_json,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# the classic BPE teaching corpus (used across public BPE
+# expositions); merges are hand-derivable: pair counts start
+# (u,g)=20 (h,u)=15 (p,u)=17 (u,n)=16 (b,u)=4 (g,s)=5
+_TINY = [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)]
+
+
+def test_bpe_hand_derived_merges():
+    vocab, merges = learn_bpe_from_counts(
+        _TINY, 11, byte_level=False, special_tokens=()
+    )
+    # merge 1: (u,g)=20.  merge 2: after ug, (u,n)=16 beats (h,ug)=15.
+    # merge 3: (h,ug)=15 beats (p,un)=12.  merge 4: (p,un)=12.
+    assert merges == [("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un")]
+    # id layout: sorted alphabet then merges in order
+    assert vocab == {
+        "b": 0, "g": 1, "h": 2, "n": 3, "p": 4, "s": 5, "u": 6,
+        "ug": 7, "un": 8, "hug": 9, "pun": 10,
+    }
+
+
+def test_bpe_specials_take_low_ids_and_floor_refusal():
+    vocab, _ = learn_bpe_from_counts(
+        _TINY, 9, byte_level=False, special_tokens=("<unk>", "<pad>")
+    )
+    assert vocab["<unk>"] == 0 and vocab["<pad>"] == 1
+    assert vocab["b"] == 2  # alphabet follows the specials
+    with pytest.raises(ValueError, match="floor"):
+        learn_bpe_from_counts(_TINY, 3, byte_level=False)
+    with pytest.raises(ValueError, match="duplicate"):
+        learn_bpe_from_counts(
+            _TINY, 20, byte_level=False, special_tokens=("<x>", "<x>")
+        )
+
+
+def test_bpe_min_pair_frequency_stops_merging():
+    # with the bar above every pair count, no merges happen
+    vocab, merges = learn_bpe_from_counts(
+        _TINY, 100, byte_level=False, min_pair_frequency=1000
+    )
+    assert merges == []
+    assert set(vocab) == set("bghnpsu")
+
+
+def test_byte_level_alphabet_covers_all_bytes():
+    vocab, merges = learn_bpe_from_counts(
+        [("ab", 3)], 258, byte_level=True, special_tokens=()
+    )
+    assert len(vocab) == 257  # 256 bytes + the single (a,b) merge
+    assert merges == [("a", "b")]
+    # GPT-2 layout: ids 0..255 are the byte symbols sorted by mapped
+    # codepoint — '!' (byte 0x21) is id 0, like the public GPT-2 vocab
+    assert vocab["!"] == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=104),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+def test_bpe_trainer_invariants(counts, extra):
+    """On arbitrary corpora: every merge's parts are vocab-resident
+    tokens minted BEFORE the merge result, ids are contiguous from 0,
+    training is deterministic, and replaying the merges through the
+    interpreter reconstructs every training word exactly (the
+    lossless-segmentation invariant)."""
+    words = {}
+    for w, c in counts:
+        words[w] = words.get(w, 0) + c
+    counts = sorted(words.items())
+    floor = len({ch for w, _ in counts for ch in w})
+    vocab, merges = learn_bpe_from_counts(
+        counts, floor + extra, byte_level=False, min_pair_frequency=1
+    )
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    for a, b in merges:
+        assert a in vocab and b in vocab and (a + b) in vocab
+        assert vocab[a + b] > vocab[a] and vocab[a + b] > vocab[b]
+    v2, m2 = learn_bpe_from_counts(
+        counts, floor + extra, byte_level=False, min_pair_frequency=1
+    )
+    assert (v2, m2) == (vocab, merges)
+    spec = bpe_tokenizer_spec(vocab, merges)
+    spec["pre_tokenizer"] = {"type": "Whitespace"}
+    tok = PurePythonTokenizer(spec)
+    rev = {i: t for t, i in vocab.items()}
+    for w, _ in counts:
+        ids = tok.encode(w).ids
+        assert "".join(rev[i] for i in ids) == w
+
+
+def test_trained_bpe_encodes_byte_lossless(tmp_path):
+    """A byte-level artifact trained on real corpus text encodes ANY
+    text (training or not) with zero unk and byte-lossless pieces:
+    concatenated pieces == the byte→unicode image of the text."""
+    counts = [
+        ("The", 50), (" quick", 30), (" brown", 20), (" fox", 40),
+        (" jumps", 10), ("!", 25), (" 123", 8), ("\n", 60),
+    ]
+    vocab, merges = learn_bpe_from_counts(
+        counts, 300, special_tokens=("<|endoftext|>",)
+    )
+    path = str(tmp_path / "tok.json")
+    write_tokenizer_json(bpe_tokenizer_spec(vocab, merges), path)
+    tok = PurePythonTokenizer.from_file(path)
+    rev = {i: t for t, i in vocab.items()}
+    for text in (
+        "The quick brown fox jumps!",
+        "never-seen wörds — ünïcode & emoji \U0001f600",
+        "tabs\tnewlines\nand  runs   of spaces",
+        "",
+    ):
+        ids = tok.encode(text).ids
+        expect = "".join(_BYTE_UNICODE[b] for b in text.encode("utf-8"))
+        assert "".join(rev[i] for i in ids) == expect
+
+
+def test_wordpiece_hand_derived_and_greedy_encode():
+    vocab, merges = learn_wordpiece_from_counts(
+        _TINY, 12, special_tokens=("[PAD]", "[UNK]")
+    )
+    # likelihood score count(ab)/(count(a)count(b)); first winner is
+    # (##g,##s): 5/(20*5)=0.05 — the pair with the rarest parts
+    assert merges[0] == ("##g", "##s")
+    for a, b in merges:
+        assert a in vocab and b in vocab
+        merged = a + (b[2:] if b.startswith("##") else b)
+        assert merged in vocab
+    spec = wordpiece_tokenizer_spec(dict(vocab), lowercase=True)
+    tok = PurePythonTokenizer(spec)
+    # greedy longest-match over the trained vocab; 'z' is outside the
+    # training alphabet -> the whole word becomes [UNK]
+    ids = tok.encode("hugs zap").ids
+    rev = {i: t for t, i in vocab.items()}
+    toks = [rev[i] for i in ids]
+    assert toks[-1] == "[UNK]"
+    assert "".join(t[2:] if t.startswith("##") else t
+                   for t in toks[:-1]) == "hugs"
+
+
+def test_wordpiece_unk_refusals():
+    with pytest.raises(ValueError, match="unk_token"):
+        wordpiece_tokenizer_spec({"a": 0}, unk_token="[UNK]")
+    # train_wordpiece validates its special/unk contract before any
+    # Spark work, so the refusal needs no session or corpus
+    with pytest.raises(ValueError, match="unk_token"):
+        train_wordpiece(
+            None, vocab_size=10, special_tokens=("[PAD]",)
+        )
+
+
+def test_gpt2_jvm_regex_matches_scanner(spark):
+    """The distributed counting phase splits with Java's regex; the
+    interpreter encodes with the Python scanner transcription.  Parity
+    on real corpus text plus a unicode adversarial suite keeps the
+    trained artifact's statistics aligned with encode-time behavior.
+    (Known residual divergence class: a few control codepoints where
+    str.isspace() and Unicode White_Space disagree — same class pybpe
+    documents vs the Rust regex; none occur in any corpus.)"""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    texts = [r["text"] for r in docs.select("text").limit(120).collect()]
+    texts += [
+        "it's we're I'll you've don't 'd",
+        "  double  spaces   and\ttabs\nnewlines",
+        "digits 123 and 456mixed789",
+        "punct!!! runs??? (mixed) [brackets]",
+        "unicode w\u00f6rds nbsp\u00a0and thin\u2009spaces",
+        "CJK 中文 mixed with English",
+        "emoji \U0001f600\U0001f680 run",
+        "trailing spaces   ",
+        "",
+    ]
+    from collections import Counter
+
+    expect = Counter()
+    for t in texts:
+        expect.update(_gpt2_words(t))
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["word"]: r["count"]
+        for r in gpt2_word_counts(sdf).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_gpt2_word_counts_caps_and_floors(spark):
+    sdf = spark.createDataFrame(
+        [("a a a b b c",)], "text string"
+    )
+    # _gpt2_words("a a a b b c") == ["a", " a", " a", " b", " b", " c"]
+    rows = gpt2_word_counts(sdf, min_frequency=2).collect()
+    words = {r["word"]: r["count"] for r in rows}
+    assert words == {" a": 2, " b": 2}
+    top = gpt2_word_counts(sdf, max_words=2).collect()
+    assert {r["word"] for r in top} == {" a", " b"}  # top by count,
+    # ties broken by word — deterministic cap
+
+
+def test_bert_word_counts_normalizes_like_the_interpreter(spark):
+    sdf = spark.createDataFrame(
+        [("Hello, WORLD! Café 中文ab",), (None,)], "text string"
+    )
+    got = {
+        r["word"]: r["count"] for r in bert_word_counts(sdf).collect()
+    }
+    # lowercase + accent strip + punctuation isolation + CJK padding
+    assert got == {
+        "hello": 1, ",": 1, "world": 1, "!": 1, "cafe": 1,
+        "中": 1, "文": 1, "ab": 1,
+    }
+
+
+def test_train_bpe_end_to_end_on_documents(spark, tmp_path):
+    """Train on the sf0.001 documents table, load the artifact through
+    the interpreter, and count tokens through the exact mapInPandas
+    path production uses — the full train → tokenize loop."""
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        local_tokenizer_factory,
+    )
+    from wrds_data_pipeline_spark.functions.tokenize import (
+        tokenizer_token_counts,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    stats: dict = {}
+    spec = train_bpe(docs, vocab_size=500, stats=stats)
+    # 1 special + 256 byte alphabet + one id per merge
+    assert stats["vocab_size"] == 1 + 256 + stats["n_merges"]
+    assert stats["vocab_size"] <= 500 and stats["n_merges"] > 100
+    path = str(tmp_path / "trained.json")
+    write_tokenizer_json(spec, path)
+    counted = tokenizer_token_counts(
+        docs.limit(50), local_tokenizer_factory(path)
+    )
+    rows = counted.collect()
+    assert len(rows) == 50
+    for r in rows:
+        n_chars = len(r["text"])
+        assert 0 < r["n_tokens"] <= max(n_chars, 1)
+    # merges compress: tokens well under the byte count on real text
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    total_bytes = sum(len(r["text"].encode("utf-8")) for r in rows)
+    assert total_tokens < 0.8 * total_bytes
+    # determinism: a second training run yields the identical artifact
+    spec2 = train_bpe(docs, vocab_size=500)
+    assert json.dumps(spec2, sort_keys=True) == json.dumps(
+        spec, sort_keys=True
+    )
+
+
+def test_train_wordpiece_end_to_end_on_documents(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    spec = train_wordpiece(docs, vocab_size=400)
+    path = str(tmp_path / "wp.json")
+    write_tokenizer_json(spec, path)
+    tok = PurePythonTokenizer.from_file(path)
+    vocab = spec["model"]["vocab"]
+    assert vocab["[PAD]"] == 0 and vocab["[UNK]"] == 1
+    unk_id = vocab["[UNK]"]
+    texts = [r["text"] for r in docs.select("text").limit(50).collect()]
+    total, unk = 0, 0
+    for t in texts:
+        ids = tok.encode(t).ids
+        assert all(0 <= i < len(vocab) for i in ids)
+        total += len(ids)
+        unk += sum(1 for i in ids if i == unk_id)
+    assert total > 0
+    # trained on this corpus: unknown tokens are a rare residue
+    # (chars dropped by min_frequency at most), not the common case
+    assert unk / total < 0.05
+
+
+def test_cli_train_and_count(spark, tmp_path):
+    from wrds_data_pipeline_spark.cli import tokenizer_main
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(200).write.parquet(docs_path)
+    out_json = str(tmp_path / "tok.json")
+    rc = tokenizer_main(
+        ["train", docs_path, out_json, "--vocab-size", "400",
+         "--min-pair-frequency", "2"]
+    )
+    assert rc == 0
+    spec = json.load(open(out_json))
+    assert spec["model"]["type"] == "BPE"
+    # the 200-doc synthetic slice exhausts its pair inventory before
+    # 400 — the loop stops on heap-empty, never pads
+    vocab = spec["model"]["vocab"]
+    assert len(vocab) <= 400
+    assert len(vocab) == 1 + 256 + len(spec["model"]["merges"])
+    out_counts = str(tmp_path / "counts")
+    rc = tokenizer_main(["count", docs_path, out_json, out_counts])
+    assert rc == 0
+    counted = spark.read.parquet(out_counts)
+    assert counted.filter("n_tokens <= 0").count() == 0
+    assert counted.count() == 200
+
+    wp_json = str(tmp_path / "wp.json")
+    rc = tokenizer_main(
+        ["train", docs_path, wp_json, "--model", "wordpiece",
+         "--vocab-size", "300"]
+    )
+    assert rc == 0
+    assert json.load(open(wp_json))["model"]["type"] == "WordPiece"

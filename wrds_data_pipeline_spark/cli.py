@@ -1229,10 +1229,119 @@ def quality_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def tokenizer_main(argv: list[str] | None = None) -> int:
+    """Tokenizer lifecycle (beyond the reference surface): TRAIN a
+    byte-level BPE or WordPiece tokenizer.json on a corpus
+    (distributed word counting, driver-side merge learning —
+    functions/tokenizer_train.py), and COUNT tokens with any
+    tokenizer.json through the dependency-free interpreter — the
+    producer and consumer ends of the same public format."""
+    p = argparse.ArgumentParser(prog="wrds-spark-tokenizer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser(
+        "train", help="train a tokenizer.json on (doc_id, text) parquet"
+    )
+    tr.add_argument("docs_path")
+    tr.add_argument("out_json")
+    tr.add_argument("--model", choices=("bpe", "wordpiece"), default="bpe")
+    tr.add_argument("--vocab-size", type=int, required=True)
+    tr.add_argument("--text-col", default="text")
+    tr.add_argument("--min-frequency", type=int, default=1,
+                    help="drop words rarer than this before learning")
+    tr.add_argument("--min-pair-frequency", type=int, default=2,
+                    help="stop merging below this pair count")
+    tr.add_argument("--max-words", type=int, default=1_000_000,
+                    help="cap the unique-word relation collected to "
+                    "the driver (top-N by count; the documented "
+                    "approximation at scale)")
+    tr.add_argument("--special", action="append", default=None,
+                    metavar="TOKEN",
+                    help="special token (repeatable; defaults: "
+                    "<|endoftext|> for bpe, the BERT five for "
+                    "wordpiece)")
+    tr.add_argument("--no-lowercase", action="store_true",
+                    help="wordpiece only: skip BertNormalizer "
+                    "lowercasing")
+
+    ct = sub.add_parser(
+        "count",
+        help="write (doc_id, n_tokens) counted with a tokenizer.json "
+        "through the dependency-free interpreter",
+    )
+    ct.add_argument("docs_path")
+    ct.add_argument("tokenizer_json")
+    ct.add_argument("out_dir")
+    ct.add_argument("--text-col", default="text")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name="wrds-spark-tokenizer")
+    docs = spark.read.parquet(args.docs_path)
+
+    if args.cmd == "train":
+        from wrds_data_pipeline_spark.functions.tokenizer_train import (
+            train_bpe,
+            train_wordpiece,
+            write_tokenizer_json,
+        )
+
+        stats: dict = {}
+        if args.model == "bpe":
+            spec = train_bpe(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                special_tokens=tuple(args.special or ("<|endoftext|>",)),
+                min_frequency=args.min_frequency,
+                min_pair_frequency=args.min_pair_frequency,
+                max_words=args.max_words,
+                stats=stats,
+            )
+        else:
+            spec = train_wordpiece(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                special_tokens=tuple(
+                    args.special
+                    or ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+                ),
+                lowercase=not args.no_lowercase,
+                min_frequency=args.min_frequency,
+                min_pair_frequency=args.min_pair_frequency,
+                max_words=args.max_words,
+                stats=stats,
+            )
+        write_tokenizer_json(spec, args.out_json)
+        capped = " (word cap BOUND — raise --max-words to widen)" if (
+            stats.get("words_capped")
+        ) else ""
+        print(
+            f"{args.model}: vocab {stats['vocab_size']} "
+            f"({stats['n_merges']} merges) from {stats['n_words']} "
+            f"unique words{capped} -> {args.out_json}"
+        )
+    else:
+        from wrds_data_pipeline_spark.functions.pybpe import (
+            local_tokenizer_factory,
+        )
+        from wrds_data_pipeline_spark.functions.tokenize import (
+            tokenizer_token_counts,
+        )
+
+        counted = tokenizer_token_counts(
+            docs, local_tokenizer_factory(args.tokenizer_json),
+            text_col=args.text_col,
+        )
+        counted.write.mode("overwrite").parquet(args.out_dir)
+        print(f"token counts -> {args.out_dir}")
+    return 0
+
+
 if __name__ == "__main__":  # python -m wrds_data_pipeline_spark.cli <cmd> ...
     cmds = {"universe": universe_main, "panels": panels_main,
             "corr": corr_main, "corpus": corpus_main, "index": index_main,
-            "quality": quality_main}
+            "quality": quality_main, "tokenizer": tokenizer_main}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         raise SystemExit(f"usage: cli.py {{{'|'.join(cmds)}}} ...")
     raise SystemExit(cmds[sys.argv[1]](sys.argv[2:]))

@@ -1,0 +1,612 @@
+"""Tokenizer TRAINING over a Spark corpus — the producer side of the
+``tokenizer.json`` contract that ``functions/pybpe.py`` interprets.
+
+The repo could read every mainstream public tokenizer family but not
+mint one from its own corpus; this module closes the loop
+(train → tokenize → pack) with the two trainable families the
+interpreter supports end-to-end:
+
+- ``train_bpe``: GPT-2-style byte-level BPE (Sennrich et al. 2016,
+  "Neural Machine Translation of Rare Words with Subword Units").
+- ``train_wordpiece``: BERT-style WordPiece (Schuster & Nakajima
+  2012), with the likelihood score public implementations use for
+  merge selection: score(a,b) = count(ab) / (count(a) * count(b)).
+
+Two-phase shape, the same one public single-node trainers use
+(HF tokenizers' BpeTrainer/WordPieceTrainer also count words first):
+
+1. **Distributed word counting** (Spark): pre-tokenize every document
+   with the SAME pre-tokenizer the emitted tokenizer.json will
+   declare, then one shuffle (``groupBy(word).count``).  The GPT-2
+   path runs entirely JVM-side (``regexp_extract_all`` with the
+   GPT-2 regex — Java regex supports ``\\p{L}`` and lookahead
+   natively, so no Python in the corpus-sized phase); the BERT path
+   runs the interpreter's own ``_bert_normalize``/``_bert_words``
+   through ``mapInPandas`` with per-batch Counter pre-aggregation
+   (map-side combine before the shuffle), because BertNormalizer's
+   accent-stripping/CJK steps have no JVM expression and training
+   MUST count with the exact normalizer the artifact declares.
+2. **Driver-side merge learning** over the unique-word frequency
+   relation.  Unique words are corpus-sublinear and the relation is
+   capped (``max_words`` keeps the top-N by count — the mass lives
+   in the head; the cap and ``min_frequency`` are the documented
+   approximations at 100 TB, where the tail is hapax noise anyway).
+   The BPE loop is incremental: a lazy max-heap over pair counts and
+   a pair→words inverted index, so each merge touches only the words
+   containing the winning pair.
+
+Determinism contract: ties on the merge objective break to the
+lexicographically smallest (left, right) symbol pair, so training the
+same counts twice yields byte-identical artifacts.  HF's trainers
+break ties on internal ids, so trained artifacts are NOT claimed
+bit-identical to HF trainer output — the interpreter-parity contract
+(pybpe's docstring) applies to ENCODING a given artifact, and the
+tests assert exactly that: specs minted here encode through
+``PurePythonTokenizer`` with hand-derived ids.
+
+Known divergence (same class pybpe documents for its own scanner):
+Java's ``(?U)\\s`` and Python's ``str.isspace()`` disagree on a few
+control codepoints no corpus contains; the parity test pins the Java
+split against ``_gpt2_words`` on real corpus text and a unicode
+adversarial suite.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from collections import Counter
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wrds_data_pipeline_spark.functions.pybpe import _BYTE_UNICODE
+
+# The GPT-2 pre-tokenization regex, verbatim from the public
+# reference implementation (openai/gpt-2 encoder.py), with Java's
+# (?U) flag so \s / \w match Unicode classes like Python's re.
+# regexp_extract_all group 0 = the full match, i.e. the word.
+GPT2_JAVA_REGEX = (
+    r"(?U)'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+_WORD_COUNT_SCHEMA = StructType(
+    [
+        StructField("word", StringType(), False),
+        StructField("count", LongType(), False),
+    ]
+)
+
+
+def gpt2_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_frequency: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count) over the corpus under GPT-2 pre-tokenization —
+    fully JVM-side (regexp scan + explode + one hash-aggregate
+    shuffle; partial aggregation is Catalyst's, free).  ``max_words``
+    keeps the top-N by count (ties broken by word for determinism) —
+    the cap that bounds the driver-side learning phase at scale."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(GPT2_JAVA_REGEX),
+                0,
+            )
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("count"))
+    if min_frequency > 1:
+        wc = wc.filter(F.col("count") >= min_frequency)
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    return wc
+
+
+def bert_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    strip_accents: bool | None = None,
+    min_frequency: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count) under BertNormalizer + BertPreTokenizer — the
+    interpreter's OWN normalizer/pre-tokenizer code run through
+    ``mapInPandas`` (accent-strip/CJK have no JVM expression, and
+    training must count with the exact pipeline the artifact
+    declares).  Each Arrow batch emits a pre-aggregated Counter
+    (map-side combine), so the shuffle carries unique words per
+    batch, not corpus tokens."""
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        _bert_normalize,
+        _bert_words,
+    )
+
+    def _mapper(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            counter: Counter[str] = Counter()
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                normed = _bert_normalize(
+                    str(text),
+                    clean_text=True,
+                    handle_chinese_chars=True,
+                    strip_accents=strip_accents,
+                    lowercase=lowercase,
+                )
+                counter.update(_bert_words(normed))
+            if counter:
+                yield pd.DataFrame(
+                    {
+                        "word": list(counter.keys()),
+                        "count": list(counter.values()),
+                    }
+                )
+
+    wc = (
+        docs.select(text_col)
+        .mapInPandas(_mapper, schema=_WORD_COUNT_SCHEMA)
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
+    )
+    if min_frequency > 1:
+        wc = wc.filter(F.col("count") >= min_frequency)
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    return wc
+
+
+def _merge_symbols(syms: list[str], pair: tuple[str, str], new: str) -> list[str]:
+    """One merge step: replace every left-to-right non-overlapping
+    occurrence of ``pair`` — the same step the interpreter's
+    ``_bpe_word`` applies, so trained merges replay identically."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(new)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_bpe_from_counts(
+    counts,
+    vocab_size: int,
+    *,
+    special_tokens: tuple[str, ...] = (),
+    byte_level: bool = True,
+    min_pair_frequency: int = 2,
+) -> tuple[dict[str, int], list[tuple[str, str]]]:
+    """The BPE merge loop (Sennrich et al. 2016) over a
+    (word, count) relation.  Pure driver-side function — no Spark —
+    so the hand-derived-golden tests drive it directly.
+
+    Vocab id layout follows the public convention: special tokens in
+    given order, then the alphabet sorted by codepoint (for
+    byte_level, all 256 byte symbols — GPT-2's ids 0..255 layout),
+    then one id per merge in learned order.
+
+    Incremental update: a lazy max-heap of (-count, pair) plus a
+    pair→word-indices inverted index; each merge re-counts only the
+    affected words' adjacent pairs.  Every count change pushes a
+    fresh heap entry; pops validate against the live count and skip
+    stale ones, so the heap never serves an outdated winner.
+    """
+    if min_pair_frequency < 1:
+        raise ValueError("min_pair_frequency must be >= 1")
+    words: list[list] = []  # [symbols, count]
+    for w, c in counts:
+        syms = (
+            [_BYTE_UNICODE[b] for b in w.encode("utf-8")]
+            if byte_level
+            else list(w)
+        )
+        if syms:
+            words.append([syms, int(c)])
+    if byte_level:
+        alphabet = sorted(_BYTE_UNICODE.values())
+    else:
+        alphabet = sorted({s for syms, _ in words for s in syms})
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        if tok in vocab:
+            raise ValueError(f"duplicate special token {tok!r}")
+        vocab[tok] = len(vocab)
+    for ch in alphabet:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    if vocab_size < len(vocab):
+        raise ValueError(
+            f"vocab_size {vocab_size} below the "
+            f"{len(vocab)}-entry specials+alphabet floor"
+        )
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+    for i, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    for p, c in pair_counts.items():
+        heapq.heappush(heap, (-c, p))
+
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size and heap:
+        neg, best = heapq.heappop(heap)
+        live = pair_counts.get(best)
+        if live is None or live != -neg:
+            continue  # stale entry; the live one is elsewhere in the heap
+        if live < min_pair_frequency:
+            break  # heap max — nothing better remains
+        a, b = best
+        new_sym = a + b
+        if new_sym in vocab:
+            # a merge result colliding with an existing token (e.g. a
+            # special) would alias two ids; drop the pair rather than
+            # corrupt the table — rare, and the loop continues
+            pair_counts.pop(best, None)
+            pair_words.pop(best, None)
+            continue
+        merges.append(best)
+        vocab[new_sym] = len(vocab)
+        affected = sorted(pair_words.get(best, ()))
+        for i in affected:
+            syms, c = words[i]
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_syms = _merge_symbols(syms, best, new_sym)
+            new_pairs = Counter(zip(new_syms, new_syms[1:]))
+            for p, n in old_pairs.items():
+                delta = n - new_pairs.get(p, 0)
+                if delta == 0:
+                    continue
+                remaining = pair_counts.get(p, 0) - delta * c
+                if remaining <= 0:
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+                else:
+                    pair_counts[p] = remaining
+                    heapq.heappush(heap, (-remaining, p))
+                    if p not in new_pairs:
+                        s = pair_words.get(p)
+                        if s is not None:
+                            s.discard(i)
+            for p, n in new_pairs.items():
+                added = n - old_pairs.get(p, 0)
+                if added > 0:
+                    pair_counts[p] = pair_counts.get(p, 0) + added * c
+                    heapq.heappush(heap, (-pair_counts[p], p))
+                pair_words.setdefault(p, set()).add(i)
+            words[i][0] = new_syms
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return vocab, merges
+
+
+def learn_wordpiece_from_counts(
+    counts,
+    vocab_size: int,
+    *,
+    special_tokens: tuple[str, ...] = (
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    ),
+    continuing_subword_prefix: str = "##",
+    min_pair_frequency: int = 2,
+) -> tuple[dict[str, int], list[tuple[str, str]]]:
+    """The WordPiece trainer loop: BPE-shaped, but the merge
+    objective is the likelihood score public implementations use —
+    score(a,b) = count(ab) / (count(a) * count(b)) — over
+    prefix-marked symbols (first char bare, word-internal chars
+    ``##``-prefixed; merging (a, ##b) yields a+b keeping a's prefix
+    status).  Returns (vocab, merges); the tokenizer.json WordPiece
+    model serializes the VOCAB only (encoding is greedy
+    longest-match, not merge replay), merges are returned for
+    inspection/tests.
+
+    Scan-per-merge selection (the score's denominator changes with
+    every symbol-count update, so a lazy heap would thrash) — fine
+    for the vocab sizes this trainer targets; ties break to the
+    lexicographically smallest pair, same determinism contract as
+    ``learn_bpe_from_counts``.
+    """
+    pfx = continuing_subword_prefix
+
+    def _mark(w: str) -> list[str]:
+        return [w[0]] + [pfx + ch for ch in w[1:]]
+
+    def _merge_name(a: str, b: str) -> str:
+        return a + (b[len(pfx):] if b.startswith(pfx) else b)
+
+    words: list[list] = []
+    for w, c in counts:
+        if w:
+            words.append([_mark(w), int(c)])
+    alphabet = sorted({s for syms, _ in words for s in syms})
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        if tok in vocab:
+            raise ValueError(f"duplicate special token {tok!r}")
+        vocab[tok] = len(vocab)
+    for ch in alphabet:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    if vocab_size < len(vocab):
+        raise ValueError(
+            f"vocab_size {vocab_size} below the "
+            f"{len(vocab)}-entry specials+alphabet floor"
+        )
+
+    sym_counts: Counter[str] = Counter()
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, c) in enumerate(words):
+        for s in syms:
+            sym_counts[s] += c
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size and pair_counts:
+        best, best_score = None, None
+        for p, pc in pair_counts.items():
+            if pc < min_pair_frequency:
+                continue
+            score = pc / (sym_counts[p[0]] * sym_counts[p[1]])
+            if (
+                best is None
+                or score > best_score
+                or (score == best_score and p < best)
+            ):
+                best, best_score = p, score
+        if best is None:
+            break
+        new_sym = _merge_name(*best)
+        if new_sym in vocab:
+            pair_counts.pop(best, None)
+            pair_words.pop(best, None)
+            continue
+        merges.append(best)
+        vocab[new_sym] = len(vocab)
+        for i in sorted(pair_words.get(best, ())):
+            syms, c = words[i]
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_syms = _merge_symbols(syms, best, new_sym)
+            n_merged = (len(syms) - len(new_syms))
+            sym_counts[best[0]] -= n_merged * c
+            sym_counts[best[1]] -= n_merged * c
+            sym_counts[new_sym] += n_merged * c
+            new_pairs = Counter(zip(new_syms, new_syms[1:]))
+            for p, n in old_pairs.items():
+                delta = n - new_pairs.get(p, 0)
+                if delta == 0:
+                    continue
+                remaining = pair_counts.get(p, 0) - delta * c
+                if remaining <= 0:
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+                else:
+                    pair_counts[p] = remaining
+                    if p not in new_pairs:
+                        s = pair_words.get(p)
+                        if s is not None:
+                            s.discard(i)
+            for p, n in new_pairs.items():
+                added = n - old_pairs.get(p, 0)
+                if added > 0:
+                    pair_counts[p] = pair_counts.get(p, 0) + added * c
+                pair_words.setdefault(p, set()).add(i)
+            words[i][0] = new_syms
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return vocab, merges
+
+
+def bpe_tokenizer_spec(
+    vocab: dict[str, int], merges: list[tuple[str, str]]
+) -> dict:
+    """Serialize a trained byte-level BPE as the tokenizer.json shape
+    ``PurePythonTokenizer`` (and the Rust backend) load: ByteLevel
+    pre-tokenizer with the GPT-2 regex, merge-list BPE model,
+    ByteLevel decoder.  No normalizer, no unk (the 256-symbol
+    alphabet makes unk unreachable by construction)."""
+    return {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "post_processor": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "decoder": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "ignore_merges": False,
+            "vocab": dict(vocab),
+            "merges": [f"{a} {b}" for a, b in merges],
+        },
+    }
+
+
+def wordpiece_tokenizer_spec(
+    vocab: dict[str, int],
+    *,
+    unk_token: str = "[UNK]",
+    continuing_subword_prefix: str = "##",
+    lowercase: bool = True,
+    strip_accents: bool | None = None,
+    max_input_chars_per_word: int = 100,
+) -> dict:
+    """Serialize a trained WordPiece as the BERT-family
+    tokenizer.json: BertNormalizer + BertPreTokenizer + WordPiece
+    model.  The normalizer flags MUST match the ones the word counts
+    were taken under — ``train_wordpiece`` threads them through."""
+    if unk_token not in vocab:
+        raise ValueError(f"unk_token {unk_token!r} not in trained vocab")
+    return {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": {
+            "type": "BertNormalizer",
+            "clean_text": True,
+            "handle_chinese_chars": True,
+            "strip_accents": strip_accents,
+            "lowercase": lowercase,
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "post_processor": None,
+        "decoder": {
+            "type": "WordPiece",
+            "prefix": continuing_subword_prefix,
+            "cleanup": True,
+        },
+        "model": {
+            "type": "WordPiece",
+            "unk_token": unk_token,
+            "continuing_subword_prefix": continuing_subword_prefix,
+            "max_input_chars_per_word": max_input_chars_per_word,
+            "vocab": dict(vocab),
+        },
+    }
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int,
+    special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+    min_frequency: int = 1,
+    min_pair_frequency: int = 2,
+    max_words: int | None = 1_000_000,
+    stats: dict | None = None,
+) -> dict:
+    """Train a GPT-2-style byte-level BPE on a corpus and return the
+    tokenizer.json spec dict (json.dump it and every consumer of the
+    format — ``local_tokenizer_factory``, the Rust backend — loads
+    it).  Distributed word counting, driver-side merge learning; see
+    the module docstring for the scale contract."""
+    wc = gpt2_word_counts(
+        docs, text_col, min_frequency=min_frequency, max_words=max_words
+    )
+    rows = [(r["word"], r["count"]) for r in wc.collect()]
+    vocab, merges = learn_bpe_from_counts(
+        rows,
+        vocab_size,
+        special_tokens=special_tokens,
+        byte_level=True,
+        min_pair_frequency=min_pair_frequency,
+    )
+    if stats is not None:
+        stats.update(
+            n_words=len(rows),
+            words_capped=(max_words is not None and len(rows) == max_words),
+            n_merges=len(merges),
+            vocab_size=len(vocab),
+        )
+    return bpe_tokenizer_spec(vocab, merges)
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int,
+    special_tokens: tuple[str, ...] = (
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    ),
+    lowercase: bool = True,
+    strip_accents: bool | None = None,
+    min_frequency: int = 1,
+    min_pair_frequency: int = 2,
+    max_words: int | None = 1_000_000,
+    unk_token: str = "[UNK]",
+    stats: dict | None = None,
+) -> dict:
+    """Train a BERT-style WordPiece on a corpus and return the
+    tokenizer.json spec dict.  The normalizer flags used for counting
+    are serialized into the artifact, so encode-time normalization is
+    exactly the training-time one."""
+    if unk_token not in special_tokens:
+        raise ValueError(
+            f"unk_token {unk_token!r} must be among special_tokens "
+            "(WordPiece encoding requires a vocab-resident unk)"
+        )
+    wc = bert_word_counts(
+        docs,
+        text_col,
+        lowercase=lowercase,
+        strip_accents=strip_accents,
+        min_frequency=min_frequency,
+        max_words=max_words,
+    )
+    rows = [(r["word"], r["count"]) for r in wc.collect()]
+    vocab, merges = learn_wordpiece_from_counts(
+        rows,
+        vocab_size,
+        special_tokens=special_tokens,
+        min_pair_frequency=min_pair_frequency,
+    )
+    if stats is not None:
+        stats.update(
+            n_words=len(rows),
+            words_capped=(max_words is not None and len(rows) == max_words),
+            n_merges=len(merges),
+            vocab_size=len(vocab),
+        )
+    return wordpiece_tokenizer_spec(
+        vocab,
+        unk_token=unk_token,
+        lowercase=lowercase,
+        strip_accents=strip_accents,
+    )
+
+
+def write_tokenizer_json(spec: dict, path: str) -> None:
+    """Write the spec as UTF-8 tokenizer.json (ensure_ascii=False —
+    byte-level vocab entries are non-ASCII codepoints by design)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(spec, fh, ensure_ascii=False, indent=1)
