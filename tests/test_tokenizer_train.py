@@ -347,3 +347,178 @@ def test_cli_train_and_count(spark, tmp_path):
     )
     assert rc == 0
     assert json.load(open(wp_json))["model"]["type"] == "WordPiece"
+
+
+# --------------------------------------------------------------- unigram ---
+
+from wrds_data_pipeline_spark.functions.tokenizer_train import (  # noqa: E402
+    METASPACE,
+    learn_unigram_from_counts,
+    learn_wordlevel_from_counts,
+    metaspace_word_counts,
+    train_unigram,
+    train_wordlevel,
+    unigram_tokenizer_spec,
+    whitespace_word_counts,
+    wordlevel_tokenizer_spec,
+)
+
+_UNI_TINY = [
+    ("▁hello", 40), ("▁help", 25), ("▁hell", 12), ("▁world", 30),
+    ("▁word", 20), ("▁lower", 9), ("▁low", 14), ("▁newest", 7),
+    ("▁widest", 6),
+]
+
+
+def test_unigram_em_likelihood_monotone_and_deterministic():
+    trace: list = []
+    entries = learn_unigram_from_counts(_UNI_TINY, 30, ll_trace=trace)
+    # EM guarantee: within each fixed-vocab 2-step run the corpus
+    # log-likelihood never decreases (pruning between runs may drop it)
+    for i in range(0, len(trace) - 1, 2):
+        assert trace[i + 1] >= trace[i] - 1e-9
+    assert entries == learn_unigram_from_counts(_UNI_TINY, 30)
+    pieces = {p for p, _ in entries}
+    # coverage floor: every training character survives as a piece
+    chars = {ch for w, _ in _UNI_TINY for ch in w}
+    assert chars <= pieces
+    # the head of the vocab is whole high-frequency words — EM found
+    # the obvious segmentation units
+    assert entries[0][0] == "▁hello"
+    # probabilities normalize
+    import math
+
+    assert abs(sum(math.exp(lp) for _, lp in entries) - 1.0) < 1e-6
+
+
+def test_unigram_spec_encodes_through_interpreter():
+    entries = learn_unigram_from_counts(_UNI_TINY, 30)
+    spec = unigram_tokenizer_spec(entries)
+    tok = PurePythonTokenizer(spec)
+    vocab = spec["model"]["vocab"]
+    rev = {i: p for i, (p, _) in enumerate(vocab)}
+    assert [rev[i] for i in tok.encode("hello world").ids] == [
+        "▁hello", "▁world",
+    ]
+    # out-of-alphabet chars -> the unk special (fused run)
+    ids = tok.encode("hello zzz").ids
+    assert rev[ids[-1]] == "<unk>"
+    assert spec["model"]["unk_id"] == 0
+    with pytest.raises(ValueError, match="unk_token"):
+        unigram_tokenizer_spec(entries, special_tokens=("<pad>",))
+    with pytest.raises(ValueError, match="floor"):
+        learn_unigram_from_counts(_UNI_TINY, 5)
+
+
+def test_metaspace_word_counts_matches_interpreter(spark):
+    """The JVM Metaspace split must mirror ``_metaspace_words``
+    (spaces -> ▁ attached to the following segment, lone ▁ per extra
+    space, tabs/newlines NOT replaced)."""
+    texts = [
+        "hello  world", " leading", "trailing ", "tabs\tstay\ninside",
+        "one", "", "a b  c   d",
+    ]
+    # reuse the interpreter's splitter via a minimal Unigram spec
+    # (the only model the interpreter pairs with Metaspace); the
+    # vocab is irrelevant — we only need the word split
+    from collections import Counter
+
+    spec = {
+        "pre_tokenizer": {
+            "type": "Metaspace", "replacement": METASPACE,
+            "prepend_scheme": "always", "split": True,
+        },
+        "model": {"type": "Unigram", "unk_id": 0,
+                  "vocab": [["<unk>", 0.0]]},
+    }
+    tok = PurePythonTokenizer(spec)
+    expect = Counter()
+    for t in texts:
+        expect.update(tok._metaspace_words(t))
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["word"]: r["count"] for r in metaspace_word_counts(sdf).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_train_unigram_end_to_end_on_documents(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    stats: dict = {}
+    spec = train_unigram(docs, vocab_size=400, stats=stats)
+    assert stats["vocab_size"] <= 400
+    path = str(tmp_path / "uni.json")
+    write_tokenizer_json(spec, path)
+    tok = PurePythonTokenizer.from_file(path)
+    vocab = spec["model"]["vocab"]
+    unk_id = spec["model"]["unk_id"]
+    texts = [r["text"] for r in docs.select("text").limit(50).collect()]
+    total, unk = 0, 0
+    for t in texts:
+        ids = tok.encode(t).ids
+        assert all(0 <= i < len(vocab) for i in ids)
+        total += len(ids)
+        unk += sum(1 for i in ids if i == unk_id)
+    assert total > 0 and unk / total < 0.05
+    # tokens compress below characters: EM learned multi-char pieces
+    assert total < sum(len(t) for t in texts)
+
+
+# ------------------------------------------------------------- wordlevel ---
+
+
+def test_wordlevel_selection_and_encode():
+    counts = [("the", 100), ("cat", 40), ("sat", 40), ("mat", 10)]
+    vocab = learn_wordlevel_from_counts(
+        counts, 4, special_tokens=("<unk>",)
+    )
+    # top by count, tie (cat/sat at 40) lexicographic
+    assert vocab == {"<unk>": 0, "the": 1, "cat": 2, "sat": 3}
+    spec = wordlevel_tokenizer_spec(vocab)
+    tok = PurePythonTokenizer(spec)
+    assert tok.encode("the cat sat mat").ids == [1, 2, 3, 0]
+    with pytest.raises(ValueError, match="unk_token"):
+        wordlevel_tokenizer_spec({"a": 0})
+
+
+def test_whitespace_word_counts_matches_interpreter(spark):
+    from wrds_data_pipeline_spark.functions.pybpe import _WHITESPACE_PRE
+    from collections import Counter
+
+    texts = [
+        "Hello, world! it's 2024.",
+        "under_scores and digits123 mix",
+        "punct!!! runs??? (mixed)",
+        "unicode wörds работают too",
+        "",
+    ]
+    expect = Counter()
+    for t in texts:
+        expect.update(_WHITESPACE_PRE.findall(t))
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["word"]: r["count"]
+        for r in whitespace_word_counts(sdf).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_cli_train_unigram_and_wordlevel(spark, tmp_path):
+    from wrds_data_pipeline_spark.cli import tokenizer_main
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(100).write.parquet(docs_path)
+    for model, mtype in (("unigram", "Unigram"), ("wordlevel", "WordLevel")):
+        out_json = str(tmp_path / f"{model}.json")
+        rc = tokenizer_main(
+            ["train", docs_path, out_json, "--model", model,
+             "--vocab-size", "200"]
+        )
+        assert rc == 0
+        spec = json.load(open(out_json))
+        assert spec["model"]["type"] == mtype
+        # the artifact loads and encodes through the interpreter
+        tok = PurePythonTokenizer.from_file(out_json)
+        assert len(tok.encode("some sample text").ids) > 0

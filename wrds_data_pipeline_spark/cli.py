@@ -1244,7 +1244,11 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
     )
     tr.add_argument("docs_path")
     tr.add_argument("out_json")
-    tr.add_argument("--model", choices=("bpe", "wordpiece"), default="bpe")
+    tr.add_argument(
+        "--model",
+        choices=("bpe", "wordpiece", "unigram", "wordlevel"),
+        default="bpe",
+    )
     tr.add_argument("--vocab-size", type=int, required=True)
     tr.add_argument("--text-col", default="text")
     tr.add_argument("--min-frequency", type=int, default=1,
@@ -1281,6 +1285,8 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
     if args.cmd == "train":
         from wrds_data_pipeline_spark.functions.tokenizer_train import (
             train_bpe,
+            train_unigram,
+            train_wordlevel,
             train_wordpiece,
             write_tokenizer_json,
         )
@@ -1294,6 +1300,26 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
                 special_tokens=tuple(args.special or ("<|endoftext|>",)),
                 min_frequency=args.min_frequency,
                 min_pair_frequency=args.min_pair_frequency,
+                max_words=args.max_words,
+                stats=stats,
+            )
+        elif args.model == "unigram":
+            spec = train_unigram(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                special_tokens=tuple(args.special or ("<unk>",)),
+                min_frequency=args.min_frequency,
+                max_words=args.max_words,
+                stats=stats,
+            )
+        elif args.model == "wordlevel":
+            spec = train_wordlevel(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                special_tokens=tuple(args.special or ("<unk>",)),
+                min_frequency=args.min_frequency,
                 max_words=args.max_words,
                 stats=stats,
             )

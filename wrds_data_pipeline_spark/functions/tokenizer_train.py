@@ -3,14 +3,18 @@
 
 The repo could read every mainstream public tokenizer family but not
 mint one from its own corpus; this module closes the loop
-(train → tokenize → pack) with the two trainable families the
-interpreter supports end-to-end:
+(train → tokenize → pack) for EVERY model family the interpreter
+reads:
 
 - ``train_bpe``: GPT-2-style byte-level BPE (Sennrich et al. 2016,
   "Neural Machine Translation of Rare Words with Subword Units").
 - ``train_wordpiece``: BERT-style WordPiece (Schuster & Nakajima
   2012), with the likelihood score public implementations use for
   merge selection: score(a,b) = count(ab) / (count(a) * count(b)).
+- ``train_unigram``: SentencePiece-style Unigram LM (Kudo 2018) —
+  EM over segmentation lattices with likelihood-loss pruning.
+- ``train_wordlevel``: plain vocabulary selection (top words by
+  count under the Whitespace pre-tokenizer).
 
 Two-phase shape, the same one public single-node trainers use
 (HF tokenizers' BpeTrainer/WordPieceTrainer also count words first):
@@ -610,3 +614,441 @@ def write_tokenizer_json(spec: dict, path: str) -> None:
     byte-level vocab entries are non-ASCII codepoints by design)."""
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(spec, fh, ensure_ascii=False, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# Unigram (SentencePiece) and WordLevel training — with these, every
+# model family the interpreter reads (WordLevel / BPE / WordPiece /
+# Unigram) is also trainable from the corpus.
+# ---------------------------------------------------------------------------
+
+METASPACE = "▁"
+
+
+def metaspace_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_frequency: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count) under the Metaspace pre-tokenizer with
+    prepend_scheme=always — the T5/SentencePiece convention the
+    emitted Unigram artifact declares.  Fully JVM-side: spaces become
+    the replacement codepoint, one is prepended, and the extraction
+    regex keeps each replacement attached to what follows
+    ("hello  world" → ▁hello, ▁, ▁world — a lone ▁ per extra space),
+    mirroring the interpreter's ``_metaspace_words`` exactly (parity
+    is pinned in tests).  Only ' ' is replaced — tabs/newlines stay
+    inside words, the Metaspace contract."""
+    rep = METASPACE
+    t = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), " ", rep)
+    t = F.when(
+        (F.length(t) > 0) & ~F.startswith(t, F.lit(rep)),
+        F.concat(F.lit(rep), t),
+    ).otherwise(t)
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(t, F.lit(rep + "[^" + rep + "]*"), 0)
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("count"))
+    if min_frequency > 1:
+        wc = wc.filter(F.col("count") >= min_frequency)
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    return wc
+
+
+def whitespace_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_frequency: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count) under the HF Whitespace pre-tokenizer
+    (``\\w+|[^\\w\\s]+``) — the WordLevel convention.  JVM regex with
+    (?U) so the classes are Unicode, like Python's ``re``; parity
+    with the interpreter's ``_WHITESPACE_PRE`` is pinned in tests."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(r"(?U)\w+|[^\w\s]+"),
+                0,
+            )
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("count"))
+    if min_frequency > 1:
+        wc = wc.filter(F.col("count") >= min_frequency)
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    return wc
+
+
+def _logsumexp(values) -> float:
+    import math
+
+    m = max(values)
+    if m == float("-inf"):
+        return m
+    return m + math.log(sum(math.exp(v - m) for v in values))
+
+
+def _unigram_e_step(
+    words: list[tuple[str, int]],
+    logp: dict[str, float],
+    max_len: int,
+) -> tuple[dict[str, float], float]:
+    """One E-step: forward-backward over every word's segmentation
+    lattice (log-space), returning posterior expected piece counts
+    and the total corpus log-likelihood (the EM-monotonicity
+    invariant the tests assert)."""
+    import math
+
+    expected: dict[str, float] = {}
+    total_ll = 0.0
+    for w, c in words:
+        n = len(w)
+        alpha = [float("-inf")] * (n + 1)
+        alpha[0] = 0.0
+        for e in range(1, n + 1):
+            cands = []
+            for s in range(max(0, e - max_len), e):
+                lp = logp.get(w[s:e])
+                if lp is not None and alpha[s] != float("-inf"):
+                    cands.append(alpha[s] + lp)
+            if cands:
+                alpha[e] = _logsumexp(cands)
+        z = alpha[n]
+        if z == float("-inf"):
+            # unsegmentable word (a required char was pruned —
+            # impossible by construction; fail loud, never silent)
+            raise RuntimeError(f"unsegmentable word {w!r} in E-step")
+        beta = [float("-inf")] * (n + 1)
+        beta[n] = 0.0
+        for s in range(n - 1, -1, -1):
+            cands = []
+            for e in range(s + 1, min(n, s + max_len) + 1):
+                lp = logp.get(w[s:e])
+                if lp is not None and beta[e] != float("-inf"):
+                    cands.append(lp + beta[e])
+            if cands:
+                beta[s] = _logsumexp(cands)
+        total_ll += c * z
+        for s in range(n):
+            if alpha[s] == float("-inf"):
+                continue
+            for e in range(s + 1, min(n, s + max_len) + 1):
+                lp = logp.get(w[s:e])
+                if lp is None or beta[e] == float("-inf"):
+                    continue
+                post = math.exp(alpha[s] + lp + beta[e] - z)
+                if post > 0.0:
+                    p = w[s:e]
+                    expected[p] = expected.get(p, 0.0) + c * post
+    return expected, total_ll
+
+
+def _viterbi_alt_score(piece: str, logp: dict[str, float], max_len: int) -> float:
+    """Best segmentation log-prob of ``piece``'s own string EXCLUDING
+    the single-piece path — the alternative cost sentencepiece's
+    pruner charges a piece's removal with."""
+    n = len(piece)
+    best = [float("-inf")] * (n + 1)
+    best[0] = 0.0
+    for e in range(1, n + 1):
+        for s in range(max(0, e - max_len), e):
+            if s == 0 and e == n:
+                continue  # the piece itself
+            lp = logp.get(piece[s:e])
+            if lp is not None and best[s] != float("-inf"):
+                cand = best[s] + lp
+                if cand > best[e]:
+                    best[e] = cand
+    return best[n]
+
+
+def learn_unigram_from_counts(
+    counts,
+    vocab_size: int,
+    *,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+    unk_token: str = "<unk>",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    shrink_factor: float = 0.75,
+    em_iters: int = 2,
+    ll_trace: list | None = None,
+) -> list[tuple[str, float]]:
+    """The Unigram LM trainer (Kudo 2018, as implemented by
+    sentencepiece's unigram trainer): seed a large candidate vocab
+    from frequent substrings, alternate EM over the segmentation
+    lattices (E: forward-backward posterior counts; M: re-estimated
+    piece probabilities) with pruning rounds that drop the pieces
+    whose removal costs the least likelihood — loss(v) =
+    E[count(v)] * (logp(v) − best alternative segmentation of v) —
+    until the target size, single characters always retained (the
+    coverage floor).  Returns [(piece, log_prob)] sorted by
+    descending probability.
+
+    Documented simplifications vs sentencepiece (the parity contract
+    is for INTERPRETING artifacts, not trainer bit-parity): seed
+    candidates are scored count×len over explicit substring
+    enumeration rather than a suffix-array ESA, and the M-step is
+    plain MLE rather than the Bayesianized digamma form.  Ties break
+    lexicographically everywhere, so training is deterministic;
+    ``ll_trace`` (if passed) collects per-E-step corpus
+    log-likelihoods — non-decreasing within each fixed-vocab EM run,
+    the invariant the tests assert."""
+    import math
+
+    if unk_token not in special_tokens:
+        raise ValueError(
+            f"unk_token {unk_token!r} must be among special_tokens"
+        )
+    words = sorted(
+        {w: 0 for w, _ in counts}.keys()
+    )  # deterministic word order; counts merged below
+    merged: dict[str, int] = {}
+    for w, c in counts:
+        if w:
+            merged[w] = merged.get(w, 0) + int(c)
+    words = sorted(merged.items())
+    required = sorted({ch for w, _ in words for ch in w})
+    target = vocab_size - len(special_tokens)
+    if target < len(required):
+        raise ValueError(
+            f"vocab_size {vocab_size} below the "
+            f"{len(required) + len(special_tokens)}-entry "
+            "specials+alphabet floor"
+        )
+    if seed_size is None:
+        seed_size = max(4 * target, target + 64)
+
+    char_counts: Counter[str] = Counter()
+    sub_counts: dict[str, int] = {}
+    for w, c in words:
+        n = len(w)
+        for ch in w:
+            char_counts[ch] += c
+        for ln in range(2, min(max_piece_len, n) + 1):
+            for s in range(0, n - ln + 1):
+                sub = w[s : s + ln]
+                sub_counts[sub] = sub_counts.get(sub, 0) + c
+    cands = sorted(
+        sub_counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
+    )[: max(0, seed_size - len(required))]
+    scores: dict[str, float] = {
+        ch: float(char_counts[ch]) for ch in required
+    }
+    for sub, cnt in cands:
+        scores[sub] = float(cnt * len(sub))
+    total = sum(scores.values())
+    logp = {p: math.log(s / total) for p, s in scores.items()}
+
+    while True:
+        max_len = max(len(p) for p in logp)
+        expected: dict[str, float] = {}
+        for _ in range(em_iters):
+            expected, ll = _unigram_e_step(words, logp, max_len)
+            if ll_trace is not None:
+                ll_trace.append(ll)
+            tot = sum(expected.values())
+            log_tot = math.log(tot)
+            logp = {
+                p: math.log(c) - log_tot
+                for p, c in expected.items()
+                if c > 0.0
+            }
+            for ch in required:  # coverage floor survives zero counts
+                if ch not in logp:
+                    logp[ch] = math.log(1e-12)
+        if len(logp) <= target:
+            break
+        keep_n = max(target, int(len(logp) * shrink_factor))
+        losses: list[tuple[float, str]] = []
+        for p in logp:
+            if len(p) == 1:
+                continue
+            alt = _viterbi_alt_score(p, logp, max_len)
+            losses.append(
+                (expected.get(p, 0.0) * (logp[p] - alt), p)
+            )
+        losses.sort(key=lambda t: (-t[0], t[1]))
+        kept = {p for p in logp if len(p) == 1}
+        for _, p in losses:
+            if len(kept) >= keep_n:
+                break
+            kept.add(p)
+        mass = sum(math.exp(logp[p]) for p in kept)
+        logp = {p: logp[p] - math.log(mass) for p in kept}
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_tokenizer_spec(
+    entries: list[tuple[str, float]],
+    *,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+    unk_token: str = "<unk>",
+) -> dict:
+    """Serialize a trained Unigram as the T5/SentencePiece-family
+    tokenizer.json: Metaspace pre-tokenizer (prepend always) +
+    Unigram model with specials at the head (score 0.0, the HF
+    export convention) and ``unk_id`` pointing at the unk special."""
+    if unk_token not in special_tokens:
+        raise ValueError(
+            f"unk_token {unk_token!r} must be among special_tokens"
+        )
+    vocab = [[tok, 0.0] for tok in special_tokens] + [
+        [p, lp] for p, lp in entries
+    ]
+    return {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {
+            "type": "Metaspace",
+            "replacement": METASPACE,
+            "prepend_scheme": "always",
+            "split": True,
+        },
+        "post_processor": None,
+        "decoder": {
+            "type": "Metaspace",
+            "replacement": METASPACE,
+            "prepend_scheme": "always",
+            "split": True,
+        },
+        "model": {
+            "type": "Unigram",
+            "unk_id": list(special_tokens).index(unk_token),
+            "vocab": vocab,
+            "byte_fallback": False,
+        },
+    }
+
+
+def train_unigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+    unk_token: str = "<unk>",
+    min_frequency: int = 1,
+    max_piece_len: int = 8,
+    max_words: int | None = 1_000_000,
+    stats: dict | None = None,
+) -> dict:
+    """Train a SentencePiece-style Unigram on a corpus and return the
+    tokenizer.json spec dict.  Distributed Metaspace word counting,
+    driver-side EM+prune; see ``learn_unigram_from_counts``."""
+    wc = metaspace_word_counts(
+        docs, text_col, min_frequency=min_frequency, max_words=max_words
+    )
+    rows = [(r["word"], r["count"]) for r in wc.collect()]
+    entries = learn_unigram_from_counts(
+        rows,
+        vocab_size,
+        special_tokens=special_tokens,
+        unk_token=unk_token,
+        max_piece_len=max_piece_len,
+    )
+    if stats is not None:
+        stats.update(
+            n_words=len(rows),
+            words_capped=(max_words is not None and len(rows) == max_words),
+            n_merges=0,
+            vocab_size=len(entries) + len(special_tokens),
+        )
+    return unigram_tokenizer_spec(
+        entries, special_tokens=special_tokens, unk_token=unk_token
+    )
+
+
+def learn_wordlevel_from_counts(
+    counts,
+    vocab_size: int,
+    *,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+) -> dict[str, int]:
+    """WordLevel 'training' is vocabulary selection: specials first,
+    then the top words by count (ties lexicographic) up to
+    vocab_size."""
+    merged: dict[str, int] = {}
+    for w, c in counts:
+        if w:
+            merged[w] = merged.get(w, 0) + int(c)
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        if tok in vocab:
+            raise ValueError(f"duplicate special token {tok!r}")
+        vocab[tok] = len(vocab)
+    for w, _ in sorted(merged.items(), key=lambda kv: (-kv[1], kv[0])):
+        if len(vocab) >= vocab_size:
+            break
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    return vocab
+
+
+def wordlevel_tokenizer_spec(
+    vocab: dict[str, int], *, unk_token: str = "<unk>"
+) -> dict:
+    if unk_token not in vocab:
+        raise ValueError(f"unk_token {unk_token!r} not in trained vocab")
+    return {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "WordLevel",
+            "vocab": dict(vocab),
+            "unk_token": unk_token,
+        },
+    }
+
+
+def train_wordlevel(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+    unk_token: str = "<unk>",
+    min_frequency: int = 1,
+    max_words: int | None = 1_000_000,
+    stats: dict | None = None,
+) -> dict:
+    """Select a WordLevel vocabulary from the corpus and return the
+    tokenizer.json spec dict (Whitespace pre-tokenizer, unk for
+    everything out-of-vocab)."""
+    if unk_token not in special_tokens:
+        raise ValueError(
+            f"unk_token {unk_token!r} must be among special_tokens"
+        )
+    wc = whitespace_word_counts(
+        docs, text_col, min_frequency=min_frequency, max_words=max_words
+    )
+    rows = [(r["word"], r["count"]) for r in wc.collect()]
+    vocab = learn_wordlevel_from_counts(
+        rows, vocab_size, special_tokens=special_tokens
+    )
+    if stats is not None:
+        stats.update(
+            n_words=len(rows),
+            words_capped=(max_words is not None and len(rows) == max_words),
+            n_merges=0,
+            vocab_size=len(vocab),
+        )
+    return wordlevel_tokenizer_spec(vocab, unk_token=unk_token)
