@@ -1,0 +1,275 @@
+"""semantic_ingest_increment (operators/vector_index.py): the
+embedding family's one-verb verified ingest — batch-fold parity with
+semantic_dup_pairs, cross-increment detection, replay + compact
+repair, refusals, cell pruning, groups-store resolution, and the
+ingest-vectors CLI."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.similarity import (
+    semantic_dup_pairs,
+)
+from wrds_data_pipeline_spark.operators.vector_index import (
+    build_vector_index,
+    compact_vector_index,
+    load_vector_index,
+    semantic_ingest_increment,
+    vector_index_topk,
+)
+
+_T = 0.9
+
+
+def _pairs_set(df):
+    return {
+        (r["id_a"], r["id_b"], r["cell"], r["cos_sim"])
+        for r in df.collect()
+    }
+
+
+def _near_copy(emb, src_id: int, new_id: int):
+    """An increment row that is a near-duplicate of ``src_id``: the
+    same direction scaled — cosine exactly 1.0, same cell."""
+    return (
+        emb.filter(F.col("vec_id") == src_id)
+        .select(
+            F.lit(new_id).cast("long").alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.25))
+            .cast("array<float>")  # the store's element type — a
+            # double increment is refused (test_refusals)
+            .alias("embedding"),
+        )
+    )
+
+
+def test_incremental_fold_matches_batch_pairs(spark, driver_tables, tmp_path):
+    """Folding the corpus through the verb in two increments emits
+    EXACTLY the batch semantic_dup_pairs set under the stored
+    centroids (the increment is assigned with the stored quantizer,
+    which is ivf_assign itself)."""
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    # the synthetic table has no natural pairs at this threshold, so
+    # the corpus carries engineered near-copies on BOTH sides of the
+    # increment split: within-inc1, within-inc2, and cross-increment
+    corpus = (
+        emb.unionByName(_near_copy(emb, 42, 99042))  # even + even
+        .unionByName(_near_copy(emb, 7, 99007))      # odd + odd
+        .unionByName(_near_copy(emb, 8, 99009))      # even + odd: cross
+    )
+    inc1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc2 = corpus.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "vidx")
+    p1 = semantic_ingest_increment(inc1, path, threshold=_T, n_cells=8)
+    p2 = semantic_ingest_increment(inc2, path, threshold=_T)
+    idx = load_vector_index(spark, path)
+    batch = semantic_dup_pairs(corpus, idx.centroid_list(), _T)
+    got = _pairs_set(p1) | _pairs_set(p2)
+    want = _pairs_set(batch)
+    assert got == want and want  # non-vacuous: the corpus has pairs
+    assert {(a, b) for a, b, _, _ in want} >= {
+        (42, 99042), (7, 99007), (8, 99009)
+    }
+    # every vector present exactly once after the fold
+    ids = [r["vec_id"] for r in idx.df.select("vec_id").collect()]
+    assert sorted(ids) == sorted(
+        r["vec_id"] for r in corpus.select("vec_id").collect()
+    )
+
+
+def test_cross_increment_near_dup_found_and_queryable(
+    spark, driver_tables, tmp_path
+):
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(emb, path, threshold=_T, n_cells=8)
+    inc = _near_copy(emb, 7, 99007).unionByName(
+        _near_copy(emb, 42, 99042)
+    )
+    pairs = semantic_ingest_increment(inc, path, threshold=_T)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the engineered copies pair with their stored originals
+    assert (7, 99007) in got and (42, 99042) in got
+    for r in pairs.collect():
+        if (r["id_a"], r["id_b"]) in ((7, 99007), (42, 99042)):
+            assert abs(r["cos_sim"] - 1.0) < 1e-6
+    # the appended copy is queryable through the index
+    idx = load_vector_index(spark, path)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    top = vector_index_topk(
+        idx, q, k=2, n_probe=len(idx.centroids)
+    ).toPandas()
+    assert set(top["vec_id"].astype(int)) == {7, 99007}
+
+
+def test_replay_emits_same_pairs_and_compact_repairs(
+    spark, driver_tables, tmp_path
+):
+    """Re-running an interrupted increment: same pair set, duplicate
+    rows in the store, compact restores one-row-per-vector and the
+    same post-repair query answers."""
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    inc = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(base, path, threshold=_T, n_cells=8)
+    first = _pairs_set(semantic_ingest_increment(inc, path, threshold=_T))
+    replay = _pairs_set(semantic_ingest_increment(inc, path, threshold=_T))
+    assert replay == first
+    idx = load_vector_index(spark, path)
+    n_rows = idx.df.count()
+    n_ids = idx.df.select("vec_id").distinct().count()
+    assert n_rows > n_ids  # the replay's duplicate rows are visible
+    stats = compact_vector_index(spark, path)
+    assert stats["rows_after"] == n_ids
+    idx = load_vector_index(spark, path)
+    assert idx.df.count() == n_ids
+
+
+def test_refusals(spark, driver_tables, tmp_path):
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(emb, path, threshold=_T, n_cells=8)
+    # wrong columns
+    renamed = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    with pytest.raises(ValueError, match="built with id_col"):
+        semantic_ingest_increment(
+            renamed, path, id_col="doc_id", vec_col="vec"
+        )
+    # wrong dimension
+    short = emb.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        semantic_ingest_increment(short, path)
+    # wrong element type: an array<double> increment against the
+    # array<float> store would append mixed parquet element types —
+    # every later read of the touched cells fails
+    dbl = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="element type"):
+        semantic_ingest_increment(dbl, path)
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        append_vector_index,
+    )
+
+    with pytest.raises(ValueError, match="element type"):
+        append_vector_index(dbl, path)
+    # vectors without meta = interrupted creation, not a fresh store
+    path2 = str(tmp_path / "vidx2")
+    semantic_ingest_increment(emb, path2, threshold=_T, n_cells=8)
+    import shutil
+
+    shutil.rmtree(os.path.join(path2, "meta"))
+    with pytest.raises(ValueError, match="interrupted index creation"):
+        semantic_ingest_increment(emb, path2)
+    # string ids refuse the groups store before any append
+    sids = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral ids"):
+        semantic_ingest_increment(
+            sids, str(tmp_path / "vidx3"),
+            groups_store_path=str(tmp_path / "groups"),
+        )
+
+
+def test_stored_read_prunes_to_increment_cells(
+    spark, driver_tables, tmp_path
+):
+    """The probe's stored-side read lists only the increment's cell
+    directories — the partition-pruning contract that keeps ingest
+    O(increment + probed cells) at corpus scale."""
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(emb, path, threshold=_T, n_cells=8)
+    idx = load_vector_index(spark, path)
+    inc = _near_copy(emb, 7, 99007)
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        _assigner_for,
+    )
+
+    cells = sorted(
+        r["cell"]
+        for r in _assigner_for(idx.centroid_list(), "embedding")(inc)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    read = {
+        r[0]
+        for r in idx.df.filter(F.col("cell").isin(cells))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read and read < set(idx.df.inputFiles())
+    assert all(any(f"cell={c}/" in f for c in cells) for f in read)
+
+
+def test_groups_store_resolves_cross_increment_merge(
+    spark, driver_tables, tmp_path
+):
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    gpath = str(tmp_path / "groups")
+    semantic_ingest_increment(
+        emb, path, threshold=_T, n_cells=8, groups_store_path=gpath
+    )
+    inc = _near_copy(emb, 7, 99007)
+    semantic_ingest_increment(
+        inc, path, threshold=_T, groups_store_path=gpath
+    )
+    groups = {
+        r["id"]: r["group_id"]
+        for r in spark.read.parquet(gpath).select("id", "group_id").collect()
+    }
+    # the appended copy joined its original's group, labeled by min id
+    assert groups.get(99007) == groups.get(7)
+    assert groups.get(7) is not None and groups[7] <= 7
+
+
+def test_cli_ingest_vectors_and_auto_compact(
+    spark, driver_tables, tmp_path, capsys
+):
+    from wrds_data_pipeline_spark.cli import index_main
+
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    base_path = str(tmp_path / "base")
+    inc_path = str(tmp_path / "inc")
+    emb.filter(F.col("vec_id") < 450).write.parquet(base_path)
+    emb.filter(F.col("vec_id") >= 450).write.parquet(inc_path)
+    index_path = str(tmp_path / "vidx")
+    out1 = str(tmp_path / "pairs1")
+    rc = index_main(
+        ["ingest-vectors", base_path, index_path, out1,
+         "--threshold", str(_T), "--n-cells", "8"]
+    )
+    assert rc == 0
+    out2 = str(tmp_path / "pairs2")
+    rc = index_main(
+        ["ingest-vectors", inc_path, index_path, out2,
+         "--threshold", str(_T), "--compact-every", "2"]
+    )
+    assert rc == 0
+    assert "auto-compact" in capsys.readouterr().out
+    idx = load_vector_index(spark, index_path)
+    # post-compact: one row per vector, one file per cell
+    assert idx.df.count() == emb.count()
+    files = idx.df.inputFiles()
+    assert len(files) <= len(idx.centroids)
+    # the two pair files partition the batch set
+    p1 = spark.read.parquet(out1)
+    p2 = spark.read.parquet(out2)
+    batch = semantic_dup_pairs(emb, idx.centroid_list(), _T)
+    assert _pairs_set(p1) | _pairs_set(p2) == _pairs_set(batch)

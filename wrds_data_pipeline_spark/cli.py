@@ -827,6 +827,33 @@ def index_main(argv: list[str] | None = None) -> int:
     pv.add_argument("--keep-frac", type=float, default=0.5)
     pv.add_argument("--keep", choices=("far", "near"), default="far")
 
+    iv = sub.add_parser(
+        "ingest-vectors",
+        help="one-verb verified SEMANTIC ingest: probe the vector "
+        "index for the increment's same-cell cosine near-dups, then "
+        "append the increment (first call builds the index)",
+    )
+    iv.add_argument("emb_path", help="the increment's (vec_id, embedding) parquet")
+    iv.add_argument("index_path", help="on-disk vector index (build-vector layout)")
+    iv.add_argument("out_dir", help="(id_a, id_b, cell, cos_sim) parquet")
+    iv.add_argument("--threshold", type=float, default=0.95)
+    iv.add_argument("--n-cells", type=int, default=None,
+                    help="creation only; later calls use the stored quantizer")
+    iv.add_argument("--pq-m", type=int, default=None,
+                    help="creation only: enable PQ with this many subspaces")
+    iv.add_argument("--pq-k", type=int, default=16)
+    iv.add_argument("--groups-store", default=None,
+                    help="also resolve the emitted pairs into the "
+                    "persisted duplicate-GROUP table (requires "
+                    "integral ids)")
+    iv.add_argument("--groups-shards", type=int, default=64)
+    iv.add_argument("--compact-every", type=int, default=0,
+                    help="after the ingest, when the vectors store's "
+                    "worst cell holds >= N files, compact it in "
+                    "place (duplicate rows CORRUPT top-k here, so "
+                    "compact is repair); 0 never auto-compacts — the "
+                    "advisory still prints")
+
     qv = sub.add_parser("query-vector", help="top-k per query vector through the index")
     qv.add_argument("index_path")
     qv.add_argument("queries_path", help="parquet with (query_id, query_vec); "
@@ -1108,6 +1135,48 @@ def index_main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append-vector":
         append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
         print(f"appended {args.emb_path} -> {args.index_path}")
+    elif args.cmd == "ingest-vectors":
+        import os as _os
+        import sys as _sys
+
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            compact_vector_index,
+            semantic_ingest_increment,
+        )
+
+        pairs = semantic_ingest_increment(
+            spark.read.parquet(args.emb_path),
+            args.index_path,
+            threshold=args.threshold,
+            n_cells=args.n_cells,
+            pq_m=args.pq_m,
+            pq_k=args.pq_k,
+            groups_store_path=args.groups_store,
+            groups_shards=args.groups_shards,
+        )
+        pairs.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"{n} semantic near-dup pairs -> {args.out_dir}")
+        worst = _max_files_per_shard(
+            _os.path.join(args.index_path, "vectors")
+        )
+        if args.compact_every and worst >= args.compact_every:
+            s = compact_vector_index(spark, args.index_path)
+            print(
+                f"auto-compact (--compact-every {args.compact_every}; "
+                f"vectors reached {worst} files/cell): "
+                f"{s['rows_before']}->{s['rows_after']} rows, "
+                f"{s['files_before']}->{s['files_after']} files"
+            )
+        elif worst >= _COMPACT_ADVISORY_AT:
+            print(
+                f"ADVISORY: the vectors store holds {worst} files in "
+                "its worst cell (one per ingest since the last "
+                "compact) — duplicate rows from replays CORRUPT "
+                "top-k here; repair with: wrds-spark-index "
+                f"compact --vector-index {args.index_path}",
+                file=_sys.stderr,
+            )
     elif args.cmd == "prune-vector":
         from wrds_data_pipeline_spark.operators.vector_index import (
             prune_vector_index,

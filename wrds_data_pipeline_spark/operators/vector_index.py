@@ -183,6 +183,33 @@ def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
     )
 
 
+def _check_increment_vectors(
+    new_embeddings: DataFrame, idx: "VectorIndex", dim: int
+) -> None:
+    """Refuse increments that would corrupt the store silently: a
+    dimension mismatch mis-assigns (short slices zip to nulls, wrong
+    cells/codes), and a vector COLUMN TYPE differing from the stored
+    one (array<double> vs array<float>) appends parquet files whose
+    element type diverges from the store's — every later read of the
+    touched cells then fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    Cast the increment to the stored element type explicitly; the
+    refusal names it."""
+    stored_t = idx.df.schema[idx.vec_col].dataType.simpleString()
+    new_t = new_embeddings.schema[idx.vec_col].dataType.simpleString()
+    if new_t != stored_t:
+        raise ValueError(
+            f"increment {idx.vec_col!r} is {new_t}, the store holds "
+            f"{stored_t} — appending would mix parquet element types "
+            f"in the same column; cast the increment to {stored_t} "
+            "first"
+        )
+    row = new_embeddings.select(idx.vec_col).first()
+    if row is not None and len(row[0]) != dim:
+        raise ValueError(
+            f"increment vectors have dim {len(row[0])}, index has {dim}"
+        )
+
+
 def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     """Add new vectors: assign with the STORED quantizer (auto
     exact/hierarchical by its size), encode with the stored codebooks
@@ -192,13 +219,7 @@ def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     across appends (the band-index contract)."""
     idx = load_vector_index(new_embeddings.sparkSession, path)
     dim = len(idx.centroids[0][1])
-    row = new_embeddings.select(idx.vec_col).first()
-    if row is not None and len(row[0]) != dim:
-        # a mismatched increment would mis-assign silently (short
-        # slices zip to nulls, wrong cells/codes) — fail loudly instead
-        raise ValueError(
-            f"increment vectors have dim {len(row[0])}, index has {dim}"
-        )
+    _check_increment_vectors(new_embeddings, idx, dim)
     assigned = _assigner_for(idx.centroid_list(), idx.vec_col)(new_embeddings)
     if idx.codebooks is not None:
         assigned = pq_encode(assigned, idx.codebooks, vec_col=idx.vec_col)
@@ -441,3 +462,196 @@ def vector_index_topk_batch(
         queries, k, query_id_col, query_vec_col,
         index.id_col, index.vec_col, partial_parallelism,
     )
+
+
+def semantic_ingest_increment(
+    new_embeddings: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    *,
+    n_cells: int | None = None,
+    target_cell_size: int = 1024,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    groups_store_path: str | None = None,
+    groups_shards: int = 64,
+) -> DataFrame:
+    """ONE-VERB verified SEMANTIC ingest — ``dedup.ingest_increment``'s
+    twin for the embedding family: probe the persisted vector index
+    for the increment's semantic near-duplicates (same-cell exact
+    cosine, the SemDeDup recall contract of
+    ``similarity.semantic_dup_pairs``), then append the increment's
+    vectors to the index — so the text loop (band index) and the
+    embedding loop (vector index) expose the same operational verb.
+
+    First call CREATES the index from the increment (``n_cells`` /
+    ``target_cell_size`` / ``pq_m`` apply then only) and emits the
+    increment's within pairs; later calls REFUSE on id/vec column
+    mismatch with the stored meta and on embedding-dimension mismatch
+    (both would silently mis-pair), ignore the creation parameters,
+    and emit every pair touching the increment: increment×stored and
+    increment×increment, canonicalized (id_a < id_b), same
+    (id_a, id_b, cell, cos_sim) schema and rounded-cosine threshold
+    semantics as ``semantic_dup_pairs``.  Because the increment is
+    assigned with the STORED quantizer, folding a corpus through this
+    verb emits exactly the batch ``semantic_dup_pairs`` set under the
+    same centroids (parity-tested).
+
+    Scale: cost per increment is O(|increment| + |probed cells'
+    rows|) — the stored read partition-prunes to the increment's
+    cells (a collected int list bounded by the cell count), the pair
+    join is an equi-join on ``cell``, and assignment is computed ONCE
+    (the appended rows reuse the probe's assignment; no second
+    assigner pass).  Verification needs no second store: the vectors
+    table itself carries the embeddings (unlike the text loop's
+    separate docs store), so probe and verify read the same pruned
+    partitions and append is a single store write — no lockstep
+    ordering to preserve under a crash.
+
+    Crash/replay: pairs are materialized (eager localCheckpoint)
+    BEFORE the append, so every pair is attributed to exactly one
+    increment.  Re-running an interrupted increment emits the same
+    pair set (its stored copy only produces self-pairs, excluded by
+    id inequality, and duplicates of the within pairs, removed by the
+    canonical distinct) and appends duplicate rows —
+    ``compact_vector_index`` is the documented repair, and the
+    ``ingest-vectors`` CLI carries the same advisory/--compact-every
+    economics as the text verb.
+
+    Returns the materialized pair DataFrame."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import _store_has_rows
+    from wrds_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        semantic_dup_pairs,
+    )
+
+    spark = new_embeddings.sparkSession
+    if groups_store_path is not None:
+        dt = dict(new_embeddings.dtypes)[id_col]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"semantic_ingest_increment: groups_store_path "
+                f"requires integral ids, got {id_col}:{dt!r} (map "
+                "string ids to a surrogate first)"
+            )
+    vectors_dir = f"{index_path}/vectors"
+    index_exists = os.path.exists(f"{index_path}/meta")
+    if not index_exists and os.path.isdir(vectors_dir) and _store_has_rows(
+        vectors_dir
+    ):
+        # vectors without meta: index CREATION was interrupted between
+        # the vectors write and the meta write — treating it as absent
+        # would re-cluster and orphan the written cells
+        raise ValueError(
+            f"semantic_ingest_increment: {vectors_dir!r} has rows but "
+            f"{index_path}/meta is missing — an interrupted index "
+            "creation; remove the vectors directory and re-ingest "
+            "that increment"
+        )
+
+    if not index_exists:
+        idx = build_vector_index(
+            new_embeddings,
+            index_path,
+            n_cells=n_cells,
+            target_cell_size=target_cell_size,
+            pq_m=pq_m,
+            pq_k=pq_k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        pairs = semantic_dup_pairs(
+            new_embeddings, idx.centroid_list(), threshold,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint(eager=True)
+        if groups_store_path is not None:
+            from wrds_data_pipeline_spark.operators.components import (
+                update_groups_store,
+            )
+
+            update_groups_store(
+                spark, groups_store_path, pairs, n_shards=groups_shards
+            )
+        return pairs
+
+    idx = load_vector_index(spark, index_path)
+    if idx.id_col != id_col or idx.vec_col != vec_col:
+        raise ValueError(
+            f"semantic_ingest_increment: index at {index_path!r} was "
+            f"built with id_col={idx.id_col!r}, vec_col="
+            f"{idx.vec_col!r}; called with {id_col!r}/{vec_col!r} — "
+            "pass the original columns"
+        )
+    _check_increment_vectors(new_embeddings, idx, len(idx.centroids[0][1]))
+
+    # assigned ONCE with the stored quantizer: probe and append share it
+    assigned = _assigner_for(idx.centroid_list(), vec_col)(
+        new_embeddings
+    ).localCheckpoint(eager=True)
+    cells = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )  # bounded by the cell count — ints on the driver, like the
+    # band ingest's shard collects
+
+    v = F.col(vec_col).cast("array<double>")
+    inc_side = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), v.alias("_va")
+    ).withColumn("_na", l2_norm(F.col("_va")))
+    stored_side = (
+        idx.df.filter(F.col("cell").isin(cells))
+        .select("cell", F.col(id_col).alias("id_b"), v.alias("_vb"))
+        .withColumn("_nb", l2_norm(F.col("_vb")))
+    )
+    both_side = stored_side.unionByName(
+        inc_side.select(
+            "cell",
+            F.col("id_a").alias("id_b"),
+            F.col("_va").alias("_vb"),
+            F.col("_na").alias("_nb"),
+        )
+    )
+    pairs = (
+        inc_side.repartition(F.col("cell"))
+        .join(both_side.repartition(F.col("cell")), "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        # canonicalize: a within-increment pair arrives in both
+        # orientations (cos_sim is symmetric bit-exactly — same
+        # zip_with/aggregate order), a cross pair in one
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cell",
+            "cos_sim",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    to_write = assigned
+    if idx.codebooks is not None:
+        to_write = pq_encode(to_write, idx.codebooks, vec_col=vec_col)
+    to_write.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(vectors_dir)
+    if groups_store_path is not None:
+        from wrds_data_pipeline_spark.operators.components import (
+            update_groups_store,
+        )
+
+        update_groups_store(
+            spark, groups_store_path, pairs, n_shards=groups_shards
+        )
+    return pairs
