@@ -273,3 +273,59 @@ def test_cli_ingest_vectors_and_auto_compact(
     p2 = spark.read.parquet(out2)
     batch = semantic_dup_pairs(emb, idx.centroid_list(), _T)
     assert _pairs_set(p1) | _pairs_set(p2) == _pairs_set(batch)
+
+
+def test_cross_modality_groups_compose(spark, tmp_path):
+    """The text loop (band index) and the embedding loop (vector
+    index) resolve into the SAME groups store: a text near-dup pair
+    (1,2) and a semantic near-dup pair (2,3) merge transitively into
+    one duplicate group {1,2,3} — the id space is shared, so the two
+    verified-ingest verbs compose without glue."""
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    gpath = str(tmp_path / "groups")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different text about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    tpairs = ingest_increment(
+        docs,
+        str(tmp_path / "bandidx"),
+        str(tmp_path / "docstore"),
+        n_shards=8,
+        docs_shards=8,
+        groups_store_path=gpath,
+        groups_shards=8,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in tpairs.collect()} == {(1, 2)}
+
+    # embeddings keyed by the same ids: 2 and 3 share a direction
+    # (semantic near-dups), 1 is orthogonal
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 1.0, 0.0]),
+            (3, [0.0, 1.0, 1.0001, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    spairs = semantic_ingest_increment(
+        emb,
+        str(tmp_path / "vidx"),
+        threshold=_T,
+        n_cells=2,
+        groups_store_path=gpath,
+        groups_shards=8,
+    )
+    assert (2, 3) in {(r["id_a"], r["id_b"]) for r in spairs.collect()}
+
+    groups = {
+        r["id"]: r["group_id"]
+        for r in spark.read.parquet(gpath).select("id", "group_id").collect()
+    }
+    # transitive cross-modality merge, labeled by the minimum member
+    assert groups[1] == groups[2] == groups[3] == 1
