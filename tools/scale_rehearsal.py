@@ -931,6 +931,127 @@ def groups_ladder_rung(spark, sizes: list[int]) -> None:
         shutil.rmtree(base)
 
 
+def semantic_ingest_ladder_rung(spark, sizes: list[int]) -> None:
+    """Semantic verified-ingest scaling: ingest the SAME increment
+    shape (100 engineered near-copies of stored vectors + 100 novel
+    vectors) against vector indexes of growing size and record, per
+    increment, (wall, cells probed, stored rows read in the probed
+    cells vs the full store).  The measured form of the verb's
+    O(|increment| + |probed cells|) claim: cell populations are
+    bounded by the auto-sizing (cells grow with the corpus instead),
+    so the probed-rows column must stay FLAT while total store rows
+    grow — and every rung asserts the 100 engineered pairs are all
+    emitted (the ladder never trades recall for the flat column)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        _assigner_for,
+        load_vector_index,
+        semantic_ingest_increment,
+    )
+
+    n_copy, n_novel = 100, 100
+    n_inc = 3
+    threshold = 0.95
+    for n in sizes:
+        emb_path = _generate(n)
+        base = tempfile.mkdtemp(prefix=f"sem_ingest_{n}_")
+        idx_path = f"{base}/vidx"
+        store = spark.read.parquet(emb_path)
+        t0 = time.time()
+        semantic_ingest_increment(store, idx_path, threshold=threshold)
+        w_build = time.time() - t0
+        idx = load_vector_index(spark, idx_path)
+        total0 = idx.df.count()
+
+        # the increment is topically CONCENTRATED — the realistic
+        # "one crawl shard" shape, and the one where cell pruning has
+        # something to prune (a uniformly-diverse increment probes
+        # every cell by construction; no layout can help it).
+        # Reproduce the generator's topic assignment (same seed and
+        # draw order as _generate) to pick one topic's members.
+        g = np.random.default_rng(7)
+        topic_base = g.standard_normal((N_TOPICS, DIM))
+        topic_of = g.integers(0, N_TOPICS, n)
+        rng = np.random.default_rng(11)
+        walls, probed_cells, probed_rows, totals = [], [], [], []
+        for k in range(n_inc):
+            topic = k % N_TOPICS
+            members = np.flatnonzero(topic_of == topic)
+            k_copy = min(n_copy, len(members))  # small rungs have
+            # fewer same-topic members than the target copy count
+            src = sorted(
+                rng.choice(members, size=k_copy, replace=False).tolist()
+            )
+            rows = {
+                r["vec_id"]: list(r["embedding"])
+                for r in store.filter(
+                    F.col("vec_id").isin(src)
+                ).collect()
+            }
+            inc_rows = []
+            expected = set()
+            for j, sid in enumerate(src):
+                new_id = 10_000_000 + k * 1_000 + j
+                v = np.array(rows[sid], dtype="float32")
+                # scaled copy: cosine 1.0 with its source
+                inc_rows.append(
+                    (new_id, (v * 1.25).astype("float32").tolist())
+                )
+                expected.add((sid, new_id))
+            for j in range(n_novel):  # novel members of the SAME topic
+                new_id = 10_000_000 + k * 1_000 + k_copy + j
+                nv = topic_base[topic] + 0.3 * rng.standard_normal(DIM)
+                inc_rows.append((new_id, nv.astype("float32").tolist()))
+            inc = spark.createDataFrame(
+                inc_rows, "vec_id bigint, embedding array<float>"
+            )
+            # instrument the pruning exactly as the verb runs it
+            idx = load_vector_index(spark, idx_path)
+            cells = sorted(
+                r["cell"]
+                for r in _assigner_for(idx.centroid_list(), "embedding")(
+                    inc
+                )
+                .select("cell")
+                .distinct()
+                .collect()
+            )
+            pr = idx.df.filter(F.col("cell").isin(cells)).count()
+            tot = idx.df.count()
+            t0 = time.time()
+            pairs = semantic_ingest_increment(
+                inc, idx_path, threshold=threshold
+            )
+            walls.append(time.time() - t0)
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in pairs.select("id_a", "id_b").collect()
+            }
+            assert expected <= got, (
+                f"semantic-ladder n={n} inc={k}: "
+                f"{len(expected - got)} engineered pairs missed"
+            )
+            probed_cells.append(len(cells))
+            probed_rows.append(pr)
+            totals.append(tot)
+        med = sorted(walls)[len(walls) // 2]
+        print(
+            f"semantic-ladder n={n}: cells={len(idx.centroids)} "
+            f"build={w_build:.1f}s store_rows={total0} | per-increment "
+            f"wall med={med:.2f}s {['%.2f' % w for w in walls]} | "
+            f"cells_probed={probed_cells} | "
+            f"probed_rows={probed_rows} of {totals} | "
+            f"pairs ok (all engineered copies found per increment)"
+        )
+        shutil.rmtree(base)
+
+
+
 def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
     """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
     ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
@@ -1260,6 +1381,15 @@ def main() -> None:
         corpus_chain_materialized_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000],
+        )
+        return
+    if "--semantic-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        semantic_ingest_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [2000, 8000, 32000],
         )
         return
     if "--groups-ladder" in sys.argv:
