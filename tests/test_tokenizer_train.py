@@ -522,3 +522,87 @@ def test_cli_train_unigram_and_wordlevel(spark, tmp_path):
         # the artifact loads and encodes through the interpreter
         tok = PurePythonTokenizer.from_file(out_json)
         assert len(tok.encode("some sample text").ids) > 0
+
+
+# ----------------------------------------------------------- added tokens ---
+
+
+def test_added_tokens_extracted_before_the_model():
+    """The AddedVocabulary semantics: an added token's literal string
+    in raw text emits its pinned id — never model pieces of the
+    literal — with segments around it tokenized independently, and
+    leftmost-longest matching between overlapping specials."""
+    vocab, merges = learn_bpe_from_counts(
+        [("hello", 5), (" world", 5)], 280,
+        special_tokens=("<|endoftext|>",),
+    )
+    spec = bpe_tokenizer_spec(
+        vocab, merges, special_tokens=("<|endoftext|>",)
+    )
+    tok = PurePythonTokenizer(spec)
+    rev = {i: t for t, i in vocab.items()}
+    toks = [rev[i] for i in tok.encode("hello<|endoftext|> world").ids]
+    assert toks == ["hello", "<|endoftext|>", "Ġworld"]
+    # text that IS the special alone / at the edges
+    assert [rev[i] for i in tok.encode("<|endoftext|>").ids] == [
+        "<|endoftext|>"
+    ]
+    # longest-first: a special that extends another wins
+    spec2 = dict(spec)
+    spec2["added_tokens"] = spec["added_tokens"] + [
+        {"id": 999, "content": "<|endoftext|>X", "single_word": False,
+         "lstrip": False, "rstrip": False, "normalized": False,
+         "special": True}
+    ]
+    tok2 = PurePythonTokenizer(spec2)
+    assert tok2.encode("<|endoftext|>X").ids == [999]
+    # whitespace-absorbing variants would change ids silently: refuse
+    bad = dict(spec)
+    bad["added_tokens"] = [dict(spec["added_tokens"][0], lstrip=True)]
+    with pytest.raises(NotImplementedError, match="added_token"):
+        PurePythonTokenizer(bad)
+
+
+def test_trained_specials_serialize_as_added_tokens(tmp_path):
+    """Every trainer serializes its specials as added_tokens, so the
+    artifact treats a literal eos/sep in text the way the Rust
+    backend would."""
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        learn_unigram_from_counts,
+        learn_wordlevel_from_counts,
+        unigram_tokenizer_spec,
+        wordlevel_tokenizer_spec,
+    )
+
+    vocab, merges = learn_bpe_from_counts(
+        _TINY, 270, special_tokens=("<|endoftext|>",)
+    )
+    spec = bpe_tokenizer_spec(
+        vocab, merges, special_tokens=("<|endoftext|>",)
+    )
+    assert [t["content"] for t in spec["added_tokens"]] == ["<|endoftext|>"]
+    assert spec["added_tokens"][0]["id"] == vocab["<|endoftext|>"]
+
+    wv, _ = learn_wordpiece_from_counts(
+        _TINY, 30, special_tokens=("[PAD]", "[UNK]")
+    ), None
+    wspec = wordpiece_tokenizer_spec(
+        dict(wv[0]), special_tokens=("[PAD]", "[UNK]")
+    )
+    tok = PurePythonTokenizer(wspec)
+    rv = {i: t for t, i in wspec["model"]["vocab"].items()}
+    assert rv[tok.encode("hugs [UNK] pun").ids[1]] == "[UNK]"
+
+    entries = learn_unigram_from_counts(_UNI_TINY, 30)
+    uspec = unigram_tokenizer_spec(entries)
+    assert uspec["added_tokens"][0]["content"] == "<unk>"
+    utok = PurePythonTokenizer(uspec)
+    uv = {i: p for i, (p, _) in enumerate(uspec["model"]["vocab"])}
+    # the literal "<unk>" extracts as the special, not as char pieces
+    assert uv[utok.encode("hello <unk>").ids[-1]] == "<unk>"
+
+    wl = learn_wordlevel_from_counts(
+        [("the", 5)], 2, special_tokens=("<unk>",)
+    )
+    wlspec = wordlevel_tokenizer_spec(wl, special_tokens=("<unk>",))
+    assert wlspec["added_tokens"][0]["content"] == "<unk>"

@@ -456,6 +456,36 @@ class PurePythonTokenizer:
                     tok = item["SpecialToken"]["id"]
                     sid = specials[tok]["ids"][0]
                     (self.tail_ids if seen_sequence else self.head_ids).append(sid)
+        # added tokens (the Rust AddedVocabulary): their literal
+        # strings are extracted from the RAW text before
+        # normalization/pre-tokenization and emit their pinned ids
+        # directly — a packed shard containing "<|endoftext|>" counts
+        # it as ONE special id, never as BPE pieces of the literal.
+        # Supported shape: the one every mainstream export ships
+        # (normalized=false, lstrip/rstrip=false, single_word=false);
+        # the whitespace-absorbing / word-boundary / match-after-
+        # normalize variants each change ids, so they refuse loudly
+        # per the module contract.
+        self._added: dict[str, int] = {}
+        for at in spec.get("added_tokens") or []:
+            if at.get("normalized") or at.get("lstrip") or at.get(
+                "rstrip"
+            ) or at.get("single_word"):
+                raise NotImplementedError(
+                    f"added_token {at.get('content')!r} with "
+                    "normalized/lstrip/rstrip/single_word set"
+                )
+            self._added[at["content"]] = int(at["id"])
+        self._added_re = (
+            re.compile(
+                "|".join(
+                    re.escape(t)
+                    for t in sorted(self._added, key=len, reverse=True)
+                )
+            )
+            if self._added
+            else None
+        )
 
     def _parse_normalizer(self, norm: dict):
         """Supported normalizers → a list of str→str steps, applied in
@@ -740,6 +770,26 @@ class PurePythonTokenizer:
         return ids
 
     def encode(self, text: str) -> _Encoding:
+        if self._added_re is not None:
+            # extract added tokens first (longest alternative wins —
+            # the pattern is sorted longest-first, matching the Rust
+            # trie's leftmost-longest), then run the full pipeline on
+            # each intervening segment independently, exactly the
+            # AddedVocabulary split semantics (each segment is
+            # normalized on its own)
+            ids: list[int] = []
+            pos = 0
+            for m in self._added_re.finditer(text):
+                ids.extend(self._segment_ids(text[pos : m.start()]))
+                ids.append(self._added[m.group(0)])
+                pos = m.end()
+            ids.extend(self._segment_ids(text[pos:]))
+            return _Encoding(self.head_ids + ids + self.tail_ids)
+        return _Encoding(
+            self.head_ids + self._segment_ids(text) + self.tail_ids
+        )
+
+    def _segment_ids(self, text: str) -> list[int]:
         for step in self._norm_steps:
             text = step(text)
         if self.pre_type is None:
@@ -761,11 +811,12 @@ class PurePythonTokenizer:
         ids: list[int] = []
         for word in words:
             ids.extend(self._word_ids(word))
-        # TemplateProcessing wraps every encoding; tokenize.py
+        # TemplateProcessing wraps every encoding (the caller adds
+        # head/tail ids around the concatenated segments); tokenize.py
         # short-circuits empty text before reaching the tokenizer, so
         # matching HF exactly here (specials added even when empty)
         # keeps the two backends interchangeable
-        return _Encoding(self.head_ids + ids + self.tail_ids)
+        return ids
 
     def encode_batch(self, texts: list[str]) -> list[_Encoding]:
         return [self.encode(t) for t in texts]

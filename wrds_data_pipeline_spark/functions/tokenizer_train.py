@@ -426,19 +426,46 @@ def learn_wordpiece_from_counts(
     return vocab, merges
 
 
+def _added_token_entries(pairs) -> list[dict]:
+    """added_tokens entries for trained specials, in the shape every
+    mainstream export ships (and the one the interpreter extracts):
+    matched literally in raw text, no whitespace absorption."""
+    return [
+        {
+            "id": int(i),
+            "content": tok,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+            "special": True,
+        }
+        for tok, i in pairs
+    ]
+
+
 def bpe_tokenizer_spec(
-    vocab: dict[str, int], merges: list[tuple[str, str]]
+    vocab: dict[str, int],
+    merges: list[tuple[str, str]],
+    *,
+    special_tokens: tuple[str, ...] = (),
 ) -> dict:
     """Serialize a trained byte-level BPE as the tokenizer.json shape
     ``PurePythonTokenizer`` (and the Rust backend) load: ByteLevel
     pre-tokenizer with the GPT-2 regex, merge-list BPE model,
     ByteLevel decoder.  No normalizer, no unk (the 256-symbol
-    alphabet makes unk unreachable by construction)."""
+    alphabet makes unk unreachable by construction).  Specials are
+    serialized as added_tokens so their literal strings in text
+    (e.g. an eos separator inside a packed shard) encode as ONE
+    pinned id — the AddedVocabulary semantics the interpreter and
+    the Rust backend share."""
     return {
         "version": "1.0",
         "truncation": None,
         "padding": None,
-        "added_tokens": [],
+        "added_tokens": _added_token_entries(
+            (t, vocab[t]) for t in special_tokens
+        ),
         "normalizer": None,
         "pre_tokenizer": {
             "type": "ByteLevel",
@@ -476,6 +503,7 @@ def bpe_tokenizer_spec(
 def wordpiece_tokenizer_spec(
     vocab: dict[str, int],
     *,
+    special_tokens: tuple[str, ...] = (),
     unk_token: str = "[UNK]",
     continuing_subword_prefix: str = "##",
     lowercase: bool = True,
@@ -485,14 +513,17 @@ def wordpiece_tokenizer_spec(
     """Serialize a trained WordPiece as the BERT-family
     tokenizer.json: BertNormalizer + BertPreTokenizer + WordPiece
     model.  The normalizer flags MUST match the ones the word counts
-    were taken under — ``train_wordpiece`` threads them through."""
+    were taken under — ``train_wordpiece`` threads them through.
+    Specials serialize as added_tokens (see ``bpe_tokenizer_spec``)."""
     if unk_token not in vocab:
         raise ValueError(f"unk_token {unk_token!r} not in trained vocab")
     return {
         "version": "1.0",
         "truncation": None,
         "padding": None,
-        "added_tokens": [],
+        "added_tokens": _added_token_entries(
+            (t, vocab[t]) for t in special_tokens
+        ),
         "normalizer": {
             "type": "BertNormalizer",
             "clean_text": True,
@@ -551,7 +582,9 @@ def train_bpe(
             n_merges=len(merges),
             vocab_size=len(vocab),
         )
-    return bpe_tokenizer_spec(vocab, merges)
+    return bpe_tokenizer_spec(
+        vocab, merges, special_tokens=special_tokens
+    )
 
 
 def train_wordpiece(
@@ -603,6 +636,7 @@ def train_wordpiece(
         )
     return wordpiece_tokenizer_spec(
         vocab,
+        special_tokens=special_tokens,
         unk_token=unk_token,
         lowercase=lowercase,
         strip_accents=strip_accents,
@@ -909,7 +943,9 @@ def unigram_tokenizer_spec(
         "version": "1.0",
         "truncation": None,
         "padding": None,
-        "added_tokens": [],
+        "added_tokens": _added_token_entries(
+            (t, i) for i, t in enumerate(special_tokens)
+        ),
         "normalizer": None,
         "pre_tokenizer": {
             "type": "Metaspace",
@@ -998,7 +1034,10 @@ def learn_wordlevel_from_counts(
 
 
 def wordlevel_tokenizer_spec(
-    vocab: dict[str, int], *, unk_token: str = "<unk>"
+    vocab: dict[str, int],
+    *,
+    special_tokens: tuple[str, ...] = (),
+    unk_token: str = "<unk>",
 ) -> dict:
     if unk_token not in vocab:
         raise ValueError(f"unk_token {unk_token!r} not in trained vocab")
@@ -1006,7 +1045,9 @@ def wordlevel_tokenizer_spec(
         "version": "1.0",
         "truncation": None,
         "padding": None,
-        "added_tokens": [],
+        "added_tokens": _added_token_entries(
+            (t, vocab[t]) for t in special_tokens
+        ),
         "normalizer": None,
         "pre_tokenizer": {"type": "Whitespace"},
         "post_processor": None,
@@ -1051,4 +1092,6 @@ def train_wordlevel(
             n_merges=0,
             vocab_size=len(vocab),
         )
-    return wordlevel_tokenizer_spec(vocab, unk_token=unk_token)
+    return wordlevel_tokenizer_spec(
+        vocab, special_tokens=special_tokens, unk_token=unk_token
+    )
