@@ -21,9 +21,14 @@ unpartitioned window (the scale-killer this repo bans).  Instead:
    ordered corpus into chunks of ~chunk_bins sequences' worth of
    tokens.  Sequences never cross chunks, so step 3 is embarrassingly
    parallel with bounded state.
-3. **Exact greedy within each chunk** via applyInPandas (Arrow
-   batches; a chunk is ~chunk_bins * max_tokens tokens of *metadata*
-   — ids and counts, not text).
+3. **Exact greedy within each chunk**, entirely JVM-side: one
+   hash-aggregate collects the chunk's (order, id, count) structs —
+   ~chunk_bins * max_tokens tokens of *metadata*, ids and counts,
+   not text — and an ``aggregate()`` fold replays the first-fit
+   recurrence, accumulating only the sequence-boundary indices
+   (bounded by 4*chunk_bins) so the fold stays linear even on a
+   pathological many-tiny-docs chunk.  No Python anywhere in the
+   packing path.
 
 Cost of chunking vs a single global greedy pass: at most one extra
 partially-filled sequence per chunk boundary.  With chunk_bins=64
@@ -151,47 +156,111 @@ def pack_sequences(
     fit = fit.withColumn(
         "_chunk", (F.col("_cum") / F.lit(chunk_budget)).cast("long")
     )
+    # lineage truncation at the chunk-assignment waist: the greedy
+    # tail below is higher-order-function expressions, and Catalyst's
+    # CollapseProject inlines the prefix-sum window (including its
+    # raise_error uniqueness guard) into those lambdas when the plan
+    # is left composed — measured ~7x on the whole query (the q43/q66
+    # lesson: any multiply-referenced relation feeding HOF lambdas
+    # needs truncation).  eager=False keeps this lazy; the relation is
+    # increment-sized metadata (id, count, chunk).
+    fit = fit.localCheckpoint(eager=False)
 
     # greedy first-fit needs >= ceil(2*chunk_tokens/max)+1 ids per
     # chunk in the worst case (consecutive sequences sum > max); 4x
     # bins is comfortably above it and keeps seq_id monotone in order
     seqs_per_chunk = 4 * chunk_bins
 
-    def _greedy(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
-        seq, run, local = [], 0, 0
-        for t in pdf["n_tokens"]:
-            if run + t > max_tokens and run > 0:
-                local += 1
-                run = 0
-            seq.append(local)
-            run += t
-        out_pos, cur, prev = [], -1, None
-        for s in seq:
-            cur = cur + 1 if s == prev else 0
-            prev = s
-            out_pos.append(cur)
-        chunk = int(pdf["_chunk"].iloc[0])
-        assert local < seqs_per_chunk, "seq id namespace overflow"
-        return pd.DataFrame(
-            {
-                "_id": pdf["_id"],
-                "n_tokens": pdf["n_tokens"],
-                "seq_id": [chunk * seqs_per_chunk + s for s in seq],
-                "seq_pos": out_pos,
-            }
-        )
-
-    packed = fit.groupBy("_chunk").applyInPandas(
-        _greedy, schema="_id long, n_tokens long, seq_id long, seq_pos int"
+    # Exact greedy within each chunk, ENTIRELY JVM-side (replacing
+    # the former applyInPandas hop — ~600 tiny chunks at bench scale
+    # cost ~2s of per-group Python/Arrow overhead, and this was the
+    # packing path's only Python boundary).  One hash-aggregate
+    # collects the chunk's (order, id, n_tokens) structs — metadata
+    # only, the same bounded chunk the pandas frame used to hold —
+    # array_sort restores packing order (order_cols lead the struct
+    # and are unique, so trailing fields never tie-break), and a
+    # single aggregate() fold replays the first-fit recurrence.
+    # The accumulator carries only the sequence BOUNDARY indices
+    # (bounded by seqs_per_chunk, hard-guarded below) plus the
+    # running token count — appending per-element labels instead
+    # would copy the accumulator array per element, quadratic on a
+    # pathological many-tiny-docs chunk; labels derive from the
+    # boundary array afterwards in one linear transform.
+    extra = [] if "_id" in order_cols else ["_id"]
+    doc_struct = F.struct(
+        *[F.col(c) for c in (*order_cols, *extra, "n_tokens")]
     )
-    packed = packed.select(
-        F.col("_id").alias(id_col),
-        "n_tokens",
-        "seq_id",
-        "seq_pos",
+    per_chunk = fit.groupBy("_chunk").agg(
+        F.array_sort(F.collect_list(doc_struct)).alias("_docs")
+    )
+    folded = F.aggregate(
+        F.col("_docs"),
+        F.struct(
+            F.lit(0).alias("i"),
+            F.lit(0).cast("long").alias("run"),
+            F.array().cast("array<int>").alias("bnd"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(
+                (acc["run"] + x["n_tokens"] > max_tokens)
+                & (acc["run"] > 0),
+                x["n_tokens"],
+            )
+            .otherwise(acc["run"] + x["n_tokens"])
+            .alias("run"),
+            F.when(
+                (acc["run"] + x["n_tokens"] > max_tokens)
+                & (acc["run"] > 0),
+                F.array_append(acc["bnd"], acc["i"]),
+            )
+            .otherwise(acc["bnd"])
+            .alias("bnd"),
+        ),
+    )
+    per_chunk = per_chunk.withColumn("_bnd", folded["bnd"])
+    # element i's local seq = boundaries at or before it; its seq_pos
+    # = distance from the latest such boundary (or from 0 in the
+    # first sequence) — exactly the sequential walk's labels
+    labels = F.transform(
+        F.sequence(F.lit(0), F.size("_docs") - 1),
+        lambda i: F.struct(
+            F.size(F.filter(F.col("_bnd"), lambda b: b <= i)).alias(
+                "seq"
+            ),
+            (
+                i
+                - F.coalesce(
+                    F.array_max(
+                        F.filter(F.col("_bnd"), lambda b: b <= i)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("pos"),
+        ),
+    )
+    zipped = F.zip_with(
+        F.col("_docs"),
+        labels,
+        lambda d, s: F.struct(d.alias("d"), s.alias("s")),
+    )
+    exploded = per_chunk.select(
+        "_chunk", F.explode(zipped).alias("e")
+    )
+    # namespace guard, the JVM form of the old assert: more sequences
+    # than the id stride would alias seq_ids across chunks — corrupt
+    # silently, so raise on the first action instead
+    local_seq = F.when(
+        F.col("e.s.seq") >= seqs_per_chunk,
+        F.raise_error(F.lit("seq id namespace overflow")).cast("int"),
+    ).otherwise(F.col("e.s.seq"))
+    packed = exploded.select(
+        F.col("e.d._id").alias(id_col),
+        F.col("e.d.n_tokens").alias("n_tokens"),
+        (
+            F.col("_chunk") * seqs_per_chunk + local_seq
+        ).cast("long").alias("seq_id"),
+        F.col("e.s.pos").cast("int").alias("seq_pos"),
         F.lit(False).alias("oversize"),
     )
     return packed.unionByName(oversize)
