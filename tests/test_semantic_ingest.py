@@ -329,3 +329,68 @@ def test_cross_modality_groups_compose(spark, tmp_path):
     }
     # transitive cross-modality merge, labeled by the minimum member
     assert groups[1] == groups[2] == groups[3] == 1
+
+
+def test_harvest_canonical_vectors(spark, driver_tables, tmp_path):
+    """The embedding loop's harvest: losers of the groups store the
+    semantic ingest maintains are dropped from the vector corpus,
+    replay residue collapses, and the score-elected variant keeps the
+    best-scoring member instead of the minimum id."""
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        harvest_canonical_vectors,
+    )
+
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    gpath = str(tmp_path / "groups")
+    semantic_ingest_increment(
+        emb, path, threshold=_T, n_cells=8, groups_store_path=gpath
+    )
+    inc = _near_copy(emb, 7, 99007)
+    semantic_ingest_increment(
+        inc, path, threshold=_T, groups_store_path=gpath
+    )
+    semantic_ingest_increment(  # replay: duplicate rows in the store
+        inc, path, threshold=_T, groups_store_path=gpath
+    )
+    kept = harvest_canonical_vectors(spark, path, gpath)
+    ids = [r["vec_id"] for r in kept.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))  # replay residue collapsed
+    assert 7 in ids and 99007 not in ids  # min-id canonical wins
+    assert "cell" not in kept.columns and "pq_code" not in kept.columns
+    n_all = emb.count() + 1
+    assert len(ids) == n_all - 1  # exactly the one loser dropped
+
+    # score election flips the winner
+    scores = spark.createDataFrame(
+        [(7, 0.1), (99007, 0.9)], "vec_id long, score double"
+    )
+    kept2 = harvest_canonical_vectors(spark, path, gpath, scores=scores)
+    ids2 = {r["vec_id"] for r in kept2.select("vec_id").collect()}
+    assert 99007 in ids2 and 7 not in ids2
+
+
+def test_cli_harvest_vectors(spark, driver_tables, tmp_path):
+    from wrds_data_pipeline_spark.cli import index_main
+
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    base_path = str(tmp_path / "base")
+    emb.write.parquet(base_path)
+    inc_path = str(tmp_path / "incp")
+    _near_copy(emb, 7, 99007).write.parquet(inc_path)
+    index_path = str(tmp_path / "vidx")
+    gpath = str(tmp_path / "groups")
+    assert index_main(
+        ["ingest-vectors", base_path, index_path, str(tmp_path / "p1"),
+         "--threshold", str(_T), "--n-cells", "8",
+         "--groups-store", gpath]
+    ) == 0
+    assert index_main(
+        ["ingest-vectors", inc_path, index_path, str(tmp_path / "p2"),
+         "--threshold", str(_T), "--groups-store", gpath]
+    ) == 0
+    out = str(tmp_path / "canon")
+    assert index_main(["harvest-vectors", index_path, gpath, out]) == 0
+    ids = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert 7 in ids and 99007 not in ids
+    assert len(ids) == emb.count()

@@ -807,6 +807,23 @@ def index_main(argv: list[str] | None = None) -> int:
     hv.add_argument("--score-col", default="score",
                     help="score column name in --scores")
 
+    hvv = sub.add_parser(
+        "harvest-vectors",
+        help="the embedding loop's harvest: the deduplicated VECTOR "
+        "corpus from the vector index + groups store (same loser "
+        "election as harvest; cell/pq_code index internals dropped)",
+    )
+    hvv.add_argument("index_path", help="on-disk vector index")
+    hvv.add_argument("groups_store",
+                     help="duplicate-groups store (ingest-vectors "
+                     "--groups-store)")
+    hvv.add_argument("out_dir", help="deduplicated (id, embedding) parquet")
+    hvv.add_argument("--scores", default=None,
+                     help="optional (id, score) parquet: keep the "
+                     "BEST-scoring member per group (ties/missing -> "
+                     "minimum id)")
+    hvv.add_argument("--score-col", default="score")
+
     bv = sub.add_parser("build-vector", help="IVF(-PQ) index over an embedding table")
     bv.add_argument("emb_path", help="parquet with (vec_id, embedding)")
     bv.add_argument("index_path")
@@ -958,6 +975,34 @@ def index_main(argv: list[str] | None = None) -> int:
         )
         print(
             f"harvested {n_kept} canonical docs -> {args.out_dir} "
+            f"({n_total - n_kept} non-canonical group members dropped)"
+        )
+        return 0
+
+    if args.cmd == "harvest-vectors":
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            harvest_canonical_vectors,
+            load_vector_index,
+        )
+
+        try:
+            kept = harvest_canonical_vectors(
+                spark, args.index_path, args.groups_store,
+                scores=(
+                    spark.read.parquet(args.scores)
+                    if args.scores is not None
+                    else None
+                ),
+                score_col=args.score_col,
+            )
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from exc
+        kept.write.mode("overwrite").parquet(args.out_dir)
+        n_kept = spark.read.parquet(args.out_dir).count()
+        idx = load_vector_index(spark, args.index_path)
+        n_total = idx.df.select(idx.id_col).distinct().count()
+        print(
+            f"harvested {n_kept} canonical vectors -> {args.out_dir} "
             f"({n_total - n_kept} non-canonical group members dropped)"
         )
         return 0

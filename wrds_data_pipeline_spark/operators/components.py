@@ -759,44 +759,64 @@ def harvest_canonical_store(
     from wrds_data_pipeline_spark.operators.dedup import _require_store
 
     _require_store(docs_store_path, "docs store")
-    _require_store(groups_store_path, "groups store")
-    groups = spark.read.parquet(groups_store_path).select("id", "group_id")
-    if scores is None:
-        losers = groups.filter(F.col("id") != F.col("group_id")).select(
-            F.col("id").alias(id_col)
-        )
-    else:
-        members = groups.join(
-            scores.select(
-                F.col(id_col).cast("bigint").alias("id"),
-                F.coalesce(
-                    F.col(score_col).cast("double"), F.lit(float("-inf"))
-                ).alias("_s"),
-            ),
-            "id",
-            "left",
-        ).select(
-            "id", "group_id", F.coalesce("_s", F.lit(float("-inf"))).alias("_s")
-        )
-        winners = (
-            members.groupBy("group_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("_s")).alias("a"), F.col("id").alias("b")
-                    )
-                ).alias("_w")
-            )
-            .select("group_id", F.col("_w.b").alias("_keep"))
-        )
-        losers = (
-            members.join(winners, "group_id")
-            .filter(F.col("id") != F.col("_keep"))
-            .select(F.col("id").alias(id_col))
-        )
+    losers = group_store_losers(
+        spark, groups_store_path, id_col, scores=scores, score_col=score_col
+    )
     return (
         spark.read.parquet(docs_store_path)
         .drop("shard")
         .dropDuplicates()
         .join(losers, id_col, "left_anti")
+    )
+
+
+def group_store_losers(
+    spark,
+    groups_store_path: str,
+    id_col: str,
+    scores: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """The non-canonical member ids of a groups store — the loser
+    election ``harvest_canonical_store`` and its vector twin share.
+    Default: rows with ``id != group_id`` (the label IS the minimum
+    member).  With ``scores``: the best-scoring member wins per group
+    (ties/missing → min id), the ``dedup_keep_best`` election over
+    the persisted store.  The returned relation is duplicate-mass-
+    sized either way."""
+    from wrds_data_pipeline_spark.operators.dedup import _require_store
+
+    _require_store(groups_store_path, "groups store")
+    groups = spark.read.parquet(groups_store_path).select("id", "group_id")
+    if scores is None:
+        return groups.filter(F.col("id") != F.col("group_id")).select(
+            F.col("id").alias(id_col)
+        )
+    members = groups.join(
+        scores.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("_s"),
+        ),
+        "id",
+        "left",
+    ).select(
+        "id", "group_id", F.coalesce("_s", F.lit(float("-inf"))).alias("_s")
+    )
+    winners = (
+        members.groupBy("group_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_s")).alias("a"), F.col("id").alias("b")
+                )
+            ).alias("_w")
+        )
+        .select("group_id", F.col("_w.b").alias("_keep"))
+    )
+    return (
+        members.join(winners, "group_id")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
     )

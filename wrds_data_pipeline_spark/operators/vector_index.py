@@ -655,3 +655,39 @@ def semantic_ingest_increment(
             spark, groups_store_path, pairs, n_shards=groups_shards
         )
     return pairs
+
+
+def harvest_canonical_vectors(
+    spark: SparkSession,
+    index_path: str,
+    groups_store_path: str,
+    scores: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """``components.harvest_canonical_store``'s twin for the
+    embedding loop: the deduplicated VECTOR corpus from the vector
+    index and the groups store the semantic ingest verb maintains —
+    every indexed vector except the non-canonical members of resolved
+    duplicate groups (same loser election, shared code: min-id label
+    by default, best-score with ``scores``).
+
+    Full-row duplicates (the replay residue ``compact_vector_index``
+    reclaims) collapse here too; the index-internal ``cell`` and
+    ``pq_code`` columns are dropped — the harvest is the corpus
+    (id, embedding, ...), not the index layout.  One anti-join sized
+    by the duplicate mass; returns the lazy relation, the caller owns
+    the write."""
+    from wrds_data_pipeline_spark.operators.components import (
+        group_store_losers,
+    )
+
+    idx = load_vector_index(spark, index_path)
+    losers = group_store_losers(
+        spark, groups_store_path, idx.id_col,
+        scores=scores, score_col=score_col,
+    )
+    return (
+        idx.df.drop("cell", "pq_code")
+        .dropDuplicates()
+        .join(losers, idx.id_col, "left_anti")
+    )
