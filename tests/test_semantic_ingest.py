@@ -394,3 +394,98 @@ def test_cli_harvest_vectors(spark, driver_tables, tmp_path):
     ids = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert 7 in ids and 99007 not in ids
     assert len(ids) == emb.count()
+
+
+def test_streaming_semantic_ingest_parity_and_restart(
+    spark, driver_tables, tmp_path
+):
+    """The streaming twin maintains the PERSISTED vector index: any
+    batch split of the stream emits the batch semantic_dup_pairs set
+    under the seed quantizer, a restart with the same checkpoint
+    never re-emits or re-appends committed batches, and new arrivals
+    after the restart pair against everything accumulated."""
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_semantic_ingest,
+    )
+
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(seed, path, threshold=_T, n_cells=8)
+
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    ckpt = str(tmp_path / "ckpt")
+    # file 1: the 300s plus a near-copy of a SEED vector (cross to the
+    # seed); file 2: a near-copy of a FILE-1 vector (cross-batch)
+    f1 = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).unionByName(_near_copy(emb, 7, 99007))
+    f1.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    import shutil as sh
+
+    def _drop(src, name):
+        part = [
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        ][0]
+        sh.copy(os.path.join(src, part), os.path.join(stream_dir, name))
+
+    _drop(str(tmp_path / "f1"), "f1.parquet")
+    schema = emb.schema
+    p1 = streaming_semantic_ingest(
+        spark, stream_dir, schema, path, threshold=_T,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    got1 = set(zip(p1["id_a"].astype(int), p1["id_b"].astype(int)))
+    assert (7, 99007) in got1  # cross to the seed store
+
+    # restart with the same checkpoint and no new files: a no-op
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        load_vector_index,
+    )
+
+    rows_before = load_vector_index(spark, path).df.count()
+    p_again = streaming_semantic_ingest(
+        spark, stream_dir, schema, path, threshold=_T,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert len(p_again) == 0
+    assert load_vector_index(spark, path).df.count() == rows_before
+
+    # a new file pairs against the accumulated store (file-1's copy)
+    f2 = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    ).unionByName(_near_copy(emb, 310, 99310))
+    f2.coalesce(1).write.parquet(str(tmp_path / "f2"))
+    _drop(str(tmp_path / "f2"), "f2.parquet")
+    p2 = streaming_semantic_ingest(
+        spark, stream_dir, schema, path, threshold=_T,
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    got2 = set(zip(p2["id_a"].astype(int), p2["id_b"].astype(int)))
+    assert (310, 99310) in got2
+    assert (7, 99007) not in got2  # committed batches never re-emit
+
+    # fold parity: everything emitted == batch pairs over the
+    # accumulated corpus under the stored centroids
+    idx = load_vector_index(spark, path)
+    corpus = seed.unionByName(f1).unionByName(f2)
+    batch = semantic_dup_pairs(corpus, idx.centroid_list(), _T)
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    seed_within = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            seed, idx.centroid_list(), _T
+        ).collect()
+    }
+    assert got1 | got2 == want - seed_within
+    # (the seed's own within pairs were emitted by the seed ingest,
+    # before the stream — the twin's attribution contract)
+
+    # the index must exist before the stream starts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build one from a seed"):
+        streaming_semantic_ingest(
+            spark, stream_dir, schema, str(tmp_path / "missing"),
+        )

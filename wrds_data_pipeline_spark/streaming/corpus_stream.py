@@ -892,3 +892,94 @@ def run_corpus_stream(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_semantic_ingest(
+    spark,
+    path: str,
+    schema,
+    index_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    groups_store_path: str | None = None,
+    groups_shards: int = 64,
+):
+    """Streaming twin of ``vector_index.semantic_ingest_increment``
+    against the PERSISTED cell-partitioned vector index (meta +
+    centroids + optional PQ codes) — unlike ``streaming_semantic_
+    dedup``, whose flat index_dir is the single-shot test shape, this
+    maintains the store every other verb (build-vector,
+    append-vector, ingest-vectors, query-vector, compact, harvest)
+    interoperates with.
+
+    Each micro-batch IS an ingest increment: the verb itself runs per
+    batch (one code path — probe with the stored quantizer, canonical
+    pairs materialized before the append, groups-store resolution,
+    every refusal), so the stream inherits the verb's contracts:
+    folding a corpus through any batch split emits the batch
+    ``semantic_dup_pairs`` set under the stored centroids, and a
+    replayed batch (checkpoint-less re-run, or a crash inside a
+    batch) re-emits the same pairs and appends duplicate rows that
+    ``compact_vector_index`` reclaims.  The per-batch
+    ``load_vector_index`` re-collects the pinned centroid/meta
+    relations — KBs by construction, and the quantizer never moves on
+    append, so the reload is redundant work, not a correctness seam.
+
+    The index must exist (build it from a seed corpus first): the
+    quantizer has to be pinned BEFORE the stream starts — a
+    first-batch-builds design would make every later assignment
+    depend on arrival order.
+
+    ``checkpoint_dir`` gives restart recovery exactly like the text
+    twin: committed batches are never re-read, so their pairs are
+    never re-emitted and their vectors never re-appended.
+
+    Returns the concatenated pandas of all emitted pairs."""
+    import os
+
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        semantic_ingest_increment,
+    )
+
+    if not os.path.exists(os.path.join(index_path, "meta")):
+        raise ValueError(
+            f"streaming_semantic_ingest: no vector index at "
+            f"{index_path!r} — build one from a seed corpus first "
+            "(the quantizer must be pinned before the stream starts)"
+        )
+    out: list = []
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        p = semantic_ingest_increment(
+            bdf,
+            index_path,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            groups_store_path=groups_store_path,
+            groups_shards=groups_shards,
+        ).toPandas()
+        if len(p):
+            out.append(p)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = reader.parquet(path).writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["id_a", "id_b", "cell", "cos_sim"])
+    )
