@@ -606,3 +606,84 @@ def test_trained_specials_serialize_as_added_tokens(tmp_path):
     )
     wlspec = wordlevel_tokenizer_spec(wl, special_tokens=("<unk>",))
     assert wlspec["added_tokens"][0]["content"] == "<unk>"
+
+
+# ------------------------------------------------- eval + exact packing ---
+
+
+def test_tokenizer_corpus_stats_and_cli_eval(spark, tmp_path, capsys):
+    from wrds_data_pipeline_spark.cli import tokenizer_main
+    from wrds_data_pipeline_spark.functions.tokenize import (
+        tokenizer_corpus_stats,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(100)
+    docs.write.parquet(docs_path)
+    out_json = str(tmp_path / "tok.json")
+    assert tokenizer_main(
+        ["train", docs_path, out_json, "--vocab-size", "400"]
+    ) == 0
+
+    # library form: stats agree with a driver-side replay on a sample
+    tok = PurePythonTokenizer.from_file(out_json)
+    sample = [r["text"] for r in docs.limit(10).collect()]
+    want_tokens = sum(len(tok.encode(t).ids) for t in sample)
+    want_bytes = sum(len(t.encode("utf-8")) for t in sample)
+    sdf = spark.createDataFrame([(t,) for t in sample], "text string")
+    row = tokenizer_corpus_stats(
+        sdf, lambda: PurePythonTokenizer.from_file(out_json)
+    ).first()
+    assert (row["n_docs"], row["n_tokens"], row["n_bytes"]) == (
+        10, want_tokens, want_bytes,
+    )
+    assert abs(row["bytes_per_token"] - want_bytes / want_tokens) < 1e-3
+
+    # CLI form: byte-level BPE reports zero unk by construction
+    assert tokenizer_main(["eval", docs_path, out_json]) == 0
+    out = capsys.readouterr().out
+    assert "bytes_per_token=" in out and "unk_rate=0" in out
+
+    # a wordlevel artifact evaluated on text with OOV words has a
+    # nonzero unk rate — the coverage number the verb exists for
+    wl_json = str(tmp_path / "wl.json")
+    assert tokenizer_main(
+        ["train", docs_path, wl_json, "--model", "wordlevel",
+         "--vocab-size", "5"]
+    ) == 0
+    assert tokenizer_main(["eval", docs_path, wl_json]) == 0
+    out = capsys.readouterr().out
+    rate = float(out.split("unk_rate=")[1].split()[0])
+    assert rate > 0.5  # a 5-word vocab misses most of the corpus
+
+
+def test_corpus_cli_packs_with_trained_tokenizer(spark, tmp_path):
+    """--tokenizer-json: the corpus pipeline packs with EXACT counts
+    from a trained artifact — the full train -> curate -> pack loop
+    through the CLI, with the packed token totals matching the
+    interpreter's own counts."""
+    from wrds_data_pipeline_spark.cli import corpus_main, tokenizer_main
+
+    docs_path = str(tmp_path / "docs")
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(120)
+    docs.write.parquet(docs_path)
+    tok_json = str(tmp_path / "tok.json")
+    assert tokenizer_main(
+        ["train", docs_path, tok_json, "--vocab-size", "400"]
+    ) == 0
+    out_dir = str(tmp_path / "corpus_out")
+    assert corpus_main(
+        [docs_path, out_dir, "--max-tokens", "256",
+         "--min-quality", "0", "--langs", "en",
+         "--tokenizer-json", tok_json]
+    ) == 0
+    packed = spark.read.parquet(f"{out_dir}/shards")
+    tok = PurePythonTokenizer.from_file(tok_json)
+    sample = packed.select("doc_id", "text", "n_tokens").limit(20).collect()
+    assert sample
+    for r in sample:
+        assert r["n_tokens"] == len(tok.encode(r["text"]).ids)

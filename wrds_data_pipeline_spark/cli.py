@@ -368,6 +368,13 @@ def corpus_main(argv: list[str] | None = None) -> int:
                    "--perplexity-keep-frac LEAST surprising docs "
                    "(the CCNet recipe)")
     p.add_argument("--perplexity-keep-frac", type=float, default=0.7)
+    p.add_argument("--tokenizer-json", default=None, metavar="PATH",
+                   help="pack with EXACT token counts from this "
+                   "tokenizer.json (a wrds-spark-tokenizer train "
+                   "artifact or any public export) instead of the "
+                   "regex approximation; Rust backend when "
+                   "installed, the dependency-free interpreter "
+                   "otherwise")
     p.add_argument("--materialize-stages", default=None, metavar="DIR",
                    help="write each stage's output table under DIR "
                    "and read it back (the production deployment "
@@ -542,7 +549,27 @@ def corpus_main(argv: list[str] | None = None) -> int:
     # (in stage-materialized mode the gated table plays that role and
     # the persist just pins the parquet read)
     kept = _stage_table(kept, "gated").persist()
-    packed = pack_sequences(kept, args.max_tokens).persist()
+    if args.tokenizer_json:
+        # tokenizer-grade packing: count with the actual model
+        # tokenizer (a wrds-spark-tokenizer train artifact or any
+        # public tokenizer.json) instead of the regex approximation —
+        # Rust backend when installed, the interpreter otherwise
+        from wrds_data_pipeline_spark.functions.pybpe import (
+            local_tokenizer_factory,
+        )
+        from wrds_data_pipeline_spark.functions.tokenize import (
+            tokenizer_token_counts,
+        )
+
+        counted = tokenizer_token_counts(
+            kept, local_tokenizer_factory(args.tokenizer_json),
+            out_col="_exact_tok",
+        )
+        packed = pack_sequences(
+            counted, args.max_tokens, token_col="_exact_tok"
+        ).persist()
+    else:
+        packed = pack_sequences(kept, args.max_tokens).persist()
     if args.shard_format == "jsonl":
         from wrds_data_pipeline_spark.sinks import write_jsonl_shards
 
@@ -1392,6 +1419,16 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
     ct.add_argument("out_dir")
     ct.add_argument("--text-col", default="text")
 
+    ev = sub.add_parser(
+        "eval",
+        help="corpus-level tokenizer evaluation: docs/tokens/bytes, "
+        "bytes-per-token (compression), unk rate (coverage) — the "
+        "numbers that pick between trained candidates",
+    )
+    ev.add_argument("docs_path")
+    ev.add_argument("tokenizer_json")
+    ev.add_argument("--text-col", default="text")
+
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-tokenizer")
     docs = spark.read.parquet(args.docs_path)
@@ -1460,6 +1497,38 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
             f"{args.model}: vocab {stats['vocab_size']} "
             f"({stats['n_merges']} merges) from {stats['n_words']} "
             f"unique words{capped} -> {args.out_json}"
+        )
+    elif args.cmd == "eval":
+        import json as _json
+
+        from wrds_data_pipeline_spark.functions.pybpe import (
+            local_tokenizer_factory,
+        )
+        from wrds_data_pipeline_spark.functions.tokenize import (
+            tokenizer_corpus_stats,
+        )
+
+        with open(args.tokenizer_json) as fh:
+            model = _json.load(fh)["model"]
+        # the unk id, per family: Unigram pins unk_id; the others name
+        # an unk_token resolved in the vocab (absent for byte-level
+        # BPE, where unk is unreachable -> rate 0 by construction)
+        if model.get("unk_id") is not None:
+            unk_id = int(model["unk_id"])
+        elif model.get("unk_token") and model["type"] != "Unigram":
+            unk_id = model["vocab"].get(model["unk_token"])
+        else:
+            unk_id = None
+        row = tokenizer_corpus_stats(
+            docs, local_tokenizer_factory(args.tokenizer_json),
+            text_col=args.text_col, unk_id=unk_id,
+        ).first()
+        print(
+            f"docs={row['n_docs']} tokens={row['n_tokens']} "
+            f"bytes={row['n_bytes']} "
+            f"bytes_per_token={row['bytes_per_token']} "
+            f"unk_rate={row['unk_rate']}"
+            + ("" if unk_id is not None else " (no unk: byte-level)")
         )
     else:
         from wrds_data_pipeline_spark.functions.pybpe import (

@@ -97,3 +97,76 @@ def tokenizer_token_counts(
             yield pdf
 
     return docs.mapInPandas(_mapper, schema=schema)
+
+
+def tokenizer_corpus_stats(
+    docs: DataFrame,
+    tokenizer_factory: Callable[[], Any],
+    text_col: str = "text",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """One-row corpus evaluation of a tokenizer: (n_docs, n_tokens,
+    n_bytes, n_unk, bytes_per_token, unk_rate) — the numbers that
+    pick between trained candidates (higher bytes/token = better
+    compression on this corpus; unk_rate = coverage).  Same executor
+    contract as ``tokenizer_token_counts`` (one tokenizer per task,
+    Arrow batches); each batch emits ONE partial row, so the final
+    aggregate is over ~task-count rows, not the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_docs", LongType(), False),
+            StructField("n_tokens", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("n_unk", LongType(), False),
+        ]
+    )
+
+    def _mapper(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        tok = tokenizer_factory()
+        for pdf in batches:
+            texts = [t for t in pdf[text_col] if t is not None]
+            if not texts:
+                continue
+            encs = (
+                tok.encode_batch([str(t) for t in texts])
+                if hasattr(tok, "encode_batch")
+                else [tok.encode(str(t)) for t in texts]
+            )
+            n_tok = n_unk = 0
+            for e in encs:
+                ids = getattr(e, "ids", e)
+                n_tok += len(ids)
+                if unk_id is not None:
+                    n_unk += sum(1 for i in ids if i == unk_id)
+            yield pd.DataFrame(
+                {
+                    "n_docs": [len(texts)],
+                    "n_tokens": [n_tok],
+                    "n_bytes": [
+                        sum(len(str(t).encode("utf-8")) for t in texts)
+                    ],
+                    "n_unk": [n_unk],
+                }
+            )
+
+    partials = docs.select(text_col).mapInPandas(_mapper, schema=schema)
+    return partials.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.sum("n_unk").alias("n_unk"),
+    ).select(
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        "n_unk",
+        F.round(F.col("n_bytes") / F.col("n_tokens"), 4).alias(
+            "bytes_per_token"
+        ),
+        F.round(F.col("n_unk") / F.col("n_tokens"), 6).alias("unk_rate"),
+    )
