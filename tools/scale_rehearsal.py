@@ -1052,6 +1052,75 @@ def semantic_ingest_ladder_rung(spark, sizes: list[int]) -> None:
 
 
 
+def tokenizer_ladder_rung(spark, sizes: list[int]) -> None:
+    """Tokenizer-training scaling: train byte-level BPE on growing
+    corpora, separating the DISTRIBUTED phase (JVM word counting +
+    the capped collect) from the DRIVER phase (merge learning over
+    the unique-word relation) — the measured form of the module's
+    two-phase claim: the driver column must track UNIQUE WORDS (and
+    the vocab target), not corpus rows, while the count phase is one
+    shuffle.  Each rung asserts the artifact is deterministic (same
+    counts → byte-identical json) and round-trips a sample through
+    the interpreter with byte-lossless pieces."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        PurePythonTokenizer,
+        _BYTE_UNICODE,
+    )
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        bpe_tokenizer_spec,
+        gpt2_word_counts,
+        learn_bpe_from_counts,
+    )
+
+    vocab_size = 2048
+    for n in sizes:
+        docs = spark.read.parquet(_generate_docs(n))
+        t0 = time.time()
+        wc = gpt2_word_counts(docs, min_frequency=2, max_words=500_000)
+        rows = [(r["word"], r["count"]) for r in wc.collect()]
+        w_count = time.time() - t0
+        t0 = time.time()
+        vocab, merges = learn_bpe_from_counts(
+            rows, vocab_size, special_tokens=("<|endoftext|>",)
+        )
+        w_learn = time.time() - t0
+        spec = bpe_tokenizer_spec(
+            vocab, merges, special_tokens=("<|endoftext|>",)
+        )
+        # determinism: the artifact is a pure function of the counts
+        v2, m2 = learn_bpe_from_counts(
+            rows, vocab_size, special_tokens=("<|endoftext|>",)
+        )
+        assert _json.dumps(
+            bpe_tokenizer_spec(v2, m2, special_tokens=("<|endoftext|>",)),
+            sort_keys=True,
+        ) == _json.dumps(spec, sort_keys=True)
+        # byte-lossless round trip on a sample
+        tok = PurePythonTokenizer(spec)
+        rev = {i: t for t, i in vocab.items()}
+        for r in docs.select("text").limit(5).collect():
+            ids = tok.encode(r["text"]).ids
+            want = "".join(
+                _BYTE_UNICODE[b] for b in r["text"].encode("utf-8")
+            )
+            assert "".join(rev[i] for i in ids) == want
+        toks = docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("s")
+        ).first()["s"]
+        print(
+            f"tokenizer-ladder n={n}: corpus_words~{toks} "
+            f"unique_words={len(rows)} | count(shuffle+collect)="
+            f"{w_count:.1f}s learn(driver)={w_learn:.1f}s | "
+            f"vocab={len(vocab)} merges={len(merges)} | "
+            f"deterministic + byte-lossless ok"
+        )
+
+
+
 def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
     """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
     ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
@@ -1381,6 +1450,15 @@ def main() -> None:
         corpus_chain_materialized_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()] or [8000],
+        )
+        return
+    if "--tokenizer-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        tokenizer_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [2000, 8000, 32000],
         )
         return
     if "--semantic-ladder" in sys.argv:
