@@ -32,7 +32,13 @@ def test_packing_has_no_global_window(spark):
     docs = spark.createDataFrame(
         [(i, 100 + i % 50) for i in range(500)], ["doc_id", "n_tok"]
     )
-    packed = pack_sequences(docs, 2048, token_col="n_tok", chunk_bins=8)
+    # truncate_lineage=False: the audit needs the full composed plan
+    # (truncation replaces everything above the chunk-assignment
+    # waist with a Scan ExistingRDD in explain)
+    packed = pack_sequences(
+        docs, 2048, token_col="n_tok", chunk_bins=8,
+        truncate_lineage=False,
+    )
     plan = _plan(packed)
     # every Window over data rows is partitioned by _pid; the only
     # allowed unpartitioned window is the per-partition-offsets one,
@@ -52,7 +58,10 @@ def test_packing_prefix_sum_range_partitions(spark):
     docs = spark.createDataFrame(
         [(i, 100) for i in range(500)], ["doc_id", "n_tok"]
     )
-    packed = pack_sequences(docs, 2048, token_col="n_tok", chunk_bins=8)
+    packed = pack_sequences(
+        docs, 2048, token_col="n_tok", chunk_bins=8,
+        truncate_lineage=False,
+    )
     plan = _plan(packed)
     assert "rangepartitioning" in plan.lower()
 

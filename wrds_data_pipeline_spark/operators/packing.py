@@ -108,6 +108,7 @@ def pack_sequences(
     token_col: str | None = None,
     order_col: str | None = None,
     chunk_bins: int = 64,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, seq_id, seq_pos, oversize) — greedy packing of
     documents into sequences of at most ``max_tokens`` tokens.
@@ -157,14 +158,19 @@ def pack_sequences(
         "_chunk", (F.col("_cum") / F.lit(chunk_budget)).cast("long")
     )
     # lineage truncation at the chunk-assignment waist: the greedy
-    # tail below is higher-order-function expressions, and Catalyst's
-    # CollapseProject inlines the prefix-sum window (including its
-    # raise_error uniqueness guard) into those lambdas when the plan
-    # is left composed — measured ~7x on the whole query (the q43/q66
-    # lesson: any multiply-referenced relation feeding HOF lambdas
-    # needs truncation).  eager=False keeps this lazy; the relation is
-    # increment-sized metadata (id, count, chunk).
-    fit = fit.localCheckpoint(eager=False)
+    # tail below is higher-order-function expressions, and Catalyst
+    # re-derives the composed prefix-sum lineage under them per
+    # action — measured ~7x on the whole query (the q43/q66 lesson:
+    # any multiply-referenced relation feeding HOF lambdas needs
+    # truncation at its waist).  eager=False keeps this lazy; the
+    # relation is increment-sized metadata (id, count, chunk).
+    # ``truncate_lineage=False`` exists for the PLAN AUDITS
+    # (tests/test_corpus_plans): truncation replaces the upstream
+    # plan with a Scan ExistingRDD in explain(), which would hide the
+    # range-partitioning / no-global-window properties they assert —
+    # the logical composition is identical either way.
+    if truncate_lineage:
+        fit = fit.localCheckpoint(eager=False)
 
     # greedy first-fit needs >= ceil(2*chunk_tokens/max)+1 ids per
     # chunk in the worst case (consecutive sequences sum > max); 4x
