@@ -489,3 +489,34 @@ def test_streaming_semantic_ingest_parity_and_restart(
         streaming_semantic_ingest(
             spark, stream_dir, schema, str(tmp_path / "missing"),
         )
+
+
+def test_semantic_ingest_into_pq_index(spark, driver_tables, tmp_path):
+    """Ingest against a PQ-encoded index: appended rows carry codes
+    from the STORED codebooks, pairs still verify on exact cosine
+    (PQ is a query-side approximation, never a pairing one), and the
+    appended vectors answer PQ top-k queries."""
+    emb = driver_tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "vidx")
+    semantic_ingest_increment(
+        emb.filter(F.col("vec_id") < 400), path,
+        threshold=_T, n_cells=8, pq_m=8, pq_k=16,
+    )
+    inc = emb.filter(F.col("vec_id") >= 400).unionByName(
+        _near_copy(emb, 7, 99007)
+    )
+    pairs = semantic_ingest_increment(inc, path, threshold=_T)
+    assert (7, 99007) in {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    idx = load_vector_index(spark, path)
+    assert idx.codebooks is not None
+    assert idx.df.filter(F.col("pq_code").isNull()).count() == 0
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    top = vector_index_topk(
+        idx, q, k=2, n_probe=len(idx.centroids), rerank_factor=4
+    ).toPandas()
+    assert set(top["vec_id"].astype(int)) == {7, 99007}
