@@ -978,12 +978,19 @@ def train_unigram(
     unk_token: str = "<unk>",
     min_frequency: int = 1,
     max_piece_len: int = 8,
-    max_words: int | None = 1_000_000,
+    max_words: int | None = 200_000,
     stats: dict | None = None,
 ) -> dict:
     """Train a SentencePiece-style Unigram on a corpus and return the
     tokenizer.json spec dict.  Distributed Metaspace word counting,
-    driver-side EM+prune; see ``learn_unigram_from_counts``."""
+    driver-side EM+prune; see ``learn_unigram_from_counts``.
+
+    ``max_words`` defaults LOWER than the BPE trainer's cap: each EM
+    iteration is O(unique_words × word_len × max_piece_len) of pure
+    driver work (forward-backward per word lattice), where the BPE
+    heap learner only touches words containing the winning pair —
+    sentencepiece applies the same kind of input subsampling for the
+    same reason.  Raise it knowingly."""
     wc = metaspace_word_counts(
         docs, text_col, min_frequency=min_frequency, max_words=max_words
     )
