@@ -520,3 +520,72 @@ def test_semantic_ingest_into_pq_index(spark, driver_tables, tmp_path):
         idx, q, k=2, n_probe=len(idx.centroids), rerank_factor=4
     ).toPandas()
     assert set(top["vec_id"].astype(int)) == {7, 99007}
+
+
+def test_multi_probe_recovers_boundary_pair(spark, tmp_path):
+    """SemDeDup's documented blind spot, and the recall knob over it:
+    a near-dup pair quantized into ADJACENT cells is invisible to the
+    same-cell probe (probe_cells=1 — the batch convention) and found
+    at probe_cells=2, while the append/index stays identical (the
+    argmax cell)."""
+    import random
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        exact_assigner,
+    )
+
+    rng = random.Random(3)
+
+    def _cluster(base, ids):
+        return [
+            (
+                i,
+                [
+                    v + rng.uniform(-0.02, 0.02)
+                    for v in base
+                ],
+            )
+            for i in ids
+        ]
+
+    rows = (
+        _cluster([1.0, 0.0, 0.0, 0.0], range(0, 20))
+        + _cluster([0.0, 1.0, 0.0, 0.0], range(20, 40))
+        # y: on cluster B's side of the boundary
+        + [(40, [0.69, 0.72, 0.0, 0.0])]
+    )
+    store = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # x: y's near-duplicate (cos ~0.999) on cluster A's side
+    x = spark.createDataFrame(
+        [(999, [0.72, 0.69, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for k in (1, 2):
+        path = str(tmp_path / f"vidx{k}")
+        semantic_ingest_increment(store, path, threshold=0.95, n_cells=2)
+        idx = load_vector_index(spark, path)
+        # premise: the pair really straddles the boundary
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in exact_assigner(idx.centroid_list())(
+                store.filter(F.col("vec_id") == 40).unionByName(x)
+            ).collect()
+        }
+        assert cells[40] != cells[999], "fixture premise broken"
+        pairs = semantic_ingest_increment(
+            x, path, threshold=0.95, probe_cells=k
+        )
+        got[k] = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # the append landed in the argmax cell either way
+        idx2 = load_vector_index(spark, path)
+        [cell_x] = [
+            r["cell"]
+            for r in idx2.df.filter(F.col("vec_id") == 999).collect()
+        ]
+        assert cell_x == cells[999]
+    assert (40, 999) not in got[1]  # the same-cell convention misses it
+    assert (40, 999) in got[2]      # multi-probe recovers it
+    assert got[1] <= got[2]         # superset, never a trade

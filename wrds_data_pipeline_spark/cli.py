@@ -886,6 +886,12 @@ def index_main(argv: list[str] | None = None) -> int:
     iv.add_argument("--pq-m", type=int, default=None,
                     help="creation only: enable PQ with this many subspaces")
     iv.add_argument("--pq-k", type=int, default=16)
+    iv.add_argument("--probe-cells", type=int, default=1,
+                    help="probe each increment vector's k nearest "
+                    "cells instead of its own only (recall over the "
+                    "SemDeDup same-cell convention's boundary blind "
+                    "spot; >1 emits a superset of the batch pair "
+                    "set, at k x the probe read)")
     iv.add_argument("--groups-store", default=None,
                     help="also resolve the emitted pairs into the "
                     "persisted duplicate-GROUP table (requires "
@@ -1225,6 +1231,7 @@ def index_main(argv: list[str] | None = None) -> int:
             pq_k=args.pq_k,
             groups_store_path=args.groups_store,
             groups_shards=args.groups_shards,
+            probe_cells=args.probe_cells,
         )
         pairs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()

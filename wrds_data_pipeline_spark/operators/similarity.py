@@ -590,20 +590,20 @@ def ivf_assign(
     return exact_assigner(centroids, vec_col)(embeddings)
 
 
-def exact_assigner(
-    centroids: list[tuple[int, list[float]]],
-    vec_col: str = "embedding",
-    with_sim: bool = False,
-):
-    """Factory form of ``ivf_assign``: builds the centroid literals
-    and the assignment expression ONCE and returns a ``df -> df``
-    closure.  For repeated application — a streaming sink assigning
-    every micro-batch against pinned centroids — this avoids
-    re-serializing and re-analyzing the c×dim literal per batch.
+def _cell_score_array(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """The per-row array<struct<sim, neg_cell>> of cosine scores
+    against every centroid — the ONE copy of the assignment scoring
+    expression (``exact_assigner``'s argmax and the multi-probe
+    top-k variant both consume it; a re-rolled copy would be the
+    norm-handling drift class the module docstrings warn about).
 
-    ``with_sim=True`` additionally emits ``proto_sim``, the cosine to
-    the assigned centroid — already computed inside the argmax struct,
-    so exposing it is free (``cluster_prune`` consumes it)."""
+    One ``transform`` over the centroid matrix literal: linear
+    expression size with one lambda.  The row's sum-of-squares folds
+    ONCE via ``aggregate``'s finish lambda (a withColumn hoist is
+    unsafe: CollapseProject would inline it per centroid).  -cell in
+    the struct makes max-ties pick the earliest centroid."""
     import math
 
     v = F.col(vec_col).cast("array<double>")
@@ -614,7 +614,7 @@ def exact_assigner(
     norms = _lit_doubles(
         [math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in centroids]
     )
-    scored = F.aggregate(
+    return F.aggregate(
         F.transform(v, lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -637,6 +637,37 @@ def exact_assigner(
             ),
         ),
     )
+
+
+def topk_cells_expr(
+    centroids: list[tuple[int, list[float]]], vec_col: str, k: int
+) -> Column:
+    """array<int> of the row's ``k`` nearest cells, best first (ties
+    → earliest cell, matching ``exact_assigner``'s argmax — element 1
+    of this array IS the assigned cell).  Shares the scoring
+    expression with ``exact_assigner``; used by the multi-probe
+    semantic-ingest path to widen the PROBE side past the SemDeDup
+    same-cell convention."""
+    scored = _cell_score_array(centroids, vec_col)
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, k)
+    return F.transform(top, lambda s: (-s["neg_cell"]).cast("int"))
+
+
+def exact_assigner(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    with_sim: bool = False,
+):
+    """Factory form of ``ivf_assign``: builds the centroid literals
+    and the assignment expression ONCE and returns a ``df -> df``
+    closure.  For repeated application — a streaming sink assigning
+    every micro-batch against pinned centroids — this avoids
+    re-serializing and re-analyzing the c×dim literal per batch.
+
+    ``with_sim=True`` additionally emits ``proto_sim``, the cosine to
+    the assigned centroid — already computed inside the argmax struct,
+    so exposing it is free (``cluster_prune`` consumes it)."""
+    scored = _cell_score_array(centroids, vec_col)
     best = F.array_max(scored)
     cell = (-best["neg_cell"]).cast("int")
 

@@ -477,6 +477,7 @@ def semantic_ingest_increment(
     vec_col: str = "embedding",
     groups_store_path: str | None = None,
     groups_shards: int = 64,
+    probe_cells: int = 1,
 ) -> DataFrame:
     """ONE-VERB verified SEMANTIC ingest — ``dedup.ingest_increment``'s
     twin for the embedding family: probe the persisted vector index
@@ -498,6 +499,19 @@ def semantic_ingest_increment(
     assigned with the STORED quantizer, folding a corpus through this
     verb emits exactly the batch ``semantic_dup_pairs`` set under the
     same centroids (parity-tested).
+
+    ``probe_cells``: the recall knob over SemDeDup's same-cell
+    convention, whose known residual is the BOUNDARY pair — two
+    near-duplicates quantized into adjacent cells are invisible to a
+    same-cell comparison (batch SemDeDup has the identical blind
+    spot, by design).  ``probe_cells=k`` probes each increment
+    vector's k nearest cells on the STORED side (and against the
+    increment's own members at their assigned cells); the append
+    still lands in the argmax cell, so the INDEX is identical — only
+    the probe widens.  k=1 (default) keeps exact batch-fold parity;
+    k>1 emits a SUPERSET (extra true near-dups the batch convention
+    misses — tested on an engineered boundary pair), at k× the probe
+    read.
 
     Scale: cost per increment is O(|increment| + |probed cells'
     rows|) — the stored read partition-prunes to the increment's
@@ -590,30 +604,66 @@ def semantic_ingest_increment(
     _check_increment_vectors(new_embeddings, idx, len(idx.centroids[0][1]))
 
     # assigned ONCE with the stored quantizer: probe and append share it
-    assigned = _assigner_for(idx.centroid_list(), vec_col)(
-        new_embeddings
-    ).localCheckpoint(eager=True)
-    cells = sorted(
-        r["cell"] for r in assigned.select("cell").distinct().collect()
-    )  # bounded by the cell count — ints on the driver, like the
-    # band ingest's shard collects
+    cents = idx.centroid_list()
+    if probe_cells > 1:
+        from wrds_data_pipeline_spark.operators.similarity import (
+            topk_cells_expr,
+        )
+
+        k = min(probe_cells, len(cents))
+        # element 1 of the top-k array IS the argmax cell (shared
+        # scoring expression), so assignment still happens once;
+        # multi-probe routes through exact scoring (O(n·c) dots) —
+        # the recall knob trades the hierarchical shortcut away
+        assigned = (
+            new_embeddings.withColumn(
+                "_pcells", topk_cells_expr(cents, vec_col, k)
+            )
+            .withColumn("cell", F.element_at("_pcells", 1))
+            .localCheckpoint(eager=True)
+        )
+        cells = sorted(
+            r["c"]
+            for r in assigned.select(F.explode("_pcells").alias("c"))
+            .distinct()
+            .collect()
+        )
+    else:
+        assigned = _assigner_for(cents, vec_col)(
+            new_embeddings
+        ).localCheckpoint(eager=True)
+        cells = sorted(
+            r["cell"]
+            for r in assigned.select("cell").distinct().collect()
+        )  # bounded by the cell count — ints on the driver, like the
+        # band ingest's shard collects
 
     v = F.col(vec_col).cast("array<double>")
-    inc_side = assigned.select(
-        "cell", F.col(id_col).alias("id_a"), v.alias("_va")
-    ).withColumn("_na", l2_norm(F.col("_va")))
+    if probe_cells > 1:
+        probe_rel = assigned.select(
+            F.explode("_pcells").alias("cell"),
+            F.col(id_col).alias("id_a"),
+            v.alias("_va"),
+        )
+    else:
+        probe_rel = assigned.select(
+            "cell", F.col(id_col).alias("id_a"), v.alias("_va")
+        )
+    inc_side = probe_rel.withColumn("_na", l2_norm(F.col("_va")))
     stored_side = (
         idx.df.filter(F.col("cell").isin(cells))
         .select("cell", F.col(id_col).alias("id_b"), v.alias("_vb"))
         .withColumn("_nb", l2_norm(F.col("_vb")))
     )
+    # membership side: stored rows plus the increment AT ITS ARGMAX
+    # cell (under multi-probe the exploded relation is the PROBE side
+    # only — membership stays single-cell, like the index itself)
     both_side = stored_side.unionByName(
-        inc_side.select(
+        assigned.select(
             "cell",
-            F.col("id_a").alias("id_b"),
-            F.col("_va").alias("_vb"),
-            F.col("_na").alias("_nb"),
-        )
+            F.col(id_col).alias("id_b"),
+            v.alias("_vb"),
+        ).withColumn("_nb", l2_norm(F.col("_vb")))
     )
     pairs = (
         inc_side.repartition(F.col("cell"))
@@ -638,9 +688,17 @@ def semantic_ingest_increment(
             "cos_sim",
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    to_write = assigned
+    if probe_cells > 1:
+        # a boundary pair can surface at BOTH members' probe cells —
+        # one row per pair (min cell; cos_sim is identical by
+        # symmetry), keeping the k=1 output contract
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min("cell").alias("cell"),
+            F.max("cos_sim").alias("cos_sim"),
+        )
+    pairs = pairs.localCheckpoint(eager=True)
+    to_write = assigned.drop("_pcells")
     if idx.codebooks is not None:
         to_write = pq_encode(to_write, idx.codebooks, vec_col=vec_col)
     to_write.repartition(F.col("cell")).write.mode("append").partitionBy(
