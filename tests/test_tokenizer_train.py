@@ -687,3 +687,100 @@ def test_corpus_cli_packs_with_trained_tokenizer(spark, tmp_path):
     assert sample
     for r in sample:
         assert r["n_tokens"] == len(tok.encode(r["text"]).ids)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=104),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=0, max_value=25),
+)
+def test_wordpiece_trainer_reconstruction_property(counts, extra):
+    """On arbitrary corpora: greedy longest-match over the trained
+    WordPiece vocab encodes every training word WITHOUT unk, pieces
+    concatenate (continuation prefix stripped) back to the word, and
+    training is deterministic — the alphabet (bare firsts + ##
+    continuations) guarantees completion by construction."""
+    words = {}
+    for w, c in counts:
+        words[w] = words.get(w, 0) + c
+    counts = sorted(words.items())
+    floor = len(
+        {w[0] for w, _ in counts}
+        | {"##" + ch for w, _ in counts for ch in w[1:]}
+    ) + 2  # [PAD], [UNK]
+    vocab, merges = learn_wordpiece_from_counts(
+        counts, floor + extra, special_tokens=("[PAD]", "[UNK]"),
+        min_pair_frequency=1,
+    )
+    assert (vocab, merges) == learn_wordpiece_from_counts(
+        counts, floor + extra, special_tokens=("[PAD]", "[UNK]"),
+        min_pair_frequency=1,
+    )
+    spec = wordpiece_tokenizer_spec(
+        dict(vocab), special_tokens=("[PAD]", "[UNK]")
+    )
+    tok = PurePythonTokenizer(spec)
+    rev = {i: t for t, i in vocab.items()}
+    unk = vocab["[UNK]"]
+    for w, _ in counts:
+        ids = tok.encode(w).ids
+        assert unk not in ids, (w, [rev[i] for i in ids])
+        got = "".join(
+            rev[i][2:] if rev[i].startswith("##") else rev[i]
+            for i in ids
+        )
+        assert got == w
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=102),
+                min_size=1,
+                max_size=6,
+            ),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=0, max_value=15),
+)
+def test_unigram_trainer_reconstruction_property(counts, extra):
+    """On arbitrary corpora: Viterbi over the trained Unigram vocab
+    segments every training word with no unk (the single-char
+    coverage floor), pieces concatenate back to the word, and the
+    within-run EM log-likelihood never decreases."""
+    words = {}
+    for w, c in counts:
+        words[w] = words.get(w, 0) + c
+    counts = sorted(words.items())
+    floor = len({ch for w, _ in counts for ch in w}) + 1  # <unk>
+    trace: list = []
+    entries = learn_unigram_from_counts(
+        counts, floor + extra, ll_trace=trace
+    )
+    for i in range(0, len(trace) - 1, 2):
+        assert trace[i + 1] >= trace[i] - 1e-9
+    spec = unigram_tokenizer_spec(entries)
+    tok = PurePythonTokenizer(spec)
+    vocab = spec["model"]["vocab"]
+    rev = {i: p for i, (p, _) in enumerate(vocab)}
+    unk_id = spec["model"]["unk_id"]
+    for w, _ in counts:
+        ids = tok._word_ids(w)  # model-level: no Metaspace prepend
+        assert unk_id not in ids, (w, [rev[i] for i in ids])
+        assert "".join(rev[i] for i in ids) == w
