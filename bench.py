@@ -77,6 +77,33 @@ HEADLINE = [
 ]
 
 
+
+
+def _cpu_ticks():
+    """(steal, busy) tick totals from /proc/stat line 1, or None when
+    unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        busy = sum(vals) - idle
+        return steal, busy
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_share_pct(start, end):
+    if start is None or end is None:
+        return None
+    dsteal = end[0] - start[0]
+    dbusy = end[1] - start[1]
+    if dbusy <= 0:
+        return None
+    return round(100.0 * dsteal / dbusy, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -102,6 +129,7 @@ def main() -> None:
     # stamp the 1-minute load average before/after so BENCH_rNN
     # records the conditions it ran under.
     load_start = os.getloadavg()[0]
+    cpu_start = _cpu_ticks()
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -134,6 +162,7 @@ def main() -> None:
             file=sys.stderr,
         )
     load_end = os.getloadavg()[0]
+    steal_pct = _steal_share_pct(cpu_start, _cpu_ticks())
 
     # Bulky diagnostics go on their OWN line(s) before the headline: the
     # driver tail-captures stdout and parses only the final JSON line, so
@@ -148,6 +177,13 @@ def main() -> None:
             "stat": "median",
             "load_avg_1m_start": round(load_start, 2),
             "load_avg_1m_end": round(load_end, 2),
+            # host CPU withheld from this VM during the bench window,
+            # as % of non-idle guest+steal time — the contention the
+            # guest's own loadavg CANNOT see (measured 56%-of-user
+            # cumulative steal on this box; same-day same-tree runs
+            # swung ~2.5x with it).  High steal => trust the per-query
+            # mins, not the medians, across rounds.
+            "cpu_steal_pct_bench_window": steal_pct,
         },
     }))
     # the 1-min load rides in the HEADLINE too (not just the aux
