@@ -257,3 +257,27 @@ def test_unique_keys_do_not_raise_and_check_skippable(spark):
         docs, ["doc_id"], "n_tok", check_unique=False
     ).orderBy("doc_id").collect()
     assert [r["_cum"] for r in cum] == [0, 10]
+
+
+def test_reliable_checkpoint_waist(spark, tmp_path):
+    """On preemptible clusters localCheckpoint's unreplicated blocks
+    make the truncated lineage unrecomputable on executor loss;
+    reliable_checkpoint=True writes the waist to the fault-tolerant
+    checkpoint dir instead — identical packing either way."""
+    rng = random.Random(7)
+    toks = [rng.randrange(1, 900) for _ in range(120)]
+    docs = _tok_docs(spark, toks)
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    default = _collect(
+        pack_sequences(docs, max_tokens=1024, token_col="n_tok")
+    )
+    reliable = _collect(
+        pack_sequences(
+            docs, max_tokens=1024, token_col="n_tok",
+            reliable_checkpoint=True,
+        )
+    )
+    assert [(r.doc_id, r.seq_id, r.seq_pos) for r in default] == [
+        (r.doc_id, r.seq_id, r.seq_pos) for r in reliable
+    ]

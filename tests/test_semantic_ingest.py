@@ -589,3 +589,37 @@ def test_multi_probe_recovers_boundary_pair(spark, tmp_path):
     assert (40, 999) not in got[1]  # the same-cell convention misses it
     assert (40, 999) in got[2]      # multi-probe recovers it
     assert got[1] <= got[2]         # superset, never a trade
+
+
+def test_probe_cells_warns_on_index_creating_call(spark, tmp_path):
+    """probe_cells has no stored side to widen on the first
+    (index-creating) call — it must warn instead of silently
+    delivering k=1 recall."""
+    import warnings
+
+    rows = [(i, [float(i % 3), 1.0, 0.0, 0.0]) for i in range(24)]
+    inc = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "vidx")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        semantic_ingest_increment(
+            inc, path, threshold=0.95, n_cells=2, probe_cells=2
+        )
+    assert any(
+        "probe_cells applies only once an index exists"
+        in str(w.message)
+        for w in caught
+    )
+    # and a later call with the knob does NOT warn
+    more = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        semantic_ingest_increment(more, path, probe_cells=2)
+    assert not any(
+        "probe_cells applies only" in str(w.message) for w in caught2
+    )

@@ -561,6 +561,39 @@ def test_added_tokens_extracted_before_the_model():
     bad["added_tokens"] = [dict(spec["added_tokens"][0], lstrip=True)]
     with pytest.raises(NotImplementedError, match="added_token"):
         PurePythonTokenizer(bad)
+    # normalized=true with NO normalizer is behaviorally inert (the
+    # stock GPT-2 export ships exactly this shape on <|endoftext|>):
+    # must load and emit identical ids
+    stock = dict(spec)
+    stock["added_tokens"] = [
+        dict(spec["added_tokens"][0], normalized=True)
+    ]
+    assert stock.get("normalizer") is None
+    tok3 = PurePythonTokenizer(stock)
+    assert (
+        tok3.encode("hello<|endoftext|> world").ids
+        == tok.encode("hello<|endoftext|> world").ids
+    )
+    # normalized=true WITH a normalizer genuinely changes match
+    # semantics (match-after-normalize): keep the refusal there
+    normed = dict(stock)
+    normed["normalizer"] = {"type": "Lowercase"}
+    with pytest.raises(NotImplementedError, match="added_token"):
+        PurePythonTokenizer(normed)
+
+
+def test_unigram_trainer_accepts_one_shot_iterator():
+    """counts may be a generator (the other learners accept one);
+    the trainer must not consume it before merging."""
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        learn_unigram_from_counts,
+    )
+
+    from_list = learn_unigram_from_counts(list(_UNI_TINY), 30)
+    from_gen = learn_unigram_from_counts(
+        (wc for wc in _UNI_TINY), 30
+    )
+    assert from_gen == from_list
 
 
 def test_trained_specials_serialize_as_added_tokens(tmp_path):

@@ -891,7 +891,9 @@ def index_main(argv: list[str] | None = None) -> int:
                     "cells instead of its own only (recall over the "
                     "SemDeDup same-cell convention's boundary blind "
                     "spot; >1 emits a superset of the batch pair "
-                    "set, at k x the probe read)")
+                    "set, at k x the probe read; applies only once "
+                    "an index exists -- the index-creating first "
+                    "call emits same-cell pairs and warns)")
     iv.add_argument("--groups-store", default=None,
                     help="also resolve the emitted pairs into the "
                     "persisted duplicate-GROUP table (requires "

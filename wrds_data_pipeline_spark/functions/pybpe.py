@@ -467,13 +467,24 @@ class PurePythonTokenizer:
         # normalize variants each change ids, so they refuse loudly
         # per the module contract.
         self._added: dict[str, int] = {}
+        # normalized=true means "match the token AFTER normalizing the
+        # text" — behaviorally inert when the spec has no normalizer
+        # (GPT-2's public export ships normalized=true on
+        # <|endoftext|> with normalizer: null; ids are identical by
+        # construction), so only refuse when a normalizer exists and
+        # match-after-normalize could genuinely change ids.
+        has_normalizer = bool(spec.get("normalizer"))
         for at in spec.get("added_tokens") or []:
-            if at.get("normalized") or at.get("lstrip") or at.get(
-                "rstrip"
-            ) or at.get("single_word"):
+            if (
+                (at.get("normalized") and has_normalizer)
+                or at.get("lstrip")
+                or at.get("rstrip")
+                or at.get("single_word")
+            ):
                 raise NotImplementedError(
                     f"added_token {at.get('content')!r} with "
-                    "normalized/lstrip/rstrip/single_word set"
+                    "normalized(+normalizer)/lstrip/rstrip/"
+                    "single_word set"
                 )
             self._added[at["content"]] = int(at["id"])
         self._added_re = (

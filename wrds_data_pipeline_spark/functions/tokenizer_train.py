@@ -843,9 +843,8 @@ def learn_unigram_from_counts(
         raise ValueError(
             f"unk_token {unk_token!r} must be among special_tokens"
         )
-    words = sorted(
-        {w: 0 for w, _ in counts}.keys()
-    )  # deterministic word order; counts merged below
+    # merge duplicate words first; a single pass so one-shot
+    # iterators (accepted by the other learners) work here too
     merged: dict[str, int] = {}
     for w, c in counts:
         if w:

@@ -109,9 +109,23 @@ def pack_sequences(
     order_col: str | None = None,
     chunk_bins: int = 64,
     truncate_lineage: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, seq_id, seq_pos, oversize) — greedy packing of
     documents into sequences of at most ``max_tokens`` tokens.
+
+    Fault tolerance at the lineage waist: the default truncation is
+    ``localCheckpoint`` — blocks live on executors WITHOUT
+    replication, so on a preemptible cluster losing an executor makes
+    the truncated lineage unrecomputable and FAILS the job instead of
+    recomputing (acceptable on a stable cluster / local mode; the
+    waist is increment-sized metadata and re-running the job is
+    cheap).  On spot/preemptible fleets pass
+    ``reliable_checkpoint=True`` to write the waist to the
+    fault-tolerant checkpoint directory instead
+    (``sc.setCheckpointDir`` must have been called — HDFS/S3 on a
+    real cluster); ``truncate_lineage=False`` remains the
+    no-truncation escape hatch.
 
     - ``token_col``: precomputed token counts; default derives
       bpe_ish_token_count(text_col).
@@ -170,7 +184,11 @@ def pack_sequences(
     # range-partitioning / no-global-window properties they assert —
     # the logical composition is identical either way.
     if truncate_lineage:
-        fit = fit.localCheckpoint(eager=False)
+        fit = (
+            fit.checkpoint(eager=False)
+            if reliable_checkpoint
+            else fit.localCheckpoint(eager=False)
+        )
 
     # greedy first-fit needs >= ceil(2*chunk_tokens/max)+1 ids per
     # chunk in the worst case (consecutive sequences sum > max); 4x

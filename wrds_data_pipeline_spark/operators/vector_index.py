@@ -30,6 +30,7 @@ meta makes parameter compatibility enforced rather than documented.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -569,6 +570,17 @@ def semantic_ingest_increment(
         )
 
     if not index_exists:
+        if probe_cells > 1:
+            # the first (index-creating) call's pairs come from
+            # same-cell semantic_dup_pairs — there is no stored side
+            # to multi-probe yet, so the knob is inert here; say so
+            # instead of silently delivering k=1 recall
+            warnings.warn(
+                "semantic_ingest_increment: probe_cells applies only "
+                "once an index exists; this index-creating call emits "
+                "same-cell (k=1) pairs",
+                stacklevel=2,
+            )
         idx = build_vector_index(
             new_embeddings,
             index_path,

@@ -906,6 +906,7 @@ def streaming_semantic_ingest(
     checkpoint_dir: str | None = None,
     groups_store_path: str | None = None,
     groups_shards: int = 64,
+    probe_cells: int = 1,
 ):
     """Streaming twin of ``vector_index.semantic_ingest_increment``
     against the PERSISTED cell-partitioned vector index (meta +
@@ -937,6 +938,11 @@ def streaming_semantic_ingest(
     twin: committed batches are never re-read, so their pairs are
     never re-emitted and their vectors never re-appended.
 
+    ``probe_cells`` threads straight through to the verb (the recall
+    knob over the same-cell convention's boundary blind spot); since
+    the index must pre-exist here, it applies from the FIRST batch —
+    no creation-call caveat.
+
     Returns the concatenated pandas of all emitted pairs."""
     import os
 
@@ -965,6 +971,7 @@ def streaming_semantic_ingest(
             vec_col=vec_col,
             groups_store_path=groups_store_path,
             groups_shards=groups_shards,
+            probe_cells=probe_cells,
         ).toPandas()
         if len(p):
             out.append(p)
