@@ -97,13 +97,32 @@ def build_vector_index(
     if pq_m is not None:
         cb = pq_train(embeddings, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col)
         assigned = pq_encode(assigned, cb, vec_col=vec_col)
+    _write_index_artifacts(
+        spark, assigned, cents, cb, id_col, vec_col, path
+    )
+    return load_vector_index(spark, path)
+
+
+def _write_index_artifacts(
+    spark: SparkSession,
+    assigned: DataFrame,
+    cents,
+    cb: PQCodebooks | None,
+    id_col: str,
+    vec_col: str,
+    root: str,
+) -> None:
+    """Write the four index artifacts (vectors/centroids/pq_codebooks/
+    meta) under ``root`` — the ONE copy of the on-disk format, shared
+    by ``build_vector_index`` (root = the live path) and
+    ``recenter_vector_index`` (root = the swap staging dir)."""
     assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(f"{path}/vectors")
+    ).parquet(f"{root}/vectors")
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
     if cb is not None:
         spark.createDataFrame(
             [
@@ -112,7 +131,7 @@ def build_vector_index(
                 for i in range(cb.k)
             ],
             "subspace int, code int, vec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_codebooks")
     spark.createDataFrame(
         [
             (
@@ -127,8 +146,7 @@ def build_vector_index(
         ],
         "id_col string, vec_col string, n_cells int, "
         "pq_dim int, pq_m int, pq_k int, pq_sigma array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    return load_vector_index(spark, path)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/meta")
 
 
 def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
@@ -138,6 +156,10 @@ def load_vector_index(spark: SparkSession, path: str) -> VectorIndex:
         _recover_compact_swap,
     )
 
+    # recenter_vector_index swaps the WHOLE index dir; an interrupted
+    # swap leaves the index at path.old — recover that first (before
+    # any path/… probe can misread "no index here")
+    _recover_compact_swap(path)
     # a compact_vector_index swap interrupted between its two renames
     # leaves vectors/ at vectors.old — complete it (or refuse with the
     # recovery command) instead of dying in the parquet reader
@@ -244,11 +266,13 @@ def compact_vector_index(spark: SparkSession, path: str) -> dict:
     and stats shape as the other compactors."""
     from wrds_data_pipeline_spark.operators.dedup import (
         _count_parquet_files,
+        _recover_compact_swap,
         _require_store,
         _swap_compacted,
     )
 
     vectors_dir = f"{path}/vectors"
+    _recover_compact_swap(path)  # an interrupted recenter whole-index swap
     _require_store(vectors_dir, "vector index")
     stats = {
         "rows_before": spark.read.parquet(vectors_dir).count(),
@@ -266,6 +290,167 @@ def compact_vector_index(spark: SparkSession, path: str) -> dict:
     _swap_compacted(vectors_dir, tmp, keep_files=[])
     stats["rows_after"] = spark.read.parquet(vectors_dir).count()
     stats["files_after"] = _count_parquet_files(vectors_dir)
+    return stats
+
+
+def _mean_assigned_cosine(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> float:
+    """avg cosine(vector, its assigned cell's centroid) over a
+    cell-assigned table — the spherical-k-means objective, the number
+    ``recenter_vector_index`` reports before/after so the maintenance
+    run carries its own evidence.  O(rows · dim), one pass: the
+    normalized centroid is looked up BY CELL ID from a map literal
+    (KBs — the quantizer is driver-resident by construction), never a
+    per-centroid scan."""
+    import math
+
+    from .similarity import l2_norm
+
+    ordered = sorted((int(c), v) for c, v in cents)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(c) for c, _ in ordered]),
+        F.array(*[
+            F.array(*[
+                F.lit(
+                    float(x)
+                    / (math.sqrt(sum(float(y) ** 2 for y in v)) or 1.0)
+                )
+                for x in v
+            ])
+            for _, v in ordered
+        ]),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cent = F.element_at(cmap, F.col("cell").cast("int"))
+    num = F.aggregate(
+        F.zip_with(v, cent, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rn = l2_norm(v)
+    sim = F.when(rn > 0, num / rn).otherwise(F.lit(0.0))
+    [row] = df.select(F.avg(sim).alias("o")).collect()
+    return round(float(row["o"]), 6) if row["o"] is not None else 0.0
+
+
+def recenter_vector_index(
+    spark: SparkSession,
+    path: str,
+    n_iter: int = 2,
+    assign: str = "auto",
+    retrain_pq: bool = False,
+    pq_sample_cap: int = 2048,
+) -> dict:
+    """Maintenance verb: re-fit the coarse quantizer to the CURRENT
+    store and rewrite the index around it.  The append/ingest path
+    deliberately never moves centroids (assignment with the stored
+    quantizer is what makes incremental folds equal the batch run),
+    so a store that grows 10× past its build — or drifts topically —
+    keeps a quantizer fitted to yesterday's distribution: cells go
+    unbalanced, the within-cell quadratic of semantic dedup grows on
+    the hot cells, and probes read a creeping fraction of the store.
+    This verb is ``compact``'s bigger sibling: ``n_iter`` distributed
+    spherical-k-means rounds (``similarity.ivf_refine`` — only the
+    n_cells × dim centroid table ever reaches the driver) seeded from
+    the STORED centroids, then one full reassignment + rewrite.
+
+    Everything downstream keeps working unchanged: the cell count and
+    ids are stable (ivf_refine's contract), queries probe the new
+    centroids on their next ``load_vector_index``, and
+    ``semantic_ingest_increment`` folds match the batch pairs under
+    the NEW centroids from the next increment on (parity is per
+    quantizer-epoch — pairs emitted before the recenter were correct
+    under the old one).
+
+    PQ: codes encode the raw normalized vector against the stored
+    codebooks (NOT IVF residuals — see ``pq.pq_encode``), so cell
+    reassignment alone never invalidates them and the default keeps
+    the codebooks; ``retrain_pq=True`` re-fits them (same m/k) on the
+    current store and re-encodes, the right move when the drift that
+    motivated the recenter also moved the subspace distributions.
+
+    Crash discipline: the new index (vectors/centroids/codebooks/
+    meta) is FULLY WRITTEN into ``path + '.compacting'`` and swapped
+    in as one directory under ``_swap_compacted``'s two-rename window
+    — every loader choke point (load / ingest / compact / this verb)
+    recovers the window via ``_recover_compact_swap(path)``.  A
+    whole-index swap is what makes the multi-artifact update atomic:
+    swapping vectors and centroids independently would expose a state
+    where probes prune by NEW centroids over OLD cell directories
+    (silently wrong results, not an error).
+
+    Full-row duplicates (at-least-once replay residue) fold out in
+    the rewrite, so recenter subsumes ``compact_vector_index``.
+
+    Returns stats: rows/files before and after, and the mean
+    assigned-cosine objective before/after (non-decreasing under
+    exact assignment — Lloyd's monotonicity)."""
+    import os
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _count_parquet_files,
+        _recover_compact_swap,
+        _require_store,
+        _swap_compacted,
+    )
+
+    from .similarity import ivf_refine
+
+    if assign not in ("auto", "exact", "hierarchical"):
+        raise ValueError(
+            f"assign must be auto|exact|hierarchical, got {assign!r}"
+        )
+    _recover_compact_swap(path)
+    _require_store(f"{path}/vectors", "vector index")
+    idx = load_vector_index(spark, path)
+    id_col, vec_col = idx.id_col, idx.vec_col
+    cents = idx.centroid_list()
+    if assign == "auto":
+        # the ivf_build auto rule; resolved once so the Lloyd rounds
+        # and the final reassignment use the same routing
+        assign = "hierarchical" if len(cents) > 128 else "exact"
+    stats: dict = {
+        "n_cells": len(cents),
+        "n_iter": n_iter,
+        "assign": assign,
+        "rows_before": idx.df.count(),
+        "files_before": _count_parquet_files(f"{path}/vectors"),
+        "objective_before": _mean_assigned_cosine(idx.df, cents, vec_col),
+    }
+    # replay residue folds out here: recenter is a full rewrite
+    raw = idx.df.select(id_col, vec_col).dropDuplicates()
+    new_cents = ivf_refine(
+        raw, cents, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        assign=assign,
+    )
+    assigner = (
+        hierarchical_assigner if assign == "hierarchical" else exact_assigner
+    )(new_cents, vec_col)
+    assigned = assigner(raw)
+    cb = idx.codebooks
+    if cb is not None and retrain_pq:
+        cb = pq_train(
+            raw, m=cb.m, k=cb.k, id_col=id_col, vec_col=vec_col,
+            sample_cap=pq_sample_cap,
+        )
+    if cb is not None:
+        assigned = pq_encode(assigned, cb, vec_col=vec_col)
+    tmp = path + ".compacting"
+    if os.path.isdir(tmp):
+        # residue of an interrupted REWRITE (crash before the swap
+        # began) — the live index was never touched, so discarding the
+        # partial copy is always safe
+        shutil.rmtree(tmp)
+    _write_index_artifacts(spark, assigned, new_cents, cb, id_col, vec_col, tmp)
+    stats["objective_after"] = _mean_assigned_cosine(
+        spark.read.parquet(f"{tmp}/vectors"), new_cents, vec_col
+    )
+    _swap_compacted(path, tmp, keep_files=[])
+    stats["rows_after"] = spark.read.parquet(f"{path}/vectors").count()
+    stats["files_after"] = _count_parquet_files(f"{path}/vectors")
+    stats["retrained_pq"] = bool(idx.codebooks is not None and retrain_pq)
     return stats
 
 
@@ -554,6 +739,15 @@ def semantic_ingest_increment(
                 f"requires integral ids, got {id_col}:{dt!r} (map "
                 "string ids to a surrogate first)"
             )
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _recover_compact_swap,
+    )
+
+    # an interrupted recenter whole-index swap leaves the index at
+    # index_path.old — recovering FIRST matters especially here, where
+    # a missing meta would otherwise read as "no index" and this call
+    # would mint a fresh index over the mid-swap one
+    _recover_compact_swap(index_path)
     vectors_dir = f"{index_path}/vectors"
     index_exists = os.path.exists(f"{index_path}/meta")
     if not index_exists and os.path.isdir(vectors_dir) and _store_has_rows(
