@@ -362,12 +362,43 @@ def _components_over_increment(
 # convention the store helpers already rely on).
 _GROUP_SHARDS_DIR = "_group_shards"
 
+# churn bookkeeping for the sidecar's dead-label residue: a merge
+# that kills a label whose gshard would empty leaves permanently
+# unreachable sidecar rows (see update_groups_store), reclaimed only
+# by a rebuild/compact.  The counter lives in its OWN underscore
+# sidecar file — NOT in _ingest_meta.json, whose exact-equality pin
+# must never gain a key (every pre-existing store would refuse).
+_GROUPS_CHURN_FILE = "_churn.json"
+
+
+def groups_store_churn(path: str) -> int:
+    """Dead labels created since the sidecar was last rebuilt — the
+    advisory signal the ingest CLIs print against (the groups-store
+    analogue of the files-per-shard compact advisory)."""
+    import json
+    import os
+
+    p = os.path.join(path, _GROUPS_CHURN_FILE)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh).get("dead_labels", 0))
+
+
+def _set_groups_churn(path: str, dead_labels: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _GROUPS_CHURN_FILE), "w") as fh:
+        json.dump({"dead_labels": int(dead_labels)}, fh)
+
 
 def rebuild_group_shards(spark, path: str, n_shards: int) -> None:
     """(Re)derive the inverted sidecar from a FULL store scan — the
     migration path for pre-sidecar stores, and the repair verb for a
     sidecar whose dead-label residue (benign, see update_groups_store)
-    is worth reclaiming.  O(store) by design, like the compactors."""
+    is worth reclaiming.  O(store) by design, like the compactors.
+    Resets the churn counter: the rebuilt sidecar is garbage-free."""
     from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
 
     (
@@ -382,6 +413,7 @@ def rebuild_group_shards(spark, path: str, n_shards: int) -> None:
         .partitionBy("gshard")
         .parquet(f"{path}/{_GROUP_SHARDS_DIR}")
     )
+    _set_groups_churn(path, 0)
 
 
 def _affected_member_shards(
@@ -646,10 +678,24 @@ def update_groups_store(
         .partitionBy("shard")
         .parquet(path)
     )
+    # churn accounting: an affected label absent from the updated
+    # rows is DEAD (its members relabeled to a smaller minimum) — the
+    # only producer of sidecar residue.  Both relations are tiny and
+    # already checkpointed, so the count is driver-cheap; the CLIs
+    # print a rebuild advisory once the total crosses their threshold.
+    dead = (
+        affected_groups.join(
+            updated.select("group_id").distinct(), "group_id", "left_anti"
+        ).count()
+    )
+    if dead:
+        _set_groups_churn(path, groups_store_churn(path) + dead)
     return updated
 
 
-def compact_groups_store(spark, path: str) -> dict:
+def compact_groups_store(
+    spark, path: str, reshard: int | None = None
+) -> dict:
     """``dedup.compact_docs_store``'s twin for the groups store.  The
     main relation does NOT accumulate files (dynamic overwrite
     REPLACES partition contents), so the reclaim target here is the
@@ -663,7 +709,13 @@ def compact_groups_store(spark, path: str) -> dict:
     idempotent-replay residue only) via the shared write-then-swap,
     then rebuilds the sidecar from the compacted truth, which is
     exactly the garbage-free form.  Returns the compactors' stats
-    shape plus the sidecar row delta."""
+    shape plus the sidecar row delta.
+
+    ``reshard=N``: re-hash rows to ``shard = xxhash64(id) % N``,
+    rebuild the sidecar under gshard = xxhash64(group_id) % N, and
+    re-pin ``groups_shards`` — all inside the ONE staged copy the
+    swap installs atomically (the growth path; see
+    compact_band_index's reshard note)."""
     import json
     import os
 
@@ -690,11 +742,16 @@ def compact_groups_store(spark, path: str) -> dict:
             else 0
         ),
     }
+    if reshard is not None and reshard < 1:
+        raise ValueError(
+            f"compact_groups_store: reshard must be >= 1, got {reshard}"
+        )
+    n_new = reshard if reshard is not None else n_shards
     tmp = path + ".compacting"
+    content = spark.read.parquet(path).select("id", "group_id")
     (
-        spark.read.parquet(path)
-        .select("id", "group_id", "shard")
-        .dropDuplicates()
+        content.dropDuplicates()
+        .withColumn("shard", _doc_store_shard(F.col("id"), n_new))
         .repartition(F.col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
@@ -710,14 +767,26 @@ def compact_groups_store(spark, path: str) -> dict:
         .select("group_id", F.col("shard").cast("int").alias("shard"))
         .distinct()
         .withColumn(
-            "gshard", _doc_store_shard(F.col("group_id"), n_shards)
+            "gshard", _doc_store_shard(F.col("group_id"), n_new)
         )
         .repartition(F.col("gshard"))
         .write.mode("overwrite")
         .partitionBy("gshard")
         .parquet(f"{tmp}/{_GROUP_SHARDS_DIR}")
     )
-    _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
+    if reshard is not None:
+        # pin and layout swap together (keep_files would carry the
+        # old count over the resharded layout)
+        stats["n_shards_before"] = n_shards
+        stats["n_shards_after"] = reshard
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["groups_shards"] = reshard
+        with open(os.path.join(tmp, _DOCS_STORE_META), "w") as fh:
+            json.dump(meta, fh)
+        _swap_compacted(path, tmp, keep_files=[])
+    else:
+        _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
     stats["rows_after"] = spark.read.parquet(path).count()
     stats["files_after"] = _count_parquet_files(path)
     stats["sidecar_rows_after"] = spark.read.parquet(sc_dir).count()

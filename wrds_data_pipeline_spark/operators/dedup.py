@@ -1550,6 +1550,9 @@ def _band_index_shard(n_shards: int):
 
 
 def _read_band_index_meta(spark, path: str) -> dict:
+    # a reshard (compact --reshard) swaps the WHOLE index dir; recover
+    # that window first, then the per-subdir compact window
+    _recover_compact_swap(path)
     _recover_compact_swap(f"{path}/bands")
     [row] = spark.read.parquet(f"{path}/meta").collect()
     return {k: int(row[k]) for k in _BAND_INDEX_META_COLS}
@@ -1993,6 +1996,12 @@ def ingest_increment(
             raise ValueError(
                 f"ingest_increment: {pname} must be >= 1, got {val}"
             )
+    # BEFORE the create-on-first-touch makedirs: an index mid-reshard-
+    # swap (index_path missing, index_path.old present) would
+    # otherwise read as "no index" — this call would mint a FRESH
+    # index over the stored corpus, the exact corruption class
+    # _pin_store_meta guards its stores against
+    _recover_compact_swap(index_path)
     os.makedirs(index_path, exist_ok=True)
 
     bands_dir = os.path.join(index_path, "bands")
@@ -2275,7 +2284,7 @@ def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:
     shutil.rmtree(old)
 
 
-def compact_band_index(spark, path: str) -> dict:
+def compact_band_index(spark, path: str, reshard: int | None = None) -> dict:
     """Rewrite the on-disk band index dropping duplicated rows — the
     at-least-once residue (a replayed/re-run increment re-appends its
     bands) that is TOLERATED at read (duplicate band rows only
@@ -2286,11 +2295,36 @@ def compact_band_index(spark, path: str) -> dict:
     candidate set, post-compact verified ingests emit the same pairs.
     Returns {rows_before, rows_after, files_before, files_after}.
 
+    ``reshard=N``: the shard-count MIGRATION path for a store that
+    grew past its creation-time pin — every store pins ``n_shards``
+    at build and refuses a mismatched call (correct: a drifted count
+    silently prunes the wrong partitions), which left rebuild-from-
+    scratch as the only growth path.  Compact already pays the full
+    rewrite, so it is the natural place to change the count: band
+    rows re-hash to ``shard = xxhash64(band, band_hash) % N``,
+    retained signatures to ``sshard = xxhash64(_id) % N``, and the
+    meta row pins N — all written into ONE staging copy of the whole
+    index and swapped in atomically (``path + '.compacting'`` →
+    ``path``), because swapping bands and meta independently would
+    expose a window where probes hash with the OLD count against the
+    NEW layout (silently empty candidates, not an error).  Probe and
+    ingest results are bitwise unchanged — the shard is pure routing;
+    only which partition directory holds a row moves.  Callers must
+    pass the NEW count afterwards (the refusal contract is unchanged
+    — it now guards the new pin).
+
     LOCAL-FILESYSTEM-ONLY (the store contract): the compacted copy is
     fully written BESIDE the live store, then swapped in via rename —
     see _swap_compacted for the crash window."""
+    if reshard is not None and reshard < 1:
+        raise ValueError(
+            f"compact_band_index: reshard must be >= 1, got {reshard}"
+        )
+    _recover_compact_swap(path)  # an interrupted reshard whole-index swap
     _require_store(f"{path}/bands", "band index")
     meta = _read_band_index_meta(spark, path)
+    if reshard is not None:
+        return _reshard_band_index(spark, path, meta, reshard)
     bands_dir = f"{path}/bands"
     stats = {
         "rows_before": spark.read.parquet(bands_dir).count(),
@@ -2336,6 +2370,69 @@ def compact_band_index(spark, path: str) -> dict:
     return stats
 
 
+def _reshard_band_index(spark, path: str, meta: dict, n_new: int) -> dict:
+    """The whole-index rewrite behind ``compact_band_index(...,
+    reshard=N)``: bands (and retained signatures) re-hashed to the new
+    shard count, meta re-pinned, everything staged beside the live
+    index and swapped in as one directory."""
+    import os
+    import shutil
+
+    bands_dir = f"{path}/bands"
+    stats = {
+        "rows_before": spark.read.parquet(bands_dir).count(),
+        "files_before": _count_parquet_files(bands_dir),
+        "n_shards_before": meta["n_shards"],
+        "n_shards_after": n_new,
+    }
+    tmp = path + ".compacting"
+    if os.path.isdir(tmp):
+        # residue of an interrupted REWRITE (crash before the swap) —
+        # the live index was never touched, so discarding is safe
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(bands_dir)
+        .drop("shard")
+        .dropDuplicates()  # shard is a pure function of the row: same dedup
+        .withColumn("shard", _band_index_shard(n_new))
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{tmp}/bands")
+    )
+    if _band_index_has_sigs(path):
+        sigs_dir = f"{path}/signatures"
+        stats["sig_rows_before"] = spark.read.parquet(sigs_dir).count()
+        (
+            spark.read.parquet(sigs_dir)
+            .drop("sshard")
+            .dropDuplicates()
+            .withColumn("sshard", _doc_store_shard(F.col("_id"), n_new))
+            .repartition(F.col("sshard"))
+            .write.mode("overwrite")
+            .partitionBy("sshard")
+            .parquet(f"{tmp}/signatures")
+        )
+    new_meta = dict(meta, n_shards=n_new)
+    spark.createDataFrame(
+        [tuple(new_meta[k] for k in _BAND_INDEX_META_COLS)],
+        list(_BAND_INDEX_META_COLS),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+    _swap_compacted(path, tmp, keep_files=[])
+    if _read_band_index_meta(spark, path) != new_meta:
+        raise RuntimeError(
+            f"compact_band_index: meta at {path!r} does not pin the "
+            f"resharded count {n_new} after the swap"
+        )
+    if "sig_rows_before" in stats:
+        stats["sig_rows_after"] = spark.read.parquet(
+            f"{path}/signatures"
+        ).count()
+    stats["rows_after"] = spark.read.parquet(bands_dir).count()
+    stats["files_after"] = _count_parquet_files(bands_dir)
+    return stats
+
+
 def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
     """``compact_band_index``'s twin for the FLAT (unpartitioned)
     parquet stores the streaming harness appends per micro-batch
@@ -2364,7 +2461,9 @@ def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
     return stats
 
 
-def compact_docs_store(spark, path: str) -> dict:
+def compact_docs_store(
+    spark, path: str, reshard: int | None = None, id_col: str = "doc_id"
+) -> dict:
     """``compact_band_index``'s twin for the shard-partitioned docs
     store: drop full-row duplicates (the re-appended (id, text) rows
     the verification read dedups on every touched subset — paid per
@@ -2374,22 +2473,61 @@ def compact_docs_store(spark, path: str) -> dict:
     than being silently resolved here (the read-time guard keeps
     handling them).  ``_ingest_meta.json`` (the docs_shards pin) is
     carried into the compacted store.  Returns the same stats shape
-    as compact_band_index."""
+    as compact_band_index.
+
+    ``reshard=N``: re-hash every row to ``shard = xxhash64(id) % N``
+    and re-pin ``docs_shards`` — the growth path for a store whose
+    creation-time count left shards unboundedly large (see
+    compact_band_index's reshard note).  ``id_col`` names the id
+    column the shard derives from (the store schema doesn't record
+    it); a wrong name fails loudly at analysis, never mis-shards.
+    The new meta json is written INTO the staging copy so pin and
+    layout swap together."""
+    import json
+    import os
+
+    if reshard is not None and reshard < 1:
+        raise ValueError(
+            f"compact_docs_store: reshard must be >= 1, got {reshard}"
+        )
     _require_store(path, "docs store")
     stats = {
         "rows_before": spark.read.parquet(path).count(),
         "files_before": _count_parquet_files(path),
     }
     tmp = path + ".compacting"
+    content = spark.read.parquet(path)
+    if reshard is not None:
+        if id_col not in content.columns:
+            raise ValueError(
+                f"compact_docs_store: reshard needs the id column; "
+                f"{id_col!r} not in store columns {content.columns}"
+            )
+        content = content.drop("shard").dropDuplicates().withColumn(
+            "shard", _doc_store_shard(F.col(id_col), reshard)
+        )
+        stats["n_shards_after"] = reshard
+    else:
+        content = content.dropDuplicates()
     (
-        spark.read.parquet(path)
-        .dropDuplicates()
-        .repartition(F.col("shard"))
+        content.repartition(F.col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(tmp)
     )
-    _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
+    if reshard is not None:
+        # the pin swaps with the layout: _swap_compacted's keep_files
+        # would carry the OLD count over the new layout
+        meta_path = os.path.join(path, _DOCS_STORE_META)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        stats["n_shards_before"] = meta.get("docs_shards")
+        meta["docs_shards"] = reshard
+        with open(os.path.join(tmp, _DOCS_STORE_META), "w") as fh:
+            json.dump(meta, fh)
+        _swap_compacted(path, tmp, keep_files=[])
+    else:
+        _swap_compacted(path, tmp, keep_files=[_DOCS_STORE_META])
     stats["rows_after"] = spark.read.parquet(path).count()
     stats["files_after"] = _count_parquet_files(path)
     return stats
