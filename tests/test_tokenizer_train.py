@@ -817,3 +817,93 @@ def test_unigram_trainer_reconstruction_property(counts, extra):
         ids = tok._word_ids(w)  # model-level: no Metaspace prepend
         assert unk_id not in ids, (w, [rev[i] for i in ids])
         assert "".join(rev[i] for i in ids) == w
+
+
+# ----------------------------------------------------- distributed EM ---
+
+
+def test_distributed_unigram_matches_driver_learner(spark):
+    """learn_unigram_distributed vs learn_unigram_from_counts on the
+    same counts: identical piece set, log-probs equal to float
+    re-association (the seed is bit-identical by construction; only
+    the E-step's partial-sum order differs), and the distributed
+    path's EM log-likelihood trace is monotone within each
+    fixed-vocab run."""
+    import math
+
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        learn_unigram_distributed,
+    )
+
+    driver = dict(learn_unigram_from_counts(_UNI_TINY, 30))
+    wdf = spark.createDataFrame(_UNI_TINY, "word string, count long")
+    trace: list = []
+    dist = dict(
+        learn_unigram_distributed(wdf, 30, ll_trace=trace)
+    )
+    assert set(dist) == set(driver)
+    for p, lp in driver.items():
+        assert math.isclose(dist[p], lp, rel_tol=0, abs_tol=1e-9), (
+            p, lp, dist[p],
+        )
+    for i in range(0, len(trace) - 1, 2):
+        assert trace[i + 1] >= trace[i] - 1e-9
+    # and the distributed path is itself repeatable on the same input
+    dist2 = dict(learn_unigram_distributed(wdf, 30))
+    assert set(dist2) == set(dist)
+    for p, lp in dist.items():
+        assert math.isclose(dist2[p], lp, rel_tol=0, abs_tol=1e-9)
+
+
+def test_train_unigram_distributed_end_to_end(spark, tmp_path):
+    """train_unigram(distributed_e_step=True) produces a loadable
+    artifact whose encodes are healthy, stamps the mode into stats,
+    and auto-lifts the word cap to the BPE trainer's."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    stats: dict = {}
+    spec = train_unigram(
+        docs, vocab_size=400, distributed_e_step=True, stats=stats
+    )
+    assert stats["distributed_e_step"] is True
+    path = str(tmp_path / "uni_dist.json")
+    write_tokenizer_json(spec, path)
+    tok = PurePythonTokenizer.from_file(path)
+    vocab = spec["model"]["vocab"]
+    unk_id = spec["model"]["unk_id"]
+    texts = [r["text"] for r in docs.select("text").limit(30).collect()]
+    total = unk = 0
+    for t in texts:
+        ids = tok.encode(t).ids
+        assert all(0 <= i < len(vocab) for i in ids)
+        total += len(ids)
+        unk += sum(1 for i in ids if i == unk_id)
+    assert total > 0 and unk / total < 0.05
+    # same corpus, same cap: the two modes learn the same piece set
+    # (their float drift is ~1e-12, far below any pruning margin here)
+    spec_driver = train_unigram(docs, vocab_size=400)
+    assert {p for p, _ in spec["model"]["vocab"]} == {
+        p for p, _ in spec_driver["model"]["vocab"]
+    }
+
+
+def test_cli_distributed_em_guard_and_run(spark, tmp_path):
+    from wrds_data_pipeline_spark.cli import tokenizer_main
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(60).write.parquet(docs_path)
+    with pytest.raises(SystemExit, match="unigram only"):
+        tokenizer_main(
+            ["train", docs_path, str(tmp_path / "x.json"),
+             "--model", "bpe", "--vocab-size", "300",
+             "--distributed-em"]
+        )
+    out_json = str(tmp_path / "uni.json")
+    rc = tokenizer_main(
+        ["train", docs_path, out_json, "--model", "unigram",
+         "--vocab-size", "200", "--distributed-em"]
+    )
+    assert rc == 0
+    tok = PurePythonTokenizer.from_file(out_json)
+    assert len(tok.encode("some sample text").ids) > 0

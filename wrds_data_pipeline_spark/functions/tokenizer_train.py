@@ -871,6 +871,27 @@ def learn_unigram_from_counts(
             for s in range(0, n - ln + 1):
                 sub = w[s : s + ln]
                 sub_counts[sub] = sub_counts.get(sub, 0) + c
+    logp = _unigram_seed_logp(
+        char_counts, sub_counts, required, seed_size
+    )
+    return _unigram_em_prune(
+        lambda lp, ml: _unigram_e_step(words, lp, ml),
+        logp, required, target,
+        shrink_factor=shrink_factor, em_iters=em_iters,
+        ll_trace=ll_trace,
+    )
+
+
+def _unigram_seed_logp(
+    char_counts, sub_counts, required, seed_size
+) -> dict[str, float]:
+    """Seed log-probs from (char, substring) count tables — shared by
+    the driver learner (Python count loop) and the distributed
+    learner (JVM substring aggregation): integer counts are exact
+    either way, and this one function fixes the candidate ordering
+    and float evaluation order, so both paths seed BIT-IDENTICALLY."""
+    import math
+
     cands = sorted(
         sub_counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
     )[: max(0, seed_size - len(required))]
@@ -880,13 +901,31 @@ def learn_unigram_from_counts(
     for sub, cnt in cands:
         scores[sub] = float(cnt * len(sub))
     total = sum(scores.values())
-    logp = {p: math.log(s / total) for p, s in scores.items()}
+    return {p: math.log(s / total) for p, s in scores.items()}
+
+
+def _unigram_em_prune(
+    e_step,
+    logp: dict[str, float],
+    required,
+    target: int,
+    *,
+    shrink_factor: float = 0.75,
+    em_iters: int = 2,
+    ll_trace: list | None = None,
+) -> list[tuple[str, float]]:
+    """The EM + prune loop of the Unigram trainer, shared by the
+    driver and distributed learners — only the E-step (``e_step(logp,
+    max_len) -> (expected, ll)``) differs between them; the M-step,
+    the coverage floor, and the loss-ranked pruning are ONE
+    implementation so the two paths cannot drift."""
+    import math
 
     while True:
         max_len = max(len(p) for p in logp)
         expected: dict[str, float] = {}
         for _ in range(em_iters):
-            expected, ll = _unigram_e_step(words, logp, max_len)
+            expected, ll = e_step(logp, max_len)
             if ll_trace is not None:
                 ll_trace.append(ll)
             tot = sum(expected.values())
@@ -919,6 +958,153 @@ def learn_unigram_from_counts(
         mass = sum(math.exp(logp[p]) for p in kept)
         logp = {p: logp[p] - math.log(mass) for p in kept}
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _unigram_e_step_distributed(words_df: DataFrame, max_piece_len: int):
+    """Build the DISTRIBUTED E-step over a (word, count) DataFrame:
+    the per-word forward-backward lattices are independent, so
+    posterior counting maps over word batches (``mapInPandas`` with a
+    per-batch partial-sum combine — the WordPiece-counting shape) and
+    ONE hash-aggregate sums the partials; only the (piece, expected)
+    relation — bounded by the candidate vocab, KBs — ever reaches the
+    driver.  Each batch runs the SAME ``_unigram_e_step`` the driver
+    learner runs (one lattice implementation, zero drift).
+
+    Numerics: partial float sums re-associate across partitions, so
+    expected counts match the driver E-step to ~1e-12 relative (the
+    M-step normalization absorbs it; pruning margins sit orders of
+    magnitude above it) — the documented deviation from the driver
+    learner's bit-determinism, in exchange for lifting the word cap
+    to the BPE trainer's.  The corpus log-likelihood rides the same
+    aggregate under the empty-string key (never a valid piece)."""
+    import pandas as pd
+
+    spark = words_df.sparkSession
+
+    def e_step(logp: dict[str, float], max_len: int):
+        b_logp = spark.sparkContext.broadcast(logp)
+
+        def _mapper(batches):
+            lp = b_logp.value
+            for pdf in batches:
+                expected, ll = _unigram_e_step(
+                    list(zip(pdf["word"], (int(c) for c in pdf["count"]))),
+                    lp, max_len,
+                )
+                yield pd.DataFrame(
+                    {
+                        "piece": list(expected.keys()) + [""],
+                        "expected": list(expected.values()) + [ll],
+                    }
+                )
+
+        agg = (
+            words_df.mapInPandas(_mapper, "piece string, expected double")
+            .groupBy("piece")
+            .agg(F.sum("expected").alias("e"))
+            .collect()
+        )
+        b_logp.destroy()
+        expected: dict[str, float] = {}
+        ll = 0.0
+        for r in agg:
+            if r["piece"] == "":
+                ll = float(r["e"])
+            else:
+                expected[r["piece"]] = float(r["e"])
+        return expected, ll
+
+    return e_step
+
+
+def learn_unigram_distributed(
+    words_df: DataFrame,
+    vocab_size: int,
+    *,
+    special_tokens: tuple[str, ...] = ("<unk>",),
+    unk_token: str = "<unk>",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    shrink_factor: float = 0.75,
+    em_iters: int = 2,
+    ll_trace: list | None = None,
+) -> list[tuple[str, float]]:
+    """``learn_unigram_from_counts`` with every corpus-sized phase
+    distributed: seed counting is a JVM substring aggregation
+    (posexplode over start positions — exact integer counts, so the
+    seed is BIT-IDENTICAL to the driver learner's), and each EM
+    iteration's posterior counting fans out over word batches
+    (``_unigram_e_step_distributed``).  Driver-side work is the
+    M-step, the pruning, and the vocab-sized seed ordering — bounded
+    by the candidate vocab, never the corpus, which is what lifts the
+    Unigram ``max_words`` cap to the BPE trainer's."""
+    from collections import Counter
+
+    if unk_token not in special_tokens:
+        raise ValueError(
+            f"unk_token {unk_token!r} must be among special_tokens"
+        )
+    words_df = (
+        words_df.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
+        .localCheckpoint(eager=True)  # every EM pass re-reads it
+    )
+    # substring counts (lengths 1..max_piece_len), ONE JVM pass:
+    # explode every (start, len) window — length-1 rows are the char
+    # counts / coverage floor, longer rows the seed candidates.  The
+    # unified sequence(1, least(...)) never descends (sequence(2, 1)
+    # would — Spark generates DESCENDING sequences when start > stop,
+    # which would double-count single-char words).  Exact integer
+    # sums, so the seed is bit-identical to the driver learner's.
+    subs_rel = (
+        words_df.select(
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(sequence(1, "
+                    f"least({int(max_piece_len)}, length(word))), "
+                    "ln -> transform(sequence(1, length(word) - ln + 1), "
+                    "s -> substring(word, s, ln))))"
+                )
+            ).alias("_i", "sub"),
+            "count",
+        )
+        .groupBy("sub")
+        .agg(F.sum("count").alias("c"))
+        .localCheckpoint(eager=False)  # two consumers below
+    )
+    char_counts = Counter(
+        {
+            r["sub"]: int(r["c"])
+            for r in subs_rel.filter(F.length("sub") == 1).collect()
+        }
+    )
+    required = sorted(char_counts)
+    target = vocab_size - len(special_tokens)
+    if target < len(required):
+        raise ValueError(
+            f"vocab_size {vocab_size} below the "
+            f"{len(required) + len(special_tokens)}-entry "
+            "specials+alphabet floor"
+        )
+    if seed_size is None:
+        seed_size = max(4 * target, target + 64)
+    # the top-(seed_size) collect is a TakeOrderedAndProject in the
+    # exact count*len candidate order the driver learner uses
+    subs = (
+        subs_rel.filter(F.length("sub") >= 2)
+        .orderBy(F.desc(F.col("c") * F.length("sub")), F.asc("sub"))
+        .limit(max(0, seed_size - len(required)))
+        .collect()
+    )
+    sub_counts = {r["sub"]: int(r["c"]) for r in subs}
+    logp = _unigram_seed_logp(char_counts, sub_counts, required, seed_size)
+    return _unigram_em_prune(
+        _unigram_e_step_distributed(words_df, max_piece_len),
+        logp, required, target,
+        shrink_factor=shrink_factor, em_iters=em_iters,
+        ll_trace=ll_trace,
+    )
 
 
 def unigram_tokenizer_spec(
@@ -968,6 +1154,11 @@ def unigram_tokenizer_spec(
     }
 
 
+# sentinel: "pick the cap for the execution mode" (None already means
+# uncapped, so a third value is needed)
+_AUTO_MAX_WORDS = object()
+
+
 def train_unigram(
     docs: DataFrame,
     text_col: str = "text",
@@ -977,36 +1168,58 @@ def train_unigram(
     unk_token: str = "<unk>",
     min_frequency: int = 1,
     max_piece_len: int = 8,
-    max_words: int | None = 200_000,
+    max_words=_AUTO_MAX_WORDS,
+    distributed_e_step: bool = False,
     stats: dict | None = None,
 ) -> dict:
     """Train a SentencePiece-style Unigram on a corpus and return the
-    tokenizer.json spec dict.  Distributed Metaspace word counting,
-    driver-side EM+prune; see ``learn_unigram_from_counts``.
+    tokenizer.json spec dict.  Distributed Metaspace word counting;
+    see ``learn_unigram_from_counts``.
 
-    ``max_words`` defaults LOWER than the BPE trainer's cap: each EM
-    iteration is O(unique_words × word_len × max_piece_len) of pure
-    driver work (forward-backward per word lattice), where the BPE
-    heap learner only touches words containing the winning pair —
-    sentencepiece applies the same kind of input subsampling for the
-    same reason.  Raise it knowingly."""
+    ``distributed_e_step=False`` (default): driver-side EM+prune —
+    bit-deterministic, and ``max_words`` defaults LOWER than the BPE
+    trainer's cap (200k vs 1M) because each EM iteration is
+    O(unique_words × word_len × max_piece_len) of pure driver work.
+    ``distributed_e_step=True``: the corpus-sized phases (seed
+    substring counting, per-EM-iteration posterior counting) fan out
+    over the cluster (``learn_unigram_distributed``), the driver
+    keeps only the vocab-sized M-step/pruning, and ``max_words``
+    defaults to the BPE trainer's 1M — the r11 cap asymmetry removed.
+    Same seed bit-exactly; expected counts match the driver E-step to
+    float re-association (~1e-12 relative), which the normalization
+    absorbs.  Pass ``max_words`` explicitly to override either
+    default (None = uncapped)."""
+    if max_words is _AUTO_MAX_WORDS:
+        max_words = 1_000_000 if distributed_e_step else 200_000
     wc = metaspace_word_counts(
         docs, text_col, min_frequency=min_frequency, max_words=max_words
     )
-    rows = [(r["word"], r["count"]) for r in wc.collect()]
-    entries = learn_unigram_from_counts(
-        rows,
-        vocab_size,
-        special_tokens=special_tokens,
-        unk_token=unk_token,
-        max_piece_len=max_piece_len,
-    )
+    if distributed_e_step:
+        n_words = wc.count()
+        entries = learn_unigram_distributed(
+            wc,
+            vocab_size,
+            special_tokens=special_tokens,
+            unk_token=unk_token,
+            max_piece_len=max_piece_len,
+        )
+    else:
+        rows = [(r["word"], r["count"]) for r in wc.collect()]
+        n_words = len(rows)
+        entries = learn_unigram_from_counts(
+            rows,
+            vocab_size,
+            special_tokens=special_tokens,
+            unk_token=unk_token,
+            max_piece_len=max_piece_len,
+        )
     if stats is not None:
         stats.update(
-            n_words=len(rows),
-            words_capped=(max_words is not None and len(rows) == max_words),
+            n_words=n_words,
+            words_capped=(max_words is not None and n_words == max_words),
             n_merges=0,
             vocab_size=len(entries) + len(special_tokens),
+            distributed_e_step=distributed_e_step,
         )
     return unigram_tokenizer_spec(
         entries, special_tokens=special_tokens, unk_token=unk_token
