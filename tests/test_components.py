@@ -567,3 +567,127 @@ def test_groups_store_idempotent_replay_with_sidecar(spark, tmp_path):
     assert before[0] == set(
         _union_find_groups([p for inc in incs for p in inc]).items()
     )
+
+
+def test_groups_store_churn_counter_and_rebuild_reset(spark, tmp_path):
+    """Merge churn accounting (the rebuild-advisory signal): each
+    cross-group merge kills exactly one label and bumps _churn.json;
+    rebuild_group_shards resets the counter and restores the sidecar
+    to exactly the live store's (group_id, shard) set."""
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+        groups_store_churn,
+        rebuild_group_shards,
+        update_groups_store,
+    )
+
+    path = str(tmp_path / "groups")
+
+    def pairs(*edges):
+        return spark.createDataFrame(list(edges), ["id_a", "id_b"])
+
+    # three disjoint groups, labels 10 / 20 / 30 — no churn yet
+    update_groups_store(
+        spark, path, pairs((10, 11), (20, 21), (30, 31)), n_shards=8
+    )
+    assert groups_store_churn(path) == 0
+    # merge {10,11} with {20,21}: label 20 dies
+    update_groups_store(spark, path, pairs((11, 21)), n_shards=8)
+    assert groups_store_churn(path) == 1
+    # merge the result with {30,31}: label 30 dies
+    update_groups_store(spark, path, pairs((21, 31)), n_shards=8)
+    assert groups_store_churn(path) == 2
+    # an increment that merges nothing adds no churn
+    update_groups_store(spark, path, pairs((40, 41)), n_shards=8)
+    assert groups_store_churn(path) == 2
+
+    rebuild_group_shards(spark, path, 8)
+    assert groups_store_churn(path) == 0
+    live = {
+        (r["group_id"], r["shard"])
+        for r in spark.read.parquet(path)
+        .select("group_id", "shard")
+        .distinct()
+        .collect()
+    }
+    sidecar = {
+        (r["group_id"], r["shard"])
+        for r in spark.read.parquet(f"{path}/{_GROUP_SHARDS_DIR}")
+        .select("group_id", "shard")
+        .collect()
+    }
+    assert sidecar == live
+
+
+def test_ingest_cli_advises_groups_rebuild(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """End to end through the ingest CLI: once the store's churn
+    counter crosses the threshold, the next ingest prints the rebuild
+    advisory naming the compact command, and compact resets it.
+
+    The counter is seeded via MERGING increments where the texts
+    allow it (a dead label needs two groups formed apart and bridged
+    later — a genuinely-similar text bridge is an LSH-probability
+    event, so the deterministic merge accounting is pinned by the
+    update_groups_store test above); here the accumulated count is
+    written directly and the CLI surface is what's under test."""
+    from wrds_data_pipeline_spark import cli
+    from wrds_data_pipeline_spark.operators.components import (
+        _set_groups_churn,
+        compact_groups_store,
+        groups_store_churn,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark "
+        "prunes partitions "
+    )
+    root = str(tmp_path)
+    idx, store, groups = f"{root}/idx", f"{root}/store", f"{root}/groups"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingest_increment(
+        docs([(1, base + "alpha"), (2, base + "alpha tail")]),
+        idx, store, groups_store_path=groups,
+    )
+    # churn accumulated across prior sessions' merges (accounting
+    # itself pinned above): past the threshold, the NEXT ingest says so
+    _set_groups_churn(groups, 70)
+    inc = str(tmp_path / "inc")
+    docs([(5, "completely unrelated text about parquet readers"),
+          (6, "another unrelated text about shuffle partitions")]
+         ).write.parquet(inc)
+    capsys.readouterr()
+    rc = cli.index_main([
+        "ingest", inc, idx, store, str(tmp_path / "pairs"),
+        "--groups-store", groups,
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "dead group labels" in err
+    assert f"compact --groups-store {groups}" in err
+    # compact rebuilds the sidecar from the live store: counter reset,
+    # next ingest is advisory-free
+    compact_groups_store(spark, groups)
+    assert groups_store_churn(groups) == 0
+    # below threshold: a merge-free update adds no churn, no advisory
+    update_groups_store(
+        spark, groups,
+        spark.createDataFrame([(100, 101)], ["id_a", "id_b"]),
+        n_shards=64,
+    )
+    inc2 = str(tmp_path / "inc2")
+    docs([(9, "yet more unrelated text about broadcast joins")]
+         ).write.parquet(inc2)
+    capsys.readouterr()
+    rc = cli.index_main([
+        "ingest", inc2, idx, store, str(tmp_path / "pairs2"),
+        "--groups-store", groups,
+    ])
+    assert rc == 0
+    assert "dead group labels" not in capsys.readouterr().err

@@ -739,3 +739,92 @@ def test_streaming_verified_maintains_groups_store(spark, tmp_path):
             str(tmp_path / "b2"), str(tmp_path / "d2"),
             groups_dir=str(tmp_path / "g2"),
         )
+
+
+def test_streaming_tokenizer_stats_parity_and_restart(
+    spark, driver_tables, tmp_path
+):
+    """The eval verb's streaming twin: per-batch partial sums
+    accumulate to EXACTLY the batch tokenizer_corpus_stats numbers
+    over everything seen, a checkpointed restart with no new files
+    changes nothing (persisted partials + never-re-read batches), and
+    a later arrival folds in."""
+    import shutil
+
+    from wrds_data_pipeline_spark.functions.pybpe import (
+        local_tokenizer_factory,
+    )
+    from wrds_data_pipeline_spark.functions.tokenize import (
+        tokenizer_corpus_stats,
+    )
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        bpe_tokenizer_spec,
+        learn_bpe_from_counts,
+        write_tokenizer_json,
+    )
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_tokenizer_stats,
+    )
+
+    vocab, merges = learn_bpe_from_counts(
+        [("the", 30), (" doc", 20), (" text", 15)], 300,
+        special_tokens=("<|endoftext|>",),
+    )
+    tok_json = str(tmp_path / "tok.json")
+    write_tokenizer_json(bpe_tokenizer_spec(vocab, merges), tok_json)
+    factory = local_tokenizer_factory(tok_json)
+
+    docs = (
+        driver_tables["documents"].select("doc_id", "text").limit(60)
+    )
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+
+    def _drop(df, name):
+        src = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(src)
+        part = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(src, part), os.path.join(stream_dir, name))
+
+    f1 = docs.filter(F.col("doc_id") % 3 == 0)
+    f2 = docs.filter(F.col("doc_id") % 3 == 1)
+    f3 = docs.filter(F.col("doc_id") % 3 == 2)
+    _drop(f1, "f1.parquet")
+    _drop(f2, "f2.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "stats_store")
+    kw = dict(
+        text_col="text", max_files_per_trigger=1,
+        checkpoint_dir=ckpt, stats_store=store,
+    )
+    got = streaming_tokenizer_stats(
+        spark, stream_dir, docs.schema, factory, **kw
+    )
+
+    def batch_over(df):
+        r = tokenizer_corpus_stats(df, factory).first()
+        return {k: r[k] for k in got}
+
+    assert got == batch_over(f1.unionByName(f2))
+    assert got["n_docs"] > 0 and got["n_tokens"] > 0
+
+    # restart, no new files: totals exact, nothing re-counted
+    again = streaming_tokenizer_stats(
+        spark, stream_dir, docs.schema, factory, **kw
+    )
+    assert again == got
+
+    # a new arrival folds into the running totals
+    _drop(f3, "f3.parquet")
+    final = streaming_tokenizer_stats(
+        spark, stream_dir, docs.schema, factory, **kw
+    )
+    assert final == batch_over(docs)
+
+    # the in-memory (storeless) form over a fresh stream matches too
+    solo = streaming_tokenizer_stats(
+        spark, stream_dir, docs.schema, factory,
+        text_col="text", max_files_per_trigger=1,
+    )
+    assert solo == batch_over(docs)

@@ -611,6 +611,36 @@ def corpus_main(argv: list[str] | None = None) -> int:
 # compact" — past it, listing cost and footer reads grow linearly for
 # every probe while the duplicate rows (if any) stay unreclaimed
 _COMPACT_ADVISORY_AT = 16
+# dead sidecar labels accumulated since the last rebuild before the
+# ingest verbs advise reclaiming the groups store's sidecar residue
+_REBUILD_ADVISORY_AT = 64
+
+
+def _groups_churn_advisory(groups_store: str | None) -> None:
+    """The groups-store maintenance advisory (VERDICT r11 next #5):
+    merge churn grows the sidecar's dead-label residue, which dynamic
+    partition overwrite can never remove — only `compact
+    --groups-store` (or rebuild_group_shards) reclaims it.  The
+    update verb counts dead labels per increment (_churn.json); past
+    the threshold, say so with the exact command."""
+    import sys
+
+    if groups_store is None:
+        return
+    from wrds_data_pipeline_spark.operators.components import (
+        groups_store_churn,
+    )
+
+    churn = groups_store_churn(groups_store)
+    if churn >= _REBUILD_ADVISORY_AT:
+        print(
+            f"ADVISORY: the groups store has accumulated {churn} dead "
+            "group labels since its sidecar was last rebuilt — their "
+            "sidecar rows are unreachable residue that inflates "
+            "member-shard lookups; reclaim with: wrds-spark-index "
+            f"compact --groups-store {groups_store}",
+            file=sys.stderr,
+        )
 
 
 def _max_files_per_shard(root: str) -> int:
@@ -811,6 +841,17 @@ def index_main(argv: list[str] | None = None) -> int:
                     "the inverted sidecar's dead-label residue, which "
                     "the per-increment dynamic overwrite can never "
                     "remove")
+    cp.add_argument("--reshard", type=int, default=None,
+                    help="rewrite the passed band-index/docs-store/"
+                    "groups-store at this shard count and re-pin "
+                    "their metas (the growth path for stores whose "
+                    "creation-time count left shards unboundedly "
+                    "large); probe/ingest/harvest results are "
+                    "unchanged — pass the NEW count to later calls")
+    cp.add_argument("--id-col", default="doc_id",
+                    help="docs-store id column the reshard hash "
+                    "derives from (only used with --reshard "
+                    "--docs-store)")
 
     hv = sub.add_parser(
         "harvest",
@@ -863,6 +904,32 @@ def index_main(argv: list[str] | None = None) -> int:
     av = sub.add_parser("append-vector", help="assign+append new vectors with the stored quantizer")
     av.add_argument("emb_path")
     av.add_argument("index_path")
+
+    rc = sub.add_parser(
+        "recenter",
+        help="re-fit the coarse quantizer to the CURRENT store "
+        "(distributed spherical-k-means rounds seeded from the stored "
+        "centroids), reassign every vector, and swap the rewritten "
+        "index in atomically — the maintenance verb for a store that "
+        "grew or drifted past its build (appends never move "
+        "centroids, by design); subsumes compact",
+    )
+    rc.add_argument("index_path", help="on-disk vector index (build-vector layout)")
+    rc.add_argument("--iters", type=int, default=2,
+                    help="Lloyd refinement rounds (each is one "
+                    "distributed assignment + one (cell, dim) "
+                    "aggregate)")
+    rc.add_argument("--assign", choices=("auto", "exact", "hierarchical"),
+                    default="auto",
+                    help="assignment routing for the rounds and the "
+                    "final reassignment (auto: exact <=128 cells, "
+                    "hierarchical beyond)")
+    rc.add_argument("--retrain-pq", action="store_true",
+                    help="also re-fit the PQ codebooks (same m/k) on "
+                    "the current store and re-encode; default keeps "
+                    "them — codes encode raw vectors, not IVF "
+                    "residuals, so reassignment alone never "
+                    "invalidates them")
 
     pv = sub.add_parser("prune-vector", help="prototype-pruned survivor ids "
                         "(D4-style: keep far/near members per cell)")
@@ -949,11 +1016,30 @@ def index_main(argv: list[str] | None = None) -> int:
             compact_vector_index,
         )
 
+        if args.reshard is not None and (
+            args.vector_index is not None or args.flat_store
+        ):
+            # the vector index is cell-partitioned (recenter re-sizes
+            # its layout) and flat stores are unsharded: a silently
+            # ignored --reshard would read as "done"
+            raise SystemExit(
+                "compact: --reshard applies to --band-index, "
+                "--docs-store, and --groups-store (vector indexes "
+                "are cell-partitioned — use recenter; flat stores "
+                "are unsharded)"
+            )
+        resharded = dict.fromkeys(
+            ("band index", "docs store", "groups store"), args.reshard
+        )
         jobs = [
-            ("band index", args.band_index, compact_band_index),
-            ("docs store", args.docs_store, compact_docs_store),
+            ("band index", args.band_index,
+             lambda sp, p: compact_band_index(sp, p, reshard=args.reshard)),
+            ("docs store", args.docs_store,
+             lambda sp, p: compact_docs_store(
+                 sp, p, reshard=args.reshard, id_col=args.id_col)),
             ("vector index", args.vector_index, compact_vector_index),
-            ("groups store", args.groups_store, compact_groups_store),
+            ("groups store", args.groups_store,
+             lambda sp, p: compact_groups_store(sp, p, reshard=args.reshard)),
         ] + [
             ("flat store", p, compact_flat_store)
             for p in (args.flat_store or [])
@@ -971,6 +1057,11 @@ def index_main(argv: list[str] | None = None) -> int:
                 if "sidecar_rows_before" in s
                 else ""
             )
+            if resharded.get(label) is not None:
+                extra += (
+                    f", resharded {s['n_shards_before']} -> "
+                    f"{s['n_shards_after']}"
+                )
             print(
                 f"compacted {label} {target}: rows "
                 f"{s['rows_before']} -> {s['rows_after']}, files "
@@ -1104,6 +1195,7 @@ def index_main(argv: list[str] | None = None) -> int:
         _ingest_compaction_economics(
             spark, args.index_path, args.docs_store, args.compact_every
         )
+        _groups_churn_advisory(args.groups_store)
         return 0
 
     if args.cmd in ("build-band", "append-band", "probe-band"):
@@ -1215,6 +1307,23 @@ def index_main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append-vector":
         append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
         print(f"appended {args.emb_path} -> {args.index_path}")
+    elif args.cmd == "recenter":
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            recenter_vector_index,
+        )
+
+        s = recenter_vector_index(
+            spark, args.index_path, n_iter=args.iters,
+            assign=args.assign, retrain_pq=args.retrain_pq,
+        )
+        print(
+            f"recentered {args.index_path}: {s['n_cells']} cells x "
+            f"{s['n_iter']} rounds ({s['assign']}), objective "
+            f"{s['objective_before']} -> {s['objective_after']}, "
+            f"{s['rows_before']}->{s['rows_after']} rows, "
+            f"{s['files_before']}->{s['files_after']} files"
+            + (", pq retrained" if s["retrained_pq"] else "")
+        )
     elif args.cmd == "ingest-vectors":
         import os as _os
         import sys as _sys
@@ -1258,6 +1367,7 @@ def index_main(argv: list[str] | None = None) -> int:
                 f"compact --vector-index {args.index_path}",
                 file=_sys.stderr,
             )
+        _groups_churn_advisory(args.groups_store)
     elif args.cmd == "prune-vector":
         from wrds_data_pipeline_spark.operators.vector_index import (
             prune_vector_index,
@@ -1414,6 +1524,12 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
                     help="special token (repeatable; defaults: "
                     "<|endoftext|> for bpe, the BERT five for "
                     "wordpiece)")
+    tr.add_argument("--distributed-em", action="store_true",
+                    help="unigram only: run each EM iteration's "
+                    "posterior counting distributed (mapInPandas "
+                    "partial sums) instead of driver-side — the same "
+                    "artifact up to float re-association, and the "
+                    "word cap stops being driver-bound")
     tr.add_argument("--no-lowercase", action="store_true",
                     help="wordpiece only: skip BertNormalizer "
                     "lowercasing")
@@ -1437,6 +1553,20 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
     ev.add_argument("docs_path")
     ev.add_argument("tokenizer_json")
     ev.add_argument("--text-col", default="text")
+    ev.add_argument("--stream", action="store_true",
+                    help="treat docs_path as a LIVE ingest directory: "
+                    "evaluate per micro-batch with running totals "
+                    "(the dedup twins' streaming shape); ratios are "
+                    "computed over the totals, never averaged across "
+                    "batches")
+    ev.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir: committed batches "
+                    "are never re-read on restart, so totals stay "
+                    "exact across runs")
+    ev.add_argument("--stats-store", default=None,
+                    help="persist per-batch partial sums (parquet) so "
+                    "a restarted eval keeps accumulating instead of "
+                    "starting at zero")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-tokenizer")
@@ -1451,6 +1581,14 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
             write_tokenizer_json,
         )
 
+        if args.distributed_em and args.model != "unigram":
+            # the other trainers' corpus-sized phase (word counting)
+            # is already distributed; silently ignoring the flag would
+            # read as "applied"
+            raise SystemExit(
+                "--distributed-em applies to --model unigram only "
+                "(the other trainers have no driver-side EM)"
+            )
         stats: dict = {}
         if args.model == "bpe":
             spec = train_bpe(
@@ -1471,6 +1609,7 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
                 special_tokens=tuple(args.special or ("<unk>",)),
                 min_frequency=args.min_frequency,
                 max_words=args.max_words,
+                distributed_e_step=args.distributed_em,
                 stats=stats,
             )
         elif args.model == "wordlevel":
@@ -1528,10 +1667,23 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
             unk_id = model["vocab"].get(model["unk_token"])
         else:
             unk_id = None
-        row = tokenizer_corpus_stats(
-            docs, local_tokenizer_factory(args.tokenizer_json),
-            text_col=args.text_col, unk_id=unk_id,
-        ).first()
+        if args.stream:
+            from wrds_data_pipeline_spark.streaming.corpus_stream import (
+                streaming_tokenizer_stats,
+            )
+
+            row = streaming_tokenizer_stats(
+                spark, args.docs_path, docs.schema,
+                local_tokenizer_factory(args.tokenizer_json),
+                text_col=args.text_col, unk_id=unk_id,
+                stats_store=args.stats_store,
+                checkpoint_dir=args.checkpoint,
+            )
+        else:
+            row = tokenizer_corpus_stats(
+                docs, local_tokenizer_factory(args.tokenizer_json),
+                text_col=args.text_col, unk_id=unk_id,
+            ).first()
         print(
             f"docs={row['n_docs']} tokens={row['n_tokens']} "
             f"bytes={row['n_bytes']} "

@@ -990,3 +990,104 @@ def streaming_semantic_ingest(
         if out
         else pd.DataFrame(columns=["id_a", "id_b", "cell", "cos_sim"])
     )
+
+
+def streaming_tokenizer_stats(
+    spark,
+    path: str,
+    schema,
+    tokenizer_factory,
+    text_col: str = "text",
+    unk_id: int | None = None,
+    stats_store: str | None = None,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Streaming twin of ``tokenize.tokenizer_corpus_stats`` — the
+    eval verb over a LIVE ingest directory, the way the dedup/semantic
+    verbs already stream: each micro-batch runs the same
+    mapInPandas-partial aggregation the batch form runs (one code
+    path) and contributes its four RAW SUMS; the derived ratios
+    (bytes_per_token, unk_rate) are computed once over the running
+    totals, never averaged across batches (a mean-of-ratios would
+    weight a 10-doc batch like a 10M-doc one).
+
+    Exactly-once totals under at-least-once execution: each batch's
+    partial row is keyed by the stream's epoch id, and the final
+    aggregate takes ONE row per epoch — a replayed batch (crash inside
+    foreachBatch, checkpoint-less re-run) overwrites its own partial
+    instead of double-counting, the additive-aggregate analogue of
+    the dedup twins' tolerated-duplicate contract.  With
+    ``stats_store`` the partials persist as parquet, so totals survive
+    a restart and later runs keep accumulating (committed batches are
+    never re-read under ``checkpoint_dir``, so their partials are
+    never re-emitted); without it the partials live in this call.
+
+    Returns {n_docs, n_tokens, n_bytes, n_unk, bytes_per_token,
+    unk_rate} over everything seen so far."""
+    from wrds_data_pipeline_spark.functions.tokenize import (
+        tokenizer_corpus_stats,
+    )
+
+    partials: list[tuple[int, int, int, int, int]] = []
+
+    def _sink(bdf: DataFrame, epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        row = tokenizer_corpus_stats(
+            bdf, tokenizer_factory, text_col=text_col, unk_id=unk_id
+        ).first()
+        rec = (
+            int(epoch), int(row["n_docs"]), int(row["n_tokens"]),
+            int(row["n_bytes"]), int(row["n_unk"]),
+        )
+        if stats_store is not None:
+            spark.createDataFrame(
+                [rec],
+                "epoch long, n_docs long, n_tokens long, "
+                "n_bytes long, n_unk long",
+            ).coalesce(1).write.mode("append").parquet(stats_store)
+        else:
+            partials.append(rec)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = reader.parquet(path).writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+    if stats_store is not None:
+        import os
+
+        if not os.path.isdir(stats_store):
+            rows = []
+        else:
+            rows = [
+                (
+                    int(r["epoch"]), int(r["n_docs"]), int(r["n_tokens"]),
+                    int(r["n_bytes"]), int(r["n_unk"]),
+                )
+                for r in spark.read.parquet(stats_store).collect()
+            ]
+    else:
+        rows = partials
+    # one row per epoch: replayed partials are identical recomputes
+    by_epoch = {r[0]: r for r in rows}
+    n_docs = sum(r[1] for r in by_epoch.values())
+    n_tokens = sum(r[2] for r in by_epoch.values())
+    n_bytes = sum(r[3] for r in by_epoch.values())
+    n_unk = sum(r[4] for r in by_epoch.values())
+    return {
+        "n_docs": n_docs,
+        "n_tokens": n_tokens,
+        "n_bytes": n_bytes,
+        "n_unk": n_unk,
+        "bytes_per_token": (
+            round(n_bytes / n_tokens, 4) if n_tokens else None
+        ),
+        "unk_rate": round(n_unk / n_tokens, 6) if n_tokens else None,
+    }
