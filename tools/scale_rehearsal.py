@@ -1121,6 +1121,102 @@ def tokenizer_ladder_rung(spark, sizes: list[int]) -> None:
 
 
 
+def wordpiece_counting_ladder_rung(spark, sizes: list[int]) -> None:
+    """Pin the ONE corpus-sized Python phase left in tokenizer
+    training: ``bert_word_counts``'s mapInPandas (BertNormalizer has
+    no JVM expression, so WordPiece counting must run the
+    interpreter's own normalizer).  Per rung: wall vs the pure-JVM BPE
+    counting path (``gpt2_word_counts``) on the SAME docs, plus the
+    per-batch Counter combine's measured reduction factor — corpus
+    words → emitted partial rows, the number that bounds what the
+    shuffle actually carries (the module's map-side-combine claim,
+    measured)."""
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        _bert_partial_counts,
+        bert_word_counts,
+        gpt2_word_counts,
+    )
+
+    for n in sizes:
+        docs = spark.read.parquet(_generate_docs(n))
+        t0 = time.time()
+        uniq_bert = bert_word_counts(docs).count()
+        w_bert = time.time() - t0
+        t0 = time.time()
+        uniq_gpt2 = gpt2_word_counts(docs).count()
+        w_gpt2 = time.time() - t0
+        partials = _bert_partial_counts(docs, "text", True, None)
+        agg = partials.agg(
+            F.count("*").alias("rows"), F.sum("count").alias("words")
+        ).first()
+        n_partial, n_words = int(agg["rows"]), int(agg["words"])
+        print(
+            f"wordpiece-counting-ladder n={n}: corpus_words={n_words} "
+            f"unique={uniq_bert} (gpt2 unique={uniq_gpt2}) | "
+            f"bert(mapInPandas)={w_bert:.1f}s jvm(gpt2)={w_gpt2:.1f}s "
+            f"ratio={w_bert / max(w_gpt2, 1e-9):.1f}x | "
+            f"partial_rows={n_partial} combine_reduction="
+            f"{n_words / max(n_partial, 1):.1f}x"
+        )
+
+
+def unigram_em_ladder_rung(spark, sizes: list[int]) -> None:
+    """Distributed-vs-driver Unigram EM at the RAISED cap: per rung,
+    train both paths on the same capped (word, count) relation —
+    wall for each, piece-set equality + per-piece logp ≤1e-9 as the
+    rung's oracle (the distributed path's only deviation is float
+    re-association in the E-step's partial sums).  The driver
+    learner's wall tracks UNIQUE WORDS (every EM iteration walks
+    every lattice on the driver); the distributed path's
+    driver-resident share is the vocab-sized M-step/pruning, so its
+    wall is the E-step jobs — the asymmetry the r12 change removes
+    from the cap."""
+    import math
+
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        learn_unigram_distributed,
+        learn_unigram_from_counts,
+        metaspace_word_counts,
+    )
+
+    vocab_size = 512
+    for n in sizes:
+        docs = spark.read.parquet(_generate_docs(n))
+        wc = metaspace_word_counts(
+            docs, min_frequency=2, max_words=1_000_000
+        ).localCheckpoint(eager=True)
+        rows = [(r["word"], r["count"]) for r in wc.collect()]
+        t0 = time.time()
+        driver = dict(learn_unigram_from_counts(rows, vocab_size))
+        w_driver = time.time() - t0
+        tm: dict = {}
+        t0 = time.time()
+        dist = dict(
+            learn_unigram_distributed(wc, vocab_size, timings=tm)
+        )
+        w_dist = time.time() - t0
+        assert set(dist) == set(driver), (
+            f"unigram-em-ladder n={n}: piece sets diverged"
+        )
+        worst = max(
+            abs(dist[p] - lp) for p, lp in driver.items()
+        ) if driver else 0.0
+        assert worst <= 1e-9, (
+            f"unigram-em-ladder n={n}: logp drift {worst}"
+        )
+        assert not math.isnan(worst)
+        print(
+            f"unigram-em-ladder n={n}: unique_words={len(rows)} | "
+            f"driver_em={w_driver:.1f}s distributed_em={w_dist:.1f}s "
+            f"(driver-resident M+prune={tm.get('driver', 0.0):.1f}s, "
+            f"e_step jobs={tm.get('e_step', 0.0):.1f}s) | "
+            f"pieces={len(dist)} parity: sets equal, worst |dlogp|="
+            f"{worst:.2e}"
+        )
+
+
 def _generate_skew_docs(n: int, hot_frac: float = 0.3) -> str:
     """Boilerplate-heavy fixture for the span-dedup SKEW rehearsal:
     ONE 12-token sentence embedded mid-document in ``hot_frac`` of the
@@ -1456,6 +1552,24 @@ def main() -> None:
         from wrds_data_pipeline_spark.session import get_spark
 
         tokenizer_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [2000, 8000, 32000],
+        )
+        return
+    if "--wordpiece-counting-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        wordpiece_counting_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [2000, 8000, 32000],
+        )
+        return
+    if "--unigram-em-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        unigram_em_ladder_rung(
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()]
             or [2000, 8000, 32000],

@@ -119,22 +119,18 @@ def gpt2_word_counts(
     return wc
 
 
-def bert_word_counts(
+def _bert_partial_counts(
     docs: DataFrame,
-    text_col: str = "text",
-    *,
-    lowercase: bool = True,
-    strip_accents: bool | None = None,
-    min_frequency: int = 1,
-    max_words: int | None = None,
+    text_col: str,
+    lowercase: bool,
+    strip_accents: bool | None,
 ) -> DataFrame:
-    """(word, count) under BertNormalizer + BertPreTokenizer — the
-    interpreter's OWN normalizer/pre-tokenizer code run through
-    ``mapInPandas`` (accent-strip/CJK have no JVM expression, and
-    training must count with the exact pipeline the artifact
-    declares).  Each Arrow batch emits a pre-aggregated Counter
-    (map-side combine), so the shuffle carries unique words per
-    batch, not corpus tokens."""
+    """The PRE-aggregation (word, count) partials of the WordPiece
+    counting path — one row per unique word PER ARROW BATCH, the
+    relation the shuffle actually carries.  Split out so the scale
+    rehearsal can measure the per-batch Counter combine's reduction
+    factor (corpus words → emitted partial rows) without re-rolling
+    the mapper; ``bert_word_counts`` is its only other consumer."""
     from wrds_data_pipeline_spark.functions.pybpe import (
         _bert_normalize,
         _bert_words,
@@ -164,9 +160,29 @@ def bert_word_counts(
                     }
                 )
 
+    return docs.select(text_col).mapInPandas(
+        _mapper, schema=_WORD_COUNT_SCHEMA
+    )
+
+
+def bert_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    strip_accents: bool | None = None,
+    min_frequency: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count) under BertNormalizer + BertPreTokenizer — the
+    interpreter's OWN normalizer/pre-tokenizer code run through
+    ``mapInPandas`` (accent-strip/CJK have no JVM expression, and
+    training must count with the exact pipeline the artifact
+    declares).  Each Arrow batch emits a pre-aggregated Counter
+    (map-side combine), so the shuffle carries unique words per
+    batch, not corpus tokens."""
     wc = (
-        docs.select(text_col)
-        .mapInPandas(_mapper, schema=_WORD_COUNT_SCHEMA)
+        _bert_partial_counts(docs, text_col, lowercase, strip_accents)
         .groupBy("word")
         .agg(F.sum("count").alias("count"))
     )
@@ -913,19 +929,35 @@ def _unigram_em_prune(
     shrink_factor: float = 0.75,
     em_iters: int = 2,
     ll_trace: list | None = None,
+    timings: dict | None = None,
 ) -> list[tuple[str, float]]:
     """The EM + prune loop of the Unigram trainer, shared by the
     driver and distributed learners — only the E-step (``e_step(logp,
     max_len) -> (expected, ll)``) differs between them; the M-step,
     the coverage floor, and the loss-ranked pruning are ONE
-    implementation so the two paths cannot drift."""
+    implementation so the two paths cannot drift.
+
+    ``timings`` (optional dict) accumulates ``e_step`` vs ``driver``
+    wall seconds — the split the scale rehearsal records: for the
+    distributed learner the driver bucket is ONLY the vocab-sized
+    M-step + pruning, the structural reason its word cap is not
+    driver-bound."""
     import math
+    import time as _time
+
+    def _stamp(key, t0):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.time() - t0)
+        return _time.time()
 
     while True:
+        t_drv = _time.time()
         max_len = max(len(p) for p in logp)
         expected: dict[str, float] = {}
         for _ in range(em_iters):
+            t0 = _stamp("driver", t_drv)
             expected, ll = e_step(logp, max_len)
+            t_drv = _stamp("e_step", t0)
             if ll_trace is not None:
                 ll_trace.append(ll)
             tot = sum(expected.values())
@@ -939,6 +971,7 @@ def _unigram_em_prune(
                 if ch not in logp:
                     logp[ch] = math.log(1e-12)
         if len(logp) <= target:
+            _stamp("driver", t_drv)
             break
         keep_n = max(target, int(len(logp) * shrink_factor))
         losses: list[tuple[float, str]] = []
@@ -957,6 +990,7 @@ def _unigram_em_prune(
             kept.add(p)
         mass = sum(math.exp(logp[p]) for p in kept)
         logp = {p: logp[p] - math.log(mass) for p in kept}
+        _stamp("driver", t_drv)
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
@@ -1028,6 +1062,7 @@ def learn_unigram_distributed(
     shrink_factor: float = 0.75,
     em_iters: int = 2,
     ll_trace: list | None = None,
+    timings: dict | None = None,
 ) -> list[tuple[str, float]]:
     """``learn_unigram_from_counts`` with every corpus-sized phase
     distributed: seed counting is a JVM substring aggregation
@@ -1103,7 +1138,7 @@ def learn_unigram_distributed(
         _unigram_e_step_distributed(words_df, max_piece_len),
         logp, required, target,
         shrink_factor=shrink_factor, em_iters=em_iters,
-        ll_trace=ll_trace,
+        ll_trace=ll_trace, timings=timings,
     )
 
 
