@@ -331,3 +331,60 @@ def test_recenter_swap_crash_window_recovers(spark, tmp_path):
     os.rename(path, path + ".old")
     with pytest.raises(RuntimeError, match="mv "):
         load_vector_index(spark, path)
+
+
+def test_cli_ingest_vectors_advises_recenter(spark, tmp_path, capsys):
+    """Trigger economics for the recenter verb (the compact-advisory
+    pattern): once the frozen quantizer crams the drifted mass into a
+    hot cell (max/mean cell-bytes past the threshold), the next
+    ingest-vectors names the recenter command; after a recenter the
+    advisory clears."""
+    from wrds_data_pipeline_spark.cli import index_main
+
+    rng = random.Random(13)
+
+    def write(df, name):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        return p
+
+    # seed: two spread directions -> 8 reasonably balanced cells
+    seed = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_vecs(rng, 0, 60) + _vecs(rng, 1, 60))],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "vidx")
+    rc = index_main([
+        "ingest-vectors", write(seed, "seed"), idx,
+        str(tmp_path / "p0"), "--n-cells", "8",
+    ])
+    assert rc == 0
+    # drift: 10x the seed mass, all one tight direction -> one hot cell
+    drift = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(_vecs(rng, 2, 1200, noise=0.05))],
+        "vec_id long, embedding array<float>",
+    )
+    capsys.readouterr()
+    rc = index_main([
+        "ingest-vectors", write(drift, "drift"), idx, str(tmp_path / "p1"),
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "recenter" in err and idx in err, err
+
+    # a centroid-seeded refine can only MOVE the 8 cells, so the tight
+    # 10x cluster stays one hot cell — the advisory names the re-seed
+    # for exactly this reason; re-seeding from the store splits it
+    # (the hot mass draws proportionally many seeds)
+    stats = recenter_vector_index(spark, idx, n_iter=3, n_cells=8)
+    assert stats["n_cells_after"] == 8
+    more = spark.createDataFrame(
+        [(9000, _vecs(rng, 2, 1, noise=0.05)[0])],
+        "vec_id long, embedding array<float>",
+    )
+    capsys.readouterr()
+    rc = index_main([
+        "ingest-vectors", write(more, "more"), idx, str(tmp_path / "p2"),
+    ])
+    assert rc == 0
+    assert "recenter" not in capsys.readouterr().err

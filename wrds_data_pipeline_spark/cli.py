@@ -616,6 +616,66 @@ _COMPACT_ADVISORY_AT = 16
 _REBUILD_ADVISORY_AT = 64
 
 
+# max-cell/mean-cell parquet-bytes ratio past which ingest-vectors
+# advises a recenter (cells sized by the listing only — no Spark job)
+_RECENTER_ADVISORY_IMBALANCE = 4.0
+
+
+def _vector_cell_imbalance(vectors_dir: str) -> tuple[float, int]:
+    """(max/mean parquet bytes across ``cell=`` partitions, n_cells)
+    — a listing-only proxy for cell-population imbalance (same
+    schema per row, so bytes track rows).  The drift signal the
+    recenter advisory fires on: appends assign with the FROZEN
+    quantizer, so a topically-shifted corpus crams into few cells and
+    the imbalance grows without bound while the layout stays
+    'healthy' by every file-count measure."""
+    import os
+
+    sizes = []
+    for entry in os.listdir(vectors_dir):
+        d = os.path.join(vectors_dir, entry)
+        if not entry.startswith("cell=") or not os.path.isdir(d):
+            continue
+        sizes.append(
+            sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for dirpath, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        )
+    if len(sizes) < 2 or sum(sizes) == 0:
+        return 1.0, len(sizes)
+    return max(sizes) / (sum(sizes) / len(sizes)), len(sizes)
+
+
+def _recenter_advisory(index_path: str) -> None:
+    """The vector index's drift advisory (the recenter verb's trigger
+    economics, mirroring compact's): past a max/mean cell-bytes
+    imbalance, say so with the exact command.  Stateless — the store
+    layout is the counter."""
+    import os
+    import sys
+
+    vectors_dir = os.path.join(index_path, "vectors")
+    if not os.path.isdir(vectors_dir):
+        return
+    ratio, n_cells = _vector_cell_imbalance(vectors_dir)
+    if n_cells >= 2 and ratio >= _RECENTER_ADVISORY_IMBALANCE:
+        print(
+            f"ADVISORY: the vector index's largest cell holds "
+            f"{ratio:.1f}x the mean cell's bytes ({n_cells} cells) — "
+            "the frozen quantizer no longer fits the accumulated "
+            "corpus (appends never move centroids), so probes "
+            "over-read the hot cells and fixed-probe recall decays; "
+            "re-fit with: wrds-spark-index recenter "
+            f"{index_path} --n-cells 0 (0 = auto-size; a hot "
+            "CLUSTER needs the re-seed — a centroid-seeded refine "
+            "can only move cells, never split one)",
+            file=sys.stderr,
+        )
+
+
 def _groups_churn_advisory(groups_store: str | None) -> None:
     """The groups-store maintenance advisory (VERDICT r11 next #5):
     merge churn grows the sidecar's dead-label residue, which dynamic
@@ -930,6 +990,15 @@ def index_main(argv: list[str] | None = None) -> int:
                     "them — codes encode raw vectors, not IVF "
                     "residuals, so reassignment alone never "
                     "invalidates them")
+    rc.add_argument("--n-cells", type=int, default=None,
+                    help="RE-SEED the quantizer at this cell count "
+                    "(0 = auto-size from the current store): moved "
+                    "seeds can never split a cluster none landed in, "
+                    "so a grown store's hot cell needs a re-seed, "
+                    "not just a refine; default keeps the stored "
+                    "count and seeds from the stored centroids")
+    rc.add_argument("--target-cell-size", type=int, default=1024,
+                    help="auto-sizing target for --n-cells 0")
 
     pv = sub.add_parser("prune-vector", help="prototype-pruned survivor ids "
                         "(D4-style: keep far/near members per cell)")
@@ -1315,9 +1384,12 @@ def index_main(argv: list[str] | None = None) -> int:
         s = recenter_vector_index(
             spark, args.index_path, n_iter=args.iters,
             assign=args.assign, retrain_pq=args.retrain_pq,
+            n_cells=args.n_cells,
+            target_cell_size=args.target_cell_size,
         )
         print(
-            f"recentered {args.index_path}: {s['n_cells']} cells x "
+            f"recentered {args.index_path}: {s['n_cells']}->"
+            f"{s['n_cells_after']} cells x "
             f"{s['n_iter']} rounds ({s['assign']}), objective "
             f"{s['objective_before']} -> {s['objective_after']}, "
             f"{s['rows_before']}->{s['rows_after']} rows, "
@@ -1367,6 +1439,7 @@ def index_main(argv: list[str] | None = None) -> int:
                 f"compact --vector-index {args.index_path}",
                 file=_sys.stderr,
             )
+        _recenter_advisory(args.index_path)
         _groups_churn_advisory(args.groups_store)
     elif args.cmd == "prune-vector":
         from wrds_data_pipeline_spark.operators.vector_index import (

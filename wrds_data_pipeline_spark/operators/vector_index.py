@@ -341,6 +341,8 @@ def recenter_vector_index(
     assign: str = "auto",
     retrain_pq: bool = False,
     pq_sample_cap: int = 2048,
+    n_cells: int | None = None,
+    target_cell_size: int = 1024,
 ) -> dict:
     """Maintenance verb: re-fit the coarse quantizer to the CURRENT
     store and rewrite the index around it.  The append/ingest path
@@ -383,6 +385,19 @@ def recenter_vector_index(
     Full-row duplicates (at-least-once replay residue) fold out in
     the rewrite, so recenter subsumes ``compact_vector_index``.
 
+    ``n_cells``: by default the cell count is KEPT and the Lloyd
+    rounds are seeded from the STORED centroids — cheap and stable,
+    but seeds can only MOVE, so a tight 10x-mass cluster that crammed
+    into one cell stays one (hot) cell: Lloyd never splits a cluster
+    no seed landed in.  Pass ``n_cells`` (or 0 to auto-size from the
+    current store via ``target_cell_size`` — the ``ivf_build`` rule)
+    to RE-SEED the quantizer from the store itself (deterministic
+    hash-bucket sample): a grown store's hot mass draws
+    proportionally many seeds, so it splits — full re-quantization
+    without rebuilding from sources.  Objective monotonicity holds
+    within the Lloyd rounds either way; cell IDS are not comparable
+    across a re-seed.
+
     Returns stats: rows/files before and after, and the mean
     assigned-cosine objective before/after (non-decreasing under
     exact assignment — Lloyd's monotonicity)."""
@@ -407,9 +422,11 @@ def recenter_vector_index(
     idx = load_vector_index(spark, path)
     id_col, vec_col = idx.id_col, idx.vec_col
     cents = idx.centroid_list()
-    if assign == "auto":
+    if assign == "auto" and n_cells is None:
         # the ivf_build auto rule; resolved once so the Lloyd rounds
-        # and the final reassignment use the same routing
+        # and the final reassignment use the same routing (the
+        # re-seed path lets ivf_build resolve it against the NEW
+        # cell count instead)
         assign = "hierarchical" if len(cents) > 128 else "exact"
     stats: dict = {
         "n_cells": len(cents),
@@ -421,14 +438,33 @@ def recenter_vector_index(
     }
     # replay residue folds out here: recenter is a full rewrite
     raw = idx.df.select(id_col, vec_col).dropDuplicates()
-    new_cents = ivf_refine(
-        raw, cents, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        assign=assign,
-    )
-    assigner = (
-        hierarchical_assigner if assign == "hierarchical" else exact_assigner
-    )(new_cents, vec_col)
-    assigned = assigner(raw)
+    if n_cells is not None:
+        # RE-SEED from the store (the ivf_build sampling + the same
+        # Lloyd rounds): a moved-seed refine cannot split a cluster no
+        # stored centroid landed in — this can.  n_cells=0 auto-sizes.
+        raw = raw.localCheckpoint(eager=True)  # seeds + rounds + assign
+        assigned, new_cents = ivf_build(
+            raw,
+            n_cells=(n_cells if n_cells > 0 else None),
+            id_col=id_col,
+            vec_col=vec_col,
+            refine_iters=n_iter,
+            target_cell_size=target_cell_size,
+            assign=assign,
+        )
+        stats["n_cells_after"] = len(new_cents)
+    else:
+        new_cents = ivf_refine(
+            raw, cents, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            assign=assign,
+        )
+        assigner = (
+            hierarchical_assigner
+            if assign == "hierarchical"
+            else exact_assigner
+        )(new_cents, vec_col)
+        assigned = assigner(raw)
+        stats["n_cells_after"] = len(new_cents)
     cb = idx.codebooks
     if cb is not None and retrain_pq:
         cb = pq_train(
