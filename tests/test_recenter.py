@@ -388,3 +388,38 @@ def test_cli_ingest_vectors_advises_recenter(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "recenter" not in capsys.readouterr().err
+
+
+def test_evaluate_vector_index_scorecard(spark, tmp_path, capsys):
+    """The measured diagnosis behind the advisory: probe-all recall
+    is exactly 1.0 (ANN ≡ brute force when every cell is read), the
+    drifted store scores worse than its recentered self on recall AND
+    fit, and the CLI prints the scorecard."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        evaluate_vector_index,
+    )
+
+    path = str(tmp_path / "vidx")
+    all_rows, _ = _drifted_store(spark, path)
+    before = evaluate_vector_index(
+        spark, path, n_queries=24, k=10, n_probe=1
+    )
+    assert before["rows"] == len(all_rows)
+    # probe-all ≡ brute force, whatever the quantizer's state
+    probe_all = evaluate_vector_index(
+        spark, path, n_queries=24, k=10, n_probe=before["n_cells"]
+    )
+    assert probe_all["recall_at_k"] == 1.0
+    assert probe_all["probed_rows_frac"] == 1.0
+    recenter_vector_index(spark, path, n_iter=4)
+    after = evaluate_vector_index(
+        spark, path, n_queries=24, k=10, n_probe=1
+    )
+    assert after["recall_at_k"] > before["recall_at_k"]
+    assert after["mean_assigned_cosine"] > before["mean_assigned_cosine"]
+    capsys.readouterr()
+    rc = index_main(["eval-vector", path, "--queries", "8", "--k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recall@5=" in out and "probed_rows_frac=" in out

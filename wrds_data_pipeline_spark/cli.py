@@ -1000,6 +1000,24 @@ def index_main(argv: list[str] | None = None) -> int:
     rc.add_argument("--target-cell-size", type=int, default=1024,
                     help="auto-sizing target for --n-cells 0")
 
+    evv = sub.add_parser(
+        "eval-vector",
+        help="measured ANN health of the index: recall@k vs exact "
+        "brute force on a hash-sample of the store's own vectors, "
+        "probed-rows fraction, quantizer-fit objective, cell "
+        "imbalance — the before/after scorecard for recenter (the "
+        "ingest advisory's byte heuristic, quantified)",
+    )
+    evv.add_argument("index_path")
+    evv.add_argument("--queries", type=int, default=64,
+                     help="sample size (the brute-force truth costs "
+                     "one store scan x this)")
+    evv.add_argument("--k", type=int, default=10)
+    evv.add_argument("--n-probe", type=int, default=4)
+    evv.add_argument("--exact", action="store_true",
+                     help="force exact within-cell scoring even on a "
+                     "PQ index")
+
     pv = sub.add_parser("prune-vector", help="prototype-pruned survivor ids "
                         "(D4-style: keep far/near members per cell)")
     pv.add_argument("index_path")
@@ -1376,6 +1394,24 @@ def index_main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append-vector":
         append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
         print(f"appended {args.emb_path} -> {args.index_path}")
+    elif args.cmd == "eval-vector":
+        from wrds_data_pipeline_spark.operators.vector_index import (
+            evaluate_vector_index,
+        )
+
+        m = evaluate_vector_index(
+            spark, args.index_path, n_queries=args.queries,
+            k=args.k, n_probe=args.n_probe,
+            use_pq=False if args.exact else None,
+        )
+        print(
+            f"eval {args.index_path}: recall@{m['k']}="
+            f"{m['recall_at_k']} (n_probe={m['n_probe']}, "
+            f"{m['n_queries']} sampled queries) | probed_rows_frac="
+            f"{m['probed_rows_frac']} | mean_assigned_cosine="
+            f"{m['mean_assigned_cosine']} | cells={m['n_cells']} "
+            f"max/mean={m['max_mean_cell_ratio']} | rows={m['rows']}"
+        )
     elif args.cmd == "recenter":
         from wrds_data_pipeline_spark.operators.vector_index import (
             recenter_vector_index,

@@ -957,6 +957,118 @@ def semantic_ingest_increment(
     return pairs
 
 
+def evaluate_vector_index(
+    spark: SparkSession,
+    path: str,
+    n_queries: int = 64,
+    k: int = 10,
+    n_probe: int = 4,
+    use_pq: bool | None = None,
+) -> dict:
+    """Measured ANN HEALTH of the persisted index — the quantitative
+    diagnosis behind the ingest advisory's byte-imbalance heuristic,
+    and the before/after scorecard for ``recenter``:
+
+    - ``recall_at_k``: mean |ANN top-k ∩ exact top-k| / k over a
+      deterministic hash-sample of the store's own vectors (smallest
+      (xxhash64(id), id) — ``pq_train``'s sampling shape: reproducible,
+      TakeOrderedAndProject, decorrelated from insertion order).
+      Ground truth is ``brute_force_topk_batch`` (ONE corpus scan
+      serves every query); both sides break ties by id, so the
+      comparison is deterministic.
+    - ``probed_rows_frac``: mean fraction of store rows inside each
+      query's ``n_probe`` nearest cells (``probe_cells`` expression
+      joined to per-cell counts — distributed, never a per-query
+      driver loop) — the read cost the same-cell/probe conventions
+      actually pay.
+    - ``mean_assigned_cosine``: the spherical-k-means objective over
+      the whole store (quantizer fit).
+    - ``max_mean_cell_ratio``: row-count imbalance, the exact form of
+      the advisory's byte proxy.
+
+    Cost: the brute-force truth is O(store × n_queries) dots — a
+    DIAGNOSTIC bound by ``n_queries``, not a serving path.  Returns a
+    plain dict."""
+    from .similarity import brute_force_topk_batch, probe_cells
+
+    idx = load_vector_index(spark, path)
+    id_col, vec_col = idx.id_col, idx.vec_col
+    store = idx.df
+    queries = (
+        store.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(n_queries)
+        .drop("_h")
+        .localCheckpoint(eager=True)  # truth + ANN + probe map reuse it
+    )
+    truth = (
+        brute_force_topk_batch(
+            queries, store.select(id_col, vec_col), k=k,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .groupBy("query_id")
+        .agg(F.collect_set(id_col).alias("_truth"))
+    )
+    ann = (
+        vector_index_topk_batch(
+            idx, queries, k=k, n_probe=n_probe, use_pq=use_pq,
+        )
+        .groupBy("query_id")
+        .agg(F.collect_set(id_col).alias("_got"))
+    )
+    [r] = (
+        truth.join(ann, "query_id", "left")
+        .select(
+            F.avg(
+                F.size(
+                    F.array_intersect(
+                        "_truth", F.coalesce("_got", F.array())
+                    )
+                )
+                / F.least(F.size("_truth"), F.lit(k))
+            ).alias("recall")
+        )
+        .collect()
+    )
+    recall = round(float(r["recall"]), 6)
+    pops = store.groupBy("cell").agg(F.count("*").alias("_n"))
+    total = store.count()
+    cents = idx.centroid_list()
+    [p] = (
+        queries.select(
+            "query_id",
+            F.explode(
+                probe_cells(cents, "query_vec", n_probe)
+            ).alias("cell"),
+        )
+        .join(pops, "cell", "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_n", F.lit(0))).alias("_probed"))
+        .select(F.avg(F.col("_probed") / F.lit(total)).alias("f"))
+        .collect()
+    )
+    cell_rows = [int(x["_n"]) for x in pops.collect()]
+    return {
+        "n_queries": queries.count(),
+        "k": k,
+        "n_probe": n_probe,
+        "recall_at_k": recall,
+        "probed_rows_frac": round(float(p["f"]), 6),
+        "mean_assigned_cosine": _mean_assigned_cosine(store, cents, vec_col),
+        "n_cells": len(cents),
+        "max_mean_cell_ratio": round(
+            max(cell_rows) / (sum(cell_rows) / len(cell_rows)), 3
+        )
+        if cell_rows
+        else 1.0,
+        "rows": total,
+    }
+
+
 def harvest_canonical_vectors(
     spark: SparkSession,
     index_path: str,
