@@ -228,3 +228,28 @@ def test_cli_compact_reshard(spark, tmp_path):
             "compact", "--vector-index", str(tmp_path / "v"),
             "--reshard", "3",
         ])
+
+
+def test_reshard_pre_retention_index(spark, tmp_path):
+    """An index built before signature retention (no signatures/ dir)
+    reshards cleanly: bands migrate, the meta re-pins, and the
+    resharded index stays signature-less (presence-based activation —
+    a PARTIAL store would silently lose salvage members) with probe
+    results unchanged."""
+    incs = _increments(spark)
+    idx = str(tmp_path / "idx")
+    build_band_index(incs[0], idx, n_shards=16)
+    shutil.rmtree(f"{idx}/signatures")  # the pre-retention shape
+    probe = incs[1]
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in probe_band_index(probe, idx).collect()
+    }
+    stats = compact_band_index(spark, idx, reshard=4)
+    assert "sig_rows_before" not in stats
+    assert not os.path.isdir(f"{idx}/signatures")
+    assert _read_band_index_meta(spark, idx)["n_shards"] == 4
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in probe_band_index(probe, idx).collect()
+    } == want
