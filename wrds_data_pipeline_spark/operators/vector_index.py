@@ -436,14 +436,25 @@ def recenter_vector_index(
         "files_before": _count_parquet_files(f"{path}/vectors"),
         "objective_before": _mean_assigned_cosine(idx.df, cents, vec_col),
     }
-    # replay residue folds out here: recenter is a full rewrite
-    raw = idx.df.select(id_col, vec_col).dropDuplicates()
+    # The fitting passes (seed sample + each Lloyd round) scan the
+    # PARQUET store directly — no dedup shuffle per pass, no
+    # store-sized cache/checkpoint (the store is already durable on
+    # disk; materializing a full second copy is exactly what a 100 TB
+    # verb must not do).  At-least-once replay duplicates are benign
+    # to fitting: the hash-bucket seed sample's min_by is unchanged by
+    # repeated rows, and a duplicated vector merely double-weights one
+    # point in a cell mean — deterministic either way.  The dedup
+    # shuffle is paid ONCE, on the final assignment that gets written,
+    # which is where duplicate rows actually corrupt results (a
+    # replayed append is a second identical top-k neighbor) — so
+    # recenter still subsumes compact.
+    raw = idx.df.select(id_col, vec_col)
+    write_rows = raw.dropDuplicates()
     if n_cells is not None:
         # RE-SEED from the store (the ivf_build sampling + the same
         # Lloyd rounds): a moved-seed refine cannot split a cluster no
         # stored centroid landed in — this can.  n_cells=0 auto-sizes.
-        raw = raw.localCheckpoint(eager=True)  # seeds + rounds + assign
-        assigned, new_cents = ivf_build(
+        _, new_cents = ivf_build(
             raw,
             n_cells=(n_cells if n_cells > 0 else None),
             id_col=id_col,
@@ -452,19 +463,20 @@ def recenter_vector_index(
             target_cell_size=target_cell_size,
             assign=assign,
         )
-        stats["n_cells_after"] = len(new_cents)
+        if assign == "auto":
+            assign = "hierarchical" if len(new_cents) > 128 else "exact"
     else:
         new_cents = ivf_refine(
             raw, cents, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
             assign=assign,
         )
-        assigner = (
-            hierarchical_assigner
-            if assign == "hierarchical"
-            else exact_assigner
-        )(new_cents, vec_col)
-        assigned = assigner(raw)
-        stats["n_cells_after"] = len(new_cents)
+    stats["n_cells_after"] = len(new_cents)
+    stats["assign"] = assign  # the re-seed path resolves auto late
+    assigned = (
+        hierarchical_assigner
+        if assign == "hierarchical"
+        else exact_assigner
+    )(new_cents, vec_col)(write_rows)
     cb = idx.codebooks
     if cb is not None and retrain_pq:
         cb = pq_train(

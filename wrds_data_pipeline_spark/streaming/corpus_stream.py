@@ -1022,6 +1022,10 @@ def streaming_tokenizer_stats(
     a restart and later runs keep accumulating (committed batches are
     never re-read under ``checkpoint_dir``, so their partials are
     never re-emitted); without it the partials live in this call.
+    The store appends one tiny file per batch forever — reclaim with
+    ``wrds-spark-index compact --flat-store`` (full-row dedup is safe
+    here: distinct epochs are distinct rows, and a replayed epoch's
+    partial is bit-identical).
 
     Returns {n_docs, n_tokens, n_bytes, n_unk, bytes_per_token,
     unk_rate} over everything seen so far."""
