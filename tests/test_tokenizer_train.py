@@ -907,3 +907,28 @@ def test_cli_distributed_em_guard_and_run(spark, tmp_path):
     assert rc == 0
     tok = PurePythonTokenizer.from_file(out_json)
     assert len(tok.encode("some sample text").ids) > 0
+
+
+def test_distributed_unigram_partition_invariant(spark):
+    """The distributed E-step's only nondeterminism surface is the
+    partial-sum re-association across batches — which changes with
+    the words relation's PARTITIONING.  A real cluster repartitions
+    freely, so pin it: different partition layouts give the same
+    piece set and log-probs to 1e-9 (the M-step normalization absorbs
+    the re-association residue; pruning margins sit far above it)."""
+    import math
+
+    from wrds_data_pipeline_spark.functions.tokenizer_train import (
+        learn_unigram_distributed,
+    )
+
+    base = spark.createDataFrame(_UNI_TINY, "word string, count long")
+    results = []
+    for parts in (1, 3, 7):
+        entries = learn_unigram_distributed(base.repartition(parts), 30)
+        results.append(dict(entries))
+    ref = results[0]
+    for other in results[1:]:
+        assert set(other) == set(ref)
+        for p, lp in ref.items():
+            assert math.isclose(other[p], lp, rel_tol=0, abs_tol=1e-9)
