@@ -423,3 +423,36 @@ def test_evaluate_vector_index_scorecard(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "recall@5=" in out and "probed_rows_frac=" in out
+
+
+def test_eval_vector_external_queries(spark, tmp_path):
+    """eval-vector on an EXTERNAL query set: recall is measured on
+    that distribution (no trivial self-matches), probe-all still
+    equals brute force, and the cap applies."""
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        evaluate_vector_index,
+    )
+
+    rng = random.Random(17)
+    path = str(tmp_path / "vidx")
+    store = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_vecs(rng, 0, 60) + _vecs(rng, 1, 60))],
+        "vec_id long, embedding array<float>",
+    )
+    build_vector_index(store, path, n_cells=4)
+    ext = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_vecs(rng, 0, 9) + _vecs(rng, 1, 9))],
+        "qid long, qvec array<float>",
+    )
+    m = evaluate_vector_index(
+        spark, path, n_queries=12, k=5, n_probe=4,
+        queries=ext, query_id_col="qid", query_vec_col="qvec",
+    )
+    assert m["n_queries"] == 12  # the cap applied to the external set
+    assert m["recall_at_k"] == 1.0  # probe-all == brute force
+    m2 = evaluate_vector_index(
+        spark, path, n_queries=12, k=5, n_probe=1,
+        queries=ext, query_id_col="qid", query_vec_col="qvec",
+    )
+    assert 0 < m2["probed_rows_frac"] < 1.0
+    assert 0 < m2["recall_at_k"] <= 1.0

@@ -1017,6 +1017,11 @@ def index_main(argv: list[str] | None = None) -> int:
     evv.add_argument("--exact", action="store_true",
                      help="force exact within-cell scoring even on a "
                      "PQ index")
+    evv.add_argument("--queries-path", default=None,
+                     help="optional (vec_id, embedding) parquet to "
+                     "sample queries from (the PRODUCTION query "
+                     "distribution) instead of the store's own "
+                     "vectors")
 
     pv = sub.add_parser("prune-vector", help="prototype-pruned survivor ids "
                         "(D4-style: keep far/near members per cell)")
@@ -1399,10 +1404,15 @@ def index_main(argv: list[str] | None = None) -> int:
             evaluate_vector_index,
         )
 
+        ext = None
+        if args.queries_path is not None:
+            ext = spark.read.parquet(args.queries_path)
         m = evaluate_vector_index(
             spark, args.index_path, n_queries=args.queries,
             k=args.k, n_probe=args.n_probe,
             use_pq=False if args.exact else None,
+            queries=ext,
+            query_id_col="vec_id", query_vec_col="embedding",
         )
         print(
             f"eval {args.index_path}: recall@{m['k']}="

@@ -976,6 +976,9 @@ def evaluate_vector_index(
     k: int = 10,
     n_probe: int = 4,
     use_pq: bool | None = None,
+    queries: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
 ) -> dict:
     """Measured ANN HEALTH of the persisted index — the quantitative
     diagnosis behind the ingest advisory's byte-imbalance heuristic,
@@ -998,6 +1001,12 @@ def evaluate_vector_index(
     - ``max_mean_cell_ratio``: row-count imbalance, the exact form of
       the advisory's byte proxy.
 
+    ``queries``: by default the sample is drawn from the STORE's own
+    vectors (every query trivially self-matches — a constant 1/k on
+    both sides of any comparison); pass a (query_id, query_vec)
+    DataFrame to measure recall on the PRODUCTION query distribution
+    instead (capped at ``n_queries`` by the same hash order).
+
     Cost: the brute-force truth is O(store × n_queries) dots — a
     DIAGNOSTIC bound by ``n_queries``, not a serving path.  Returns a
     plain dict."""
@@ -1006,11 +1015,22 @@ def evaluate_vector_index(
     idx = load_vector_index(spark, path)
     id_col, vec_col = idx.id_col, idx.vec_col
     store = idx.df
-    queries = (
+    src = (
         store.select(
-            F.xxhash64(F.col(id_col)).alias("_h"),
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("query_vec"),
+        )
+        if queries is None
+        else queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("query_vec"),
+        )
+    )
+    queries = (
+        src.select(
+            F.xxhash64(F.col("query_id")).alias("_h"),
+            "query_id",
+            "query_vec",
         )
         .orderBy("_h", "query_id")
         .limit(n_queries)
