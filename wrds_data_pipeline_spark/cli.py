@@ -1399,6 +1399,9 @@ def index_main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append-vector":
         append_vector_index(spark.read.parquet(args.emb_path), args.index_path)
         print(f"appended {args.emb_path} -> {args.index_path}")
+        # appends assign with the FROZEN quantizer — the same drift
+        # accumulation ingest-vectors watches for
+        _recenter_advisory(args.index_path)
     elif args.cmd == "eval-vector":
         from wrds_data_pipeline_spark.operators.vector_index import (
             evaluate_vector_index,
