@@ -691,3 +691,64 @@ def test_ingest_cli_advises_groups_rebuild(
     ])
     assert rc == 0
     assert "dead group labels" not in capsys.readouterr().err
+
+
+def test_audit_groups_store_cohesion_and_false_merge(spark, tmp_path, capsys):
+    """The pre-harvest audit: genuine near-dup groups score high star
+    jaccard; an engineered FALSE merge (a bogus pair injected between
+    dissimilar docs — the wholesale-merge corruption class the
+    evidence gate blocks) surfaces as a near-zero star pair; the CLI
+    aggregates the split."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.components import (
+        audit_groups_store,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "planner prunes partitions and pushes filters into the scan "
+    )
+    root = str(tmp_path)
+    idx, store, groups = f"{root}/idx", f"{root}/store", f"{root}/groups"
+    rows = [
+        (i, base + f"variant {i % 5} " + "tail " * (i % 3))
+        for i in range(100, 130)
+    ] + [(900, "completely unrelated text about parquet readers and shuffles")]
+    ingest_increment(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        idx, store, groups_store_path=groups,
+    )
+    audited = audit_groups_store(spark, groups, store, n_groups=16)
+    got = audited.collect()
+    assert len(got) > 0
+    assert all(r["id_a"] < r["id_b"] or r["id_a"] == r["group_id"] for r in got)
+    assert min(r["jaccard"] for r in got) > 0.3  # genuine near-dups cohere
+
+    # engineer the false merge: doc 900 (dissimilar) forced into a group
+    update_groups_store(
+        spark, groups,
+        spark.createDataFrame([(100, 900)], ["id_a", "id_b"]),
+        n_shards=64,
+    )
+    audited2 = audit_groups_store(
+        spark, groups, store, n_groups=16, max_pairs_per_group=32
+    )
+    by_pair = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in audited2.collect()
+    }
+    bogus = [j for (a, b), j in by_pair.items() if b == 900]
+    assert bogus and max(bogus) < 0.2  # the false merge surfaces
+    capsys.readouterr()
+    rc = index_main([
+        "audit-groups", groups, store, "--groups", "16",
+        "--pairs-per-group", "32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "suspected false merges" in out
+    import re
+
+    m = re.search(r"(\d+) pair\(s\) below", out)
+    assert m and int(m.group(1)) >= 1

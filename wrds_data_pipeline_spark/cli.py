@@ -913,6 +913,30 @@ def index_main(argv: list[str] | None = None) -> int:
                     "derives from (only used with --reshard "
                     "--docs-store)")
 
+    au = sub.add_parser(
+        "audit-groups",
+        help="cohesion audit of resolved duplicate groups: sample "
+        "non-singleton groups, measure each sampled member's EXACT "
+        "jaccard against its group's canonical label using the docs "
+        "store — near-zero star pairs are the false-merge signature; "
+        "the pre-harvest sanity check",
+    )
+    au.add_argument("groups_store", help="duplicate-groups store path")
+    au.add_argument("docs_store", help="shard-partitioned (id, text) store")
+    au.add_argument("--groups", type=int, default=64,
+                    help="groups sampled (hash order, deterministic)")
+    au.add_argument("--pairs-per-group", type=int, default=8)
+    au.add_argument("--k-shingle", type=int, default=3)
+    au.add_argument("--id-col", default="doc_id")
+    au.add_argument("--suspect-below", type=float, default=0.2,
+                    help="star pairs under this exact jaccard are "
+                    "counted as suspected false merges (legitimate "
+                    "transitive chains score between this and the "
+                    "ingest threshold)")
+    au.add_argument("--out", default=None,
+                    help="optionally write the per-pair "
+                    "(group_id, id_a, id_b, jaccard) parquet")
+
     hv = sub.add_parser(
         "harvest",
         help="emit the DEDUPLICATED corpus from the ingest loop's two "
@@ -1159,6 +1183,43 @@ def index_main(argv: list[str] | None = None) -> int:
                 f"{s['rows_before']} -> {s['rows_after']}, files "
                 f"{s['files_before']} -> {s['files_after']}{extra}"
             )
+        return 0
+
+    if args.cmd == "audit-groups":
+        from pyspark.sql import functions as F
+
+        from wrds_data_pipeline_spark.operators.components import (
+            audit_groups_store,
+        )
+
+        try:
+            audited = audit_groups_store(
+                spark, args.groups_store, args.docs_store,
+                n_groups=args.groups,
+                max_pairs_per_group=args.pairs_per_group,
+                k_shingle=args.k_shingle, id_col=args.id_col,
+            ).localCheckpoint(eager=True)
+        except (ValueError, FileNotFoundError) as exc:
+            raise SystemExit(str(exc)) from exc
+        if args.out is not None:
+            audited.write.mode("overwrite").parquet(args.out)
+        [s] = audited.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.countDistinct("group_id").alias("groups"),
+            F.round(F.avg("jaccard"), 4).alias("mean_j"),
+            F.round(F.min("jaccard"), 4).alias("min_j"),
+            F.sum(
+                (F.col("jaccard") < args.suspect_below).cast("long")
+            ).alias("suspect"),
+        ).collect()
+        print(
+            f"audit: {s['groups']} groups, {s['pairs']} star pairs | "
+            f"mean jaccard={s['mean_j']} min={s['min_j']} | "
+            f"{s['suspect']} pair(s) below {args.suspect_below} "
+            "(suspected false merges; legitimate transitive chains "
+            "score between this and the ingest threshold)"
+            + (f" -> {args.out}" if args.out else "")
+        )
         return 0
 
     if args.cmd == "harvest":

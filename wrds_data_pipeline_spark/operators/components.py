@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -791,6 +792,129 @@ def compact_groups_store(
     stats["files_after"] = _count_parquet_files(path)
     stats["sidecar_rows_after"] = spark.read.parquet(sc_dir).count()
     return stats
+
+
+def audit_groups_store(
+    spark,
+    groups_store_path: str,
+    docs_store_path: str,
+    n_groups: int = 64,
+    max_pairs_per_group: int = 8,
+    k_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """COHESION audit of resolved duplicate groups: sample non-
+    singleton groups, pair each sampled member with its group's
+    canonical label (the star edges connected-components asserted),
+    and measure each pair's EXACT n-gram Jaccard against the docs
+    store — the "did my dedup over-merge?" report a production
+    curation loop runs before harvesting.
+
+    Reading: what the numbers mean.  Groups are TRANSITIVE closures,
+    so a star pair may legitimately score below the ingest threshold
+    (A~B~C admits a low jaccard(A, C) — chain cohesion, not pairwise
+    precision); a NEAR-ZERO star pair is the false-merge signature
+    (the degenerate hot-bucket class the evidence gate exists to
+    block).  The CLI aggregates exactly that split.
+
+    Scale: every read is sample-bounded and pruned.  The sampled
+    groups' members resolve through the inverted sidecar
+    (``_affected_member_shards`` — the update path's own lookup), the
+    docs-store text read statically prunes to the sampled members'
+    id-shards, pairs are capped at ``max_pairs_per_group`` (hash
+    order — deterministic), and the exact-jaccard verification is the
+    candidate-driven ``dedup.jaccard_pairs`` path (never an inverted-
+    index self-join).  Group sampling is the smallest
+    (xxhash64(group_id), group_id) — reproducible, decorrelated from
+    id order.
+
+    Returns (group_id, id_a, id_b, jaccard) — id_a is the canonical
+    label.  Only text docs stores are auditable (vector-resolved
+    groups have no text side; their analogue is the exact-cosine pair
+    relation semantic ingest already materializes)."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _doc_store_shard,
+        _recover_compact_swap,
+        jaccard_pairs,
+    )
+
+    _recover_compact_swap(groups_store_path)
+    _recover_compact_swap(docs_store_path)
+    with open(os.path.join(groups_store_path, _DOCS_STORE_META)) as fh:
+        g_shards = int(json.load(fh)["groups_shards"])
+    store = spark.read.parquet(groups_store_path)
+    sampled = (
+        store.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= 2)
+        .select(
+            F.xxhash64(F.col("group_id")).alias("_h"), "group_id"
+        )
+        .orderBy("_h", "group_id")
+        .limit(n_groups)
+        .drop("_h")
+        .localCheckpoint(eager=True)  # sidecar lookup + member join
+    )
+    m_shards = _affected_member_shards(spark, groups_store_path, g_shards, sampled)
+    members_src = spark.read.parquet(groups_store_path)
+    if m_shards is not None:
+        members_src = members_src.filter(F.col("shard").isin(m_shards))
+    w = Window.partitionBy("group_id").orderBy(
+        F.xxhash64(F.col("id")), F.col("id")
+    )
+    pairs = (
+        members_src.join(sampled, "group_id", "left_semi")
+        .filter(F.col("id") != F.col("group_id"))  # star edges only
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_pairs_per_group)
+        .select(
+            "group_id",
+            F.col("group_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+        )
+        # read by the shard collect and the verification join
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    with open(os.path.join(docs_store_path, _DOCS_STORE_META)) as fh:
+        d_shards = int(json.load(fh)["docs_shards"])
+    id_shards = [
+        r["s"]
+        for r in ids.select(
+            _doc_store_shard(F.col(id_col), d_shards).alias("s")
+        )
+        .distinct()
+        .collect()
+    ]
+    texts = (
+        spark.read.parquet(docs_store_path)
+        .filter(F.col("shard").isin(id_shards))
+        .join(ids, id_col, "left_semi")
+        .select(id_col, text_col)
+        .dropDuplicates([id_col])  # at-least-once append residue
+    )
+    scored = jaccard_pairs(
+        texts, id_col=id_col, text_col=text_col, k_shingle=k_shingle,
+        threshold=0.0,
+        candidates=pairs.select("id_a", "id_b"),
+    )
+    return (
+        pairs.select("group_id", "id_a", "id_b")
+        .join(scored, ["id_a", "id_b"], "left")
+        .select(
+            "group_id", "id_a", "id_b",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+    )
 
 
 def harvest_canonical_store(
