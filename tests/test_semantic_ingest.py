@@ -623,3 +623,79 @@ def test_probe_cells_warns_on_index_creating_call(spark, tmp_path):
     assert not any(
         "probe_cells applies only" in str(w.message) for w in caught2
     )
+
+
+def test_audit_groups_vectors_cosine_star_pairs(spark, tmp_path):
+    """The embedding loop's pre-harvest audit: star pairs of groups
+    resolved by semantic ingest score their EXACT cosine from the
+    persisted index; a bogus merge injected between orthogonal
+    vectors surfaces near zero."""
+    import random
+
+    from wrds_data_pipeline_spark.operators.components import (
+        audit_groups_vectors,
+        update_groups_store,
+    )
+
+    rng = random.Random(23)
+
+    def vecs(d, ids, noise=0.01):
+        rows = []
+        for i in ids:
+            v = [rng.uniform(-noise, noise) for _ in range(4)]
+            v[d] += 1.0
+            rows.append((i, [float(x) for x in v]))
+        return rows
+
+    path = str(tmp_path / "vidx")
+    groups = str(tmp_path / "groups")
+    inc = spark.createDataFrame(
+        vecs(0, range(0, 6)) + vecs(1, range(100, 106)),
+        "vec_id long, embedding array<float>",
+    )
+    semantic_ingest_increment(
+        inc, path, threshold=0.99, n_cells=2, groups_store_path=groups
+    )
+    audited = audit_groups_vectors(spark, groups, path, n_groups=8)
+    rows = audited.collect()
+    assert rows and all(r["cos_sim"] is not None for r in rows)
+    assert min(r["cos_sim"] for r in rows) > 0.95  # genuine dups cohere
+
+    # bogus merge across orthogonal directions
+    update_groups_store(
+        spark, groups,
+        spark.createDataFrame([(0, 100)], ["id_a", "id_b"]),
+        n_shards=64,
+    )
+    audited2 = audit_groups_vectors(
+        spark, groups, path, n_groups=8, max_pairs_per_group=32
+    )
+    cross = [
+        r["cos_sim"] for r in audited2.collect() if r["id_b"] >= 100
+    ]
+    assert cross and min(cross) < 0.2  # the false merge surfaces
+
+
+def test_cli_audit_vectors(spark, tmp_path, capsys):
+    import random
+
+    from wrds_data_pipeline_spark.cli import index_main
+
+    rng = random.Random(29)
+    rows = [
+        (i, [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01),
+             0.0, 0.0])
+        for i in range(8)
+    ]
+    inc = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    path, groups = str(tmp_path / "vidx"), str(tmp_path / "groups")
+    semantic_ingest_increment(
+        inc, path, threshold=0.99, n_cells=2, groups_store_path=groups
+    )
+    capsys.readouterr()
+    rc = index_main(["audit-vectors", groups, path, "--groups", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean cosine=" in out and "0 pair(s) below" in out

@@ -937,6 +937,21 @@ def index_main(argv: list[str] | None = None) -> int:
                     help="optionally write the per-pair "
                     "(group_id, id_a, id_b, jaccard) parquet")
 
+    av2 = sub.add_parser(
+        "audit-vectors",
+        help="audit-groups' twin for the embedding loop: sampled "
+        "members' EXACT cosine vs their group's canonical label, "
+        "read from the persisted vector index",
+    )
+    av2.add_argument("groups_store", help="duplicate-groups store path")
+    av2.add_argument("index_path", help="on-disk vector index")
+    av2.add_argument("--groups", type=int, default=64)
+    av2.add_argument("--pairs-per-group", type=int, default=8)
+    av2.add_argument("--suspect-below", type=float, default=0.5,
+                     help="star pairs under this cosine count as "
+                     "suspected false merges")
+    av2.add_argument("--out", default=None)
+
     hv = sub.add_parser(
         "harvest",
         help="emit the DEDUPLICATED corpus from the ingest loop's two "
@@ -1218,6 +1233,43 @@ def index_main(argv: list[str] | None = None) -> int:
             f"{s['suspect']} pair(s) below {args.suspect_below} "
             "(suspected false merges; legitimate transitive chains "
             "score between this and the ingest threshold)"
+            + (f" -> {args.out}" if args.out else "")
+        )
+        return 0
+
+    if args.cmd == "audit-vectors":
+        from pyspark.sql import functions as F
+
+        from wrds_data_pipeline_spark.operators.components import (
+            audit_groups_vectors,
+        )
+
+        try:
+            audited = audit_groups_vectors(
+                spark, args.groups_store, args.index_path,
+                n_groups=args.groups,
+                max_pairs_per_group=args.pairs_per_group,
+            ).localCheckpoint(eager=True)
+        except (ValueError, FileNotFoundError) as exc:
+            raise SystemExit(str(exc)) from exc
+        if args.out is not None:
+            audited.write.mode("overwrite").parquet(args.out)
+        [s] = audited.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.countDistinct("group_id").alias("groups"),
+            F.round(F.avg("cos_sim"), 4).alias("mean_c"),
+            F.round(F.min("cos_sim"), 4).alias("min_c"),
+            F.sum(
+                (F.col("cos_sim") < args.suspect_below).cast("long")
+            ).alias("suspect"),
+            F.sum(F.col("cos_sim").isNull().cast("long")).alias("missing"),
+        ).collect()
+        print(
+            f"audit: {s['groups']} groups, {s['pairs']} star pairs | "
+            f"mean cosine={s['mean_c']} min={s['min_c']} | "
+            f"{s['suspect']} pair(s) below {args.suspect_below} "
+            f"(suspected false merges), {s['missing']} member(s) "
+            "missing from the index"
             + (f" -> {args.out}" if args.out else "")
         )
         return 0

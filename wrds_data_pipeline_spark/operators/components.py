@@ -917,6 +917,107 @@ def audit_groups_store(
     )
 
 
+def audit_groups_vectors(
+    spark,
+    groups_store_path: str,
+    index_path: str,
+    n_groups: int = 64,
+    max_pairs_per_group: int = 8,
+) -> DataFrame:
+    """``audit_groups_store``'s twin for the EMBEDDING loop: sampled
+    members' exact COSINE against their group's canonical label, read
+    from the persisted vector index (semantic-resolved groups have no
+    text side).  Same sampling, capping, and false-merge reading as
+    the text audit — a near-zero star cosine inside a group whose
+    pairs came from semantic ingest means a merge the threshold never
+    justified.
+
+    Scale note: the vector index is CELL-partitioned (its probe
+    handle), so an id-keyed lookup has no partition pruning — the
+    vector read is ONE full scan semi-joined to the sample-bounded id
+    set (an audit's acceptable cost; the groups-store side still
+    prunes through the inverted sidecar).  Returns (group_id, id_a,
+    id_b, cos_sim), id_a the canonical label."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _recover_compact_swap,
+    )
+    from wrds_data_pipeline_spark.operators.similarity import cosine
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        load_vector_index,
+    )
+
+    _recover_compact_swap(groups_store_path)
+    with open(os.path.join(groups_store_path, _DOCS_STORE_META)) as fh:
+        g_shards = int(json.load(fh)["groups_shards"])
+    store = spark.read.parquet(groups_store_path)
+    sampled = (
+        store.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= 2)
+        .select(F.xxhash64(F.col("group_id")).alias("_h"), "group_id")
+        .orderBy("_h", "group_id")
+        .limit(n_groups)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    m_shards = _affected_member_shards(
+        spark, groups_store_path, g_shards, sampled
+    )
+    members_src = spark.read.parquet(groups_store_path)
+    if m_shards is not None:
+        members_src = members_src.filter(F.col("shard").isin(m_shards))
+    w = Window.partitionBy("group_id").orderBy(
+        F.xxhash64(F.col("id")), F.col("id")
+    )
+    pairs = (
+        members_src.join(sampled, "group_id", "left_semi")
+        .filter(F.col("id") != F.col("group_id"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_pairs_per_group)
+        .select(
+            "group_id",
+            F.col("group_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idx = load_vector_index(spark, index_path)
+    ids = (
+        pairs.select(F.col("id_a").alias(idx.id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(idx.id_col)))
+        .distinct()
+    )
+    vecs = (
+        idx.df.select(idx.id_col, idx.vec_col)
+        .join(ids, idx.id_col, "left_semi")
+        .dropDuplicates([idx.id_col])  # replay residue
+        .localCheckpoint(eager=True)  # joined twice below
+    )
+    a = vecs.select(
+        F.col(idx.id_col).alias("id_a"), F.col(idx.vec_col).alias("_va")
+    )
+    b = vecs.select(
+        F.col(idx.id_col).alias("id_b"), F.col(idx.vec_col).alias("_vb")
+    )
+    return (
+        pairs.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
+        .select(
+            "group_id",
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("_va").isNotNull() & F.col("_vb").isNotNull(),
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6),
+            ).alias("cos_sim"),
+        )
+    )
+
+
 def harvest_canonical_store(
     spark, docs_store_path: str, groups_store_path: str,
     id_col: str = "doc_id",
