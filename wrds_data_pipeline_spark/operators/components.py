@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from wrds_data_pipeline_spark.operators.store_lock import locked_store_verb
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -394,6 +395,7 @@ def _set_groups_churn(path: str, dead_labels: int) -> None:
         json.dump({"dead_labels": int(dead_labels)}, fh)
 
 
+@locked_store_verb('path')
 def rebuild_group_shards(spark, path: str, n_shards: int) -> None:
     """(Re)derive the inverted sidecar from a FULL store scan — the
     migration path for pre-sidecar stores, and the repair verb for a
@@ -434,7 +436,21 @@ def _affected_member_shards(
     matters: a STALE-SUPERSET sidecar (rows for members not yet
     relabeled) only over-reads, and a missing group is detected here —
     the sidecar can cost extra reads but never lose a member star."""
-    from wrds_data_pipeline_spark.operators.dedup import _doc_store_shard
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _doc_store_shard,
+        _store_has_rows,
+    )
+
+    # pre-sidecar store (created before the inverted sidecar existed):
+    # no _group_shards dir to read — same fallback as a stale sidecar,
+    # full member scan (update_groups_store migrates by rebuilding
+    # first; read-only callers like the audits must not die on the
+    # missing dir with a raw AnalysisException)
+    sc_dir = os.path.join(path, _GROUP_SHARDS_DIR)
+    if not os.path.isdir(sc_dir) or not _store_has_rows(sc_dir):
+        return None
 
     gshards = [
         r["g"]
@@ -460,6 +476,7 @@ def _affected_member_shards(
     return [r["shard"] for r in sc.select("shard").distinct().collect()]
 
 
+@locked_store_verb('path')
 def update_groups_store(
     spark,
     path: str,
@@ -694,6 +711,7 @@ def update_groups_store(
     return updated
 
 
+@locked_store_verb('path')
 def compact_groups_store(
     spark, path: str, reshard: int | None = None
 ) -> dict:
@@ -907,12 +925,36 @@ def audit_groups_store(
         threshold=0.0,
         candidates=pairs.select("id_a", "id_b"),
     )
+    # a pair whose member text is ABSENT from the docs store is a
+    # coverage violation, not a zero-similarity merge: leave its
+    # jaccard NULL (the vectors twin's cos_sim convention) so the CLI
+    # counts it as "missing" instead of a suspected false merge —
+    # coalescing to 0.0 here would fabricate exactly the signature
+    # the audit exists to surface (ADVICE r12)
+    present = texts.select(id_col).withColumn("_present", F.lit(True))
     return (
         pairs.select("group_id", "id_a", "id_b")
         .join(scored, ["id_a", "id_b"], "left")
+        .join(
+            present.select(
+                F.col(id_col).alias("id_a"), F.col("_present").alias("_pa")
+            ),
+            "id_a", "left",
+        )
+        .join(
+            present.select(
+                F.col(id_col).alias("id_b"), F.col("_present").alias("_pb")
+            ),
+            "id_b", "left",
+        )
         .select(
             "group_id", "id_a", "id_b",
-            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.when(
+                F.col("_pa").isNull() | F.col("_pb").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.coalesce("jaccard", F.lit(0.0)))
+            .alias("jaccard"),
         )
     )
 

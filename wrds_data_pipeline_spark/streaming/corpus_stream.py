@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from wrds_data_pipeline_spark.operators.store_lock import store_write_locks
 
 from wrds_data_pipeline_spark.functions.text import fingerprint
 
@@ -202,9 +203,10 @@ def _run_indexed_stream(
         # tests/test_corpus_stream restart tests).  Without it each
         # call starts from scratch (the single-shot tests' mode).
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    with store_write_locks([index_dir], 'streaming_indexed_dedup'):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     return (
         pd.concat(out, ignore_index=True)
         if out
@@ -554,9 +556,10 @@ def streaming_near_dedup_verified(
     writer = reader.parquet(path).writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    with store_write_locks([index_dir, docs_dir, groups_dir], 'streaming_near_dedup_verified'):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     return (
         pd.concat(out, ignore_index=True)
         if out
@@ -982,9 +985,10 @@ def streaming_semantic_ingest(
     writer = reader.parquet(path).writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    with store_write_locks([index_path, groups_store_path], 'streaming_semantic_ingest'):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     return (
         pd.concat(out, ignore_index=True)
         if out
@@ -1033,6 +1037,26 @@ def streaming_tokenizer_stats(
         tokenizer_corpus_stats,
     )
 
+    if stats_store is not None and checkpoint_dir is None:
+        # the exactly-once claim is the PAIR: the checkpoint keeps a
+        # restart from re-reading committed files, the epoch-keyed
+        # partials absorb within-run replays.  A store WITHOUT a
+        # checkpoint double-counts across restarts — run 2 re-reads
+        # everything with epoch ids restarting at 0 (and possibly
+        # different batch boundaries), so its epoch-0 partial collides
+        # with run 1's under the by-epoch dedup and an arbitrary row
+        # wins.  Refuse rather than persist silently-wrong totals.
+        raise ValueError(
+            "streaming_tokenizer_stats: stats_store requires "
+            "checkpoint_dir — persisted partials are keyed by the "
+            "per-run epoch id, so a restart without a checkpoint "
+            "re-reads all input under colliding epoch keys and the "
+            "accumulated totals double-count (or arbitrarily drop) "
+            "work. Pass checkpoint_dir (restarts resume after the "
+            "last committed batch), or drop stats_store for a "
+            "single-run eval."
+        )
+
     partials: list[tuple[int, int, int, int, int]] = []
 
     def _sink(bdf: DataFrame, epoch: int) -> None:
@@ -1060,9 +1084,10 @@ def streaming_tokenizer_stats(
     writer = reader.parquet(path).writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    with store_write_locks([stats_store], 'streaming_tokenizer_stats'):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
 
     if stats_store is not None:
         import os
