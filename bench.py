@@ -4,9 +4,16 @@
 Prints THREE JSON lines, ascending priority for a tail-truncating
 capture (the driver keeps ~2000 bytes and parses the FINAL line):
   {"aux": "bench_diagnostics", ...}   verbose named spreads (sacrificial)
-  {"aux": "spread", "mins": [...], "steal_pct": [...]}  compact, aligned
-      1:1 with the headline "queries" key order
+  {"aux": "spread", "mins": [...], "steal_pct": [...], "sel_steal":
+      [...]}  compact, aligned 1:1 with the headline "queries" key order
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline defends itself against host CPU steal (VERDICT r12
+missing #2): every repeat's /proc/stat steal window is measured,
+contended repeats (> SPARK_GRAFT_BENCH_STEAL_BOUND %, default 10) are
+excluded and re-run (up to SPARK_GRAFT_BENCH_MAX_EXTRA extras per
+query), and the stored number is the median of CALM repeats — so a
+round-over-round delta means the tree changed, not the weather.
 
 Headline set: one query per engine subsystem — aggregation, joins
 (broadcast + interval), window/as-of, resample+ffill, pivot,
@@ -135,40 +142,87 @@ def main() -> None:
     load_start = os.getloadavg()[0]
     cpu_start = _cpu_ticks()
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Steal-robust headline (round 13, VERDICT r12 missing #2): two
+    # rounds running, the stored medians measured the HOST's noisy
+    # neighbors, not the tree (r12: 32.9% window steal, every
+    # comparable median +1.0-4.5x, rank-correlated with per-query
+    # steal).  Fix the HEADLINE, not just the audit trail: measure
+    # steal per REPEAT; a repeat that rode a steal burst above
+    # STEAL_BOUND_PCT is disqualified from the headline; when ALL
+    # base repeats are contended, re-run (up to MAX_EXTRA more) until
+    # a calm sample appears.  Headline = median over CALM samples
+    # (median within calm keeps the one-deschedule robustness the old
+    # protocol had); if no calm window ever appears, the
+    # minimum-steal sample, with its steal stamped so the round
+    # record says so.
+    steal_bound = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_BOUND", "10"))
+    max_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     q_steal: dict[str, float | None] = {}
+    sel_steal: dict[str, float | None] = {}
+    extra_runs = 0
     total = 0.0
     for name in HEADLINE:
         fn = driver_queries.QUERIES[name]
-        samples, n = [], 0
+        samples: list[tuple[float, float | None]] = []  # (wall, steal)
+        n = 0
         q_ticks0 = _cpu_ticks()
-        for _ in range(repeats):
+
+        def _one_timed_run():
+            nonlocal n
+            r_ticks0 = _cpu_ticks()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            samples.append(time.time() - t0)
-        # per-query steal share over this query's own repeat window —
-        # pinpoints WHICH medians rode a contention burst (VERDICT r11
-        # adjudicated q13/q14 by hand for want of exactly this)
+            wall = time.time() - t0
+            samples.append((wall, _steal_share_pct(r_ticks0, _cpu_ticks())))
+
+        for _ in range(repeats):
+            _one_timed_run()
+
+        def _calm(s):
+            # unmeasurable steal (non-Linux) counts as calm: there is
+            # nothing to defend against that we can see
+            return s[1] is None or s[1] <= steal_bound
+
+        q_extra = 0  # the re-run budget is per query, not per bench
+        while not any(_calm(s) for s in samples) and q_extra < max_extra:
+            q_extra += 1
+            extra_runs += 1
+            _one_timed_run()
+
+        # per-query steal share over the whole repeat window —
+        # pinpoints WHICH queries ran under a contention burst
         q_steal[name] = _steal_share_pct(q_ticks0, _cpu_ticks())
-        samples.sort()
-        # true median (middle-two mean for even repeat counts — the
-        # upper-middle sample would bias the labeled "median" upward)
-        mid = len(samples) // 2
-        med = (
-            samples[mid]
-            if len(samples) % 2
-            else (samples[mid - 1] + samples[mid]) / 2
-        )
-        times[name] = round(med, 3)
-        # [min, median] per query (round 8, VERDICT r7 next #8): a
-        # protocol-wide load shift moves the median while the min
-        # stays put; a real plan regression moves BOTH — recorded so
-        # round-over-round deltas attribute themselves
-        spread[name] = [round(samples[0], 3), times[name]]
+
+        calm = sorted(w for w, st in samples if _calm((w, st)))
+        if calm:
+            # true median over calm samples (middle-two mean for even
+            # counts — the upper-middle sample would bias it upward)
+            mid = len(calm) // 2
+            med = (
+                calm[mid]
+                if len(calm) % 2
+                else (calm[mid - 1] + calm[mid]) / 2
+            )
+            times[name] = round(med, 3)
+            sel_steal[name] = max(
+                (st for w, st in samples if _calm((w, st)) and st is not None),
+                default=None,
+            )
+        else:
+            # every window was stolen: headline the least-stolen
+            # sample and stamp its steal — the record self-describes
+            # as contended instead of silently inflating
+            w, st = min(samples, key=lambda s: (s[1], s[0]))
+            times[name] = round(w, 3)
+            sel_steal[name] = st
+        walls = sorted(w for w, _ in samples)
+        spread[name] = [round(walls[0], 3), times[name]]
         total += times[name]
         print(
-            f"# {name}: {times[name]}s median of {samples} ({n} rows)",
+            f"# {name}: {times[name]}s headline of "
+            f"{[(round(w, 3), st) for w, st in samples]} ({n} rows)",
             file=sys.stderr,
         )
     load_end = os.getloadavg()[0]
@@ -185,32 +239,46 @@ def main() -> None:
     # goes FIRST — sacrificial, and fully mirrored to stderr anyway.
     print(json.dumps({
         "aux": "bench_diagnostics",
-        "query_spread_min_median": spread,
+        "query_spread_min_headline": spread,
         "protocol": {
             "repeats": repeats,
-            "stat": "median",
+            # headline per query = median over the repeats whose OWN
+            # window steal <= steal_bound_pct (per-repeat /proc/stat
+            # measurement; contended repeats are re-run up to
+            # max_extra_repeats more times); only when every window
+            # was stolen does the least-stolen single sample headline,
+            # with its steal stamped in the compact line's sel_steal.
+            "stat": "median_of_calm_repeats_else_min_steal_sample",
+            "steal_bound_pct": steal_bound,
+            "max_extra_repeats_per_query": max_extra,
+            "extra_repeats_run": extra_runs,
             "load_avg_1m_start": round(load_start, 2),
             "load_avg_1m_end": round(load_end, 2),
             # host CPU withheld from this VM during the bench window,
             # as % of non-idle guest+steal time — the contention the
             # guest's own loadavg CANNOT see (measured 56%-of-user
             # cumulative steal on this box; same-day same-tree runs
-            # swung ~2.5x with it).  High steal => trust the per-query
-            # mins, not the medians, across rounds.
+            # swung ~2.5x with it).  The headline now defends itself
+            # per repeat; this window-wide figure stays for
+            # cross-round context.
             "cpu_steal_pct_bench_window": steal_pct,
         },
     }))
-    # compact spread: "mins"/"steal_pct" arrays align 1:1 with the
-    # headline "queries" dict's key order (json preserves insertion
-    # order; both are built in HEADLINE order) — per-query minimum
-    # wall and per-query-window steal share, the two numbers that
-    # adjudicate a median delta as plan-change vs contention.
+    # compact spread: arrays align 1:1 with the headline "queries"
+    # dict's key order (json preserves insertion order; both are
+    # built in HEADLINE order) — per-query minimum wall, per-query
+    # repeat-window steal share, and sel_steal = the steal stamped on
+    # the sample(s) the headline actually used (<= bound unless every
+    # window was stolen, which is the round record saying "this
+    # query's headline is still weather").
     print(json.dumps({
         "aux": "spread",
         "order": "headline_queries_keys",
         "mins": [spread[n][0] for n in HEADLINE],
         "steal_pct": [q_steal[n] for n in HEADLINE],
+        "sel_steal": [sel_steal[n] for n in HEADLINE],
         "repeats": repeats,
+        "extra": extra_runs,
     }))
     # the 1-min load rides in the HEADLINE too (not just the aux
     # diagnostics line), so a timing regression can neither hide

@@ -752,3 +752,125 @@ def test_audit_groups_store_cohesion_and_false_merge(spark, tmp_path, capsys):
 
     m = re.search(r"(\d+) pair\(s\) below", out)
     assert m and int(m.group(1)) >= 1
+
+
+def test_audit_groups_missing_doc_is_null_not_false_merge(
+    spark, tmp_path, capsys
+):
+    """ADVICE r12: a star pair whose member text is ABSENT from the
+    docs store is a coverage violation, not a zero-similarity merge —
+    its jaccard stays NULL (the audit-vectors convention) and the CLI
+    reports it under a separate 'missing' count instead of inflating
+    'suspected false merges'."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.components import (
+        audit_groups_store,
+        update_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "planner prunes partitions and pushes filters into the scan "
+    )
+    root = str(tmp_path)
+    idx, store, groups = f"{root}/idx", f"{root}/store", f"{root}/groups"
+    rows = [(i, base + f"variant {i % 3}") for i in range(100, 112)]
+    ingest_increment(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        idx, store, groups_store_path=groups,
+    )
+    # resolve a pair onto an id that has NO text in the docs store
+    update_groups_store(
+        spark, groups,
+        spark.createDataFrame([(100, 901)], ["id_a", "id_b"]),
+        n_shards=64,
+    )
+    audited = audit_groups_store(
+        spark, groups, store, n_groups=16, max_pairs_per_group=32
+    )
+    by_pair = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in audited.collect()
+    }
+    ghost = [j for (a, b), j in by_pair.items() if b == 901]
+    assert ghost == [None]  # missing text -> NULL, never 0.0
+    present = [j for (a, b), j in by_pair.items() if b != 901]
+    assert present and all(j is not None for j in present)
+
+    capsys.readouterr()
+    rc = index_main(["audit-groups", groups, store, "--groups", "16",
+                     "--pairs-per-group", "32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1 pair(s) with text missing from the docs store" in out
+
+
+def test_audit_groups_presidecar_store_full_scan_fallback(spark, tmp_path):
+    """ADVICE r12: on a pre-sidecar groups store (no _group_shards
+    dir) the audits fall back to the full member scan instead of
+    dying in the parquet reader on the missing sidecar path."""
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.components import (
+        audit_groups_store,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    root = str(tmp_path)
+    idx, store, groups = f"{root}/idx", f"{root}/store", f"{root}/groups"
+    rows = [(i, base + f"v{i % 2}") for i in range(10)]
+    ingest_increment(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        idx, store, groups_store_path=groups,
+    )
+    with_sidecar = audit_groups_store(
+        spark, groups, store, n_groups=8
+    ).collect()
+    assert with_sidecar
+    shutil.rmtree(f"{groups}/_group_shards")  # the migration-era shape
+    without = audit_groups_store(spark, groups, store, n_groups=8).collect()
+    # identical audit either way — the sidecar is only a pruning aid
+    key = lambda r: (r["group_id"], r["id_a"], r["id_b"])
+    assert sorted(map(key, without)) == sorted(map(key, with_sidecar))
+
+
+def test_churn_advisory_scales_with_store_size(spark, tmp_path, capsys):
+    """VERDICT r12 missing #5: the rebuild advisory threshold is
+    store-relative — max(64, 10% of live group labels).  A small
+    store fires at the 64 floor; a 700-group store stays silent at
+    64-69 dead labels and fires at 70."""
+    from wrds_data_pipeline_spark.cli import _groups_churn_advisory
+    from wrds_data_pipeline_spark.operators.components import (
+        _set_groups_churn,
+        update_groups_store,
+    )
+
+    small = str(tmp_path / "small")
+    update_groups_store(
+        spark, small,
+        spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"]),
+        n_shards=8,
+    )
+    _set_groups_churn(small, 64)
+    capsys.readouterr()
+    _groups_churn_advisory(spark, small)
+    assert "dead group labels" in capsys.readouterr().err  # floor fires
+
+    big = str(tmp_path / "big")
+    update_groups_store(
+        spark, big,
+        spark.createDataFrame(
+            [(2 * i, 2 * i + 1) for i in range(700)], ["id_a", "id_b"]
+        ),
+        n_shards=8,
+    )
+    _set_groups_churn(big, 64)  # noise for 700 live groups
+    capsys.readouterr()
+    _groups_churn_advisory(spark, big)
+    assert "dead group labels" not in capsys.readouterr().err
+    _set_groups_churn(big, 70)  # 10% of 700
+    _groups_churn_advisory(spark, big)
+    err = capsys.readouterr().err
+    assert "dead group labels" in err
+    assert "700 live groups" in err

@@ -828,3 +828,30 @@ def test_streaming_tokenizer_stats_parity_and_restart(
         text_col="text", max_files_per_trigger=1,
     )
     assert solo == batch_over(docs)
+
+
+def test_streaming_tokenizer_stats_refuses_store_without_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r12: a stats_store without a checkpoint double-counts
+    across restarts (re-run re-reads all files under colliding per-run
+    epoch ids) — the combination must refuse up front, before any
+    stream starts or partial lands."""
+    import pytest
+
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_tokenizer_stats,
+    )
+
+    with pytest.raises(ValueError, match="requires.*checkpoint"):
+        streaming_tokenizer_stats(
+            spark,
+            str(tmp_path / "incoming"),
+            "doc_id long, text string",
+            tokenizer_factory=None,  # refusal fires before any use
+            stats_store=str(tmp_path / "stats_store"),
+        )
+    # nothing was created: the refusal happened before the stream
+    import os
+
+    assert not os.path.exists(str(tmp_path / "stats_store"))

@@ -253,3 +253,43 @@ def test_reshard_pre_retention_index(spark, tmp_path):
         (r["id_a"], r["id_b"])
         for r in probe_band_index(probe, idx).collect()
     } == want
+
+
+def test_reshard_legacy_meta_derives_prior_count(spark, tmp_path):
+    """ADVICE r12: a docs store whose _ingest_meta.json predates the
+    docs_shards key must not print 'resharded None -> N' — the prior
+    count falls back to the layout's shard directories."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        compact_docs_store,
+        ingest_increment,
+    )
+
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(24)],
+        "doc_id long, text string",
+    )
+    ingest_increment(docs, idx, store, n_shards=4, docs_shards=4)
+
+    meta_path = os.path.join(store, _DOCS_STORE_META)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta.pop("docs_shards")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    n_dirs = sum(
+        1 for d in os.listdir(store)
+        if d.startswith("shard=") and os.path.isdir(os.path.join(store, d))
+    )
+    stats = compact_docs_store(spark, store, reshard=2)
+    assert stats["n_shards_before"] == n_dirs
+    assert isinstance(stats["n_shards_before"], int)
+    assert stats["n_shards_after"] == 2
+    with open(meta_path) as fh:
+        assert json.load(fh)["docs_shards"] == 2
