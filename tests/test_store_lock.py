@@ -297,3 +297,96 @@ def test_streaming_twin_takes_lease_once_per_run(spark, tmp_path):
     )
     for p in (idx, docs):
         assert not os.path.exists(lock_file_for(p))
+
+
+def test_cli_lock_status(tmp_path, capsys):
+    """The operational view: unlocked / live holder / stale verdict,
+    with no Spark session spun up."""
+    from wrds_data_pipeline_spark.cli import index_main
+
+    store = str(tmp_path / "band_index")
+    rc = index_main(["lock-status", store])
+    assert rc == 0
+    assert "unlocked" in capsys.readouterr().out
+
+    proc = _hold_in_subprocess(store, "compact")
+    try:
+        rc = index_main(["lock-status", store])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "LOCKED" in out and "compact" in out and str(proc.pid) in out
+        assert "STALE" not in out
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
+    # holder dead, lease left behind: status says stale
+    rc = index_main(["lock-status", store])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "STALE" in out
+
+
+def test_auto_compact_skips_when_store_busy(spark, tmp_path, capsys):
+    """`ingest --compact-every` fires AFTER a successful ingest; a
+    lease held by another writer must defer the reclaim (stderr note),
+    never fail the verb post-success."""
+    from wrds_data_pipeline_spark.cli import _ingest_compaction_economics
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    idx = str(tmp_path / "idx")
+    docs = str(tmp_path / "docs")
+    ingest_increment(
+        _docs_df(spark, [(1, "a b c d e f"), (2, "g h i j k l")]),
+        idx, docs, n_shards=2, docs_shards=2,
+    )
+    proc = _hold_in_subprocess(docs, "recenter")
+    try:
+        capsys.readouterr()
+        # compact_every=1 forces the auto-compact branch immediately
+        _ingest_compaction_economics(spark, idx, docs, compact_every=1)
+        err = capsys.readouterr().err
+        assert "auto-compact skipped (store busy)" in err
+        assert "recenter" in err
+    finally:
+        _release_subprocess(proc)
+
+
+def test_stale_lease_and_swap_crash_compose(spark, tmp_path):
+    """A compact that dies mid-swap leaves BOTH a stale lease and the
+    half-swapped layout (store at .old, compacted copy at
+    .compacting).  The next mutating verb must recover both: take
+    over the dead writer's lease AND complete the swap — one crashed
+    maintenance run never wedges the ingest loop."""
+    import shutil
+
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    idx = str(tmp_path / "idx")
+    docs = str(tmp_path / "docs")
+    base = _docs_df(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a wholly different doc about leases and swaps")],
+    )
+    ingest_increment(base, idx, docs, n_shards=2, docs_shards=2)
+
+    # simulate the compact crash: fully-written compacted copy beside
+    # the live store renamed away (the _swap_compacted mid-window)...
+    shutil.copytree(docs, docs + ".compacting")
+    os.rename(docs, docs + ".old")
+    # ...plus the dead writer's lease
+    proc = _hold_in_subprocess(docs, "compact")
+    proc.kill()
+    proc.wait(timeout=30)
+    assert os.path.exists(lock_file_for(docs))
+
+    inc = _docs_df(spark, [(3, "the quick brown fox jumps over the lazy dog")])
+    pairs = ingest_increment(
+        inc, idx, docs, n_shards=2, docs_shards=2
+    ).toPandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 3)}
+    # both recoveries happened: swap completed, lease ours-then-freed
+    assert os.path.isdir(docs)
+    assert not os.path.exists(docs + ".old")
+    assert not os.path.exists(docs + ".compacting")
+    assert not os.path.exists(lock_file_for(docs))

@@ -777,8 +777,22 @@ def _ingest_compaction_economics(
     ]
     worst_label, worst = max(levels, key=lambda t: t[1], default=("", 0))
     if compact_every and worst >= compact_every:
-        b = compact_band_index(spark, index_path)
-        d = compact_docs_store(spark, docs_store)
+        from wrds_data_pipeline_spark.operators.store_lock import (
+            StoreLockedError,
+        )
+
+        try:
+            b = compact_band_index(spark, index_path)
+            d = compact_docs_store(spark, docs_store)
+        except StoreLockedError as exc:
+            # the ingest itself already succeeded; a held lease only
+            # defers the reclaim — report and leave the stores to the
+            # next quiet run instead of failing the verb post-success
+            print(
+                f"auto-compact skipped (store busy): {exc}",
+                file=sys.stderr,
+            )
+            return
         print(
             f"auto-compact (--compact-every {compact_every}; "
             f"{worst_label} reached {worst} files/shard): band index "
@@ -1147,7 +1161,49 @@ def index_main(argv: list[str] | None = None) -> int:
                     "index's sigma calibration — indexes built before "
                     "the calibration existed must pass this (or --exact)")
 
+    lk = sub.add_parser(
+        "lock-status",
+        help="who holds each store's single-writer lease (pid, host, "
+        "verb, age, stale verdict) — the operational view of the "
+        "store_lock contract; no Spark session needed",
+    )
+    lk.add_argument("stores", nargs="+",
+                    help="store root paths (band index, docs store, "
+                    "groups store, vector index)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "lock-status":
+        import os
+
+        from wrds_data_pipeline_spark.operators.store_lock import (
+            _is_stale,
+            _lease_age_s,
+            lock_file_for,
+            read_lock_holder,
+        )
+
+        for store in args.stores:
+            lf = lock_file_for(store)
+            holder = read_lock_holder(store)
+            if holder is None and not os.path.exists(lf):
+                print(f"{store}: unlocked")
+                continue
+            age = _lease_age_s(lf, holder)
+            stale = _is_stale(lf, holder, 3600.0)
+            who = holder or {}
+            print(
+                f"{store}: LOCKED by verb={who.get('verb', '?')!r} "
+                f"pid={who.get('pid', '?')} host={who.get('host', '?')!r} "
+                f"held {age:.0f}s"
+                + (
+                    " [STALE — next mutating verb will take it over]"
+                    if stale
+                    else ""
+                )
+            )
+        return 0
+
     spark = get_spark(app_name="wrds-spark-index")
 
     if args.cmd == "compact":
