@@ -390,3 +390,32 @@ def test_stale_lease_and_swap_crash_compose(spark, tmp_path):
     assert not os.path.exists(docs + ".old")
     assert not os.path.exists(docs + ".compacting")
     assert not os.path.exists(lock_file_for(docs))
+
+
+def test_build_vector_index_refuses_during_held_lease(spark, tmp_path):
+    """build is a mutating verb too: a (re)build racing another
+    writer on the same index root refuses like the rest."""
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        build_vector_index,
+    )
+
+    idx = str(tmp_path / "vindex")
+    proc = _hold_in_subprocess(idx, "ingest-vectors")
+    try:
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(StoreLockedError) as ei:
+            build_vector_index(emb, idx, n_cells=2)
+        assert "ingest-vectors" in str(ei.value)
+    finally:
+        _release_subprocess(proc)
+    build_vector_index(
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        ),
+        idx, n_cells=2,
+    )
+    assert not os.path.exists(lock_file_for(idx))

@@ -69,6 +69,7 @@ def _assigner_for(centroids: list[tuple[int, list[float]]], vec_col: str):
     return exact_assigner(centroids, vec_col)
 
 
+@locked_store_verb("path")
 def build_vector_index(
     embeddings: DataFrame,
     path: str,
