@@ -1,0 +1,202 @@
+"""fsck (operators/fsck.py + `wrds-spark-index fsck`): the read-only
+integrity verb.  Each test builds REAL stores through the production
+verbs, asserts a clean bill, then breaks ONE invariant the way an
+operational accident would and asserts fsck names exactly that
+corruption (and nothing else turns red)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.fsck import (
+    fsck_band_index,
+    fsck_docs_store,
+    fsck_groups_store,
+    fsck_vector_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fsck_text_stores_clean_then_each_corruption(spark, tmp_path, capsys):
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _doc_store_shard,
+        append_band_index,
+        ingest_increment,
+    )
+
+    # four mutually-DISSIMILAR variant texts: near-dup groups form
+    # within a variant, never across, so the store holds several
+    # groups (the sidecar-hole step needs more than one gshard dir)
+    variants = [
+        "the quick brown fox jumps over the lazy dog every day",
+        "spark plans prune partitions and push filters into scans",
+        "parquet footers carry column statistics for skipping pages",
+        "band hashing buckets similar documents into shared shards",
+    ]
+    base = "unused "
+    idx = str(tmp_path / "idx")
+    docs = str(tmp_path / "docs")
+    groups = str(tmp_path / "groups")
+    rows = [(i, variants[i % 4]) for i in range(40)]
+    ingest_increment(
+        _docs(spark, rows), idx, docs,
+        n_shards=4, docs_shards=4, groups_store_path=groups,
+        groups_shards=4,
+    )
+
+    # clean: no errors anywhere; the replayed-append residue class is
+    # absent on a single fold
+    b = fsck_band_index(spark, idx, docs_store=docs)
+    d = fsck_docs_store(spark, docs)
+    g = fsck_groups_store(spark, groups)
+    assert b["errors"] == [] and d["errors"] == [] and g["errors"] == []
+    assert b["stats"]["banded_ids_missing_text"] == 0
+    assert b["stats"]["banded_ids_missing_signature"] == 0
+    assert g["stats"]["sidecar_missing_member_shards"] == 0
+
+    # CLI: clean run exits 0
+    capsys.readouterr()
+    rc = index_main([
+        "fsck", "--band-index", idx, "--docs-store", docs,
+        "--groups-store", groups,
+    ])
+    assert rc == 0
+    assert "CORRUPT" not in capsys.readouterr().out
+
+    # 1. lockstep violation: bands appended WITHOUT their texts
+    #    (append-band is the low-level verb that skips the docs store)
+    append_band_index(
+        _docs(spark, [(900, base + "orphan banded doc")]), idx
+    )
+    b = fsck_band_index(spark, idx, docs_store=docs)
+    assert b["stats"]["banded_ids_missing_text"] == 1
+    assert any("lockstep" in e for e in b["errors"])
+    # the signature side stayed covered (signatures-before-bands)
+    assert b["stats"]["banded_ids_missing_signature"] == 0
+
+    # 2. id-uniqueness violation: same id, DIFFERENT text, correct shard
+    conflict = (
+        _docs(spark, [(7, "an entirely different text for id 7")])
+        .withColumn("shard", _doc_store_shard(F.col("doc_id"), 4))
+    )
+    conflict.write.mode("append").partitionBy("shard").parquet(docs)
+    d = fsck_docs_store(spark, docs)
+    assert d["stats"]["ids_with_conflicting_text"] == 1
+    assert any("DISTINCT text" in e for e in d["errors"])
+
+    # 3. groups label invariant: a member BELOW its group's label (a
+    # negative id undercuts any label, including 0)
+    lbl = spark.read.parquet(groups).agg(F.max("group_id")).first()[0]
+    bad = spark.createDataFrame(
+        [(-5, int(lbl))], "id long, group_id long"
+    ).withColumn("shard", _doc_store_shard(F.col("id"), 4))
+    bad.write.mode("append").partitionBy("shard").parquet(groups)
+    g = fsck_groups_store(spark, groups)
+    assert g["stats"]["groups_with_nonmin_label"] >= 1
+    assert any("minimum member id" in e for e in g["errors"])
+
+    # 4. sidecar hole: drop one gshard partition — the PARTIAL-star
+    #    shape the lookup's zero-row fallback cannot detect
+    sc = os.path.join(groups, "_group_shards")
+    victim = next(
+        e for e in os.listdir(sc)
+        if e.startswith("gshard=")
+        and os.path.isdir(os.path.join(sc, e))
+    )
+    shutil.rmtree(os.path.join(sc, victim))
+    g = fsck_groups_store(spark, groups)
+    assert g["stats"]["sidecar_missing_member_shards"] >= 1
+    assert any("sidecar" in e for e in g["errors"])
+
+    # CLI on the now-corrupt stores: exit 1, errors printed
+    capsys.readouterr()
+    rc = index_main([
+        "fsck", "--band-index", idx, "--docs-store", docs,
+        "--groups-store", groups,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "CORRUPT" in out and "ERROR:" in out
+
+
+def test_fsck_vector_index_corruptions(spark, tmp_path):
+    import random
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        compact_flat_store,  # noqa: F401  (import guard parity)
+    )
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        append_vector_index,
+        build_vector_index,
+        compact_vector_index,
+    )
+
+    rng = random.Random(3)
+
+    def vecs(direction, n):
+        out = []
+        for _ in range(n):
+            v = [rng.uniform(-0.1, 0.1) for _ in range(4)]
+            v[direction] += 1.0
+            out.append(v)
+        return out
+
+    a = str(tmp_path / "a")
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs(0, 30) + vecs(1, 30))],
+        "vec_id long, embedding array<float>",
+    )
+    build_vector_index(emb, a, n_cells=4)
+    clean = fsck_vector_index(spark, a)
+    assert clean["errors"] == []
+    assert clean["stats"]["sampled_assignment_drift_frac"] <= 0.25
+
+    # duplicate ids: a replayed append — ERROR with the repair verb,
+    # and compact (the repair) turns it clean again
+    inc = spark.createDataFrame(
+        [(100, vecs(0, 1)[0])], "vec_id long, embedding array<float>"
+    )
+    append_vector_index(inc, a)
+    append_vector_index(inc, a)  # the replay
+    dup = fsck_vector_index(spark, a)
+    assert dup["stats"]["duplicate_ids"] == 1
+    assert any("compact --vector-index" in e for e in dup["errors"])
+    compact_vector_index(spark, a)
+    assert fsck_vector_index(spark, a)["errors"] == []
+
+    # mixed generations: another quantizer's centroids copied over —
+    # exactly the state the whole-index swap exists to prevent
+    b = str(tmp_path / "b")
+    emb_b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs(2, 30) + vecs(3, 30))],
+        "vec_id long, embedding array<float>",
+    )
+    build_vector_index(emb_b, b, n_cells=4)
+    shutil.rmtree(os.path.join(a, "centroids"))
+    shutil.copytree(
+        os.path.join(b, "centroids"), os.path.join(a, "centroids")
+    )
+    mixed = fsck_vector_index(spark, a)
+    assert mixed["stats"]["sampled_assignment_drift_frac"] > 0.25
+    assert any("generations are mixed" in e for e in mixed["errors"])
+
+    # orphan cell: a centroid row deleted from under its vectors
+    c = str(tmp_path / "c")
+    build_vector_index(emb, c, n_cells=4)
+    cents = spark.read.parquet(os.path.join(c, "centroids"))
+    kept = cents.orderBy("cell").limit(cents.count() - 1)
+    kept_rows = kept.collect()  # materialize before overwrite
+    spark.createDataFrame(
+        kept_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(c, "centroids")
+    )
+    orphan = fsck_vector_index(spark, c)
+    assert any("unknown to the centroid table" in e for e in orphan["errors"])

@@ -1161,6 +1161,25 @@ def index_main(argv: list[str] | None = None) -> int:
                     "index's sigma calibration — indexes built before "
                     "the calibration existed must pass this (or --exact)")
 
+    fk = sub.add_parser(
+        "fsck",
+        help="read-only store integrity check: meta pin vs layout, "
+        "sampled shard-hash recompute, band<->docs lockstep coverage, "
+        "retained-signature coverage, groups label/sidecar "
+        "invariants, vector cell/dim/PQ/assignment consistency; "
+        "ERRORS = invariants readers rely on, WARNINGS = residue a "
+        "maintenance verb reclaims; exit 1 on any error",
+    )
+    fk.add_argument("--band-index", default=None)
+    fk.add_argument("--docs-store", default=None)
+    fk.add_argument("--groups-store", default=None)
+    fk.add_argument("--vector-index", default=None)
+    fk.add_argument("--id-col", default="doc_id",
+                    help="docs-store id column (band<->docs coverage "
+                    "and docs shard recompute)")
+    fk.add_argument("--sample", type=int, default=4096,
+                    help="row budget for the sampled checks")
+
     lk = sub.add_parser(
         "lock-status",
         help="who holds each store's single-writer lease (pid, host, "
@@ -1205,6 +1224,61 @@ def index_main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark(app_name="wrds-spark-index")
+
+    if args.cmd == "fsck":
+        from wrds_data_pipeline_spark.operators.fsck import (
+            fsck_band_index,
+            fsck_docs_store,
+            fsck_groups_store,
+            fsck_vector_index,
+        )
+
+        if (
+            args.band_index is None
+            and args.docs_store is None
+            and args.groups_store is None
+            and args.vector_index is None
+        ):
+            raise SystemExit(
+                "fsck: pass --band-index, --docs-store, "
+                "--groups-store, and/or --vector-index"
+            )
+        reports = []
+        if args.band_index is not None:
+            reports.append(
+                fsck_band_index(
+                    spark, args.band_index, docs_store=args.docs_store,
+                    id_col=args.id_col, sample=args.sample,
+                )
+            )
+        if args.docs_store is not None:
+            reports.append(
+                fsck_docs_store(
+                    spark, args.docs_store, id_col=args.id_col,
+                    sample=args.sample,
+                )
+            )
+        if args.groups_store is not None:
+            reports.append(
+                fsck_groups_store(spark, args.groups_store, args.sample)
+            )
+        if args.vector_index is not None:
+            reports.append(
+                fsck_vector_index(spark, args.vector_index, args.sample)
+            )
+        n_err = 0
+        for r in reports:
+            state = (
+                "CORRUPT" if r["errors"]
+                else ("residue" if r["warnings"] else "clean")
+            )
+            print(f"fsck {r['kind']} {r['path']}: {state} | {r['stats']}")
+            for e in r["errors"]:
+                print(f"  ERROR: {e}")
+                n_err += 1
+            for w in r["warnings"]:
+                print(f"  warning: {w}")
+        return 1 if n_err else 0
 
     if args.cmd == "compact":
         if (

@@ -1,0 +1,524 @@
+"""Store integrity checking (``wrds-spark-index fsck``) — the
+read-only diagnosis verb that closes the store-lifecycle loop the
+maintenance verbs opened: build/ingest create, compact/reshard/
+recenter rewrite, lock-status shows who is writing, and fsck answers
+"is what's on disk still the structure every reader assumes?".
+
+Each checker returns ``{"kind", "path", "errors", "warnings",
+"stats"}``: an ERROR is a broken invariant readers rely on (probes
+would silently miss pairs, top-k would return corrupt neighbors); a
+WARNING is tolerated residue with a maintenance remedy (duplicate
+rows → compact, dead sidecar labels → compact --groups-store).
+
+What gets checked, per store — each line names the reader that
+breaks when the invariant doesn't hold:
+
+band index   meta pin sane (probe hashing); partition dirs within
+             [0, n_shards) and a sampled shard-expression recompute
+             (static pruning reads the RIGHT partitions); retained
+             signatures cover every banded id (salvage completeness
+             — the write-ordering invariant, checked rather than
+             trusted); banded ids all have verification text in the
+             paired docs store (the ingest lockstep contract);
+             duplicate band rows counted (benign, compact reclaims).
+docs store   meta pin; layout + sampled shard recompute (the
+             verification read prunes by this); ids carrying >1
+             DISTINCT text (the id-uniqueness violation the read
+             guard tolerates but never repairs); full-row duplicate
+             residue.
+groups store meta pin; layout + sampled shard recompute; every
+             group's label == its minimum member id (the components
+             labeling invariant harvest's loser election assumes);
+             inverted sidecar COVERS the live (group → member-shard)
+             set — a PARTIAL sidecar star is the one shape the
+             lookup's zero-row fallback cannot detect (silently
+             incomplete member stars; ERROR), while dead-label
+             sidecar residue only over-reads (WARNING, compact).
+vector index loadable quantizer; every cell partition known to the
+             centroid table; sampled embedding dimension; duplicate
+             ids (actively corrupt top-k — compact is REPAIR here);
+             sampled re-assignment against the stored centroids (a
+             mixed-generation store — old cells under new centroids,
+             the state the recenter whole-dir swap exists to prevent
+             — mismatches nearly everywhere; small drift is the
+             hierarchical router's approximation and stays a
+             warning); sampled PQ re-encode against the stored
+             codebooks; zero-norm vectors counted.
+
+Scale notes: sampled checks bound their row work at ``sample`` (the
+usual smallest-(xxhash64(id), id) deterministic draw); the
+whole-store checks (duplicate census, coverage anti-joins, sidecar
+diff) are column-pruned single aggregations — fsck is a maintenance
+diagnostic priced like compact, not a probe-path cost.  Every check
+is READ-ONLY: fsck never takes the writer lease and can run beside a
+live ingest (it may then report the in-flight increment's benign
+residue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fsck_band_index",
+    "fsck_docs_store",
+    "fsck_groups_store",
+    "fsck_vector_index",
+]
+
+
+def _findings(kind: str, path: str) -> dict:
+    return {
+        "kind": kind,
+        "path": path,
+        "errors": [],
+        "warnings": [],
+        "stats": {},
+    }
+
+
+def _sample_rows(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+    """Deterministic hash-order sample (TakeOrderedAndProject): the
+    repo's standard reproducible draw, decorrelated from insertion
+    order."""
+    return (
+        df.withColumn("_h", F.xxhash64(*[F.col(c) for c in key_cols]))
+        .orderBy("_h", *key_cols)
+        .limit(n)
+        .drop("_h")
+    )
+
+
+def _partition_values(path: str, prefix: str) -> list[int]:
+    import os
+
+    out = []
+    for entry in os.listdir(path):
+        if entry.startswith(prefix) and os.path.isdir(
+            os.path.join(path, entry)
+        ):
+            try:
+                out.append(int(entry[len(prefix):]))
+            except ValueError:
+                out.append(-1)  # unparseable partition dir
+    return out
+
+
+def fsck_band_index(
+    spark: SparkSession,
+    path: str,
+    docs_store: str | None = None,
+    id_col: str = "doc_id",
+    sample: int = 4096,
+) -> dict:
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _band_index_has_sigs,
+        _band_index_shard,
+        _read_band_index_meta,
+    )
+
+    f = _findings("band_index", path)
+    try:
+        meta = _read_band_index_meta(spark, path)
+    except Exception as exc:  # unreadable meta: nothing else checkable
+        f["errors"].append(f"meta unreadable: {exc}")
+        return f
+    f["stats"]["meta"] = meta
+    for k, v in meta.items():
+        if v < 1:
+            f["errors"].append(f"meta {k}={v} < 1")
+    if meta["n_hashes"] % meta["bands"] != 0:
+        f["errors"].append(
+            f"bands={meta['bands']} does not divide "
+            f"n_hashes={meta['n_hashes']} — banding at probe time "
+            "cannot reproduce the build's rows-per-band"
+        )
+
+    bad_dirs = [
+        v
+        for v in _partition_values(f"{path}/bands", "shard=")
+        if not 0 <= v < meta["n_shards"]
+    ]
+    if bad_dirs:
+        f["errors"].append(
+            f"bands layout holds shard dirs outside [0, "
+            f"{meta['n_shards']}): {sorted(bad_dirs)[:8]} — probes "
+            "statically prune to computed shards and will never read "
+            "these rows"
+        )
+
+    bands = spark.read.parquet(f"{path}/bands")
+    samp = _sample_rows(
+        bands.select("band", "band_hash", "shard"),
+        ["band", "band_hash"],
+        sample,
+    )
+    mism = samp.filter(
+        _band_index_shard(meta["n_shards"]) != F.col("shard")
+    ).count()
+    f["stats"]["sampled_shard_mismatches"] = mism
+    if mism:
+        f["errors"].append(
+            f"{mism}/{sample} sampled band rows live in the wrong "
+            "shard partition for the pinned count — probes prune to "
+            "the computed shard and silently miss them (was this "
+            "store resharded by hand instead of compact --reshard?)"
+        )
+
+    total = bands.count()
+    distinct = bands.distinct().count()
+    f["stats"]["band_rows"] = total
+    f["stats"]["duplicate_band_rows"] = total - distinct
+    if total != distinct:
+        f["warnings"].append(
+            f"{total - distinct} duplicate band rows (at-least-once "
+            "replay residue; benign at read — census inflation only — "
+            "reclaim with: wrds-spark-index compact --band-index "
+            f"{path})"
+        )
+
+    if _band_index_has_sigs(path):
+        sig_ids = spark.read.parquet(f"{path}/signatures").select("_id")
+        banded_ids = bands.select("_id").distinct()
+        missing = banded_ids.join(
+            sig_ids.distinct(), "_id", "left_anti"
+        ).count()
+        f["stats"]["banded_ids_missing_signature"] = missing
+        if missing:
+            f["errors"].append(
+                f"{missing} banded ids have no retained signature — "
+                "the signatures-before-bands write ordering was "
+                "violated; salvage for their buckets will silently "
+                "fall back or drop members"
+            )
+
+    if docs_store is not None:
+        docs_ids = spark.read.parquet(docs_store).select(
+            F.col(id_col).alias("_id")
+        )
+        uncovered = (
+            bands.select("_id")
+            .distinct()
+            .join(docs_ids.distinct(), "_id", "left_anti")
+            .count()
+        )
+        f["stats"]["banded_ids_missing_text"] = uncovered
+        if uncovered:
+            f["errors"].append(
+                f"{uncovered} banded ids have no text in the docs "
+                f"store at {docs_store!r} — the ingest lockstep "
+                "contract (docs appended FIRST) was violated; "
+                "verification fails closed and silently drops their "
+                "candidate pairs"
+            )
+    return f
+
+
+def fsck_docs_store(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    sample: int = 4096,
+) -> dict:
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _doc_store_shard,
+        _recover_compact_swap,
+    )
+
+    f = _findings("docs_store", path)
+    _recover_compact_swap(path)
+    try:
+        with open(os.path.join(path, _DOCS_STORE_META)) as fh:
+            meta = json.load(fh)
+        n_shards = int(meta["docs_shards"])
+    except (OSError, KeyError, ValueError, json.JSONDecodeError) as exc:
+        f["errors"].append(f"meta pin unreadable: {exc}")
+        return f
+    f["stats"]["docs_shards"] = n_shards
+    if n_shards < 1:
+        f["errors"].append(f"docs_shards={n_shards} < 1")
+        return f
+
+    bad_dirs = [
+        v
+        for v in _partition_values(path, "shard=")
+        if not 0 <= v < n_shards
+    ]
+    if bad_dirs:
+        f["errors"].append(
+            f"layout holds shard dirs outside [0, {n_shards}): "
+            f"{sorted(bad_dirs)[:8]} — the verification read prunes "
+            "statically and will never see these texts"
+        )
+
+    docs = spark.read.parquet(path)
+    if id_col not in docs.columns:
+        f["errors"].append(
+            f"id column {id_col!r} not in store columns {docs.columns}"
+        )
+        return f
+    samp = _sample_rows(docs.select(id_col, "shard"), [id_col], sample)
+    mism = samp.filter(
+        _doc_store_shard(F.col(id_col), n_shards) != F.col("shard")
+    ).count()
+    f["stats"]["sampled_shard_mismatches"] = mism
+    if mism:
+        f["errors"].append(
+            f"{mism}/{sample} sampled docs live in the wrong shard "
+            "for the pinned count — shard-pruned verification misses "
+            "their texts (fail-closed: candidate pairs touching them "
+            "are silently dropped)"
+        )
+
+    conflicted = (
+        docs.groupBy(id_col)
+        .agg(F.countDistinct("text").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .count()
+    )
+    f["stats"]["ids_with_conflicting_text"] = conflicted
+    if conflicted:
+        f["errors"].append(
+            f"{conflicted} ids carry more than one DISTINCT text — "
+            "the id-uniqueness contract is violated; which text "
+            "verifies a pair depends on read order"
+        )
+
+    total = docs.count()
+    distinct = docs.distinct().count()
+    f["stats"]["rows"] = total
+    f["stats"]["duplicate_rows"] = total - distinct
+    if total != distinct:
+        f["warnings"].append(
+            f"{total - distinct} duplicate rows (replay residue; "
+            "deduplicated at every read — reclaim with: "
+            f"wrds-spark-index compact --docs-store {path})"
+        )
+    return f
+
+
+def fsck_groups_store(
+    spark: SparkSession, path: str, sample: int = 4096
+) -> dict:
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.components import (
+        _GROUP_SHARDS_DIR,
+    )
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _doc_store_shard,
+        _recover_compact_swap,
+        _store_has_rows,
+    )
+
+    f = _findings("groups_store", path)
+    _recover_compact_swap(path)
+    try:
+        with open(os.path.join(path, _DOCS_STORE_META)) as fh:
+            n_shards = int(json.load(fh)["groups_shards"])
+    except (OSError, KeyError, ValueError, json.JSONDecodeError) as exc:
+        f["errors"].append(f"meta pin unreadable: {exc}")
+        return f
+    f["stats"]["groups_shards"] = n_shards
+
+    store = spark.read.parquet(path).select("id", "group_id", "shard")
+    samp = _sample_rows(store, ["id"], sample)
+    mism = samp.filter(
+        _doc_store_shard(F.col("id"), n_shards) != F.col("shard")
+    ).count()
+    f["stats"]["sampled_shard_mismatches"] = mism
+    if mism:
+        f["errors"].append(
+            f"{mism}/{sample} sampled members live in the wrong "
+            "id-shard for the pinned count — touched-id lookups prune "
+            "statically and will miss them"
+        )
+
+    bad_labels = (
+        store.groupBy("group_id")
+        .agg(F.min("id").alias("_min"))
+        .filter(F.col("_min") != F.col("group_id"))
+        .count()
+    )
+    f["stats"]["groups_with_nonmin_label"] = bad_labels
+    if bad_labels:
+        f["errors"].append(
+            f"{bad_labels} groups whose label is not their minimum "
+            "member id — the components labeling invariant is broken; "
+            "harvest's loser election (id != group_id) would keep the "
+            "wrong member or none"
+        )
+
+    sc_dir = os.path.join(path, _GROUP_SHARDS_DIR)
+    if os.path.isdir(sc_dir) and _store_has_rows(sc_dir):
+        live = (
+            store.select(
+                "group_id",
+                _doc_store_shard(F.col("id"), n_shards).alias("shard"),
+            )
+            .distinct()
+        )
+        sidecar = spark.read.parquet(sc_dir).select("group_id", "shard")
+        missing = live.join(
+            sidecar.distinct(), ["group_id", "shard"], "left_anti"
+        ).count()
+        f["stats"]["sidecar_missing_member_shards"] = missing
+        if missing:
+            f["errors"].append(
+                f"{missing} live (group, member-shard) pairs absent "
+                "from the inverted sidecar — a PARTIAL star passes the "
+                "zero-row staleness check, so member lookups silently "
+                "read an incomplete star; repair with: "
+                f"wrds-spark-index compact --groups-store {path}"
+            )
+        dead = sidecar.distinct().join(
+            live, ["group_id", "shard"], "left_anti"
+        ).count()
+        f["stats"]["sidecar_dead_rows"] = dead
+        if dead:
+            f["warnings"].append(
+                f"{dead} sidecar rows point at no live member (merge "
+                "churn residue; over-read only — reclaim with: "
+                f"wrds-spark-index compact --groups-store {path})"
+            )
+    else:
+        f["warnings"].append(
+            "no inverted sidecar (pre-sidecar store): member lookups "
+            "fall back to full scans; the next update_groups_store "
+            "migrates it, or run rebuild_group_shards"
+        )
+    return f
+
+
+def fsck_vector_index(
+    spark: SparkSession, path: str, sample: int = 4096
+) -> dict:
+    from wrds_data_pipeline_spark.operators.similarity import (
+        exact_assigner,
+    )
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        load_vector_index,
+    )
+
+    f = _findings("vector_index", path)
+    try:
+        idx = load_vector_index(spark, path)
+    except Exception as exc:
+        f["errors"].append(f"index unloadable: {exc}")
+        return f
+    cents = idx.centroid_list()
+    dim = len(cents[0][1])
+    f["stats"]["n_cells"] = len(cents)
+    f["stats"]["dim"] = dim
+
+    known = {c for c, _ in cents}
+    stored_cells = {
+        int(r["cell"]) for r in idx.df.select("cell").distinct().collect()
+    }
+    orphans = sorted(stored_cells - known)
+    if orphans:
+        f["errors"].append(
+            f"cells {orphans[:8]} hold vectors but are unknown to the "
+            "centroid table — probes can never rank or read them "
+            "(mixed-generation store: was a recenter swap assembled "
+            "by hand?)"
+        )
+
+    samp = _sample_rows(
+        idx.df.select(idx.id_col, idx.vec_col, "cell"), [idx.id_col], sample
+    ).localCheckpoint(eager=True)
+    bad_dim = samp.filter(F.size(F.col(idx.vec_col)) != dim).count()
+    f["stats"]["sampled_dim_mismatches"] = bad_dim
+    if bad_dim:
+        f["errors"].append(
+            f"{bad_dim}/{sample} sampled vectors have dimension != "
+            f"{dim} — every dot product against them is garbage"
+        )
+
+    dup_ids = (
+        idx.df.groupBy(idx.id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .count()
+    )
+    f["stats"]["duplicate_ids"] = dup_ids
+    if dup_ids:
+        f["errors"].append(
+            f"{dup_ids} ids appear more than once — top-k returns the "
+            "same id twice and crowds out a real neighbor; repair "
+            f"with: wrds-spark-index compact --vector-index {path}"
+        )
+
+    # re-assignment drift: exact argmax against the STORED centroids.
+    # A mixed-generation store (old cells under new centroids — the
+    # state the whole-index swap prevents) mismatches nearly every
+    # row; a small fraction is the hierarchical router's approximation
+    # on near-boundary vectors and is only worth a warning.
+    reassigned = exact_assigner(cents, idx.vec_col)(
+        samp.withColumnRenamed("cell", "_stored_cell")
+    )
+    drift = reassigned.filter(
+        F.col("cell") != F.col("_stored_cell")
+    ).count()
+    n_samp = samp.count()
+    frac = drift / n_samp if n_samp else 0.0
+    f["stats"]["sampled_assignment_drift"] = drift
+    f["stats"]["sampled_assignment_drift_frac"] = round(frac, 4)
+    if frac > 0.25:
+        f["errors"].append(
+            f"{drift}/{n_samp} sampled vectors are not in their "
+            "argmax cell under the stored centroids — generations are "
+            "mixed (cells from one quantizer, centroids from another); "
+            "rebuild or recenter the index"
+        )
+    elif drift:
+        f["warnings"].append(
+            f"{drift}/{n_samp} sampled vectors off their exact-argmax "
+            "cell (hierarchical-router approximation on boundary "
+            "vectors; probes still find them via probe widening)"
+        )
+
+    if idx.codebooks is not None and "pq_code" in idx.df.columns:
+        from wrds_data_pipeline_spark.operators.pq import pq_encode_col
+
+        pq_samp = _sample_rows(
+            idx.df.select(idx.id_col, idx.vec_col, "pq_code"),
+            [idx.id_col],
+            sample,
+        )
+        bad_codes = pq_samp.filter(
+            pq_encode_col(idx.codebooks, F.col(idx.vec_col))
+            != F.col("pq_code")
+        ).count()
+        f["stats"]["sampled_pq_code_mismatches"] = bad_codes
+        if bad_codes:
+            f["errors"].append(
+                f"{bad_codes}/{sample} sampled PQ codes do not "
+                "re-encode from the stored codebooks — codes and "
+                "codebooks are from different generations; ADC "
+                "rankings are garbage (recenter --retrain-pq "
+                "re-encodes everything)"
+            )
+
+    zero = samp.filter(
+        F.aggregate(
+            F.col(idx.vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        == 0.0
+    ).count()
+    f["stats"]["sampled_zero_norm"] = zero
+    if zero:
+        f["warnings"].append(
+            f"{zero}/{n_samp} sampled vectors are zero-norm (no "
+            "direction; they never rank and never match)"
+        )
+    return f
