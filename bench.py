@@ -271,6 +271,23 @@ def main() -> None:
     # the sample(s) the headline actually used (<= bound unless every
     # window was stolen, which is the round record saying "this
     # query's headline is still weather").
+    # stormy = queries whose HEADLINE sample itself rode steal above
+    # the bound (no calm window ever appeared, even with extras) —
+    # the one number that says whether this round's totals are
+    # comparable at a glance (0 = fully defended run)
+    stormy = sum(
+        1
+        for n in HEADLINE
+        if sel_steal[n] is not None and sel_steal[n] > steal_bound
+    )
+    if stormy:
+        print(
+            f"# WARNING: {stormy}/{len(HEADLINE)} queries never saw a "
+            f"window under {steal_bound}% steal — their headline "
+            "numbers measure the host's neighbors; compare rounds on "
+            "the mins/sel_steal arrays",
+            file=sys.stderr,
+        )
     print(json.dumps({
         "aux": "spread",
         "order": "headline_queries_keys",
@@ -279,6 +296,7 @@ def main() -> None:
         "sel_steal": [sel_steal[n] for n in HEADLINE],
         "repeats": repeats,
         "extra": extra_runs,
+        "stormy": stormy,
     }))
     # the 1-min load rides in the HEADLINE too (not just the aux
     # diagnostics line), so a timing regression can neither hide

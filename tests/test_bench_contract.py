@@ -56,6 +56,14 @@ def test_bench_emits_three_aligned_json_lines(spark, monkeypatch, capsys):
 
     assert compact["aux"] == "spread"
     assert compact["order"] == "headline_queries_keys"
+    # stormy = #queries whose headline sample itself rode steal above
+    # the bound; pinned to the sel_steal array it summarizes (the box
+    # running this test may genuinely be stormy — that's the point)
+    assert compact["stormy"] == sum(
+        1
+        for s in compact["sel_steal"]
+        if s is not None and s > proto["steal_bound_pct"]
+    )
     assert len(compact["mins"]) == len(compact["steal_pct"]) == 2
     # sel_steal: the steal stamped on the sample(s) the headline used
     # — on a calm box every entry is None or <= the bound

@@ -200,3 +200,22 @@ def test_fsck_vector_index_corruptions(spark, tmp_path):
     )
     orphan = fsck_vector_index(spark, c)
     assert any("unknown to the centroid table" in e for e in orphan["errors"])
+
+
+def test_fsck_flat_store_residue(spark, tmp_path, capsys):
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.fsck import fsck_flat_store
+
+    flat = str(tmp_path / "flat")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.coalesce(1).write.mode("append").parquet(flat)
+    clean = fsck_flat_store(spark, flat)
+    assert clean["errors"] == [] and clean["warnings"] == []
+    df.coalesce(1).write.mode("append").parquet(flat)  # the replay
+    dup = fsck_flat_store(spark, flat)
+    assert dup["stats"]["duplicate_rows"] == 2
+    assert any("compact --flat-store" in w for w in dup["warnings"])
+    capsys.readouterr()
+    rc = index_main(["fsck", "--flat-store", flat])
+    assert rc == 0  # residue is warnings, not errors
+    assert "residue" in capsys.readouterr().out

@@ -1012,3 +1012,66 @@ def test_bert_ascii_fastpath_property(texts):
         for r in bert_word_counts(sdf, ascii_fastpath=False).collect()
     }
     assert fast == ref
+
+
+def test_bert_word_counts_duckdb_twin(spark):
+    """Cross-ENGINE oracle for the ASCII fast path (registry capped at
+    50, so this lives as the DuckDB-twin pytest like the retired
+    oracles): DuckDB independently implements BertNormalizer +
+    BertPreTokenizer for pure-ASCII text (clean -> lower -> punct
+    padding -> split) and the top-100 (word, count) must match
+    bert_word_counts exactly — two engines, two implementations, one
+    contract."""
+    import duckdb
+
+    sf_dir = SF_DIR
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    oracle = con.execute(r"""
+        WITH ascii_docs AS (
+          SELECT text FROM documents
+          WHERE text IS NOT NULL
+            AND NOT regexp_matches(text, '[^\x00-\x7F]')
+        ), cleaned AS (
+          SELECT lower(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '[\t\n\r]', ' ', 'g'),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '([!-/:-@\[-`{-~])', ' \1 ', 'g')) AS t
+          FROM ascii_docs
+        ), words AS (
+          SELECT unnest(string_split_regex(trim(t), ' +')) AS word
+          FROM cleaned
+        )
+        SELECT word, COUNT(*) AS cnt FROM words WHERE word <> ''
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100
+    """).fetchall()
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ascii_docs = docs.filter(
+        F.col("text").isNotNull()
+        & ~F.col("text").rlike("[^\\x00-\\x7F]")
+    )
+    got = [
+        (r["word"], r["count"])
+        for r in bert_word_counts(ascii_docs)
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(100)
+        .collect()
+    ]
+    assert got == [(w, c) for w, c in oracle]
+    # and the all-Python reference path agrees too (three-way pin)
+    ref = [
+        (r["word"], r["count"])
+        for r in bert_word_counts(ascii_docs, ascii_fastpath=False)
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(100)
+        .collect()
+    ]
+    assert ref == got

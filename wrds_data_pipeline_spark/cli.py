@@ -1174,6 +1174,9 @@ def index_main(argv: list[str] | None = None) -> int:
     fk.add_argument("--docs-store", default=None)
     fk.add_argument("--groups-store", default=None)
     fk.add_argument("--vector-index", default=None)
+    fk.add_argument("--flat-store", action="append", default=[],
+                    help="streaming flat store(s): residue-only "
+                    "checks (duplicates, file growth) — repeatable")
     fk.add_argument("--id-col", default="doc_id",
                     help="docs-store id column (band<->docs coverage "
                     "and docs shard recompute)")
@@ -1229,6 +1232,7 @@ def index_main(argv: list[str] | None = None) -> int:
         from wrds_data_pipeline_spark.operators.fsck import (
             fsck_band_index,
             fsck_docs_store,
+            fsck_flat_store,
             fsck_groups_store,
             fsck_vector_index,
         )
@@ -1238,10 +1242,11 @@ def index_main(argv: list[str] | None = None) -> int:
             and args.docs_store is None
             and args.groups_store is None
             and args.vector_index is None
+            and not args.flat_store
         ):
             raise SystemExit(
                 "fsck: pass --band-index, --docs-store, "
-                "--groups-store, and/or --vector-index"
+                "--groups-store, --vector-index, and/or --flat-store"
             )
         reports = []
         if args.band_index is not None:
@@ -1266,6 +1271,8 @@ def index_main(argv: list[str] | None = None) -> int:
             reports.append(
                 fsck_vector_index(spark, args.vector_index, args.sample)
             )
+        for fs in args.flat_store:
+            reports.append(fsck_flat_store(spark, fs))
         n_err = 0
         for r in reports:
             state = (

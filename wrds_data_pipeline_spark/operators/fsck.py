@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "fsck_band_index",
     "fsck_docs_store",
+    "fsck_flat_store",
     "fsck_groups_store",
     "fsck_vector_index",
 ]
@@ -520,5 +521,46 @@ def fsck_vector_index(
         f["warnings"].append(
             f"{zero}/{n_samp} sampled vectors are zero-norm (no "
             "direction; they never rank and never match)"
+        )
+    return f
+
+
+def fsck_flat_store(
+    spark: SparkSession, path: str, files_warn_at: int = 64
+) -> dict:
+    """The streaming harness's FLAT stores (per-batch band/vector/
+    membership appends, seen-hash sets) are schema-agnostic, so the
+    checkable surface is the residue class: full-row duplicates (the
+    at-least-once replay tolerated at read) and the per-append file
+    growth — both warnings with the compact remedy, never errors
+    (no pinned scheme to violate)."""
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _count_parquet_files,
+        _recover_compact_swap,
+        _store_has_rows,
+    )
+
+    f = _findings("flat_store", path)
+    _recover_compact_swap(path)
+    if not _store_has_rows(path):
+        f["warnings"].append("store is empty or missing")
+        return f
+    df = spark.read.parquet(path)
+    total = df.count()
+    distinct = df.distinct().count()
+    n_files = _count_parquet_files(path)
+    f["stats"]["rows"] = total
+    f["stats"]["duplicate_rows"] = total - distinct
+    f["stats"]["files"] = n_files
+    if total != distinct:
+        f["warnings"].append(
+            f"{total - distinct} duplicate rows (replay residue; "
+            "reclaim with: wrds-spark-index compact --flat-store "
+            f"{path})"
+        )
+    if n_files >= files_warn_at:
+        f["warnings"].append(
+            f"{n_files} files (one per micro-batch append; listing "
+            "cost grows monotonically — same compact reclaims)"
         )
     return f
