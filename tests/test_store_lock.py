@@ -166,6 +166,131 @@ def test_foreign_host_fresh_lease_refuses_old_lease_evicts(tmp_path):
         assert read_lock_holder(store)["host"] != "some-other-executor-host"
 
 
+def test_stalled_writer_release_spares_successor(tmp_path):
+    """VERDICT r13 wrong #1: a writer that stalls past stale_after_s
+    is taken over; when it finally resumes and releases, it must NOT
+    unlink the SUCCESSOR's live lease (ownership-checked release).
+    Real second process so the re-entry registry can't mask it."""
+    store = str(tmp_path / "band_index")
+    lf = lock_file_for(store)
+    proc = _hold_in_subprocess(store, "compact")
+    try:
+        # simulate the stall: age the on-disk lease past the default
+        # staleness horizon (the holder's in-memory mint keeps the
+        # ORIGINAL ts — exactly the asymmetry release must check)
+        payload = json.load(open(lf))
+        payload["ts"] = time.time() - 7200.0
+        with open(lf, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+        # takeover by this process (alive pid, but age > 1h)
+        successor = acquire_store_write_lock(store, "ingest")
+        assert read_lock_holder(store)["pid"] == os.getpid()
+        # the stalled writer resumes and releases: must be a no-op
+        _release_subprocess(proc)
+        assert proc.stdout.readline().strip() == "RELEASED"
+        assert os.path.exists(lf), "late release deleted the successor's lease"
+        assert read_lock_holder(store)["pid"] == os.getpid()
+        successor.release()
+        assert not os.path.exists(lf)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
+def test_lost_release_race_retries_not_refuses(tmp_path, monkeypatch):
+    """VERDICT r13 wrong #2: O_EXCL loses to a holder that releases
+    (unlinks) before the holder read — the acquirer must loop and win
+    the next O_EXCL, never refuse naming holder pid='?'."""
+    import wrds_data_pipeline_spark.operators.store_lock as sl
+
+    store = str(tmp_path / "docs_store")
+    lf = lock_file_for(store)
+    real_open = os.open
+    raced = {"n": 0}
+
+    def racing_open(path, flags, mode=0o777, **kw):
+        # first O_EXCL on the lockfile fails as if a holder existed —
+        # but the file is ALREADY GONE (the holder released in the
+        # race window), so the subsequent holder read finds nothing
+        if path == lf and raced["n"] == 0:
+            raced["n"] = 1
+            raise FileExistsError(17, "File exists", path)
+        return real_open(path, flags, mode, **kw)
+
+    monkeypatch.setattr(sl.os, "open", racing_open)
+    lease = acquire_store_write_lock(store, "append")  # must not raise
+    assert raced["n"] == 1
+    assert read_lock_holder(store)["pid"] == os.getpid()
+    monkeypatch.setattr(sl.os, "open", real_open)
+    lease.release()
+    assert not os.path.exists(lf)
+
+
+def test_takeover_toctou_preserves_fresh_lease(tmp_path, monkeypatch):
+    """ADVICE r13 (medium): contender B judged staleness against an
+    OLD observation; by the time it renames, the lockfile is a FRESH
+    lease minted by live writer A.  B must detect the mismatch on the
+    tombstone payload, restore A's lease, and refuse naming A —
+    never leave two 'exclusive' writers live."""
+    import wrds_data_pipeline_spark.operators.store_lock as sl
+
+    store = str(tmp_path / "vec_index")
+    lf = lock_file_for(store)
+    proc = _hold_in_subprocess(store, "recenter")  # live writer A
+    real_read = sl.read_lock_holder
+    stale_obs = {
+        "pid": 999999999,  # dead/foreign
+        "host": "some-dead-host",
+        "verb": "compact",
+        "acquired_at": "long-ago",
+        "ts": time.time() - 7200.0,
+    }
+    fed = {"n": 0}
+
+    def stale_first_read(path):
+        # B's first holder read returns the OLD (stale) observation;
+        # later reads see the real file — the TOCTOU interleave
+        if fed["n"] == 0:
+            fed["n"] = 1
+            return dict(stale_obs)
+        return real_read(path)
+
+    monkeypatch.setattr(sl, "read_lock_holder", stale_first_read)
+    try:
+        with pytest.raises(StoreLockedError) as ei:
+            acquire_store_write_lock(store, "append")
+        # refused naming the LIVE holder A, not the stale ghost
+        assert str(proc.pid) in str(ei.value)
+        assert "recenter" in str(ei.value)
+        # A's lease survived the mistaken eviction attempt
+        assert os.path.exists(lf)
+        assert real_read(store)["pid"] == proc.pid
+        # no tombstone residue
+        siblings = [e for e in os.listdir(tmp_path) if ".stale." in e]
+        assert siblings == []
+    finally:
+        monkeypatch.setattr(sl, "read_lock_holder", real_read)
+        _release_subprocess(proc)
+    assert not os.path.exists(lf)
+
+
+def test_out_of_order_release_unlinks_at_depth_zero(tmp_path):
+    """ADVICE r13 (low): releasing the OUTER lease while a re-entered
+    inner lease is live must not orphan the lockfile — whichever
+    release drops the depth to zero unlinks."""
+    store = str(tmp_path / "groups_store")
+    outer = acquire_store_write_lock(store, "ingest")
+    inner = acquire_store_write_lock(store, "update_groups_store")
+    outer.release()  # out of order: inner still live
+    assert os.path.exists(lock_file_for(store))
+    inner.release()  # depth hits zero HERE -> unlink
+    assert not os.path.exists(lock_file_for(store))
+    # and the double-release stays idempotent
+    outer.release()
+    inner.release()
+
+
 def test_unparseable_lease_only_evicted_by_age(tmp_path):
     store = str(tmp_path / "docs_store")
     lf = lock_file_for(store)

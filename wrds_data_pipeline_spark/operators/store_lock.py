@@ -38,6 +38,33 @@ Contract (stated here, enforced by every mutating verb):
   leases where the pid cannot be probed).  Takeover races resolve by
   ``os.rename`` atomicity: exactly one contender wins the rename of
   the stale lease to a tombstone and retries the O_EXCL create.
+  Two takeover-safety rules close the check-then-act windows:
+  (1) after winning the rename, the contender RE-READS the tombstone
+  and, if its (pid, ts) is not the stale holder it judged, restores
+  it via ``os.link`` (atomic, fails-if-exists) — a freshly minted
+  successor lease is never evicted by a contender acting on a stale
+  observation; (2) ``release()`` re-reads the live lockfile and
+  unlinks only its own mint — a writer that stalled past
+  ``stale_after_s`` and was taken over never deletes its successor's
+  lease when it finally resumes.  Residual window: if a THIRD
+  contender mints in the microseconds between a mistaken eviction
+  and its link-restore, the restore loses and the evicted holder
+  runs unleased until it finishes (its release is a no-op); this
+  needs a triple race inside one syscall window and is accepted for
+  the LOCAL/POSIX rendition.
+* **Re-entry scope (process-level, deliberately).**  Re-entry is
+  keyed by store path PER PROCESS, not per thread or per call tree:
+  Structured Streaming delivers foreachBatch on a different thread
+  than the one that started the query, so the streaming twins' inner
+  per-batch verbs must re-enter the run-scoped lease whichever
+  thread they land on.  The corollary is stated honestly: two
+  UNRELATED concurrent verbs in the SAME driver process (a compact
+  launched from another thread while a stream runs) deepen the lease
+  and interleave rather than refuse — cross-PROCESS writers are the
+  contract; same-process callers are presumed one coordinated
+  program.  The unlink happens when the depth reaches zero,
+  whichever lease object's release gets there (out-of-order
+  releases don't leak the lockfile).
 * **Local-filesystem scope.**  Like the swap machinery beside it
   (dedup.py ``_swap_compacted``), this is the LOCAL/POSIX rendition;
   at production scale the stores are transactional tables and the
@@ -76,13 +103,16 @@ __all__ = [
 #: deployment pushing multi-hour compactions should raise it.
 DEFAULT_STALE_AFTER_S = 3600.0
 
-# process-local re-entry registry: abspath(store) -> depth.  Process-
-# level (not thread-level) on purpose: Structured Streaming delivers
-# foreachBatch on a different thread than the one that started the
-# query, and the streaming twins hold the lease across batches — the
-# inner per-batch verbs must RE-ENTER the run-scoped lease, whichever
-# thread they land on.
-_HELD: dict[str, int] = {}
+# process-local re-entry registry: abspath(store) -> {"depth", "lock_file",
+# "mint"}.  Process-level (not thread-level) on purpose: Structured
+# Streaming delivers foreachBatch on a different thread than the one
+# that started the query, and the streaming twins hold the lease across
+# batches — the inner per-batch verbs must RE-ENTER the run-scoped
+# lease, whichever thread they land on.  "mint" pins the (pid, ts) this
+# process wrote into the lockfile so release can prove ownership before
+# unlinking (a successor that took over our stale lease is never
+# deleted by our late release).
+_HELD: dict[str, dict] = {}
 _HELD_GUARD = threading.Lock()
 
 
@@ -97,14 +127,29 @@ def lock_file_for(store_path: str) -> str:
     return os.path.abspath(store_path).rstrip("/") + ".lock"
 
 
-def read_lock_holder(store_path: str) -> dict | None:
-    """Best-effort read of the current lease payload (None when the
-    store is unlocked or the payload is unreadable mid-write)."""
+def _read_payload(lock_path: str) -> dict | None:
+    """Best-effort read of a lease payload at an explicit path (None
+    when absent or unreadable mid-write)."""
     try:
-        with open(lock_file_for(store_path), "r", encoding="utf-8") as f:
+        with open(lock_path, "r", encoding="utf-8") as f:
             return json.load(f)
     except (FileNotFoundError, json.JSONDecodeError, OSError):
         return None
+
+
+def read_lock_holder(store_path: str) -> dict | None:
+    """Best-effort read of the current lease payload (None when the
+    store is unlocked or the payload is unreadable mid-write)."""
+    return _read_payload(lock_file_for(store_path))
+
+
+def _same_mint(a: dict | None, b: dict | None) -> bool:
+    """Two lease payloads describe the SAME mint iff (pid, ts) match —
+    ts is the float minted at acquire time, unique per mint in
+    practice (and pid disambiguates the rest)."""
+    if a is None or b is None:
+        return False
+    return a.get("pid") == b.get("pid") and a.get("ts") == b.get("ts")
 
 
 def _pid_alive(pid: int) -> bool:
@@ -140,7 +185,13 @@ def _is_stale(lock_file: str, holder: dict | None, stale_after_s: float) -> bool
 
 
 class StoreLease:
-    """A held exclusive write lease.  ``release()`` is idempotent."""
+    """A held exclusive write lease.  ``release()`` is idempotent.
+    Whichever lease object's release drops the process re-entry depth
+    to zero performs the unlink (out-of-order release of an outer
+    lease while an inner re-entered one is live does NOT leak the
+    lockfile), and the unlink is OWNERSHIP-CHECKED: the live payload
+    must be this process's own mint, so a successor that legitimately
+    took over a stale lease is never deleted by a late release."""
 
     def __init__(self, store_path: str, lock_file: str, reentered: bool):
         self.store_path = store_path
@@ -154,16 +205,25 @@ class StoreLease:
         self._released = True
         key = os.path.abspath(self.store_path)
         with _HELD_GUARD:
-            depth = _HELD.get(key, 0)
-            if depth > 1:
-                _HELD[key] = depth - 1
+            ent = _HELD.get(key)
+            if ent is None:
+                return
+            ent["depth"] -= 1
+            if ent["depth"] > 0:
                 return
             _HELD.pop(key, None)
-        if not self._reentered:
-            try:
-                os.unlink(self.lock_file)
-            except FileNotFoundError:
-                pass
+            lock_file, mint = ent["lock_file"], ent["mint"]
+        current = _read_payload(lock_file)
+        if current is not None and not _same_mint(current, mint):
+            # a contender judged our lease stale (we stalled past
+            # stale_after_s) and minted its own: the lockfile is the
+            # SUCCESSOR's live lease — deleting it would silently
+            # reopen the single-writer window for a third verb
+            return
+        try:
+            os.unlink(lock_file)
+        except FileNotFoundError:
+            pass
 
 
 def acquire_store_write_lock(
@@ -181,28 +241,34 @@ def acquire_store_write_lock(
     key = os.path.abspath(store_path)
     lock_file = lock_file_for(store_path)
     with _HELD_GUARD:
-        if _HELD.get(key, 0) > 0:
-            _HELD[key] += 1
+        ent = _HELD.get(key)
+        if ent is not None:
+            ent["depth"] += 1
             return StoreLease(store_path, lock_file, reentered=True)
 
     parent = os.path.dirname(lock_file)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    payload = json.dumps(
-        {
-            "pid": os.getpid(),
-            "host": socket.gethostname(),
-            "verb": verb,
-            "acquired_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
-            "ts": time.time(),
-        }
-    ).encode("utf-8")
+    mint = {
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "verb": verb,
+        "acquired_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "ts": time.time(),
+    }
+    payload = json.dumps(mint).encode("utf-8")
 
     for _ in range(64):  # bounded: each retry either creates or evicts
         try:
             fd = os.open(lock_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
             holder = read_lock_holder(store_path)
+            if holder is None and not os.path.exists(lock_file):
+                # lost a race with a RELEASING holder: the file
+                # vanished between O_EXCL and the holder read.  One
+                # more O_EXCL attempt will succeed — retrying here is
+                # strictly better than refusing with a pid='?' ghost
+                continue
             if _is_stale(lock_file, holder, stale_after_s):
                 # atomic takeover: one contender wins the rename, the
                 # rest lose with FileNotFoundError and retry against
@@ -212,11 +278,32 @@ def acquire_store_write_lock(
                     os.rename(lock_file, tomb)
                 except (FileNotFoundError, OSError):
                     continue
+                evicted = _read_payload(tomb)
+                if evicted is not None and not _same_mint(evicted, holder):
+                    # check-then-rename TOCTOU: between our staleness
+                    # judgment and the rename, another contender
+                    # completed ITS takeover and minted a fresh lease —
+                    # what we grabbed is that valid successor, not the
+                    # stale holder.  Restore it atomically (link fails
+                    # if a third contender already minted; then the
+                    # restored lease loses — documented residual) and
+                    # re-evaluate against the live state.
+                    try:
+                        os.link(tomb, lock_file)
+                    except (FileExistsError, OSError):
+                        pass
+                    try:
+                        os.unlink(tomb)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 try:
                     os.unlink(tomb)
                 except FileNotFoundError:
                     pass
                 continue
+            if holder is None and not os.path.exists(lock_file):
+                continue  # vanished mid-check: same lost-release race
             who = holder or {}
             age = _lease_age_s(lock_file, holder)
             raise StoreLockedError(
@@ -236,7 +323,11 @@ def acquire_store_write_lock(
             finally:
                 os.close(fd)
             with _HELD_GUARD:
-                _HELD[key] = 1
+                _HELD[key] = {
+                    "depth": 1,
+                    "lock_file": lock_file,
+                    "mint": {"pid": mint["pid"], "ts": mint["ts"]},
+                }
             return StoreLease(store_path, lock_file, reentered=False)
     raise StoreLockedError(
         f"store {store_path!r}: could not win the write lease after "
