@@ -202,6 +202,101 @@ def test_fsck_vector_index_corruptions(spark, tmp_path):
     assert any("unknown to the centroid table" in e for e in orphan["errors"])
 
 
+def test_fsck_classifies_corrupt_shapes_without_crashing(spark, tmp_path):
+    """ADVICE r13: several corrupt-input shapes made fsck DIE with a
+    traceback (ZeroDivisionError on bands=0, FileNotFoundError on a
+    missing bands/ dir, IndexError on an empty centroid table) — a
+    diagnostic verb must classify them as ERRORs instead."""
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        build_vector_index,
+    )
+
+    # (a) meta pins a zero: bands=0 divides nothing — classified, not
+    # raised (the v<1 loop must early-return before the % check)
+    idx = str(tmp_path / "idx_zero")
+    docs = str(tmp_path / "docs_zero")
+    ingest_increment(
+        _docs(spark, [(1, "a b c d e f g h"), (2, "i j k l m n o p")]),
+        idx, docs, n_shards=2, docs_shards=2,
+    )
+    spark.createDataFrame(
+        [(2, 3, 8, 0)], "n_shards int, k_shingle int, n_hashes int, bands int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "meta"))
+    f = fsck_band_index(spark, idx)
+    assert any("bands=0 < 1" in e for e in f["errors"])
+
+    # (b) bands/ dir gone entirely (no .old beside it): ERROR, no
+    # FileNotFoundError traceback
+    idx2 = str(tmp_path / "idx_nobands")
+    docs2 = str(tmp_path / "docs_nobands")
+    ingest_increment(
+        _docs(spark, [(1, "q r s t u v w x"), (2, "y z a1 b1 c1 d1 e1 f1")]),
+        idx2, docs2, n_shards=2, docs_shards=2,
+    )
+    shutil.rmtree(os.path.join(idx2, "bands"))
+    f = fsck_band_index(spark, idx2)
+    assert any("missing" in e for e in f["errors"])
+
+    # (c) empty centroid table: ERROR naming the rebuild, no IndexError
+    vidx = str(tmp_path / "vidx_empty")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    build_vector_index(emb, vidx, n_cells=2)
+    spark.createDataFrame(
+        [], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vidx, "centroids")
+    )
+    f = fsck_vector_index(spark, vidx)
+    assert any("EMPTY" in e for e in f["errors"])
+
+
+def test_fsck_reports_interrupted_swap_read_only(spark, tmp_path):
+    """ADVICE r13: fsck advertises read-only but used to COMPLETE an
+    interrupted compact swap (renaming directories) — racing a live
+    compactor's two-rename window.  It must now report the state with
+    the recovery route and leave the layout byte-for-byte alone; the
+    lease-holding mutating verbs (and fsck --repair) stay the only
+    repairers."""
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+    from wrds_data_pipeline_spark.operators.fsck import fsck_flat_store
+
+    docs = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    ingest_increment(
+        _docs(spark, [(1, "one two three four five six")]),
+        idx, docs, n_shards=2, docs_shards=2,
+    )
+    # the _swap_compacted mid-window: live renamed away, compacted
+    # copy fully written beside it
+    shutil.copytree(docs, docs + ".compacting")
+    os.rename(docs, docs + ".old")
+
+    f = fsck_docs_store(spark, docs)
+    assert any("interrupted compaction swap" in e for e in f["errors"])
+    # READ-ONLY: the layout is exactly as found — no rename happened
+    assert not os.path.exists(docs)
+    assert os.path.isdir(docs + ".old")
+    assert os.path.isdir(docs + ".compacting")
+
+    # groups/flat checkers share the contract
+    f = fsck_groups_store(spark, docs)
+    assert any("interrupted compaction swap" in e for e in f["errors"])
+    assert not os.path.exists(docs)
+    f = fsck_flat_store(spark, docs)
+    assert any("interrupted compaction swap" in e for e in f["errors"])
+    assert not os.path.exists(docs)
+
+    # the missing-copy variant names the manual recovery command
+    shutil.rmtree(docs + ".compacting")
+    f = fsck_docs_store(spark, docs)
+    assert any("mv " in e for e in f["errors"])
+    assert os.path.isdir(docs + ".old")
+
+
 def test_fsck_flat_store_residue(spark, tmp_path, capsys):
     from wrds_data_pipeline_spark.cli import index_main
     from wrds_data_pipeline_spark.operators.fsck import fsck_flat_store

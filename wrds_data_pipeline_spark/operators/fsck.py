@@ -91,11 +91,19 @@ def _sample_rows(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
     )
 
 
-def _partition_values(path: str, prefix: str) -> list[int]:
+def _partition_values(path: str, prefix: str) -> list[int] | None:
+    """Partition-dir values under ``path`` (None when the dir itself
+    is missing — a corrupt-store shape the CALLER must classify as an
+    ERROR; a diagnostic verb never tracebacks on the states it
+    exists to diagnose)."""
     import os
 
+    try:
+        entries = os.listdir(path)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
     out = []
-    for entry in os.listdir(path):
+    for entry in entries:
         if entry.startswith(prefix) and os.path.isdir(
             os.path.join(path, entry)
         ):
@@ -106,6 +114,55 @@ def _partition_values(path: str, prefix: str) -> list[int]:
     return out
 
 
+def _swap_residue_ok(f: dict, live: str) -> bool:
+    """READ-ONLY classification of the ``_swap_compacted`` crash
+    window (store at ``live + '.old'``, compacted copy at
+    ``live + '.compacting'``).  The mutating verbs REPAIR this state
+    at load (``dedup._recover_compact_swap``); fsck must only REPORT
+    it — fsck runs unlocked beside live writers, and completing the
+    swap inside a live compactor's two-rename window would make the
+    compactor's own rename fail and race its rmtree of the ``.old``
+    dir (ADVICE r13).  Returns False when the live dir is unusable
+    (interrupted swap / missing) — nothing else is checkable without
+    repairing first."""
+    import os
+
+    old, tmp = live + ".old", live + ".compacting"
+    if not os.path.exists(live):
+        if os.path.exists(old) and os.path.isdir(tmp):
+            f["errors"].append(
+                f"interrupted compaction swap: store renamed to "
+                f"{old!r} with the fully-written compacted copy at "
+                f"{tmp!r} — any lease-holding mutating verb (or "
+                "fsck --repair) completes it; fsck itself is "
+                "read-only and will not"
+            )
+            return False
+        if os.path.exists(old):
+            f["errors"].append(
+                f"store at {live!r} is missing but {old!r} exists "
+                "with NO compacted copy beside it — recover the "
+                f"pre-compact store with:  mv {old!r} {live!r}"
+            )
+            return False
+        f["errors"].append(f"store missing: {live!r}")
+        return False
+    # live exists: leftover siblings are benign residue, not errors
+    if os.path.exists(tmp):
+        f["warnings"].append(
+            f"stale compacted copy at {tmp!r} beside the live store "
+            "(a compact crashed during its rewrite, before the swap; "
+            "safe to delete)"
+        )
+    if os.path.exists(old):
+        f["warnings"].append(
+            f"stale pre-compact copy at {old!r} beside the live "
+            "store (a swap crashed after the final rename; safe to "
+            "delete)"
+        )
+    return True
+
+
 def fsck_band_index(
     spark: SparkSession,
     path: str,
@@ -113,22 +170,42 @@ def fsck_band_index(
     id_col: str = "doc_id",
     sample: int = 4096,
 ) -> dict:
+    import os
+
     from wrds_data_pipeline_spark.operators.dedup import (
-        _band_index_has_sigs,
+        _BAND_INDEX_META_COLS,
         _band_index_shard,
-        _read_band_index_meta,
+        _store_has_rows,
     )
 
     f = _findings("band_index", path)
+    # read-only swap-window classification FIRST (never repair: the
+    # mutating loaders' _read_band_index_meta recovers; fsck reports)
+    if not _swap_residue_ok(f, path):
+        return f
+    if not _swap_residue_ok(f, os.path.join(path, "bands")):
+        return f
+    # signatures dir is optional: only classify swap residue when an
+    # interrupted signature-compaction window is present (its absence
+    # is the legitimate pre-retention store shape, not a finding)
+    if os.path.exists(os.path.join(path, "signatures.old")):
+        _swap_residue_ok(f, os.path.join(path, "signatures"))
     try:
-        meta = _read_band_index_meta(spark, path)
+        [row] = spark.read.parquet(f"{path}/meta").collect()
+        meta = {k: int(row[k]) for k in _BAND_INDEX_META_COLS}
     except Exception as exc:  # unreadable meta: nothing else checkable
         f["errors"].append(f"meta unreadable: {exc}")
         return f
     f["stats"]["meta"] = meta
+    bad_meta = False
     for k, v in meta.items():
         if v < 1:
             f["errors"].append(f"meta {k}={v} < 1")
+            bad_meta = True
+    if bad_meta:
+        # every later check divides/mods by these pins; a diagnostic
+        # verb classifies the corruption, it doesn't crash on it
+        return f
     if meta["n_hashes"] % meta["bands"] != 0:
         f["errors"].append(
             f"bands={meta['bands']} does not divide "
@@ -136,11 +213,15 @@ def fsck_band_index(
             "cannot reproduce the build's rows-per-band"
         )
 
-    bad_dirs = [
-        v
-        for v in _partition_values(f"{path}/bands", "shard=")
-        if not 0 <= v < meta["n_shards"]
-    ]
+    part_vals = _partition_values(f"{path}/bands", "shard=")
+    if part_vals is None:
+        f["errors"].append(
+            f"bands dir missing at {path}/bands — the index has a "
+            "meta pin but no banded rows; probes read nothing "
+            "(interrupted build? restore from backup or rebuild)"
+        )
+        return f
+    bad_dirs = [v for v in part_vals if not 0 <= v < meta["n_shards"]]
     if bad_dirs:
         f["errors"].append(
             f"bands layout holds shard dirs outside [0, "
@@ -179,7 +260,11 @@ def fsck_band_index(
             f"{path})"
         )
 
-    if _band_index_has_sigs(path):
+    # read-only twin of _band_index_has_sigs (which repairs an
+    # interrupted signature-compaction swap at load; fsck reported it
+    # above instead)
+    sig_dir = os.path.join(path, "signatures")
+    if os.path.isdir(sig_dir) and _store_has_rows(sig_dir):
         sig_ids = spark.read.parquet(f"{path}/signatures").select("_id")
         banded_ids = bands.select("_id").distinct()
         missing = banded_ids.join(
@@ -228,11 +313,11 @@ def fsck_docs_store(
     from wrds_data_pipeline_spark.operators.dedup import (
         _DOCS_STORE_META,
         _doc_store_shard,
-        _recover_compact_swap,
     )
 
     f = _findings("docs_store", path)
-    _recover_compact_swap(path)
+    if not _swap_residue_ok(f, path):  # read-only: report, never repair
+        return f
     try:
         with open(os.path.join(path, _DOCS_STORE_META)) as fh:
             meta = json.load(fh)
@@ -315,12 +400,12 @@ def fsck_groups_store(
     from wrds_data_pipeline_spark.operators.dedup import (
         _DOCS_STORE_META,
         _doc_store_shard,
-        _recover_compact_swap,
         _store_has_rows,
     )
 
     f = _findings("groups_store", path)
-    _recover_compact_swap(path)
+    if not _swap_residue_ok(f, path):  # read-only: report, never repair
+        return f
     try:
         with open(os.path.join(path, _DOCS_STORE_META)) as fh:
             n_shards = int(json.load(fh)["groups_shards"])
@@ -408,13 +493,27 @@ def fsck_vector_index(
         load_vector_index,
     )
 
+    import os
+
     f = _findings("vector_index", path)
+    # read-only swap classification BEFORE load (load_vector_index
+    # REPAIRS the interrupted-recenter window; fsck must only report)
+    if not _swap_residue_ok(f, path):
+        return f
+    if not _swap_residue_ok(f, os.path.join(path, "vectors")):
+        return f
     try:
         idx = load_vector_index(spark, path)
     except Exception as exc:
         f["errors"].append(f"index unloadable: {exc}")
         return f
     cents = idx.centroid_list()
+    if not cents:
+        f["errors"].append(
+            "centroid table is EMPTY — no cell can be ranked or "
+            "probed; every query returns nothing (rebuild the index)"
+        )
+        return f
     dim = len(cents[0][1])
     f["stats"]["n_cells"] = len(cents)
     f["stats"]["dim"] = dim
@@ -536,15 +635,20 @@ def fsck_flat_store(
     (no pinned scheme to violate)."""
     from wrds_data_pipeline_spark.operators.dedup import (
         _count_parquet_files,
-        _recover_compact_swap,
         _store_has_rows,
     )
 
     f = _findings("flat_store", path)
-    _recover_compact_swap(path)
+    import os
+
+    if os.path.exists(path + ".old") and not os.path.exists(path):
+        # interrupted swap: report read-only (see _swap_residue_ok)
+        _swap_residue_ok(f, path)
+        return f
     if not _store_has_rows(path):
         f["warnings"].append("store is empty or missing")
         return f
+    _swap_residue_ok(f, path)  # live store: classify benign residue
     df = spark.read.parquet(path)
     total = df.count()
     distinct = df.distinct().count()
