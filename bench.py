@@ -85,6 +85,9 @@ HEADLINE = [
     # BENCH never exercised, since the sf0.1 documents table has no
     # naturally hot LSH buckets (census max 16 vs bound 256).
     "q66_gated_near_dup",
+    # round 14: perceptual-hash media near-dup (decode-boundary dhash
+    # → banded Hamming join) tracked round-over-round from birth.
+    "q67_media_near_dup",
 ]
 
 

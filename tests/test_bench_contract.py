@@ -141,7 +141,7 @@ def test_bench_headline_set_unchanged():
     here silently breaks round-over-round tracking."""
     import bench
 
-    assert len(bench.HEADLINE) == 30
+    assert len(bench.HEADLINE) == 31  # +q67_media_near_dup in r14
     assert bench.HEADLINE[0] == "q01_pricing_summary"
-    assert bench.HEADLINE[-1] == "q66_gated_near_dup"
+    assert bench.HEADLINE[-1] == "q67_media_near_dup"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)

@@ -381,3 +381,42 @@ def test_frame_luma_refuses_silent_fake_when_decoder_present(monkeypatch):
     monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
     with pytest.raises(NotImplementedError, match="pyav"):
         _frame_luma(b"some video bytes", 3)
+
+
+def test_multimodal_meta_duckdb_twin(spark, sf_dir):
+    """The rotated q30 oracle (registry slot now q67_media_near_dup),
+    kept as a pytest twin: the multimodal decode boundary's metadata
+    extraction — byte length, declared dims, content hash — matches
+    DuckDB on the same parquet."""
+    import duckdb
+
+    got = sorted(
+        (r["media_id"], r["n_bytes"], r["width"], r["height"],
+         r["content_hash"])
+        for r in extract_features(
+            synthesize_media(
+                spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+            )
+        )
+        .select("media_id", "n_bytes", "width", "height", "content_hash")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CAST(doc_id % 64 + 16 AS INT) AS width,
+                   CAST(doc_id % 48 + 16 AS INT) AS height,
+                   md5(text) AS content_hash
+            FROM documents
+            """
+        ).fetchall()
+    )
+    assert got == exp and got

