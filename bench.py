@@ -160,44 +160,44 @@ def main() -> None:
     # record says so.
     steal_bound = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_BOUND", "10"))
     max_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3")))
+    # Calm-seeking completion (round 14, VERDICT r13 missing #2): the
+    # r13 inline-extras defense saturated on 6/30 queries — steal
+    # BURSTS on this host last minutes, so re-running immediately just
+    # re-measures the same storm.  Queries whose inline repeats were
+    # all stolen are RE-QUEUED AT THE END of the run (minutes later;
+    # storms rotate) and cycled round-robin under a total wall cap
+    # until each sees one calm window or the cap exhausts.
+    retry_wall_cap = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA_WALL", "240")
+    )
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     q_steal: dict[str, float | None] = {}
     sel_steal: dict[str, float | None] = {}
+    all_samples: dict[str, list[tuple[float, float | None]]] = {}
+    rows_seen: dict[str, int] = {}
     extra_runs = 0
-    total = 0.0
-    for name in HEADLINE:
+    retry_runs = 0
+
+    def _calm(s):
+        # unmeasurable steal (non-Linux) counts as calm: there is
+        # nothing to defend against that we can see
+        return s[1] is None or s[1] <= steal_bound
+
+    def _one_timed_run(name):
         fn = driver_queries.QUERIES[name]
-        samples: list[tuple[float, float | None]] = []  # (wall, steal)
-        n = 0
-        q_ticks0 = _cpu_ticks()
+        r_ticks0 = _cpu_ticks()
+        t0 = time.time()
+        rows_seen[name] = fn(spark, sf_dir).count()
+        wall = time.time() - t0
+        all_samples[name].append(
+            (wall, _steal_share_pct(r_ticks0, _cpu_ticks()))
+        )
 
-        def _one_timed_run():
-            nonlocal n
-            r_ticks0 = _cpu_ticks()
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            wall = time.time() - t0
-            samples.append((wall, _steal_share_pct(r_ticks0, _cpu_ticks())))
-
-        for _ in range(repeats):
-            _one_timed_run()
-
-        def _calm(s):
-            # unmeasurable steal (non-Linux) counts as calm: there is
-            # nothing to defend against that we can see
-            return s[1] is None or s[1] <= steal_bound
-
-        q_extra = 0  # the re-run budget is per query, not per bench
-        while not any(_calm(s) for s in samples) and q_extra < max_extra:
-            q_extra += 1
-            extra_runs += 1
-            _one_timed_run()
-
-        # per-query steal share over the whole repeat window —
-        # pinpoints WHICH queries ran under a contention burst
-        q_steal[name] = _steal_share_pct(q_ticks0, _cpu_ticks())
-
+    def _finalize(name):
+        """Headline + stamps for one query from its current samples
+        (re-run after the end-of-run retry phase adds samples)."""
+        samples = all_samples[name]
         calm = sorted(w for w, st in samples if _calm((w, st)))
         if calm:
             # true median over calm samples (middle-two mean for even
@@ -210,7 +210,11 @@ def main() -> None:
             )
             times[name] = round(med, 3)
             sel_steal[name] = max(
-                (st for w, st in samples if _calm((w, st)) and st is not None),
+                (
+                    st
+                    for w, st in samples
+                    if _calm((w, st)) and st is not None
+                ),
                 default=None,
             )
         else:
@@ -222,12 +226,65 @@ def main() -> None:
             sel_steal[name] = st
         walls = sorted(w for w, _ in samples)
         spread[name] = [round(walls[0], 3), times[name]]
-        total += times[name]
+
+    for name in HEADLINE:
+        all_samples[name] = []
+        q_ticks0 = _cpu_ticks()
+        for _ in range(repeats):
+            _one_timed_run(name)
+
+        q_extra = 0  # the re-run budget is per query, not per bench
+        while (
+            not any(_calm(s) for s in all_samples[name])
+            and q_extra < max_extra
+        ):
+            q_extra += 1
+            extra_runs += 1
+            _one_timed_run(name)
+
+        # per-query steal share over the whole repeat window —
+        # pinpoints WHICH queries ran under a contention burst
+        q_steal[name] = _steal_share_pct(q_ticks0, _cpu_ticks())
+        _finalize(name)
         print(
             f"# {name}: {times[name]}s headline of "
-            f"{[(round(w, 3), st) for w, st in samples]} ({n} rows)",
+            f"{[(round(w, 3), st) for w, st in all_samples[name]]} "
+            f"({rows_seen[name]} rows)",
             file=sys.stderr,
         )
+
+    # end-of-run retry phase: by now, minutes have passed since the
+    # early queries' storms — cycle the still-stormy queries until
+    # each catches one calm window or the wall cap runs out
+    stormy_queue = [
+        n for n in HEADLINE if not any(_calm(s) for s in all_samples[n])
+    ]
+    retry_t0 = time.time()
+    while stormy_queue and (time.time() - retry_t0) < retry_wall_cap:
+        for name in list(stormy_queue):
+            if (time.time() - retry_t0) >= retry_wall_cap:
+                break
+            _one_timed_run(name)
+            retry_runs += 1
+            if _calm(all_samples[name][-1]):
+                stormy_queue.remove(name)
+                _finalize(name)
+                w, st = all_samples[name][-1]
+                print(
+                    f"# {name}: end-of-run retry caught a calm window "
+                    f"({round(w, 3)}s at {st}% steal) — headline now "
+                    f"{times[name]}s",
+                    file=sys.stderr,
+                )
+    for name in stormy_queue:
+        _finalize(name)  # cap exhausted: least-stolen sample, stamped
+        print(
+            f"# {name}: retry wall cap ({retry_wall_cap}s) exhausted "
+            "without a calm window — headline stays the least-stolen "
+            f"sample at {sel_steal[name]}% steal",
+            file=sys.stderr,
+        )
+    total = sum(times[name] for name in HEADLINE)
     load_end = os.getloadavg()[0]
     steal_pct = _steal_share_pct(cpu_start, _cpu_ticks())
 
@@ -255,6 +312,12 @@ def main() -> None:
             "steal_bound_pct": steal_bound,
             "max_extra_repeats_per_query": max_extra,
             "extra_repeats_run": extra_runs,
+            # end-of-run calm-seeking (r14): still-stormy queries are
+            # re-queued once the whole suite has run (storm bursts on
+            # this host rotate on minutes timescales) and cycled under
+            # this wall cap until each catches one calm window
+            "retry_wall_cap_s": retry_wall_cap,
+            "retry_repeats_run": retry_runs,
             "load_avg_1m_start": round(load_start, 2),
             "load_avg_1m_end": round(load_end, 2),
             # host CPU withheld from this VM during the bench window,
@@ -299,6 +362,7 @@ def main() -> None:
         "sel_steal": [sel_steal[n] for n in HEADLINE],
         "repeats": repeats,
         "extra": extra_runs,
+        "retry": retry_runs,
         "stormy": stormy,
     }))
     # the 1-min load rides in the HEADLINE too (not just the aux

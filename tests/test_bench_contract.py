@@ -136,6 +136,105 @@ def test_bench_headline_excludes_stolen_repeats(spark, monkeypatch, capsys):
     assert verbose["protocol"]["extra_repeats_run"] == 0
 
 
+def test_bench_end_of_run_retry_rescues_stormy_query(
+    spark, monkeypatch, capsys
+):
+    """VERDICT r13 missing #2: a query whose inline repeats (base +
+    extras) ALL rode a steal storm must be re-queued at the END of
+    the run, where a calm window rescues its headline — the record
+    closes at stormy: 0 instead of stamping the storm."""
+    import bench
+    from wrds_data_pipeline_spark import driver_queries
+
+    calls = {"n": 0}
+
+    def q(s, sf_dir):
+        calls["n"] += 1
+        # call 1 = warm; calls 2-3 = stolen inline repeats (slow);
+        # call 4 = the end-of-run retry (fast, calm)
+        if calls["n"] in (2, 3):
+            time.sleep(0.5)
+        return s.range(2)
+
+    seq = iter(
+        [
+            (0, 1000),        # cpu_start (bench window)
+            (0, 1000),        # per-query window start
+            (0, 1000),        # inline repeat 1 start
+            (600, 2200),      # repeat 1 end: 600/1200 = 50% steal
+            (600, 2200),      # inline extra start
+            (1200, 3400),     # extra end: 50% steal
+            (1200, 3400),     # per-query window end
+            (1200, 3400),     # end-of-run retry start
+            (1200, 4400),     # retry end: 0% steal — CALM
+            (1200, 4500),     # bench window end
+        ]
+    )
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(seq, (1200, 5000)))
+    monkeypatch.setattr(bench, "HEADLINE", ["qR_rescued"])
+    monkeypatch.setitem(driver_queries.QUERIES, "qR_rescued", q)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_EXTRA", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_EXTRA_WALL", "60")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    capsys.readouterr()
+    bench.main()
+    out_lines = [
+        l for l in capsys.readouterr().out.splitlines() if l.strip()
+    ]
+    verbose, compact, head = (json.loads(l) for l in out_lines)
+    # the retry's calm sample headlines: well under the 0.5s storms
+    assert head["queries"]["qR_rescued"] < 0.5
+    assert compact["stormy"] == 0
+    assert compact["retry"] == 1
+    assert compact["sel_steal"][0] is None or compact["sel_steal"][0] <= 10
+    assert verbose["protocol"]["retry_repeats_run"] == 1
+    assert verbose["protocol"]["retry_wall_cap_s"] == 60.0
+
+
+def test_bench_retry_wall_cap_exhaustion_keeps_stormy_stamp(
+    spark, monkeypatch, capsys
+):
+    """The truly-unlucky case stays honest: with a zero retry wall
+    cap (a fully-stormy host in miniature), the headline is the
+    least-stolen sample and the record still says stormy."""
+    import bench
+    from wrds_data_pipeline_spark import driver_queries
+
+    def q(s, sf_dir):
+        return s.range(2)
+
+    seq = iter(
+        [
+            (0, 1000),        # cpu_start
+            (0, 1000),        # per-query window start
+            (0, 1000),        # repeat 1 start
+            (600, 2200),      # repeat 1 end: 50% steal
+            (600, 2200),      # inline extra start
+            (1140, 3400),     # extra end: 540/1200 = 45% steal
+            (1140, 3400),     # per-query window end
+            (1140, 3500),     # bench window end (no retry calls: cap 0)
+        ]
+    )
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(seq, (1140, 5000)))
+    monkeypatch.setattr(bench, "HEADLINE", ["qX_stormy"])
+    monkeypatch.setitem(driver_queries.QUERIES, "qX_stormy", q)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_EXTRA", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_EXTRA_WALL", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    capsys.readouterr()
+    bench.main()
+    out_lines = [
+        l for l in capsys.readouterr().out.splitlines() if l.strip()
+    ]
+    verbose, compact, head = (json.loads(l) for l in out_lines)
+    assert compact["stormy"] == 1
+    assert compact["retry"] == 0
+    # least-stolen sample selected: the 45% extra, its steal stamped
+    assert compact["sel_steal"][0] == 45.0
+
+
 def test_bench_headline_set_unchanged():
     """The driver compares rounds by these keys; an accidental edit
     here silently breaks round-over-round tracking."""
