@@ -297,6 +297,153 @@ def test_fsck_reports_interrupted_swap_read_only(spark, tmp_path):
     assert os.path.isdir(docs + ".old")
 
 
+def test_fsck_repair_three_invariants_one_pass(spark, tmp_path, capsys):
+    """VERDICT r13 missing #3 'done' shape: break three invariants
+    across one store tree (duplicate docs rows, a sidecar hole,
+    duplicate vector ids), run `fsck --repair --apply` ONCE, and the
+    re-check comes back clean.  Unrepairable findings are listed as
+    MANUAL, never guessed at."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _doc_store_shard,
+        ingest_increment,
+    )
+    from wrds_data_pipeline_spark.operators.vector_index import (
+        append_vector_index,
+        build_vector_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = str(tmp_path / "docs")
+    groups = str(tmp_path / "groups")
+    vidx = str(tmp_path / "vidx")
+    variants = [
+        "the quick brown fox jumps over the lazy dog every day",
+        "spark plans prune partitions and push filters into scans",
+        "parquet footers carry column statistics for skipping pages",
+        "band hashing buckets similar documents into shared shards",
+    ]
+    ingest_increment(
+        _docs(spark, [(i, variants[i % 4]) for i in range(40)]),
+        idx, docs, n_shards=4, docs_shards=4,
+        groups_store_path=groups, groups_shards=4,
+    )
+    build_vector_index(
+        spark.createDataFrame(
+            [(i, [float(i % 7), 1.0]) for i in range(24)],
+            "vec_id long, embedding array<float>",
+        ),
+        vidx, n_cells=2,
+    )
+
+    # invariant 1: replayed docs append (duplicate rows)
+    dup = (
+        _docs(spark, [(7, variants[3])])
+        .withColumn("shard", _doc_store_shard(F.col("doc_id"), 4))
+    )
+    dup.write.mode("append").partitionBy("shard").parquet(docs)
+    dup.write.mode("append").partitionBy("shard").parquet(docs)
+    # invariant 2: sidecar hole (one gshard dir dropped)
+    sc = os.path.join(groups, "_group_shards")
+    victim = next(
+        e for e in os.listdir(sc)
+        if e.startswith("gshard=") and os.path.isdir(os.path.join(sc, e))
+    )
+    shutil.rmtree(os.path.join(sc, victim))
+    # invariant 3: replayed vector append (duplicate ids)
+    inc = spark.createDataFrame(
+        [(100, [3.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    append_vector_index(inc, vidx)
+    append_vector_index(inc, vidx)
+
+    base_args = [
+        "fsck", "--docs-store", docs, "--groups-store", groups,
+        "--vector-index", vidx,
+    ]
+    # dry run (the --repair default): prints the plan, repairs nothing
+    capsys.readouterr()
+    rc = index_main(base_args + ["--repair"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "repair would run: compact-docs-store" in out
+    assert "repair would run: compact-groups-store" in out
+    assert "repair would run: compact-vector-index" in out
+    assert "dry run" in out
+    # nothing changed: still corrupt
+    assert index_main(base_args) == 1
+    capsys.readouterr()
+
+    # one applied pass repairs all three; the re-check is clean
+    rc = index_main(base_args + ["--repair", "--apply"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3 executed" in out
+    assert index_main(base_args) == 0
+
+
+def test_fsck_repair_completes_swap_and_defers_on_busy(
+    spark, tmp_path, capsys
+):
+    """Swap completion runs under the writer lease; a store held by
+    another writer DEFERS (ingest auto-compact convention) instead of
+    failing or fighting for the lease."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.dedup import ingest_increment
+
+    docs = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    ingest_increment(
+        _docs(spark, [(1, "one two three four five six")]),
+        idx, docs, n_shards=2, docs_shards=2,
+    )
+    shutil.copytree(docs, docs + ".compacting")
+    os.rename(docs, docs + ".old")
+
+    # busy store: a REAL second process holds the docs lease
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from wrds_data_pipeline_spark.operators.store_lock import (
+            acquire_store_write_lock,
+        )
+        lease = acquire_store_write_lock({docs!r}, "compact")
+        print("HELD", flush=True)
+        sys.stdin.read()
+        lease.release()
+        """
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", code],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    assert proc.stdout.readline().strip() == "HELD"
+    try:
+        capsys.readouterr()
+        rc = index_main(["fsck", "--docs-store", docs, "--repair", "--apply"])
+        cap = capsys.readouterr()
+        assert "repair deferred (store busy)" in cap.err
+        assert rc == 1  # still mid-swap: the re-check stays red
+        assert os.path.isdir(docs + ".old")  # untouched while held
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)
+
+    # holder gone: the same repair completes the swap; clean re-check
+    capsys.readouterr()
+    rc = index_main(["fsck", "--docs-store", docs, "--repair", "--apply"])
+    assert rc == 0
+    assert os.path.isdir(docs)
+    assert not os.path.exists(docs + ".old")
+    assert not os.path.exists(docs + ".compacting")
+
+
 def test_fsck_flat_store_residue(spark, tmp_path, capsys):
     from wrds_data_pipeline_spark.cli import index_main
     from wrds_data_pipeline_spark.operators.fsck import fsck_flat_store

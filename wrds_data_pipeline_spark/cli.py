@@ -1182,6 +1182,17 @@ def index_main(argv: list[str] | None = None) -> int:
                     "and docs shard recompute)")
     fk.add_argument("--sample", type=int, default=4096,
                     help="row budget for the sampled checks")
+    fk.add_argument("--repair", action="store_true",
+                    help="plan repairs for the findings (swap "
+                    "completion, compaction, recenter — in that "
+                    "dependency order, via the lease-taking "
+                    "maintenance verbs); DRY-RUN by default: prints "
+                    "the plan, add --apply to execute")
+    fk.add_argument("--apply", action="store_true",
+                    help="with --repair: actually execute the plan "
+                    "(a store held by another writer defers with a "
+                    "note, like ingest's auto-compact), then re-run "
+                    "fsck and report the post-repair state")
 
     lk = sub.add_parser(
         "lock-status",
@@ -1248,43 +1259,74 @@ def index_main(argv: list[str] | None = None) -> int:
                 "fsck: pass --band-index, --docs-store, "
                 "--groups-store, --vector-index, and/or --flat-store"
             )
-        reports = []
-        if args.band_index is not None:
-            reports.append(
-                fsck_band_index(
-                    spark, args.band_index, docs_store=args.docs_store,
-                    id_col=args.id_col, sample=args.sample,
+        def gather():
+            reports = []
+            if args.band_index is not None:
+                reports.append(
+                    fsck_band_index(
+                        spark, args.band_index, docs_store=args.docs_store,
+                        id_col=args.id_col, sample=args.sample,
+                    )
                 )
-            )
-        if args.docs_store is not None:
-            reports.append(
-                fsck_docs_store(
-                    spark, args.docs_store, id_col=args.id_col,
-                    sample=args.sample,
+            if args.docs_store is not None:
+                reports.append(
+                    fsck_docs_store(
+                        spark, args.docs_store, id_col=args.id_col,
+                        sample=args.sample,
+                    )
                 )
+            if args.groups_store is not None:
+                reports.append(
+                    fsck_groups_store(spark, args.groups_store, args.sample)
+                )
+            if args.vector_index is not None:
+                reports.append(
+                    fsck_vector_index(spark, args.vector_index, args.sample)
+                )
+            for fs in args.flat_store:
+                reports.append(fsck_flat_store(spark, fs))
+            return reports
+
+        def show(reports):
+            n_err = 0
+            for r in reports:
+                state = (
+                    "CORRUPT" if r["errors"]
+                    else ("residue" if r["warnings"] else "clean")
+                )
+                print(f"fsck {r['kind']} {r['path']}: {state} | {r['stats']}")
+                for e in r["errors"]:
+                    print(f"  ERROR: {e}")
+                    n_err += 1
+                for w in r["warnings"]:
+                    print(f"  warning: {w}")
+            return n_err
+
+        reports = gather()
+        n_err = show(reports)
+        if args.repair:
+            from wrds_data_pipeline_spark.operators.fsck import (
+                plan_repairs,
+                run_repairs,
             )
-        if args.groups_store is not None:
-            reports.append(
-                fsck_groups_store(spark, args.groups_store, args.sample)
+
+            plan = plan_repairs(reports)
+            if not plan:
+                print("repair: nothing to do")
+                return 1 if n_err else 0
+            stats = run_repairs(spark, plan, dry_run=not args.apply)
+            if not args.apply:
+                print(
+                    "repair: dry run (add --apply to execute the plan "
+                    "above)"
+                )
+                return 1 if n_err else 0
+            print(
+                f"repair: {stats['executed']} executed, "
+                f"{stats['deferred']} deferred (busy), "
+                f"{stats['manual']} manual — re-running fsck"
             )
-        if args.vector_index is not None:
-            reports.append(
-                fsck_vector_index(spark, args.vector_index, args.sample)
-            )
-        for fs in args.flat_store:
-            reports.append(fsck_flat_store(spark, fs))
-        n_err = 0
-        for r in reports:
-            state = (
-                "CORRUPT" if r["errors"]
-                else ("residue" if r["warnings"] else "clean")
-            )
-            print(f"fsck {r['kind']} {r['path']}: {state} | {r['stats']}")
-            for e in r["errors"]:
-                print(f"  ERROR: {e}")
-                n_err += 1
-            for w in r["warnings"]:
-                print(f"  warning: {w}")
+            n_err = show(gather())
         return 1 if n_err else 0
 
     if args.cmd == "compact":

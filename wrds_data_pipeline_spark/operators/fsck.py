@@ -66,6 +66,8 @@ __all__ = [
     "fsck_flat_store",
     "fsck_groups_store",
     "fsck_vector_index",
+    "plan_repairs",
+    "run_repairs",
 ]
 
 
@@ -137,6 +139,8 @@ def _swap_residue_ok(f: dict, live: str) -> bool:
                 "fsck --repair) completes it; fsck itself is "
                 "read-only and will not"
             )
+            # machine-readable hook for plan_repairs (completable)
+            f.setdefault("interrupted_swaps", []).append(live)
             return False
         if os.path.exists(old):
             f["errors"].append(
@@ -668,3 +672,190 @@ def fsck_flat_store(
             "cost grows monotonically — same compact reclaims)"
         )
     return f
+
+
+# --------------------------------------------------------------------------
+# fsck --repair: close the detect→repair loop (VERDICT r13 missing #3).
+# fsck's findings each NAME their repair verb; the planner turns the
+# findings into an ordered, executable plan and the runner executes it
+# the way an operator would by hand — through the SAME lease-taking
+# maintenance verbs, in dependency order (swap completion before
+# compaction before recentering), deferring politely when another
+# writer holds a store (the ingest auto-compact convention) instead of
+# failing.  Conditions with no safe mechanical fix (lockstep
+# violations, conflicting texts, non-min labels, mixed band layouts)
+# are listed as MANUAL — repair never guesses.
+# --------------------------------------------------------------------------
+
+#: execution order: completing a crashed swap unblocks every loader;
+#: compaction rewrites stores (and, for groups, rebuilds the sidecar
+#: from compacted truth); recentering is the heavyweight last resort
+#: that re-derives quantizer state.
+_PHASE_SWAP, _PHASE_COMPACT, _PHASE_RECENTER, _PHASE_MANUAL = 0, 1, 2, 9
+
+
+def plan_repairs(reports: list[dict]) -> list[dict]:
+    """Ordered repair plan from fsck reports: each entry is
+    ``{"phase", "action", "store", "why"}``; ``action="manual"``
+    entries are never executed (printed so the operator knows what
+    repair canNOT do)."""
+    plan: list[dict] = []
+
+    def add(phase, action, store, why, **kw):
+        plan.append(
+            {"phase": phase, "action": action, "store": store, "why": why, **kw}
+        )
+
+    for r in reports:
+        kind, path, st = r["kind"], r["path"], r.get("stats", {})
+        for live in r.get("interrupted_swaps", []):
+            add(_PHASE_SWAP, "complete-swap", live,
+                "interrupted compaction swap (compacted copy present)")
+        if kind == "band_index" and st.get("duplicate_band_rows"):
+            add(_PHASE_COMPACT, "compact-band-index", path,
+                f"{st['duplicate_band_rows']} duplicate band rows")
+        if kind == "docs_store" and st.get("duplicate_rows"):
+            add(_PHASE_COMPACT, "compact-docs-store", path,
+                f"{st['duplicate_rows']} duplicate rows")
+        if kind == "flat_store" and (
+            st.get("duplicate_rows") or st.get("files", 0) >= 64
+        ):
+            add(_PHASE_COMPACT, "compact-flat-store", path,
+                f"{st.get('duplicate_rows', 0)} duplicate rows / "
+                f"{st.get('files', 0)} files")
+        if kind == "groups_store" and (
+            st.get("sidecar_missing_member_shards")
+            or st.get("sidecar_dead_rows")
+            or any("no inverted sidecar" in w for w in r["warnings"])
+        ):
+            add(_PHASE_COMPACT, "compact-groups-store", path,
+                "sidecar incomplete/dead/missing (compact rebuilds it "
+                "from compacted truth)")
+        if kind == "vector_index":
+            if st.get("duplicate_ids"):
+                add(_PHASE_COMPACT, "compact-vector-index", path,
+                    f"{st['duplicate_ids']} duplicate ids corrupt top-k")
+            if st.get("sampled_pq_code_mismatches"):
+                add(_PHASE_RECENTER, "recenter-retrain-pq", path,
+                    "PQ codes do not re-encode from the stored "
+                    "codebooks (mixed generations)")
+            elif st.get("sampled_assignment_drift_frac", 0.0) > 0.25:
+                add(_PHASE_RECENTER, "recenter", path,
+                    "sampled assignment drift > 25% (mixed-generation "
+                    "cells/centroids)")
+        # everything red that no planned action covers is manual
+        covered = bool(
+            r.get("interrupted_swaps")
+            or [e for e in plan if e["store"] == path and e["phase"] < 9]
+        )
+        for e in r["errors"]:
+            if "interrupted compaction swap" in e:
+                continue
+            mechanical = (
+                ("duplicate" in e and covered)
+                or "sidecar" in e
+                or "re-encode" in e
+                or "generations are mixed" in e
+            )
+            if not mechanical:
+                add(_PHASE_MANUAL, "manual", path, e, kind=kind)
+
+    # dedupe (a store can earn the same action from several findings)
+    seen = set()
+    out = []
+    for e in sorted(plan, key=lambda x: (x["phase"], x["store"])):
+        key = (e["phase"], e["action"], e["store"])
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(e)
+    return out
+
+
+def run_repairs(
+    spark: SparkSession, plan: list[dict], dry_run: bool = True
+) -> dict:
+    """Execute a repair plan in phase order through the lease-taking
+    maintenance verbs.  A store held by another writer DEFERS that
+    action (stderr note, like ingest's auto-compact) — repair never
+    fights a live writer for the lease.  Returns
+    {"executed": n, "deferred": n, "manual": n}."""
+    import sys as _sys
+
+    from wrds_data_pipeline_spark.operators.store_lock import (
+        StoreLockedError,
+        store_write_lock,
+    )
+
+    executed = deferred = manual = 0
+    for e in plan:
+        label = f"{e['action']} {e['store']}"
+        if e["action"] == "manual":
+            manual += 1
+            print(f"repair MANUAL ({e['store']}): {e['why']}")
+            continue
+        if dry_run:
+            print(f"repair would run: {label}  [{e['why']}]")
+            continue
+        try:
+            if e["action"] == "complete-swap":
+                from wrds_data_pipeline_spark.operators.dedup import (
+                    _recover_compact_swap,
+                )
+
+                # the one repair with no verb of its own: complete the
+                # two-rename window under the writer lease, so a live
+                # compactor can never be raced (the hazard that made
+                # fsck itself stop repairing)
+                with store_write_lock(e["store"], "fsck-repair-swap"):
+                    _recover_compact_swap(e["store"])
+            elif e["action"] == "compact-band-index":
+                from wrds_data_pipeline_spark.operators.dedup import (
+                    compact_band_index,
+                )
+
+                compact_band_index(spark, e["store"])
+            elif e["action"] == "compact-docs-store":
+                from wrds_data_pipeline_spark.operators.dedup import (
+                    compact_docs_store,
+                )
+
+                compact_docs_store(spark, e["store"])
+            elif e["action"] == "compact-flat-store":
+                from wrds_data_pipeline_spark.operators.dedup import (
+                    compact_flat_store,
+                )
+
+                compact_flat_store(spark, e["store"])
+            elif e["action"] == "compact-groups-store":
+                from wrds_data_pipeline_spark.operators.components import (
+                    compact_groups_store,
+                )
+
+                compact_groups_store(spark, e["store"])
+            elif e["action"] == "compact-vector-index":
+                from wrds_data_pipeline_spark.operators.vector_index import (
+                    compact_vector_index,
+                )
+
+                compact_vector_index(spark, e["store"])
+            elif e["action"] in ("recenter", "recenter-retrain-pq"):
+                from wrds_data_pipeline_spark.operators.vector_index import (
+                    recenter_vector_index,
+                )
+
+                recenter_vector_index(
+                    spark, e["store"],
+                    retrain_pq=e["action"] == "recenter-retrain-pq",
+                )
+            else:  # pragma: no cover - planner/runner drift guard
+                raise ValueError(f"unknown repair action {e['action']!r}")
+            executed += 1
+            print(f"repaired: {label}")
+        except StoreLockedError as exc:
+            deferred += 1
+            print(
+                f"repair deferred (store busy): {label} — {exc}",
+                file=_sys.stderr,
+            )
+    return {"executed": executed, "deferred": deferred, "manual": manual}
