@@ -1194,6 +1194,28 @@ def index_main(argv: list[str] | None = None) -> int:
                     "note, like ingest's auto-compact), then re-run "
                     "fsck and report the post-repair state")
 
+    dr = sub.add_parser(
+        "doctor",
+        help="one-shot READ-ONLY health report per store: lock "
+        "status + fsck integrity + the maintenance advisories "
+        "(files-per-shard compaction, groups churn, vector cell "
+        "imbalance, ANN recall + PQ rank agreement) in one place — "
+        "the operational front door; never takes a lease, never "
+        "repairs (fsck --repair does that); exit 1 only on CORRUPT",
+    )
+    dr.add_argument("--band-index", default=None)
+    dr.add_argument("--docs-store", default=None)
+    dr.add_argument("--groups-store", default=None)
+    dr.add_argument("--vector-index", default=None)
+    dr.add_argument("--flat-store", action="append", default=[])
+    dr.add_argument("--id-col", default="doc_id")
+    dr.add_argument("--sample", type=int, default=4096,
+                    help="row budget for fsck's sampled checks")
+    dr.add_argument("--eval-queries", type=int, default=32,
+                    help="ANN scorecard sample size for the vector "
+                    "index (0 skips the scorecard — the one "
+                    "non-trivial-cost section)")
+
     lk = sub.add_parser(
         "lock-status",
         help="who holds each store's single-writer lease (pid, host, "
@@ -1328,6 +1350,179 @@ def index_main(argv: list[str] | None = None) -> int:
             )
             n_err = show(gather())
         return 1 if n_err else 0
+
+    if args.cmd == "doctor":
+        import os as _os
+
+        from wrds_data_pipeline_spark.operators.fsck import (
+            fsck_band_index,
+            fsck_docs_store,
+            fsck_flat_store,
+            fsck_groups_store,
+            fsck_vector_index,
+        )
+        from wrds_data_pipeline_spark.operators.store_lock import (
+            _is_stale,
+            _lease_age_s,
+            lock_file_for,
+            read_lock_holder,
+        )
+
+        targets: list[tuple[str, str]] = []
+        if args.band_index:
+            targets.append(("band_index", args.band_index))
+        if args.docs_store:
+            targets.append(("docs_store", args.docs_store))
+        if args.groups_store:
+            targets.append(("groups_store", args.groups_store))
+        if args.vector_index:
+            targets.append(("vector_index", args.vector_index))
+        targets += [("flat_store", fs) for fs in args.flat_store]
+        if not targets:
+            raise SystemExit(
+                "doctor: pass --band-index, --docs-store, "
+                "--groups-store, --vector-index, and/or --flat-store"
+            )
+
+        any_corrupt = False
+        for kind, path in targets:
+            print(f"== doctor {kind} {path}")
+            # 1. writer lease (read-only view)
+            lf = lock_file_for(path)
+            holder = read_lock_holder(path)
+            if holder is None and not _os.path.exists(lf):
+                print("  lock: unlocked")
+            else:
+                age = _lease_age_s(lf, holder)
+                who = holder or {}
+                stale = _is_stale(lf, holder, 3600.0)
+                print(
+                    f"  lock: HELD by verb={who.get('verb', '?')!r} "
+                    f"pid={who.get('pid', '?')} "
+                    f"host={who.get('host', '?')!r} ({age:.0f}s)"
+                    + (" [STALE]" if stale else "")
+                )
+            # 2. integrity (fsck, read-only)
+            if kind == "band_index":
+                rep = fsck_band_index(
+                    spark, path, docs_store=args.docs_store,
+                    id_col=args.id_col, sample=args.sample,
+                )
+            elif kind == "docs_store":
+                rep = fsck_docs_store(
+                    spark, path, id_col=args.id_col, sample=args.sample
+                )
+            elif kind == "groups_store":
+                rep = fsck_groups_store(spark, path, args.sample)
+            elif kind == "vector_index":
+                rep = fsck_vector_index(spark, path, args.sample)
+            else:
+                rep = fsck_flat_store(spark, path)
+            for e in rep["errors"]:
+                print(f"  integrity ERROR: {e}")
+            for w in rep["warnings"]:
+                print(f"  integrity warning: {w}")
+
+            # 3. the maintenance advisories, consolidated
+            advisories = []
+            if kind in ("band_index", "docs_store") and _os.path.isdir(path):
+                worst = _max_files_per_shard(path)
+                if worst >= _COMPACT_ADVISORY_AT:
+                    flag = (
+                        "--band-index" if kind == "band_index"
+                        else "--docs-store"
+                    )
+                    advisories.append(
+                        f"{worst} files in the fullest shard (one per "
+                        "append since the last compact) — reclaim "
+                        f"with: wrds-spark-index compact {flag} {path}"
+                    )
+            if kind == "groups_store" and _os.path.isdir(path):
+                from wrds_data_pipeline_spark.operators.components import (
+                    groups_store_churn,
+                )
+
+                churn = groups_store_churn(path)
+                if churn >= _REBUILD_ADVISORY_AT:
+                    from pyspark.sql import functions as F
+
+                    live = (
+                        spark.read.parquet(path)
+                        .agg(F.countDistinct("group_id"))
+                        .first()[0]
+                        or 0
+                    )
+                    if churn >= max(
+                        _REBUILD_ADVISORY_AT,
+                        int(_REBUILD_ADVISORY_FRAC * live),
+                    ):
+                        advisories.append(
+                            f"{churn} dead group labels vs {live} live "
+                            "(sidecar residue) — reclaim with: "
+                            f"wrds-spark-index compact --groups-store "
+                            f"{path}"
+                        )
+            if kind == "vector_index" and not rep["errors"]:
+                vd = _os.path.join(path, "vectors")
+                if _os.path.isdir(vd):
+                    ratio, n_cells = _vector_cell_imbalance(vd)
+                    if (
+                        n_cells >= 2
+                        and ratio >= _RECENTER_ADVISORY_IMBALANCE
+                    ):
+                        advisories.append(
+                            f"largest cell holds {ratio:.1f}x the mean "
+                            f"cell's bytes ({n_cells} cells) — re-fit "
+                            "with: wrds-spark-index recenter "
+                            f"{path} --n-cells 0"
+                        )
+                # 4. ANN scorecard (the one non-trivial-cost section)
+                if args.eval_queries > 0:
+                    from wrds_data_pipeline_spark.operators.vector_index import (
+                        evaluate_vector_index,
+                    )
+
+                    m = evaluate_vector_index(
+                        spark, path, n_queries=args.eval_queries
+                    )
+                    pq_part = (
+                        f" pq_rank_agreement={m['pq_rank_agreement']}"
+                        if m["pq_rank_agreement"] is not None
+                        else ""
+                    )
+                    print(
+                        f"  ann: recall@{m['k']}={m['recall_at_k']} "
+                        f"probed_rows_frac={m['probed_rows_frac']} "
+                        f"cells={m['n_cells']} "
+                        f"max/mean={m['max_mean_cell_ratio']}"
+                        + pq_part
+                    )
+                    if (
+                        m["pq_rank_agreement"] is not None
+                        and m["pq_rank_agreement"]
+                        < _RETRAIN_PQ_ADVISORY_BELOW
+                    ):
+                        advisories.append(
+                            "ADC-vs-exact rank agreement "
+                            f"{m['pq_rank_agreement']} < "
+                            f"{_RETRAIN_PQ_ADVISORY_BELOW} — retrain "
+                            "with: wrds-spark-index recenter "
+                            f"{path} --retrain-pq"
+                        )
+            for a in advisories:
+                print(f"  ADVISORY: {a}")
+
+            if rep["errors"]:
+                verdict = "CORRUPT (fsck --repair names the fixes)"
+                any_corrupt = True
+            elif advisories:
+                verdict = "DEGRADED (advisories above)"
+            elif rep["warnings"]:
+                verdict = "residue (reclaimable, reads unaffected)"
+            else:
+                verdict = "HEALTHY"
+            print(f"  verdict: {verdict}")
+        return 1 if any_corrupt else 0
 
     if args.cmd == "compact":
         if (
