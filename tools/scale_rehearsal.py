@@ -1550,6 +1550,107 @@ def text_rung(spark, sizes: list[int]) -> None:
         )
 
 
+def media_dedup_ladder_rung(spark, sizes: list[int]) -> None:
+    """Perceptual-hash media near-dup at ladder scale (r14): a
+    planted-duplicate media corpus — n base items, 10% single-char
+    're-encode' variants, plus ONE 100-member exact-duplicate
+    cluster — measured on three axes:
+
+    - decode+dhash throughput (the Arrow mapInPandas boundary);
+    - the banded join's CANDIDATE pair mass (Σ_buckets C(m,2) from
+      the band census) vs the all-pairs n(n-1)/2 it replaces, plus
+      verified-pair recall of the planted variants;
+    - the groups path's identical-hash collapse: the 100-member
+      cluster costs k-1 = 99 identity edges instead of the
+      C(100,2) = 4950 pairs the pair verb would enumerate.
+    """
+    from pyspark.sql import functions as F
+
+    from wrds_data_pipeline_spark.multimodal import (
+        extract_dhash,
+        synthesize_media,
+    )
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        hamming_band_table,
+        hamming_dup_groups,
+        hamming_near_dup_pairs,
+    )
+
+    for n in sizes:
+        docs = spark.read.parquet(_generate_docs(n)).repartition(32)
+        variants = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.substring("text", 1, 10), F.lit("~"),
+                    F.expr("substring(text, 12)"),
+                ).alias("text"),
+            )
+        )
+        clones = (
+            docs.filter(F.col("doc_id") == 0)
+            .crossJoin(spark.range(100).select(F.col("id").alias("_k")))
+            .select(
+                (F.col("_k") + 20_000_000).alias("doc_id"), F.col("text")
+            )
+        )
+        corpus = docs.select("doc_id", "text").unionByName(
+            variants
+        ).unionByName(clones)
+        media = synthesize_media(spark, corpus)
+        n_items = media.count()
+        n_variants = variants.count()
+
+        # 1. decode + dhash throughput (warm then timed)
+        hashes = extract_dhash(media)
+        hashes.count()
+        t0 = time.time()
+        hashes.count()
+        w_hash = time.time() - t0
+
+        h = hashes.localCheckpoint(eager=True)
+
+        # 2. candidate pair mass from the band census vs all-pairs
+        census = (
+            hamming_band_table(h)
+            .groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.expr("m * (m - 1) / 2")).alias("mass"))
+            .first()["mass"]
+        )
+        allpairs = n_items * (n_items - 1) // 2
+        t0 = time.time()
+        pairs = hamming_near_dup_pairs(h).localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        w_pairs = time.time() - t0
+        found_variants = pairs.filter(
+            F.col("id_b") == F.col("id_a") + 10_000_000
+        ).count()
+
+        # 3. groups path: identical-hash collapse economics
+        t0 = time.time()
+        groups = hamming_dup_groups(h).localCheckpoint(eager=True)
+        n_grouped = groups.count()
+        w_groups = time.time() - t0
+        clone_group = groups.filter(
+            F.col("media_id") >= 20_000_000
+        ).count()
+        print(
+            f"n={n_items} (base {n}, variants {n_variants}, clone "
+            f"cluster 100): dhash wall={w_hash:.1f}s "
+            f"({n_items / max(w_hash, 1e-9):,.0f} items/s) | "
+            f"bucket_pair_mass={int(census):,} vs allpairs "
+            f"{allpairs:,} ({census / allpairs:.2%}) | "
+            f"pairs wall={w_pairs:.1f}s n_pairs={n_pairs} "
+            f"variant_recall={found_variants}/{n_variants} | "
+            f"groups wall={w_groups:.1f}s grouped={n_grouped} "
+            f"(clone cluster: 99 identity edges, not "
+            f"{100 * 99 // 2} pairs; {clone_group}/100 members "
+            "labeled)"
+        )
+
+
 def bloom_rung(spark, sizes: list[int]) -> None:
     """Decontamination-rung crossover: exact-broadcast vs bloom probe
     wall and broadcast payload as the REFERENCE set grows (sizes are
@@ -1708,6 +1809,15 @@ def main() -> None:
             get_spark(app_name="scale_rehearsal"),
             [int(a) for a in sys.argv[1:] if a.isdigit()]
             or [2000, 8000, 32000],
+        )
+        return
+    if "--media-dedup-ladder" in sys.argv:
+        from wrds_data_pipeline_spark.session import get_spark
+
+        media_dedup_ladder_rung(
+            get_spark(app_name="scale_rehearsal"),
+            [int(a) for a in sys.argv[1:] if a.isdigit()]
+            or [8000, 32000],
         )
         return
     if "--scrub-short-items" in sys.argv:
