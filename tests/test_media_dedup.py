@@ -5,6 +5,8 @@ groups verb's identical-hash collapse + bucket cap."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -278,3 +280,235 @@ def test_near_dup_plan_is_equi_join_no_cross(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# persisted media-hash store: probe → resolve → append
+# --------------------------------------------------------------------------
+
+
+def _hash_rows(spark, rows):
+    """(media_id, dhash) via the real decode boundary."""
+    return extract_dhash(_media(spark, rows))
+
+
+def test_media_ingest_incremental_equals_batch(spark, tmp_path):
+    """Two-increment fold through the persisted store == the batch
+    pair set over the union (the incremental-equals-batch contract
+    every store in this engine pins), with orientation (stored, new)
+    on the cross pairs and no old-vs-old re-emission."""
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        ingest_media_hashes,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    other = "completely different content about catalyst optimizer rules"
+    inc_a = [(1, base), (2, other), (3, "unrelated zz yy xx ww vv uu tt")]
+    # B: a re-encode variant of doc 1 plus an exact copy of doc 2
+    inc_b = [(101, base[:20] + "~" + base[21:]), (102, other)]
+
+    store = str(tmp_path / "media_store")
+    pairs_a = ingest_media_hashes(
+        _hash_rows(spark, inc_a), store, n_shards=8
+    ).collect()
+    assert pairs_a == []  # increment A is internally distinct
+
+    pairs_b = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ingest_media_hashes(
+            _hash_rows(spark, inc_b), store, n_shards=8
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            _hash_rows(spark, inc_a + inc_b)
+        ).collect()
+    }
+    assert pairs_b == batch and (2, 102, 0) in pairs_b
+    assert any(a == 1 and b == 101 for a, b, _ in pairs_b)
+
+    # scheme pin: a mismatched banding refuses loudly ever after
+    with pytest.raises(ValueError, match="built with"):
+        ingest_media_hashes(_hash_rows(spark, inc_b), store, n_shards=4)
+
+
+def test_media_probe_statically_prunes_shards(spark, tmp_path):
+    """The store read must carry a PartitionFilter on the shard
+    column (the increment's touched shards) — never a full-store
+    scan per probe."""
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        ingest_media_hashes,
+        probe_media_store,
+    )
+
+    store = str(tmp_path / "media_store")
+    corpus = [(i, f"document number {i} with some padding text here abc")
+              for i in range(40)]
+    ingest_media_hashes(_hash_rows(spark, corpus), store, n_shards=16)
+    probe = probe_media_store(
+        _hash_rows(spark, [(900, "document number 7 with some padding "
+                                 "text here abc")]),
+        store,
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("shard" in l for l in pf)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_store_replay_residue_and_compact(spark, tmp_path):
+    """A replayed increment appends duplicate band rows — tolerated
+    at read (pairs stay distinct) and reclaimed by
+    compact_media_store; probe results identical post-compact."""
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        compact_media_store,
+        ingest_media_hashes,
+        probe_media_store,
+    )
+
+    store = str(tmp_path / "media_store")
+    rows = [(i, f"padding text number {i} for the replay residue case")
+            for i in range(10)]
+    ingest_media_hashes(_hash_rows(spark, rows), store, n_shards=4)
+    # the replay: same increment appended again
+    ingest_media_hashes(_hash_rows(spark, rows), store, n_shards=4)
+
+    probe_rows = [(500, "padding text number 3 for the replay residue case")]
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in probe_media_store(_hash_rows(spark, probe_rows), store).collect()
+    }
+    assert (3, 500) in before
+    assert len(before) == len({p for p in before})  # distinct by construction
+
+    stats = compact_media_store(spark, store)
+    assert stats["rows_after"] < stats["rows_before"]
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in probe_media_store(_hash_rows(spark, probe_rows), store).collect()
+    }
+    assert after == before
+
+
+def test_media_ingest_refuses_during_held_lease(spark, tmp_path):
+    """The single-writer contract covers the media store too: an
+    ingest against a store held by a REAL second process refuses
+    naming the holder, then succeeds after release."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        ingest_media_hashes,
+    )
+    from wrds_data_pipeline_spark.operators.store_lock import (
+        StoreLockedError,
+        lock_file_for,
+    )
+
+    store = str(tmp_path / "media_store")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from wrds_data_pipeline_spark.operators.store_lock import (
+            acquire_store_write_lock,
+        )
+        lease = acquire_store_write_lock({store!r}, "compact")
+        print("HELD", flush=True)
+        sys.stdin.read()
+        lease.release()
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    assert proc.stdout.readline().strip() == "HELD"
+    h = _hash_rows(spark, [(1, "some media content for the lease test")])
+    try:
+        with pytest.raises(StoreLockedError, match="compact"):
+            ingest_media_hashes(h, store)
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)
+    ingest_media_hashes(h, store)
+    assert not os.path.exists(lock_file_for(store))
+
+
+def test_media_cli_ingest_fsck_compact_doctor(spark, tmp_path, capsys):
+    """The media store's full CLI surface end-to-end: ingest-media
+    (create → probe → append), fsck --media-store (clean → replay
+    residue with the compact remedy), compact --media-store
+    (reclaims; probe results unchanged), doctor --media-store
+    (verdict line)."""
+    from wrds_data_pipeline_spark.cli import index_main
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        probe_media_store,
+    )
+
+    base = "a perfectly ordinary media payload for the cli roundtrip"
+    inc_a = str(tmp_path / "inc_a")
+    inc_b = str(tmp_path / "inc_b")
+    store = str(tmp_path / "media_store")
+    out = str(tmp_path / "pairs")
+    _media(spark, [(1, base), (2, "something else entirely different")])\
+        .write.parquet(inc_a)
+    _media(spark, [(10, base[:25] + "~" + base[26:])]).write.parquet(inc_b)
+
+    capsys.readouterr()
+    assert index_main(["ingest-media", inc_a, store, out]) == 0
+    assert "0 media near-dup pairs" in capsys.readouterr().out
+    assert index_main(["ingest-media", inc_b, store, out]) == 0
+    assert "1 media near-dup pairs" in capsys.readouterr().out
+    got = spark.read.parquet(out).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 10)]
+
+    # scheme mismatch refuses as a CLI refusal, not a traceback
+    with pytest.raises(SystemExit, match="built with"):
+        index_main(["ingest-media", inc_b, store, out, "--n-shards", "4"])
+    capsys.readouterr()
+
+    # clean fsck, then replay residue names the compact remedy
+    assert index_main(["fsck", "--media-store", store]) == 0
+    capsys.readouterr()
+    assert index_main(["ingest-media", inc_b, store, out]) == 0
+    capsys.readouterr()
+    assert index_main(["fsck", "--media-store", store]) == 0
+    fsck_out = capsys.readouterr().out
+    assert "duplicate band rows" in fsck_out
+    assert "compact --media-store" in fsck_out
+
+    probe_before = {
+        (r["id_a"], r["id_b"])
+        for r in probe_media_store(
+            _hash_rows(spark, [(99, base)]), store
+        ).collect()
+    }
+    assert index_main(["compact", "--media-store", store]) == 0
+    cap = capsys.readouterr().out
+    assert "compacted media store" in cap
+    assert index_main(["fsck", "--media-store", store]) == 0
+    assert "duplicate band rows" not in capsys.readouterr().out
+    probe_after = {
+        (r["id_a"], r["id_b"])
+        for r in probe_media_store(
+            _hash_rows(spark, [(99, base)]), store
+        ).collect()
+    }
+    assert probe_after == probe_before and (1, 99) in probe_after
+
+    # doctor includes the media store with a verdict
+    capsys.readouterr()
+    assert index_main(["doctor", "--media-store", store]) == 0
+    out_doc = capsys.readouterr().out
+    assert "doctor media_store" in out_doc
+    assert "verdict: HEALTHY" in out_doc

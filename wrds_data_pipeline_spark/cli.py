@@ -916,6 +916,28 @@ def index_main(argv: list[str] | None = None) -> int:
                      "band index and docs store in place; 0 (default) "
                      "never auto-compacts — the advisory still prints")
 
+    im = sub.add_parser(
+        "ingest-media",
+        help="one-verb media near-dup ingest: decode -> perceptual "
+        "dhash (Arrow boundary) -> probe the stored corpus's band "
+        "table (shard-pruned) -> append the increment's bands; "
+        "emits (id_a stored, id_b new, hamming) pairs plus the "
+        "increment's internal near-dups (first call creates the "
+        "store; later calls refuse on scheme mismatch)",
+    )
+    im.add_argument("media_path",
+                    help="the increment's media parquet (media_id + "
+                    "binary content columns — synthesize_media / "
+                    "binaryFile layout; a (media_id, dhash) parquet "
+                    "of precomputed hashes is accepted too)")
+    im.add_argument("store_path", help="persisted media-hash store")
+    im.add_argument("out_dir", help="near-dup (id_a, id_b, hamming) parquet")
+    im.add_argument("--n-shards", type=int, default=16,
+                    help="band-table shard count (creation only; "
+                    "later calls must match the stored meta)")
+    im.add_argument("--bands", type=int, default=4)
+    im.add_argument("--max-hamming", type=int, default=3)
+
     cp = sub.add_parser(
         "compact",
         help="rewrite the band index and/or docs store dropping "
@@ -936,6 +958,10 @@ def index_main(argv: list[str] | None = None) -> int:
                     "layout); duplicate rows there actively corrupt "
                     "top-k (a re-appended batch is a second identical "
                     "neighbor), so this is repair, not just reclaim")
+    cp.add_argument("--media-store", default=None,
+                    help="perceptual-hash media store path "
+                    "(ingest-media layout); reclaims replayed band "
+                    "rows and per-append small files")
     cp.add_argument("--groups-store", default=None,
                     help="duplicate-groups store path (ingest "
                     "--groups-store layout); the reclaim target is "
@@ -1174,6 +1200,10 @@ def index_main(argv: list[str] | None = None) -> int:
     fk.add_argument("--docs-store", default=None)
     fk.add_argument("--groups-store", default=None)
     fk.add_argument("--vector-index", default=None)
+    fk.add_argument("--media-store", default=None,
+                    help="perceptual-hash media store (ingest-media "
+                    "layout): meta pin, shard layout + recompute, "
+                    "NULL hashes, duplicate band rows")
     fk.add_argument("--flat-store", action="append", default=[],
                     help="streaming flat store(s): residue-only "
                     "checks (duplicates, file growth) — repeatable")
@@ -1207,6 +1237,7 @@ def index_main(argv: list[str] | None = None) -> int:
     dr.add_argument("--docs-store", default=None)
     dr.add_argument("--groups-store", default=None)
     dr.add_argument("--vector-index", default=None)
+    dr.add_argument("--media-store", default=None)
     dr.add_argument("--flat-store", action="append", default=[])
     dr.add_argument("--id-col", default="doc_id")
     dr.add_argument("--sample", type=int, default=4096,
@@ -1275,11 +1306,13 @@ def index_main(argv: list[str] | None = None) -> int:
             and args.docs_store is None
             and args.groups_store is None
             and args.vector_index is None
+            and args.media_store is None
             and not args.flat_store
         ):
             raise SystemExit(
                 "fsck: pass --band-index, --docs-store, "
-                "--groups-store, --vector-index, and/or --flat-store"
+                "--groups-store, --vector-index, --media-store, "
+                "and/or --flat-store"
             )
         def gather():
             reports = []
@@ -1304,6 +1337,14 @@ def index_main(argv: list[str] | None = None) -> int:
             if args.vector_index is not None:
                 reports.append(
                     fsck_vector_index(spark, args.vector_index, args.sample)
+                )
+            if args.media_store is not None:
+                from wrds_data_pipeline_spark.operators.fsck import (
+                    fsck_media_store,
+                )
+
+                reports.append(
+                    fsck_media_store(spark, args.media_store, args.sample)
                 )
             for fs in args.flat_store:
                 reports.append(fsck_flat_store(spark, fs))
@@ -1377,11 +1418,14 @@ def index_main(argv: list[str] | None = None) -> int:
             targets.append(("groups_store", args.groups_store))
         if args.vector_index:
             targets.append(("vector_index", args.vector_index))
+        if args.media_store:
+            targets.append(("media_store", args.media_store))
         targets += [("flat_store", fs) for fs in args.flat_store]
         if not targets:
             raise SystemExit(
                 "doctor: pass --band-index, --docs-store, "
-                "--groups-store, --vector-index, and/or --flat-store"
+                "--groups-store, --vector-index, --media-store, "
+                "and/or --flat-store"
             )
 
         any_corrupt = False
@@ -1416,6 +1460,12 @@ def index_main(argv: list[str] | None = None) -> int:
                 rep = fsck_groups_store(spark, path, args.sample)
             elif kind == "vector_index":
                 rep = fsck_vector_index(spark, path, args.sample)
+            elif kind == "media_store":
+                from wrds_data_pipeline_spark.operators.fsck import (
+                    fsck_media_store,
+                )
+
+                rep = fsck_media_store(spark, path, args.sample)
             else:
                 rep = fsck_flat_store(spark, path)
             for e in rep["errors"]:
@@ -1524,17 +1574,40 @@ def index_main(argv: list[str] | None = None) -> int:
             print(f"  verdict: {verdict}")
         return 1 if any_corrupt else 0
 
+    if args.cmd == "ingest-media":
+        from wrds_data_pipeline_spark.multimodal import extract_dhash
+        from wrds_data_pipeline_spark.operators.media_dedup import (
+            ingest_media_hashes,
+        )
+
+        src = spark.read.parquet(args.media_path)
+        hashes = src if "dhash" in src.columns else extract_dhash(src)
+        try:
+            pairs = ingest_media_hashes(
+                hashes, args.store_path,
+                bands=args.bands, max_hamming=args.max_hamming,
+                n_shards=args.n_shards,
+            )
+        except ValueError as exc:  # scheme mismatch / held lease
+            raise SystemExit(str(exc)) from exc
+        pairs.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"{n} media near-dup pairs -> {args.out_dir}")
+        return 0
+
     if args.cmd == "compact":
         if (
             args.band_index is None
             and args.docs_store is None
             and args.vector_index is None
             and args.groups_store is None
+            and args.media_store is None
             and not args.flat_store
         ):
             raise SystemExit(
                 "compact: pass --band-index, --docs-store, "
-                "--vector-index, --groups-store, and/or --flat-store"
+                "--vector-index, --groups-store, --media-store, "
+                "and/or --flat-store"
             )
         from wrds_data_pipeline_spark.operators.components import (
             compact_groups_store,
@@ -1548,8 +1621,17 @@ def index_main(argv: list[str] | None = None) -> int:
             compact_vector_index,
         )
 
+        def _compact_media(sp, p):
+            from wrds_data_pipeline_spark.operators.media_dedup import (
+                compact_media_store,
+            )
+
+            return compact_media_store(sp, p)
+
         if args.reshard is not None and (
-            args.vector_index is not None or args.flat_store
+            args.vector_index is not None
+            or args.media_store is not None
+            or args.flat_store
         ):
             # the vector index is cell-partitioned (recenter re-sizes
             # its layout) and flat stores are unsharded: a silently
@@ -1572,6 +1654,7 @@ def index_main(argv: list[str] | None = None) -> int:
             ("vector index", args.vector_index, compact_vector_index),
             ("groups store", args.groups_store,
              lambda sp, p: compact_groups_store(sp, p, reshard=args.reshard)),
+            ("media store", args.media_store, _compact_media),
         ] + [
             ("flat store", p, compact_flat_store)
             for p in (args.flat_store or [])

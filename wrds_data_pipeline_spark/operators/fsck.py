@@ -65,6 +65,7 @@ __all__ = [
     "fsck_docs_store",
     "fsck_flat_store",
     "fsck_groups_store",
+    "fsck_media_store",
     "fsck_vector_index",
     "plan_repairs",
     "run_repairs",
@@ -723,6 +724,9 @@ def plan_repairs(reports: list[dict]) -> list[dict]:
             add(_PHASE_COMPACT, "compact-flat-store", path,
                 f"{st.get('duplicate_rows', 0)} duplicate rows / "
                 f"{st.get('files', 0)} files")
+        if kind == "media_store" and st.get("duplicate_band_rows"):
+            add(_PHASE_COMPACT, "compact-media-store", path,
+                f"{st['duplicate_band_rows']} duplicate band rows")
         if kind == "groups_store" and (
             st.get("sidecar_missing_member_shards")
             or st.get("sidecar_dead_rows")
@@ -827,6 +831,12 @@ def run_repairs(
                 )
 
                 compact_flat_store(spark, e["store"])
+            elif e["action"] == "compact-media-store":
+                from wrds_data_pipeline_spark.operators.media_dedup import (
+                    compact_media_store,
+                )
+
+                compact_media_store(spark, e["store"])
             elif e["action"] == "compact-groups-store":
                 from wrds_data_pipeline_spark.operators.components import (
                     compact_groups_store,
@@ -859,3 +869,104 @@ def run_repairs(
                 file=_sys.stderr,
             )
     return {"executed": executed, "deferred": deferred, "manual": manual}
+
+
+def fsck_media_store(
+    spark: SparkSession, path: str, sample: int = 4096
+) -> dict:
+    """Integrity check for the media-hash store (media_dedup.py):
+    meta pin sane; band partition dirs within [0, n_shards); sampled
+    shard-expression recompute (probes statically prune to computed
+    shards); NULL hashes in the band table (an ingest bug — the
+    extract layer maps empty content to NULL and ingest filters it,
+    so a stored NULL can never verify); duplicate band rows
+    (replay residue; compact_media_store reclaims)."""
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _store_has_rows,
+    )
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        _media_band_shard,
+    )
+
+    f = _findings("media_store", path)
+    if not _swap_residue_ok(f, path):
+        return f
+    bands_dir = os.path.join(path, "bands")
+    try:
+        with open(os.path.join(path, _DOCS_STORE_META)) as fh:
+            meta = json.load(fh)
+        n_shards = int(meta["n_shards"])
+        bits, bands_n = int(meta["hash_bits"]), int(meta["bands"])
+    except (OSError, KeyError, ValueError, json.JSONDecodeError) as exc:
+        f["errors"].append(f"meta pin unreadable: {exc}")
+        return f
+    f["stats"]["meta"] = {
+        "hash_bits": bits, "bands": bands_n, "n_shards": n_shards
+    }
+    bad_meta = False
+    for k, v in f["stats"]["meta"].items():
+        if v < 1:
+            f["errors"].append(f"meta {k}={v} < 1")
+            bad_meta = True
+    if not bad_meta and bits % bands_n != 0:
+        f["errors"].append(
+            f"bands={bands_n} does not divide hash_bits={bits} — "
+            "probe-time banding cannot reproduce the stored slices"
+        )
+        bad_meta = True
+    if bad_meta:
+        return f
+    if not _swap_residue_ok(f, bands_dir):
+        return f
+    if not _store_has_rows(bands_dir):
+        f["warnings"].append("band table is empty (no ingests yet)")
+        return f
+
+    part_vals = _partition_values(bands_dir, "shard=")
+    bad_dirs = [v for v in (part_vals or []) if not 0 <= v < n_shards]
+    if bad_dirs:
+        f["errors"].append(
+            f"bands layout holds shard dirs outside [0, {n_shards}): "
+            f"{sorted(bad_dirs)[:8]} — probes statically prune to "
+            "computed shards and will never read these rows"
+        )
+
+    bt = spark.read.parquet(bands_dir)
+    samp = _sample_rows(
+        bt.select("band", "band_val", "shard"), ["band", "band_val"], sample
+    )
+    mism = samp.filter(
+        _media_band_shard(n_shards) != F.col("shard")
+    ).count()
+    f["stats"]["sampled_shard_mismatches"] = mism
+    if mism:
+        f["errors"].append(
+            f"{mism}/{sample} sampled band rows live in the wrong "
+            "shard partition for the pinned count — probes silently "
+            "miss them (resharded by hand?)"
+        )
+
+    nulls = bt.filter(F.col("dhash").isNull()).count()
+    f["stats"]["null_hash_rows"] = nulls
+    if nulls:
+        f["errors"].append(
+            f"{nulls} band rows carry a NULL hash — ingest filters "
+            "NULL hashes before banding, so these rows were written "
+            "by something else and can never verify a pair"
+        )
+
+    total = bt.count()
+    distinct = bt.distinct().count()
+    f["stats"]["band_rows"] = total
+    f["stats"]["duplicate_band_rows"] = total - distinct
+    if total != distinct:
+        f["warnings"].append(
+            f"{total - distinct} duplicate band rows (replay residue; "
+            "benign at read — reclaim with: wrds-spark-index compact "
+            f"--media-store {path})"
+        )
+    return f

@@ -48,13 +48,18 @@ rather than silently dropping recall.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wrds_data_pipeline_spark.operators.store_lock import locked_store_verb
 
 __all__ = [
     "hamming_band_table",
     "hamming_near_dup_pairs",
     "hamming_dup_groups",
+    "probe_media_store",
+    "ingest_media_hashes",
+    "compact_media_store",
 ]
 
 
@@ -290,3 +295,215 @@ def hamming_dup_groups(
     return connected_components(
         edges, checkpoint_dir=checkpoint_dir
     ).withColumnRenamed("id", id_col)
+
+
+# --------------------------------------------------------------------------
+# Persisted media-hash store: the continuous-ingest surface (probe →
+# resolve → append), completing the media family's symmetry with the
+# text band index (dedup.py) and the vector index (vector_index.py).
+# A daily media crawl probes the accumulated corpus's stored band
+# table, resolves its near-duplicates, then appends its own rows —
+# the 100 TB media corpus is decoded and hashed exactly once, ever.
+#
+# Layout: <root>/bands/shard=K/*.parquet holding
+# (media_id, dhash, band, band_val) with
+# shard = pmod(xxhash64(band, band_val), n_shards) — probes compute
+# the increment's band values, derive the touched shards, and READ
+# ONLY THOSE partitions (static pruning, the dedup.py probe
+# convention).  The scheme (hash bits, band count, shard count) is
+# pinned in _ingest_meta.json via the shared _pin_store_meta refusal
+# (a drifted scheme silently misses pairs).  At-least-once replay
+# residue (re-appended band rows) is tolerated at read — pairs are
+# distinct — and reclaimed by compact_media_store.
+# --------------------------------------------------------------------------
+
+
+def _media_band_shard(n_shards: int):
+    """THE shard expression of the media-hash store — one definition
+    (the _doc_store_shard convention: a drifted copy silently prunes
+    the wrong partitions)."""
+    return F.pmod(
+        F.xxhash64(F.col("band"), F.col("band_val")), F.lit(n_shards)
+    ).cast("int")
+
+
+def _read_media_meta(path: str) -> dict:
+    import json
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _DOCS_STORE_META,
+        _recover_compact_swap,
+    )
+
+    _recover_compact_swap(path)
+    _recover_compact_swap(os.path.join(path, "bands"))
+    with open(os.path.join(path, _DOCS_STORE_META)) as fh:
+        return json.load(fh)
+
+
+def probe_media_store(
+    hashes: DataFrame,
+    store_path: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-dup pairs of an increment's hashes vs the STORED corpus:
+    (id_a = stored id, id_b = new id, hamming).  Read-only; the
+    store's pinned scheme drives the banding; the store read is
+    statically pruned to the increment's touched shards (a bounded
+    collect of at most n_shards ints decides the pruning — never a
+    row-wise driver loop)."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import _store_has_rows
+
+    spark = hashes.sparkSession
+    meta = _read_media_meta(store_path)
+    bits, bands, n_shards = (
+        int(meta["hash_bits"]), int(meta["bands"]), int(meta["n_shards"])
+    )
+    _check_banding(bits, bands, max_hamming)
+    bands_dir = os.path.join(store_path, "bands")
+    empty = hashes.sparkSession.createDataFrame(
+        [], "id_a long, id_b long, hamming int"
+    )
+    if not os.path.isdir(bands_dir) or not _store_has_rows(bands_dir):
+        return empty
+    bt_inc = hamming_band_table(
+        hashes, id_col, hash_col, bits, bands
+    ).withColumn("shard", _media_band_shard(n_shards))
+    bt_inc = bt_inc.localCheckpoint(eager=True)  # referenced twice
+    touched = [
+        r["shard"] for r in bt_inc.select("shard").distinct().collect()
+    ]
+    if not touched:
+        return empty
+    stored = spark.read.parquet(bands_dir).filter(
+        F.col("shard").isin(touched)
+    )
+    return (
+        stored.alias("s")
+        .join(
+            bt_inc.alias("n"),
+            on=[
+                F.col("s.band") == F.col("n.band"),
+                F.col("s.band_val") == F.col("n.band_val"),
+                F.col("s.media_id") != F.col("n._id"),
+            ],
+        )
+        .select(
+            F.col("s.media_id").alias("id_a"),
+            F.col("n._id").alias("id_b"),
+            F.col("s.dhash").alias("_ha"),
+            F.col("n._hash").alias("_hb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+@locked_store_verb("store_path")
+def ingest_media_hashes(
+    hashes: DataFrame,
+    store_path: str,
+    bits: int = 56,
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_shards: int = 16,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """One-verb continuous media ingest: probe the stored corpus for
+    the increment's near-dups (new vs stored, shard-pruned), find the
+    increment's INTERNAL near-dups (new vs new, banded), append the
+    increment's band rows, and return the union of pairs.  Takes the
+    single-writer lease (a compact swapping the store mid-append
+    would silently destroy the increment).  Scheme pinned on first
+    touch, refused on mismatch ever after."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import _pin_store_meta
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} < 1")
+    _check_banding(bits, bands, max_hamming)
+    _pin_store_meta(
+        store_path,
+        {"hash_bits": bits, "bands": bands, "n_shards": n_shards},
+        "ingest_media_hashes",
+    )
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias(id_col), F.col(hash_col).alias(hash_col)
+    ).localCheckpoint(eager=True)  # decode once: probe + self + append
+
+    vs_stored = probe_media_store(
+        h, store_path, max_hamming, id_col, hash_col
+    )
+    vs_new = hamming_near_dup_pairs(
+        h, id_col, hash_col, bits, bands, max_hamming
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+    pairs = vs_stored.unionByName(vs_new).localCheckpoint(eager=True)
+
+    bt = (
+        hamming_band_table(h, id_col, hash_col, bits, bands)
+        .withColumn("shard", _media_band_shard(n_shards))
+        .select(
+            F.col("_id").alias("media_id"),
+            F.col("_hash").alias("dhash"),
+            "band", "band_val", "shard",
+        )
+    )
+    bt.write.mode("append").partitionBy("shard").parquet(
+        os.path.join(store_path, "bands")
+    )
+    return pairs
+
+
+@locked_store_verb("path")
+def compact_media_store(spark: SparkSession, path: str) -> dict:
+    """Rewrite the media-hash store's band table dropping replayed
+    rows (at-least-once residue; benign at read — pair distinct
+    absorbs it — but unreclaimed) and collapsing each shard to one
+    file.  Same write-then-swap discipline as every sibling store;
+    scheme meta survives at the store root."""
+    import os
+
+    from wrds_data_pipeline_spark.operators.dedup import (
+        _count_parquet_files,
+        _recover_compact_swap,
+        _require_store,
+        _swap_compacted,
+    )
+
+    _recover_compact_swap(path)
+    bands_dir = os.path.join(path, "bands")
+    _recover_compact_swap(bands_dir)
+    _require_store(bands_dir, "media-hash store bands")
+    meta = _read_media_meta(path)
+    df = spark.read.parquet(bands_dir)
+    before = df.count()
+    files_before = _count_parquet_files(bands_dir)
+    tmp = bands_dir + ".compacting"
+    (
+        df.distinct()
+        .repartition(int(meta["n_shards"]), F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    after = spark.read.parquet(tmp).count()
+    _swap_compacted(bands_dir, tmp, keep_files=[])
+    return {
+        "rows_before": before,
+        "rows_after": after,
+        "files_before": files_before,
+        "files_after": _count_parquet_files(bands_dir),
+    }
