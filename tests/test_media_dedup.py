@@ -512,3 +512,53 @@ def test_media_cli_ingest_fsck_compact_doctor(spark, tmp_path, capsys):
     out_doc = capsys.readouterr().out
     assert "doctor media_store" in out_doc
     assert "verdict: HEALTHY" in out_doc
+
+
+def test_streaming_media_dedup_twin_parity(spark, tmp_path):
+    """The streaming twin: per-batch probe → append through the
+    persisted store, union of outputs == the batch operator over the
+    accumulated corpus (cross-batch pairs oriented (stored, new));
+    the run-scoped lease is released when the stream ends."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from wrds_data_pipeline_spark.operators.store_lock import lock_file_for
+    from wrds_data_pipeline_spark.streaming.corpus_stream import (
+        streaming_media_dedup,
+    )
+
+    base = "streaming media payload with enough text to hash stably"
+    rows_a = [(1, base), (2, "a wholly different first-batch item xyz")]
+    rows_b = [(101, base[:30] + "~" + base[31:]),  # near-dup of 1
+              (102, "a wholly different first-batch item xyz")]  # exact of 2
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "media_store")
+    os.makedirs(src)
+    # one file per batch; maxFilesPerTrigger=1 forces two micro-batches
+    _media(spark, rows_a).coalesce(1).write.mode("append").parquet(src)
+    _media(spark, rows_b).coalesce(1).write.mode("append").parquet(src)
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("media_format", StringType()),
+        StructField("content", BinaryType()),
+        StructField("declared_width", IntegerType()),
+        StructField("declared_height", IntegerType()),
+    ])
+    p = streaming_media_dedup(
+        spark, src, schema, store, max_files_per_trigger=1, n_shards=8
+    )
+    got = {frozenset((a, b)) for a, b in zip(p["id_a"], p["id_b"])}
+    batch = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in hamming_near_dup_pairs(
+            _hashes(spark, rows_a + rows_b)
+        ).collect()
+    }
+    assert got == batch
+    assert frozenset((2, 102)) in got and frozenset((1, 101)) in got
+    assert not os.path.exists(lock_file_for(store))

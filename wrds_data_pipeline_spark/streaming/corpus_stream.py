@@ -1120,3 +1120,76 @@ def streaming_tokenizer_stats(
         ),
         "unk_rate": round(n_unk / n_tokens, 6) if n_tokens else None,
     }
+
+
+def streaming_media_dedup(
+    spark,
+    path: str,
+    schema,
+    store_path: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_shards: int = 16,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming perceptual-hash media near-dup — the streaming twin
+    of ``media_dedup.ingest_media_hashes``: each micro-batch's media
+    is decoded and dhashed ONCE (the Arrow mapInPandas boundary),
+    probed against the persisted media-hash store (statically
+    shard-pruned), its internal near-dups found via the banded join,
+    and its band rows appended — a continuous media crawl hashes
+    each item exactly once, ever.
+
+    ``schema`` may describe either raw media rows (binary ``content``
+    — the decode runs in-stream) or precomputed ``(media_id, dhash)``
+    rows (the decode ran upstream).
+
+    Invariant (the parity test's contract): the union of per-batch
+    pair outputs equals the batch ``hamming_near_dup_pairs`` over the
+    accumulated corpus, with cross-batch pairs oriented (stored id,
+    new id).  At-least-once replay re-emits a replayed batch's pairs
+    and re-appends its band rows (benign: probes stay distinct;
+    ``compact_media_store`` reclaims).
+
+    The run takes ONE run-scoped single-writer lease on the store
+    (refusing up front if a compact/ingest holds it); the per-batch
+    inner ingest re-enters it, whichever thread foreachBatch lands
+    on.  Returns the concatenated pandas of all emitted
+    (id_a, id_b, hamming) rows.
+    """
+    import pandas as pd
+
+    from wrds_data_pipeline_spark.multimodal import extract_dhash
+    from wrds_data_pipeline_spark.operators.media_dedup import (
+        ingest_media_hashes,
+    )
+
+    out: list = []
+
+    def _sink(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        hashes = bdf if "dhash" in bdf.columns else extract_dhash(bdf)
+        p = ingest_media_hashes(
+            hashes, store_path,
+            bands=bands, max_hamming=max_hamming, n_shards=n_shards,
+        ).toPandas()
+        if len(p):
+            out.append(p)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = reader.parquet(path).writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    with store_write_locks([store_path], "streaming_media_dedup"):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    )
