@@ -1475,13 +1475,16 @@ def index_main(argv: list[str] | None = None) -> int:
 
             # 3. the maintenance advisories, consolidated
             advisories = []
-            if kind in ("band_index", "docs_store") and _os.path.isdir(path):
+            if kind in (
+                "band_index", "docs_store", "media_store"
+            ) and _os.path.isdir(path):
                 worst = _max_files_per_shard(path)
                 if worst >= _COMPACT_ADVISORY_AT:
-                    flag = (
-                        "--band-index" if kind == "band_index"
-                        else "--docs-store"
-                    )
+                    flag = {
+                        "band_index": "--band-index",
+                        "docs_store": "--docs-store",
+                        "media_store": "--media-store",
+                    }[kind]
                     advisories.append(
                         f"{worst} files in the fullest shard (one per "
                         "append since the last compact) — reclaim "
@@ -1593,6 +1596,23 @@ def index_main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(f"{n} media near-dup pairs -> {args.out_dir}")
+        # the ingest family's files-per-shard economics: each ingest
+        # appends ~one file per touched shard
+        import os as _os
+        import sys as _sys
+
+        bands_dir = _os.path.join(args.store_path, "bands")
+        if _os.path.isdir(bands_dir):
+            worst = _max_files_per_shard(bands_dir)
+            if worst >= _COMPACT_ADVISORY_AT:
+                print(
+                    f"ADVISORY: the media store's fullest shard holds "
+                    f"{worst} files (~one per ingest since the last "
+                    "compact) — listing cost grows per probe; reclaim "
+                    "with: wrds-spark-index compact --media-store "
+                    f"{args.store_path}",
+                    file=_sys.stderr,
+                )
         return 0
 
     if args.cmd == "compact":

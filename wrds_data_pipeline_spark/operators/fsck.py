@@ -34,6 +34,10 @@ groups store meta pin; layout + sampled shard recompute; every
              lookup's zero-row fallback cannot detect (silently
              incomplete member stars; ERROR), while dead-label
              sidecar residue only over-reads (WARNING, compact).
+media store  meta pin (hash bits / bands / shards); band partition
+             dirs within range and a sampled shard-expression
+             recompute; NULL hashes (an ingest-bug signature);
+             duplicate band rows (replay residue, compact reclaims).
 vector index loadable quantizer; every cell partition known to the
              centroid table; sampled embedding dimension; duplicate
              ids (actively corrupt top-k — compact is REPAIR here);
