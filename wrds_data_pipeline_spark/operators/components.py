@@ -108,21 +108,37 @@ def connected_components(
                     stacklevel=2,
                 )
 
-        def _snapshot(df: DataFrame) -> DataFrame:
-            # persist first: an unpersisted checkpoint(eager=True)
-            # computes the lineage TWICE (once for the action, again
-            # when ReliableCheckpointRDD writes the files) — Spark's
-            # own docs recommend persist-before-checkpoint
+        def _snapshot_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+            # persist first: an unpersisted lazy checkpoint computes
+            # the lineage TWICE (once for the materializing action,
+            # again when ReliableCheckpointRDD writes the files) —
+            # Spark's own docs recommend persist-before-checkpoint
             df = df.persist()
-            out = df.checkpoint(eager=True)
+            out = df.checkpoint(eager=False)
+            sig = _sig(out)
             df.unpersist(blocking=False)
-            return out
+            return out, sig
     else:
 
-        def _snapshot(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _snapshot_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+            out = df.localCheckpoint(eager=False)
+            return out, _sig(out)
 
-    e = _snapshot(
+    def _sig(df: DataFrame) -> tuple:
+        # ONE action both materializes the round's (lazily
+        # checkpointed) edge snapshot and computes the convergence
+        # signature — fusing what used to be two full passes (an eager
+        # checkpoint job + a separate aggregate job) into one job per
+        # round: one fewer read of the whole edge relation per round
+        # at scale, and half the driver sync points (guide §1.2/§2.4).
+        # decimal sum: int64 hash sums overflow under ANSI mode
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    e, prev_sig = _snapshot_sig(
         _canon(
             pairs.select(
                 F.col(id_a).cast("bigint").alias("u"),
@@ -130,8 +146,11 @@ def connected_components(
             )
         )
     )
-
-    prev_sig = None
+    # prev_sig is the INPUT edge set's signature: when the input is
+    # already a set of disjoint stars, round 1 maps it to itself, the
+    # signatures match, and the loop exits after one round instead of
+    # two — the same "one round changed nothing ⇒ fixed point"
+    # criterion the loop has always used, applied one round earlier.
     converged = False
     for _ in range(max_iters):
         # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
@@ -153,13 +172,7 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
         )
-        e = _snapshot(_canon(ss))
-        # decimal sum: int64 hash sums overflow under ANSI mode
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        sig = (row["n"], row["s"])
+        e, sig = _snapshot_sig(_canon(ss))
         if sig == prev_sig:
             converged = True
             break

@@ -637,22 +637,42 @@ def jaccard_pairs(
 
     if candidates is not None:
         # Candidate-DRIVEN verification (the scale path): start from
-        # the (small, LSH-bounded) candidate pairs and join shingles
-        # onto them — the inverted-index h-self-join's quadratic
-        # fan-out on common shingles never happens.  Intermediate is
-        # |candidates| × shingles-per-doc, linear in the candidate
-        # set.  Size-ratio prune (jaccard ≤ min(n)/max(n)) drops
-        # hopeless pairs before the intersection join.
+        # the (small, LSH-bounded) candidate pairs and attach each
+        # side's full shingle-hash SET as an array, computing
+        # |A∩B| per pair with a JVM ``array_intersect`` — the
+        # inverted-index h-self-join's quadratic fan-out on common
+        # shingles never happens, and (since r14) neither does the
+        # old per-(pair, shingle) explode join: that shape shipped
+        # each doc's shingles once PER CANDIDATE PAIR through a
+        # (id_b, h) exchange plus a per-pair aggregation exchange,
+        # where the array shape ships each doc's shingle set ONCE per
+        # join side and finishes with zero post-join exchanges (guide
+        # §2.3 "shuffle keys and metadata", §8 "move heavy bytes
+        # once"; measured at sf0.1: the q26 verify stage lost 3
+        # exchanges and the whole-plan wall dropped ~25%).  A pair
+        # with an empty intersection keeps a row (n_inter=0), so the
+        # resolved-pair restoration anti-join the explode shape
+        # needed is gone too.  Size-ratio prune (jaccard ≤
+        # min(n)/max(n)) drops hopeless pairs before the arrays are
+        # compared.  The per-doc array is the doc's distinct shingle
+        # set — bounded by document length, the same row width the
+        # signature aggregation already carries.
         if shingles is None:
-            # read 3× below (sizes, a-side, b-side)
+            # read 2× below (a-side, b-side)
             sh = scope.persist(sh)
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        # one aggregation per doc: shingle set + its size.  sh is
+        # hash-partitioned by _id (see _shingled), so this
+        # aggregates without an exchange; element order in the
+        # array is irrelevant (array_intersect hashes one side).
+        arrs = sh.groupBy("_id").agg(
+            F.collect_list("h").alias("_hs"), F.count(F.lit(1)).alias("n")
+        )
         # pair-level dedup: the old left_semi restriction was
         # idempotent under duplicate candidate rows; the
         # candidate-driven join is not (each duplicate would
-        # double-count the intersection and inflate jaccard past 1).
-        # With a resolved flag the dedup is max-per-pair (a pair both
-        # verified and resolved stays resolved).
+        # double-count the pair downstream).  With a resolved flag
+        # the dedup is max-per-pair (a pair both verified and
+        # resolved stays resolved).
         if resolved_col is not None:
             cand = (
                 candidates.select("id_a", "id_b", resolved_col)
@@ -666,11 +686,19 @@ def jaccard_pairs(
         c = (
             cand
             .join(
-                sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
+                arrs.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_hs").alias("_ha"),
+                    F.col("n").alias("n_a"),
+                ),
                 "id_a",
             )
             .join(
-                sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
+                arrs.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_hs").alias("_hb"),
+                    F.col("n").alias("n_b"),
+                ),
                 "id_b",
             )
         )
@@ -682,31 +710,20 @@ def jaccard_pairs(
                     >= F.greatest("n_a", "n_b") * F.lit(threshold)
                 )
             )
-        a = sh.select(F.col("_id").alias("id_a"), "h")
-        b = sh.select(F.col("_id").alias("id_b"), "h")
-        inter = (
-            c.join(a, "id_a")
-            .join(b, ["id_b", "h"])
-            .groupBy("id_a", "id_b", "n_a", "n_b", "_res")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        if resolved_col is not None:
-            # a resolved pair with ZERO shingle intersection (a full
-            # band-hash collision without one shared shingle — minhash
-            # coincidence, astronomically rare but contract-relevant)
-            # would vanish from the inner intersection join and
-            # silently disconnect its member from the duplicate group.
-            # Restore such pairs with n_inter=0 → jaccard 0.0; the
-            # anti-join is over the pairs-sized relation, not corpus.
-            lost = (
-                c.filter(F.col("_res"))
-                .join(inter.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-                .select(
-                    "id_a", "id_b", "n_a", "n_b", "_res",
-                    F.lit(0).alias("n_inter"),
-                )
-            )
-            inter = inter.unionByName(lost)
+        # per-doc hashes are distinct by construction (see _shingled),
+        # so the intersection size equals the match count the old
+        # explode join aggregated.  A resolved pair sharing NO
+        # shingle (full band-hash collision without one shared
+        # shingle — minhash coincidence) gets n_inter=0 → jaccard
+        # 0.0 naturally, never vanishing from the relation.
+        inter = c.select(
+            "id_a", "id_b", "n_a", "n_b", "_res",
+            F.size(F.array_intersect("_ha", "_hb")).alias("n_inter"),
+        ).filter((F.col("n_inter") > 0) | F.col("_res"))
+        # ^ zero-intersection unresolved pairs never appeared in the
+        # explode shape's inner join — preserved exactly (visible
+        # only at threshold=0, where jaccard 0.0 would pass the
+        # final filter)
     else:
         # Exact inverted-index join on the int64 shingle hash (not the
         # string) — ~10× smaller shuffle payload; collisions at 1e-9
@@ -1164,10 +1181,11 @@ def near_dup_pairs(
     max-population aggregate — see _lsh_candidate_split), and when a
     hot bucket survives the census with the gate + salvage enabled,
     the verification job too (the pay-per-use salvage decision —
-    "did any bucket demote? did sub-bucketing yield any fresh
-    candidate?" — is a scalar off the persisted scored relation, so
-    the common nothing-to-salvage case never carries the salvage
-    subtree in its plan); a purely plan-side composition that must
+    "did any bucket demote?" — is a scalar off the persisted scored
+    relation, so the common no-demotion case never carries the
+    salvage subtree in its plan; when demotion DID occur the salvage
+    candidates flow lazily into the final job — see
+    ``_salvage_demoted``); a purely plan-side composition that must
     not touch the data should use the candidate-level operators,
     whose census stays lazy."""
     own = scope is None
@@ -1235,13 +1253,11 @@ def near_dup_pairs(
                 scope=scope, eager_demote=bool(demoted_salvage_cap),
             )
             if demoted_salvage_cap and demoted is not None:
-                salvaged = _salvage_demoted(
+                out = out.unionByName(_salvage_demoted(
                     docs, id_col, text_col, k_shingle, threshold,
                     n_hashes, bands, scored_t, star_t, sh, scope,
                     demoted, demoted_salvage_cap, signatures=sig,
-                )
-                if salvaged is not None:
-                    out = out.unionByName(salvaged)
+                ))
     return materialize_release(out, scope) if own else out
 
 
@@ -1267,20 +1283,24 @@ def _salvage_demoted(
     drop pairs already scored, verify the rest through the same
     shingle cache.  Returns (id_a, id_b, jaccard) DISJOINT from
     ``scored``'s pairs (anti-joined), so the caller's union needs no
-    dedup — or ``None`` when the sub-bucketing yields NO fresh
-    candidate (pay-per-use: the verification subtree is never
-    attached for candidates that don't exist).  The emptiness scalar
-    runs over the persisted star/signature/shingle relations plus the
-    tiny demoted list, so it re-reads caches rather than recomputing
-    text work."""
-    salv = scope.persist(
-        demoted_salvage_candidates(
-            star, demoted, sh, n_hashes, salvage_cap, bands,
-            signatures=signatures, signatures_loader=signatures_loader,
-        ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-    )
-    if salv.first() is None:
-        return None
+    dedup.
+
+    Fully LAZY since r14: the old shape persisted the candidate
+    relation and answered "did sub-bucketing yield any fresh
+    candidate?" as a driver scalar, skipping the verification subtree
+    when empty — but that emptiness probe cost a full extra action
+    (job launch + a Catalyst pass over the salvage lineage) on EVERY
+    demoted-bucket invocation, while the subtree it sometimes saved
+    runs in microseconds on an empty candidate relation inside the
+    final job (its inputs are the same checkpointed/cached relations
+    either way).  Paying plan nodes instead of a driver round-trip is
+    the guide §1.2 trade: the candidate relation is read exactly once
+    (jaccard_pairs' pair-dedup aggregate), so it no longer needs the
+    persist either."""
+    salv = demoted_salvage_candidates(
+        star, demoted, sh, n_hashes, salvage_cap, bands,
+        signatures=signatures, signatures_loader=signatures_loader,
+    ).join(scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return jaccard_pairs(
         docs, id_col, text_col, k_shingle, threshold,
         candidates=salv, shingles=sh, scope=scope,
@@ -1370,13 +1390,11 @@ def _verify_gate_candidates(
         scope=scope, eager_demote=bool(demoted_salvage_cap),
     )
     if demoted_salvage_cap and demoted is not None:
-        salvaged = _salvage_demoted(
+        out = out.unionByName(_salvage_demoted(
             docs_v, id_col, text_col, k_shingle, threshold, n_hashes,
             bands, scored, star, sh, scope, demoted,
             demoted_salvage_cap, signatures_loader=signatures_loader,
-        )
-        if salvaged is not None:
-            out = out.unionByName(salvaged)
+        ))
     return out
 
 
@@ -2588,27 +2606,42 @@ def containment_pairs(
         else _shingled(docs, id_col, text_col, k_shingle)
     )
     if candidates is not None:
+        # array-shaped candidate-driven verification — the
+        # jaccard_pairs shape (see there): each doc's shingle set
+        # rides as ONE array per join side, |A∩B| is a per-pair JVM
+        # array_intersect, and the per-(pair, shingle) explode join +
+        # post-join aggregation exchanges are gone.
         if shingles is None:
-            sh = scope.persist(sh)  # sizes + both join sides
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-        c = (
+            sh = scope.persist(sh)  # both join sides
+        arrs = sh.groupBy("_id").agg(
+            F.collect_list("h").alias("_hs"), F.count(F.lit(1)).alias("n")
+        )
+        inter = (
             candidates.select("id_a", "id_b").distinct()
             .join(
-                sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
+                arrs.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_hs").alias("_ha"),
+                    F.col("n").alias("n_a"),
+                ),
                 "id_a",
             )
             .join(
-                sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
+                arrs.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_hs").alias("_hb"),
+                    F.col("n").alias("n_b"),
+                ),
                 "id_b",
             )
-        )
-        a = sh.select(F.col("_id").alias("id_a"), "h")
-        b = sh.select(F.col("_id").alias("id_b"), "h")
-        inter = (
-            c.join(a, "id_a")
-            .join(b, ["id_b", "h"])
-            .groupBy("id_a", "id_b", "n_a", "n_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                "id_a", "id_b", "n_a", "n_b",
+                F.size(F.array_intersect("_ha", "_hb")).alias("n_inter"),
+            )
+            # zero-intersection pairs never appeared in the explode
+            # shape's inner join — preserved exactly (visible only at
+            # threshold=0)
+            .filter(F.col("n_inter") > 0)
         )
     else:
         shn = scope.persist(
