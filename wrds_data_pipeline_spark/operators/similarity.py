@@ -71,45 +71,10 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_static(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` for a statically-known dimension, as a flat expression
-    tree: ``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` — the SAME
-    left-fold order as ``aggregate`` over ``zip_with``, so results
-    are bit-identical doubles, but whole-stage codegen compiles it
-    (higher-order-function lambdas always run interpreted, one boxed
-    lambda frame per element — guide §4.1: prefer expressions codegen
-    can see).  On the quadratic pair stages this is the per-pair
-    inner loop, so the interpreter tax is paid |pairs|·dim times.
-
-    Rows whose arrays are not exactly ``dim`` long fall back to the
-    HOF fold (``F.get`` past the end would NULL the sum where
-    ``zip_with`` truncates to the shorter input) — the guard keeps
-    semantics identical for EVERY input, the fast path covers the
-    homogeneous-dimension corpora the operators are built for."""
-    s: Column = F.lit(0.0)
-    for i in range(dim):
-        s = s + F.get(a, F.lit(i)) * F.get(b, F.lit(i))
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), s).otherwise(
-        dot(a, b)
-    )
-
-
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-
-
-def l2_norm_static(a: Column, dim: int) -> Column:
-    """``l2_norm`` for a statically-known dimension — see
-    ``dot_static`` (same fold order ⇒ bit-identical, codegen-able;
-    per-row, so it matters less than the pair-stage dot but rides the
-    same guard)."""
-    s: Column = F.lit(0.0)
-    for i in range(dim):
-        g = F.get(a, F.lit(i))
-        s = s + g * g
-    return F.when(F.size(a) == dim, F.sqrt(s)).otherwise(l2_norm(a))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -135,12 +100,9 @@ def brute_force_topk(
     # instead of re-folding the query literal once per corpus row
     qn = F.lit(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
     v = F.col(vec_col).cast("array<double>")
-    dim = len(query_vec)
     scored = embeddings.select(
         F.col(id_col),
-        F.round(
-            dot_static(v, q, dim) / (l2_norm_static(v, dim) * qn), 6
-        ).alias("cos_sim"),
+        F.round(dot(v, q) / (l2_norm(v) * qn), 6).alias("cos_sim"),
     )
     # orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
     # top-k, then a k-row merge on the driver — no global sort, no
@@ -351,24 +313,13 @@ def embedding_dup_pairs(
             "n_planes > 0 (without buckets the plan is the all-pairs "
             "baseline and there is nothing to probe)"
         )
-    if planes is None and n_planes > 0:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = [_hyperplane(dim, p) for p in range(n_planes)]
-    # statically-known dimension (from the plane vectors) routes the
-    # per-pair dot through the codegen-able unrolled form — the pair
-    # stage is the quadratic part, so the interpreted-HOF tax is paid
-    # |pairs|·dim times without it (see dot_static; bit-identical)
-    dim = len(planes[0]) if planes else None
     # per-side norm columns — see semantic_dup_pairs: same arithmetic
     # as cosine() in the same order, folded once per row instead of
     # once per candidate pair
     v = F.col(vec_col).cast("array<double>")
     sided = embeddings.select(
         F.col(id_col).alias("_id"), v.alias("_v")
-    ).withColumn(
-        "_n",
-        l2_norm_static(F.col("_v"), dim) if dim else l2_norm(F.col("_v")),
-    )
+    ).withColumn("_n", l2_norm(F.col("_v")))
     a = sided.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
@@ -379,6 +330,9 @@ def embedding_dup_pairs(
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    if planes is None and n_planes > 0:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = [_hyperplane(dim, p) for p in range(n_planes)]
     if planes:
         if hamming_probe > 0:
             flips = [0]  # XOR masks: identity + every <=r-bit flip
@@ -405,15 +359,12 @@ def embedding_dup_pairs(
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    pair_dot = (
-        dot_static(F.col("_va"), F.col("_vb"), dim)
-        if dim
-        else dot(F.col("_va"), F.col("_vb"))
-    )
     return (
         pairs.withColumn(
             "cos_sim",
-            F.round(pair_dot / (F.col("_na") * F.col("_nb")), 6),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -1136,10 +1087,6 @@ def semantic_dup_pairs(
     # cosine(), so results (and the 6dp oracle hash) are bit-identical;
     # the norms are just computed n times instead of n²/cells times.
     v = F.col(vec_col).cast("array<double>")
-    # statically-known dimension (from the centroids) routes the
-    # per-pair dot below through the codegen-able unrolled form (see
-    # dot_static; the pair stage is the quadratic part)
-    dim = len(centroids[0][1]) if centroids else None
     # repartition on the join key BEFORE branching the self-join: the
     # assignment expression is evaluated going INTO the exchange
     # (instead of once per join branch), the join inherits the
@@ -1148,10 +1095,7 @@ def semantic_dup_pairs(
     # q56 pipeline
     sided = (
         assigned.select("cell", F.col(id_col).alias("_id"), v.alias("_v"))
-        .withColumn(
-            "_n",
-            l2_norm_static(F.col("_v"), dim) if dim else l2_norm(F.col("_v")),
-        )
+        .withColumn("_n", l2_norm(F.col("_v")))
         .repartition(F.col("cell"))
     )
     a = sided.select(
@@ -1166,17 +1110,14 @@ def semantic_dup_pairs(
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    pair_dot = (
-        dot_static(F.col("_va"), F.col("_vb"), dim)
-        if dim
-        else dot(F.col("_va"), F.col("_vb"))
-    )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            F.round(pair_dot / (F.col("_na") * F.col("_nb")), 6),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cell", "cos_sim")
