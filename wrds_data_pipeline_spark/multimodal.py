@@ -64,29 +64,53 @@ def _make_decoder():
     this package importable (the driver contract imports us by file
     path, leaving executors' PYTHONPATH without the repo)."""
 
+    state = {"probed": False, "opener": None}
+
     def decode(content: bytes, modality: str, declared_w: int, declared_h: int):
         """Decode one media item → (width, height, mean_luma).
 
         Real decoders (Pillow/librosa/av) are not in this container;
         the image path falls back to a deterministic fake derived from
         the bytes, so plumbing stays testable.  Audio/video have no
-        fake yet."""
+        fake yet.  The image-stack probe runs once per decoder
+        instance, never per item (failed imports are never cached —
+        see _luma_stream_fn)."""
         if modality == "image":
-            try:  # real path, if a codec library is ever present
-                import io
+            if not state["probed"]:
+                state["probed"] = True
+                try:  # real path, if a codec library is ever present
+                    import io
 
-                from PIL import Image  # type: ignore
+                    from PIL import Image  # type: ignore
 
-                img = Image.open(io.BytesIO(content)).convert("L")
+                    state["opener"] = (
+                        lambda b: Image.open(io.BytesIO(b)).convert("L")
+                    )
+                except ImportError:
+                    state["opener"] = None
+            if state["opener"] is not None:
+                try:
+                    img = state["opener"](content)
+                    import numpy as np
+
+                    arr = np.asarray(img, dtype="float64")
+                    return img.width, img.height, float(arr.mean())
+                except Exception:
+                    pass  # not an image: fall through to the fake
+            # deterministic fake: dims from declared metadata, luma
+            # from a byte checksum — stable across runs/engines
+            # (vectorized byte sum: identical value to sum(content),
+            # without the per-byte Python loop)
+            if content:
                 import numpy as np
 
-                arr = np.asarray(img, dtype="float64")
-                return img.width, img.height, float(arr.mean())
-            except Exception:
-                # deterministic fake: dims from declared metadata, luma
-                # from a byte checksum — stable across runs/engines
-                luma = (sum(content) % 25600) / 100.0 if content else None
-                return declared_w, declared_h, luma
+                luma = (
+                    int(np.frombuffer(content, dtype=np.uint8)
+                        .sum(dtype=np.int64)) % 25600
+                ) / 100.0
+            else:
+                luma = None
+            return declared_w, declared_h, luma
         raise NotImplementedError(f"no decoder (or fake) for modality={modality!r}")
 
     return decode
@@ -148,20 +172,38 @@ def _luma_stream_fn():
     codepoint stream has the LOCALITY a perceptual hash needs (a
     small edit perturbs one window; a crop shifts windows slightly),
     unlike a cryptographic-hash fake.  Raw bytes as the last resort
-    for undecodable content."""
+    for undecodable content.
+
+    The image-stack probe runs ONCE per decoder instance (first
+    call), not once per item: a FAILED ``from PIL import Image`` is
+    never cached by Python — every retry pays a full finder-chain
+    scan (~80µs here), which at one attempt per item was ~0.4s per
+    5k-item pass, pure overhead on every stack-less environment (the
+    same trap _decode_stack_present documents for the video path)."""
+
+    state = {"probed": False, "opener": None}
 
     def luma_stream(content: bytes):
         import numpy as np
 
-        try:  # real path, if an image stack is ever present
-            import io
+        if not state["probed"]:
+            state["probed"] = True
+            try:  # real path, if an image stack is ever present
+                import io
 
-            from PIL import Image  # type: ignore
+                from PIL import Image  # type: ignore
 
-            img = Image.open(io.BytesIO(content)).convert("L")
-            return np.asarray(img, dtype="int64").ravel()
-        except Exception:
-            pass
+                state["opener"] = (
+                    lambda b: Image.open(io.BytesIO(b)).convert("L")
+                )
+            except ImportError:
+                state["opener"] = None
+        if state["opener"] is not None:
+            try:
+                img = state["opener"](content)
+                return np.asarray(img, dtype="int64").ravel()
+            except Exception:
+                pass  # not an image: fall through to the fake path
         try:
             s = content.decode("utf-8")
             # utf-32-le round-trip = vectorized codepoints (no
@@ -334,18 +376,31 @@ def extract_audio_features(media: DataFrame, sample_rate: float = 16000.0) -> Da
         import numpy as np
         import pandas as _pd
 
+        state = {"probed": False, "reader": None}
+
         def decode(content: bytes):
-            try:  # real path, if an audio stack is ever present
-                import io
+            if not state["probed"]:
+                state["probed"] = True
+                try:  # probe the audio stack ONCE per task — failed
+                    # imports are never cached (see _luma_stream_fn)
+                    import io
 
-                import soundfile  # type: ignore
+                    import soundfile  # type: ignore
 
-                wave, sr = soundfile.read(io.BytesIO(content))
-                return wave.astype("float64"), float(sr)
-            except Exception:
-                # deterministic fake: bytes as a centered uint8 wave
-                wave = np.frombuffer(content, dtype=np.uint8).astype("float64") - 128.0
-                return wave, rate
+                    state["reader"] = (
+                        lambda b: soundfile.read(io.BytesIO(b))
+                    )
+                except ImportError:
+                    state["reader"] = None
+            if state["reader"] is not None:
+                try:  # real path, if an audio stack is ever present
+                    wave, sr = state["reader"](content)
+                    return wave.astype("float64"), float(sr)
+                except Exception:
+                    pass  # undecodable: fall through to the fake
+            # deterministic fake: bytes as a centered uint8 wave
+            wave = np.frombuffer(content, dtype=np.uint8).astype("float64") - 128.0
+            return wave, rate
 
         for pdf in batches:
             out = []
