@@ -22,11 +22,15 @@ Scale notes:
   interactive); pass ``checkpoint_dir=`` to switch to reliable
   `checkpoint()` on a shared filesystem, which survives executor
   loss — the right setting on a real cluster.
-- Convergence is detected by an aggregate signature
-  (count, sum(xxhash64(u, v))) — one cheap map-side-combined
-  aggregation per round instead of a full set-difference join.
-  Collision probability ~2^-64 per check.
-- No driver-side state beyond the 2-value signature.
+- Convergence is detected by testing the fixed-point property
+  DIRECTLY (paper Thm 3: fixed point = disjoint star set): one
+  node-keyed aggregation per round, fused into the snapshot's
+  materializing action.  Exact (no hash-collision risk), and it
+  stops one round earlier than the r13 signature-equality check,
+  which had to run an identity round to observe "nothing changed" —
+  a whole edge-relation round (~6 shuffles + a checkpoint) saved
+  per call.
+- No driver-side state beyond a 2-value scalar per round.
 """
 
 from __future__ import annotations
@@ -108,37 +112,72 @@ def connected_components(
                     stacklevel=2,
                 )
 
-        def _snapshot_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        def _snapshot_star(df: DataFrame) -> tuple[DataFrame, bool]:
             # persist first: an unpersisted lazy checkpoint computes
             # the lineage TWICE (once for the materializing action,
             # again when ReliableCheckpointRDD writes the files) —
             # Spark's own docs recommend persist-before-checkpoint
             df = df.persist()
             out = df.checkpoint(eager=False)
-            sig = _sig(out)
+            star = _is_star(out)
             df.unpersist(blocking=False)
-            return out, sig
+            return out, star
     else:
 
-        def _snapshot_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        def _snapshot_star(df: DataFrame) -> tuple[DataFrame, bool]:
             out = df.localCheckpoint(eager=False)
-            return out, _sig(out)
+            return out, _is_star(out)
 
-    def _sig(df: DataFrame) -> tuple:
+    def _is_star(df: DataFrame) -> bool:
         # ONE action both materializes the round's (lazily
-        # checkpointed) edge snapshot and computes the convergence
-        # signature — fusing what used to be two full passes (an eager
-        # checkpoint job + a separate aggregate job) into one job per
-        # round: one fewer read of the whole edge relation per round
-        # at scale, and half the driver sync points (guide §1.2/§2.4).
-        # decimal sum: int64 hash sums overflow under ANSI mode
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        return (row["n"], row["s"])
+        # checkpointed) edge snapshot and tests the EXACT fixed-point
+        # property (paper Thm 3: fixed point = disjoint star set).  In
+        # canon form a star set means every u-side node appears exactly
+        # once AND no node sits on both sides — checkable by one
+        # groupBy(node) over the 2|E| skinny side rows.  This replaces
+        # the r13 signature-equality detection, which could only see a
+        # fixed point one ROUND LATE (run round R+1, observe nothing
+        # changed): the star test stops at round R, saving an entire
+        # edge-relation round (~6 shuffles + a checkpoint) per call for
+        # the price of one node-keyed aggregation per round — and it is
+        # exact, where the hash signature carried a 2^-64 collision
+        # risk (guide §1.2 "remove unnecessary passes", §2.4).
+        # ONE read of the snapshot (an in-partition explode, not a
+        # self-union: two union branches would each materialize the
+        # freshly checkpointed RDD inside the same action)
+        sides = df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("_node"),
+                        F.lit(1).alias("_m"),
+                        F.lit(0).alias("_r"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("_node"),
+                        F.lit(0).alias("_m"),
+                        F.lit(1).alias("_r"),
+                    ),
+                )
+            ).alias("_s")
+        ).select("_s.*")
+        row = (
+            sides.groupBy("_node")
+            .agg(F.sum("_m").alias("_nm"), F.sum("_r").alias("_nr"))
+            .agg(
+                F.max("_nm").alias("_max_m"),
+                F.max(
+                    ((F.col("_nm") > 0) & (F.col("_nr") > 0)).cast("int")
+                ).alias("_both"),
+            )
+            .first()
+        )
+        # empty edge set: trivially a (zero-star) fixed point
+        return row["_max_m"] is None or (
+            row["_max_m"] <= 1 and row["_both"] == 0
+        )
 
-    e, prev_sig = _snapshot_sig(
+    e, converged = _snapshot_star(
         _canon(
             pairs.select(
                 F.col(id_a).cast("bigint").alias("u"),
@@ -146,13 +185,13 @@ def connected_components(
             )
         )
     )
-    # prev_sig is the INPUT edge set's signature: when the input is
-    # already a set of disjoint stars, round 1 maps it to itself, the
-    # signatures match, and the loop exits after one round instead of
-    # two — the same "one round changed nothing ⇒ fixed point"
-    # criterion the loop has always used, applied one round earlier.
-    converged = False
+    # an input that is already a disjoint star set IS the fixed point
+    # (canon keeps u > v, so each star's root is its component min):
+    # zero rounds run — the r13 signature seeding needed one identity
+    # round to observe this
     for _ in range(max_iters):
+        if converged:
+            break
         # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
         bid = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = bid.groupBy("u").agg(F.min("v").alias("mv"))
@@ -172,11 +211,7 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
         )
-        e, sig = _snapshot_sig(_canon(ss))
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+        e, converged = _snapshot_star(_canon(ss))
     if not converged:
         # the star extraction below is only valid at the fixed point;
         # returning early would be silently wrong, not approximate
