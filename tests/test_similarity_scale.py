@@ -758,3 +758,51 @@ def test_probe_cells_hier_route_on_separated_quantizer(spark):
         # super (the documented approximation)
         assert hier[vid][0] == flat[vid][0]
         assert set(hier[vid]) <= {c for c, _ in cents}
+
+
+def test_dot_static_bit_parity(spark):
+    """dot_static_cols unrolls the pair-stage dot into one
+    codegen-able expr chain; its left-fold order must match the HOF
+    aggregate EXACTLY (bit-equal doubles, never just approximately),
+    and ragged/short arrays must fall back to the HOF semantics
+    (zip_with truncation)."""
+    import numpy as np
+
+    from wrds_data_pipeline_spark.operators.similarity import (
+        dot,
+        dot_static_cols,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(2602)
+    dim = 64
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.standard_normal(dim) * 10.0 ** rng.integers(-3, 4)],
+            [float(x) for x in rng.standard_normal(dim) * 10.0 ** rng.integers(-3, 4)],
+        )
+        for i in range(200)
+    ]
+    # ragged rows exercise the guard: short, long, and a null element
+    rows.append((900, [1.0, 2.0], [3.0, 4.0, 5.0]))
+    rows.append((901, [1.0] * dim, [2.0] * (dim - 1)))
+    rows.append((902, [1.0, None, 3.0] + [0.0] * (dim - 3), [1.0] * dim))
+    df = spark.createDataFrame(
+        rows, "id long, _va array<double>, _vb array<double>"
+    )
+    got = df.select(
+        "id",
+        dot(F.col("_va"), F.col("_vb")).alias("h"),
+        dot_static_cols("_va", "_vb", dim).alias("s"),
+    ).collect()
+    for r in got:
+        if r["h"] is None:
+            assert r["s"] is None, r["id"]
+        else:
+            # bit equality, not approx: the fold orders must be identical
+            import struct
+
+            assert struct.pack("d", r["h"]) == struct.pack("d", r["s"]), (
+                r["id"], r["h"], r["s"],
+            )

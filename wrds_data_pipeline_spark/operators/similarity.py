@@ -71,6 +71,44 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_static_cols(a_name: str, b_name: str, dim: int) -> Column:
+    """``dot`` over two NAMED array columns for a statically-known
+    dimension, as one flat codegen-able expression: ``0.0D +
+    a[0]*b[0] + a[1]*b[1] + …`` — SQL ``+`` parses left-associative,
+    so the fold order (and therefore every IEEE rounding step,
+    including the leading 0.0 seed) is IDENTICAL to ``aggregate``
+    over ``zip_with``; results are bit-equal doubles (pinned by
+    tests/test_similarity_scale.py::test_dot_static_bit_parity).
+
+    Why this exists: higher-order-function lambdas always run
+    INTERPRETED — one boxed lambda frame per element — and on the
+    quadratic pair stages (embedding_dup_pairs, semantic_dup_pairs)
+    that tax is paid |pairs|·dim times: measured at sf0.1, the q36
+    pair stage spent 1.4s of its 2.1s exec in the fold alone (guide
+    §4.1: prefer expressions codegen can see).  An earlier attempt
+    (reverted) built the unrolled tree with ~3·dim py4j Column calls
+    plus a ``when``-guard per use — the round-trips alone cost
+    0.5–1s of plan-build per query.  Building the whole chain as ONE
+    ``F.expr`` string is a single py4j call and a millisecond parse.
+
+    Rows whose arrays are not exactly ``dim`` long fall back to the
+    HOF fold (a subscript past the end would NULL the sum where
+    ``zip_with`` truncates to the shorter input) — the guard keeps
+    semantics identical for EVERY input; the fast path covers the
+    homogeneous-dimension corpora the operators are built for.
+    CASE/WHEN evaluates branches lazily, so the guarded subscripts
+    never fire out-of-bounds under ANSI mode."""
+    if dim <= 0:  # degenerate caller: nothing to unroll
+        return dot(F.col(a_name), F.col(b_name))
+    chain = "0.0D + " + " + ".join(
+        f"{a_name}[{i}]*{b_name}[{i}]" for i in range(dim)
+    )
+    return F.when(
+        (F.size(F.col(a_name)) == dim) & (F.size(F.col(b_name)) == dim),
+        F.expr(chain),
+    ).otherwise(dot(F.col(a_name), F.col(b_name)))
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -359,12 +397,21 @@ def embedding_dup_pairs(
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # the pair stage is the quadratic part: with planes the dimension
+    # is statically known, so the per-pair dot unrolls to one
+    # codegen-able expr (bit-identical fold order — see
+    # dot_static_cols; measured 1.4s of q36's 2.1s exec was the
+    # interpreted fold).  The plane-less all-pairs baseline keeps the
+    # HOF fold (dimension unknown without an extra action).
+    pair_dot = (
+        dot_static_cols("_va", "_vb", len(planes[0]))
+        if planes
+        else dot(F.col("_va"), F.col("_vb"))
+    )
     return (
         pairs.withColumn(
             "cos_sim",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ),
+            F.round(pair_dot / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -1110,13 +1157,20 @@ def semantic_dup_pairs(
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    # statically-known dimension (from the centroids) routes the
+    # per-pair dot through the codegen-able unrolled form — the
+    # within-cell pair stage is the quadratic part (see
+    # dot_static_cols; bit-identical fold order)
+    dim = len(centroids[0][1]) if centroids else 0
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot_static_cols("_va", "_vb", dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
