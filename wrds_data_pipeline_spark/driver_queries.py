@@ -3089,7 +3089,8 @@ def q57_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds_data_pipeline_spark.operators.keywords import tfidf_top_terms
 
     return tfidf_top_terms(
-        _t(spark, sf_dir, "documents"), k=5, min_df=1, max_df_frac=0.8
+        _t(spark, sf_dir, "documents"), k=5, min_df=1, max_df_frac=0.8,
+        scope=_DRIVER_SCOPE,
     )
 
 
@@ -3141,7 +3142,14 @@ def q58_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, size=200).select("term", "count")
+    # persisted: the vocab relation is read TWICE inside
+    # doc_cross_entropy (the totals aggregate and the per-term logp) —
+    # unpersisted, the whole explode+aggregate+top-200 vocabulary
+    # pipeline runs twice per action (guide §2.4: two consumers, one
+    # computation)
+    vocab = _DRIVER_SCOPE.persist(
+        build_vocab(docs, size=200).select("term", "count")
+    )
     return doc_cross_entropy(docs, vocab, alpha=0.5)
 
 

@@ -34,16 +34,30 @@ def tfidf_top_terms(
     text_col: str = "text",
     min_df: int = 1,
     max_df_frac: float = 0.5,
+    scope=None,
 ) -> DataFrame:
     """(id, term, tf, df, tfidf, rank) — top ``k`` terms per document
     by tf·idf, idf = ln((N+1)/(df+1)) + 1 (the smoothed scikit-style
     form; public).  Terms in more than ``max_df_frac`` of documents or
     fewer than ``min_df`` documents are excluded.  Ties break on term
-    text for determinism."""
+    text for determinism.
+
+    ``scope`` (caching.PersistScope): the tf relation feeds BOTH the
+    df aggregate and the tf⋈df join — without a persist the whole
+    tokenize+explode+aggregate pipeline is computed twice per action
+    (physical exchange reuse does not fire across the two
+    differently-shaped consumers; measured at sf0.1 the doubled read
+    was ~0.45s of the ~1.0s action).  With a caller-owned scope the
+    tf relation is persisted into it (the shingle-table convention,
+    see dedup.near_dup_pairs); at cluster scale the same role is a
+    materialized per-corpus term-frequency table.  Default None keeps
+    the fully-lazy plan for composability."""
     toks = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if scope is not None:
+        tf = scope.persist(tf)
     n_docs = docs.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs")
     )
