@@ -1568,12 +1568,32 @@ def _band_index_shard(n_shards: int):
     )
 
 
+def _read_meta_rows_local(dir_path: str) -> list[dict] | None:
+    """Rows of a tiny driver-local parquet dir read directly on the
+    driver (pyarrow), or None when the dir is not driver-local (a
+    cluster URI — the caller then goes through a Spark read).  A
+    1-row meta read as a Spark job costs ~0.13s of pure scheduling
+    per verb invocation vs ~0.01s here (guide §5: the driver should
+    do almost no data work — and a one-row config read is exactly the
+    exception that belongs on the driver)."""
+    import os
+
+    if not os.path.isdir(dir_path):
+        return None
+    import pyarrow.parquet as pq
+
+    return pq.read_table(dir_path).to_pylist()
+
+
 def _read_band_index_meta(spark, path: str) -> dict:
     # a reshard (compact --reshard) swaps the WHOLE index dir; recover
     # that window first, then the per-subdir compact window
     _recover_compact_swap(path)
     _recover_compact_swap(f"{path}/bands")
-    [row] = spark.read.parquet(f"{path}/meta").collect()
+    rows = _read_meta_rows_local(f"{path}/meta")
+    if rows is None:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    [row] = rows
     return {k: int(row[k]) for k in _BAND_INDEX_META_COLS}
 
 
