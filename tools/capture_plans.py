@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/$SPARK_GRAFT_PLAN_ROUND/ (default r15).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: "before" or "after" (file name becomes plans/r14/<q>_<suffix>.txt)
+  suffix: "before" or "after" (file name becomes plans/<round>/<q>_<suffix>.txt)
   query:  optional subset; default = every bench HEADLINE query.
 
 The captured plan is the plan the bench times: the registered
@@ -29,7 +29,7 @@ def main() -> None:
     spark = get_spark(app_name="capture_plans")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
