@@ -1624,6 +1624,7 @@ def q36_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         planes=_pinned_planes(spark, sf_dir),
         hamming_probe=1,
+        scope=_DRIVER_SCOPE,
     )
 
 
@@ -3061,7 +3062,9 @@ def q56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     centroids = _pinned_centroids(spark, sf_dir)
-    return semantic_dup_pairs(emb, centroids, threshold=0.45)
+    return semantic_dup_pairs(
+        emb, centroids, threshold=0.45, scope=_DRIVER_SCOPE
+    )
 
 
 _TOKS_SQL = f"""

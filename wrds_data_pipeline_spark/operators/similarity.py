@@ -318,6 +318,7 @@ def embedding_dup_pairs(
     n_planes: int = 0,
     planes: list[list[float]] | None = None,
     hamming_probe: int = 0,
+    scope=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with rounded cosine ≥ threshold and id_a < id_b.
@@ -358,31 +359,37 @@ def embedding_dup_pairs(
     sided = embeddings.select(
         F.col(id_col).alias("_id"), v.alias("_v")
     ).withColumn("_n", l2_norm(F.col("_v")))
-    a = sided.select(
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = sided.select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
     if planes is None and n_planes > 0:
         dim = len(embeddings.select(vec_col).first()[0])
         planes = [_hyperplane(dim, p) for p in range(n_planes)]
     if planes:
+        # the bucket is computed ONCE on the shared side relation (both
+        # join branches and the probe fan-out read the same column) —
+        # the per-row sign expression is an interpreted HOF, so every
+        # avoided re-evaluation matters; with a caller scope the sided
+        # relation is persisted, which also stops the optimizer's
+        # inferred isnotnull(join key) from re-deriving the full bucket
+        # expression inside the scan filter (it tests the STORED value)
+        sided = sided.withColumn("_b0", lsh_bucket(F.col("_v"), planes))
+        if scope is not None:
+            sided = scope.persist(sided)
+        a = sided.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.col("_b0"),
+        )
+        b = sided.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col("_b0").alias("_bucket"),
+        )
         if hamming_probe > 0:
             flips = [0]  # XOR masks: identity + every <=r-bit flip
             for r in range(1, min(hamming_probe, len(planes)) + 1):
                 for combo in itertools.combinations(range(len(planes)), r):
                     flips.append(sum(2 ** p for p in combo))
-            # hoist the bucket into a column BEFORE fanning out the
-            # probes: inlining it would embed one copy of the full
-            # n_planes-dot sign expression per mask — (1+n_planes)×
-            # the analysis time and, worse, (1+n_planes)× the per-row
-            # evaluation (HOFs run interpreted, no codegen CSE)
-            a = a.withColumn("_b0", lsh_bucket(F.col("_va"), planes))
             probe = F.explode(
                 F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in flips])
             )
@@ -392,10 +399,19 @@ def embedding_dup_pairs(
             # the a side finds every pair within distance r.
             a = a.withColumn("_bucket", probe).drop("_b0")
         else:
-            a = a.withColumn("_bucket", lsh_bucket(F.col("_va"), planes))
-        b = b.withColumn("_bucket", lsh_bucket(F.col("_vb"), planes))
+            a = a.withColumnRenamed("_b0", "_bucket")
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        a = sided.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        b = sided.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # the pair stage is the quadratic part: with planes the dimension
     # is statically known, so the per-pair dot unrolls to one
@@ -1098,6 +1114,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     hierarchical_assign: bool = False,
     assigner=None,
+    scope=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023, public): cluster embeddings with the IVF coarse quantizer,
@@ -1145,6 +1162,16 @@ def semantic_dup_pairs(
         .withColumn("_n", l2_norm(F.col("_v")))
         .repartition(F.col("cell"))
     )
+    if scope is not None:
+        # caller-owned persist of the assigned relation (the
+        # materialized cluster-assignment table of the SemDeDup
+        # recipe): both join branches read one copy, and the
+        # optimizer's inferred isnotnull(cell) join-key filter tests
+        # the STORED cell instead of re-deriving the full argmax
+        # assignment expression inside the scan filter (measured: one
+        # extra interpreted n_cells×dim HOF pass per row per side at
+        # sf0.1 — ~0.4s of q56's exec)
+        sided = scope.persist(sided)
     a = sided.select(
         "cell",
         F.col("_id").alias("id_a"),
