@@ -144,6 +144,17 @@ def curate(
         "doc_id", "fate", "lang_detected", "quality",
         "ws_tokens", "bpe_tokens", "fingerprint",
     )
+    if scope is not None:
+        # caller-owned persist of the NARROW audit relation (text is
+        # already projected away — the r14 `tagged` persist failed
+        # exactly because it cached the corpus text and defeated
+        # per-branch column pruning; this row is ~7 scalar columns).
+        # Both consumers (kept's semi-join and the report aggregate)
+        # read one copy, and the scalar suite + fingerprint window +
+        # near-loser join are evaluated once instead of per action.
+        # At 100 TB this is the materialized audit-trail table the
+        # module docstring says a curation run keeps anyway.
+        audit = scope.persist(audit)
 
     kept_ids = (
         audit.filter(F.col("fate") == "kept")
