@@ -1394,7 +1394,8 @@ def q67_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select("doc_id", "text").unionByName(variants)
     media = synthesize_media(spark, corpus)
     return hamming_near_dup_pairs(
-        extract_dhash(media), bits=56, bands=4, max_hamming=3
+        extract_dhash(media), bits=56, bands=4, max_hamming=3,
+        scope=_DRIVER_SCOPE,
     )
 
 

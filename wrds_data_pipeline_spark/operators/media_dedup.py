@@ -120,6 +120,7 @@ def hamming_near_dup_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     truncate_lineage: bool = True,
+    scope=None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose hashes differ in at most
     ``max_hamming`` of ``bits`` bits, found via the banded equi-join
@@ -137,9 +138,18 @@ def hamming_near_dup_pairs(
     ``localCheckpoint(eager=False)`` computes the decode once (the
     repo's standard self-join waist, see dedup.py); pass False only
     in plan-audit tests that need the upstream visible in explain.
+
+    ``scope`` (caching.PersistScope): additionally PERSIST the band
+    table under a caller-owned lifecycle (the near_dup_pairs
+    scored-relation pattern: persist for cross-invocation cache
+    sharing, checkpoint for lineage truncation) — a repeated
+    invocation re-reads the cached bands instead of re-running the
+    Arrow decode, the pipeline's expensive stage.
     """
     _check_banding(bits, bands, max_hamming)
     bt = hamming_band_table(hashes, id_col, hash_col, bits, bands)
+    if scope is not None:
+        bt = scope.persist(bt)
     if truncate_lineage:
         bt = bt.localCheckpoint(eager=False)
     a, b = bt.alias("a"), bt.alias("b")
