@@ -2870,7 +2870,8 @@ def q53_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
     out = pack_sequences(
-        d, max_tokens=_PACK_MAX, token_col="n_tok", chunk_bins=_PACK_BINS
+        d, max_tokens=_PACK_MAX, token_col="n_tok", chunk_bins=_PACK_BINS,
+        scope=_DRIVER_SCOPE,
     )
     return out.select("doc_id", "n_tokens", "seq_id", "seq_pos", "oversize")
 

@@ -110,6 +110,7 @@ def pack_sequences(
     chunk_bins: int = 64,
     truncate_lineage: bool = True,
     reliable_checkpoint: bool = False,
+    scope=None,
 ) -> DataFrame:
     """(id, n_tokens, seq_id, seq_pos, oversize) — greedy packing of
     documents into sequences of at most ``max_tokens`` tokens.
@@ -183,6 +184,14 @@ def pack_sequences(
     # plan with a Scan ExistingRDD in explain(), which would hide the
     # range-partitioning / no-global-window properties they assert —
     # the logical composition is identical either way.
+    if scope is not None:
+        # caller-owned persist of the chunk-assignment waist (narrow
+        # metadata: id, count, chunk) — the tokenize + range-partition
+        # sampling + prefix-sum window re-ran on every invocation; a
+        # repeated invocation now re-reads the cache, and the
+        # truncation below only re-materializes its RDD blocks from it
+        # (the hamming_near_dup_pairs persist-then-checkpoint pattern)
+        fit = scope.persist(fit)
     if truncate_lineage:
         fit = (
             fit.checkpoint(eager=False)
